@@ -28,7 +28,7 @@ from ..errors import CompileError
 
 __all__ = ["CompileError", "kind", "is_zero", "required", "as_string",
            "num_col", "param_int", "param_num", "is_intlike",
-           "compare_lit", "compare_field", "java_escape_char_class"]
+           "compare_lit", "compare_field", "java_escape_char_class", "strict_anchor"]
 
 
 # ---------------------------------------------------------------- type kinds
@@ -187,6 +187,17 @@ def compare_field(op: str, col: Column, dtype: T.DataType,
     if k in ("timestamp", "date"):
         return f(col, other.cast("timestamp" if k == "timestamp" else "date"))
     raise CompileError(f"rule {rule!r}: unsupported type for comparison: {dtype}")
+
+
+
+
+def strict_anchor(pattern: str) -> str:
+    """Java's `$` matches before a trailing newline; Go's (RE2) does not.
+    Rewrite a final `$` to `\z` so rlike matches Go semantics on content
+    with trailing newlines (critical for source-code columns)."""
+    if pattern.endswith("$") and not pattern.endswith(r"\$"):
+        return pattern[:-1] + r"\z"
+    return pattern
 
 
 def java_escape_char_class(chars: str) -> str:

@@ -11,11 +11,13 @@ format.go:186-193, which no regex reproduces faithfully).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from ..registry import Registry, RuleContext
-from ._helpers import as_string
+from ._helpers import strict_anchor, as_string
 
 
 def _s(ctx: RuleContext) -> Column:
@@ -23,6 +25,8 @@ def _s(ctx: RuleContext) -> Column:
 
 
 def _regex_rule(pattern: str):
+    pattern = strict_anchor(pattern)
+
     def factory(ctx: RuleContext, params: tuple[str, ...]) -> Column:
         return _s(ctx).rlike(pattern)
 
@@ -104,7 +108,7 @@ def _luhn_ok(s: Column) -> Column:
 def _isbn10_ok(s: Column) -> Column:
     """Weighted mod-11 (format.go:621-640): digit*(10-i); 'X' only legal at
     i==9 where it contributes 10."""
-    shape = s.rlike(r"^[0-9]{9}[0-9X]$")
+    shape = s.rlike(r"^[0-9]{9}[0-9X]\z")
     weighted = F.transform(
         _chars(s),
         lambda c, i: F.when(c == "X", F.lit(10)).otherwise((F.ascii(c) - 48) * (10 - i)),
@@ -115,7 +119,7 @@ def _isbn10_ok(s: Column) -> Column:
 
 def _isbn13_ok(s: Column) -> Column:
     """Alternating 1/3 weights mod-10 (format.go:642-657)."""
-    shape = s.rlike(r"^[0-9]{13}$")
+    shape = s.rlike(r"^[0-9]{13}\z")
     weighted = F.transform(
         _chars(s),
         lambda c, i: F.when(i % 2 == 0, F.ascii(c) - 48).otherwise((F.ascii(c) - 48) * 3),
@@ -127,7 +131,7 @@ def _isbn13_ok(s: Column) -> Column:
 def _issn_ok(s: Column) -> Column:
     """Regex gate then mod-11 with weights (8-i); X at i==7 → 10
     (format.go:286-293 + :659-677)."""
-    shape = s.rlike(r"^\d{4}-\d{3}[\dX]$")
+    shape = s.rlike(r"^\d{4}-\d{3}[\dX]\z")
     stripped = F.replace(s, F.lit("-"), F.lit(""))
     weighted = F.transform(
         _chars(stripped),
@@ -150,7 +154,6 @@ def _email_factory(ctx: RuleContext, params: tuple[str, ...]) -> Column:
     forms like Go does.  Residual divergence: Python's parser is laxer on
     some exotic quoted-string forms — documented, not load-bearing.
     """
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("boolean")
@@ -212,7 +215,7 @@ def install(r: Registry) -> None:
     # checksum rules — pure SQL (see cores above)
     def _credit_card(ctx, params):
         s = _strip_card(_s(ctx))
-        shape = F.octet_length(s).between(13, 19) & s.rlike(r"^\p{Nd}+$")
+        shape = F.octet_length(s).between(13, 19) & s.rlike(r"^\p{Nd}+\z")
         return shape & (_luhn_sum(s) % 10 == 0)
 
     r.register("credit_card", _credit_card)

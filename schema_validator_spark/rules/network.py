@@ -13,11 +13,13 @@ IPv4-mapped IPv6).  Divergences, by design, for cluster safety:
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from ..registry import Registry, RuleContext
-from ._helpers import as_string, num_col
+from ._helpers import strict_anchor, as_string, num_col
 
 
 def _s(ctx: RuleContext) -> Column:
@@ -25,6 +27,8 @@ def _s(ctx: RuleContext) -> Column:
 
 
 def _regex_rule(pattern: str):
+    pattern = strict_anchor(pattern)
+
     def factory(ctx: RuleContext, params: tuple[str, ...]) -> Column:
         return _s(ctx).rlike(pattern)
 
@@ -37,7 +41,6 @@ _HOSTNAME_RE = r"^[a-zA-Z0-9]([a-zA-Z0-9-.]{0,61}[a-zA-Z0-9])?$"  # network.go:6
 def _ip_udf(mode: str):
     """mode: 'any' | 'v4' | 'v6'.  Go To4() is non-nil for IPv4-mapped
     IPv6 (::ffff:a.b.c.d), so 'v4' accepts those and 'v6' rejects them."""
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("boolean")
@@ -64,7 +67,6 @@ def _ip_udf(mode: str):
 
 
 def _cidr_udf(mode: str):
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("boolean")
@@ -97,7 +99,6 @@ def _hostport_udf(mode: str):
     """mode: 'tcp4'|'tcp6'|'ip' — host:port with IP-family constraint.
     Replicates net.SplitHostPort + LookupPort numeric path
     (network.go:182-268); port range 0..65535 like LookupPort."""
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("boolean")
@@ -241,9 +242,9 @@ def install(r: Registry) -> None:
         # port 1..65535 (network.go:83-99).  SQL-only: host/port split via
         # regex on the LAST colon.
         s = _s(ctx)
-        host = F.regexp_extract(s, r"^(?:\[([^\]]*)\]|(.*)):(\d+)$", 2)
-        host6 = F.regexp_extract(s, r"^(?:\[([^\]]*)\]|(.*)):(\d+)$", 1)
-        port = F.regexp_extract(s, r"^(?:\[([^\]]*)\]|(.*)):(\d+)$", 3).cast("int")
+        host = F.regexp_extract(s, r"^(?:\[([^\]]*)\]|(.*)):(\d+)\z", 2)
+        host6 = F.regexp_extract(s, r"^(?:\[([^\]]*)\]|(.*)):(\d+)\z", 1)
+        port = F.regexp_extract(s, r"^(?:\[([^\]]*)\]|(.*)):(\d+)\z", 3).cast("int")
         host_ok = (host6 != "") | host.rlike(_HOSTNAME_RE) | host.rlike(
             r"^(\d{1,3}\.){3}\d{1,3}$"
         )
@@ -253,7 +254,6 @@ def install(r: Registry) -> None:
 
     def _uds_exists(ctx, params):
         # network.go:279-289: abstract sockets pass; else os.Stat.
-        import pandas as pd
         from pyspark.sql.functions import pandas_udf
 
         @pandas_udf("boolean")

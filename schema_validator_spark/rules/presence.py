@@ -13,6 +13,8 @@ same semantics only when explicitly allowed (tests / driver-side audits).
 
 from __future__ import annotations
 
+import pandas as pd
+
 import os
 
 from pyspark.sql import Column
@@ -161,7 +163,6 @@ def install(r: Registry) -> None:
         # Evaluated via a tiny literal-set closure is impossible in general;
         # keep fidelity for tests by delegating to a vectorized UDF that
         # stats the executor-local fs (identical to single-node reference).
-        import pandas as pd
         from pyspark.sql.functions import pandas_udf
 
         @pandas_udf("boolean")

@@ -15,7 +15,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from ..registry import Registry, RuleContext
-from ._helpers import CompileError, as_string, java_escape_char_class
+from ._helpers import strict_anchor, CompileError, as_string, java_escape_char_class
 
 
 def _s(ctx: RuleContext) -> Column:
@@ -23,6 +23,8 @@ def _s(ctx: RuleContext) -> Column:
 
 
 def _regex_rule(pattern: str):
+    pattern = strict_anchor(pattern)
+
     def factory(ctx: RuleContext, params: tuple[str, ...]) -> Column:
         return _s(ctx).rlike(pattern)
 
