@@ -1,0 +1,133 @@
+"""Distribution-drift checks across partitions (commits).
+
+No reference analog (SURVEY.md §2.0); mandated by the north rule.  Two
+tiers, both single-scan-per-side and shuffle-light:
+
+* ``column_stats`` — per-group moments + approximate quantiles.  Spark's
+  ``percentile_approx`` is a mergeable quantile sketch (Greenwald-Khanna
+  family, cf. the KLL± line of work in repo:PAPERS.md): per-partition
+  sketches merge in the agg, so the quantile never materializes the data.
+* ``psi`` — Population Stability Index between a baseline group and a
+  current group: quantile bucket edges from the baseline sketch, one
+  bucketed groupBy per side, PSI = Σ (p_cur - p_base) · ln(p_cur/p_base).
+  Rule of thumb: PSI < 0.1 stable, 0.1-0.25 moderate, > 0.25 drifted.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_QUANTILES = [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
+
+
+def column_stats(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    *,
+    quantiles: list[float] | None = None,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-group sketch summary of a numeric column (one shuffle)."""
+    qs = quantiles or DEFAULT_QUANTILES
+    v = F.col(value_col)
+    return df.groupBy(*group_cols).agg(
+        F.count(v).alias("n"),
+        F.round(F.avg(v), 6).alias("mean"),
+        F.round(F.stddev_samp(v), 6).alias("stddev"),
+        F.min(v).alias("min"),
+        F.max(v).alias("max"),
+        F.percentile_approx(v, qs, accuracy).alias("quantiles"),
+    )
+
+
+def _bucketize(col: Column, edges: list[float]) -> Column:
+    """Bucket index by baseline quantile edges (len(edges)+1 buckets)."""
+    expr = F.lit(len(edges))
+    for i in range(len(edges) - 1, -1, -1):
+        expr = F.when(col <= F.lit(edges[i]), F.lit(i)).otherwise(expr)
+    return expr
+
+
+def psi(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    baseline: object,
+    current: object,
+    *,
+    n_buckets: int = 10,
+    accuracy: int = 10000,
+) -> float:
+    """PSI of ``value_col`` between two values of ``group_col``.
+
+    Two jobs: (1) baseline quantile edges via the mergeable sketch,
+    (2) one bucketed count per side (computed in a single groupBy over
+    both groups).  Scales to any row count — only bucket histograms
+    reach the driver.
+    """
+    base_rows = df.filter(F.col(group_col) == baseline)
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    edges_row = base_rows.agg(
+        F.percentile_approx(F.col(value_col), probs, accuracy).alias("e")
+    ).first()
+    edges = [float(e) for e in (edges_row["e"] or [])]
+    if not edges:
+        raise ValueError(f"baseline group {baseline!r} has no rows")
+    # collapse duplicate edges (degenerate distributions)
+    uniq: list[float] = []
+    for e in edges:
+        if not uniq or e > uniq[-1]:
+            uniq.append(e)
+
+    both = df.filter(F.col(group_col).isin(baseline, current)).select(
+        F.col(group_col).alias("_g"), _bucketize(F.col(value_col), uniq).alias("_b")
+    )
+    hist = both.groupBy("_g", "_b").agg(F.count(F.lit(1)).alias("c")).collect()
+
+    n_b = len(uniq) + 1
+    base_counts = [0.0] * n_b
+    cur_counts = [0.0] * n_b
+    for r in hist:
+        tgt = base_counts if r["_g"] == baseline else cur_counts
+        tgt[r["_b"]] += r["c"]
+    tb, tc = sum(base_counts) or 1.0, sum(cur_counts) or 1.0
+    eps = 1e-6
+    score = 0.0
+    for b, c in zip(base_counts, cur_counts):
+        pb = max(b / tb, eps)
+        pc = max(c / tc, eps)
+        score += (pc - pb) * math.log(pc / pb)
+    return score
+
+
+def drift_report(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    baseline: object = None,
+    n_buckets: int = 10,
+) -> list[dict]:
+    """PSI of every group against the baseline (default: first group in
+    sort order).  Returns a small driver-side list of dicts."""
+    groups = [r[0] for r in df.select(group_col).distinct().orderBy(group_col).collect()]
+    if not groups:
+        return []
+    if baseline is None:
+        baseline = groups[0]
+    out = []
+    for g in groups:
+        if g == baseline:
+            continue
+        out.append(
+            {
+                "group": g,
+                "baseline": baseline,
+                "psi": psi(df, value_col, group_col, baseline, g, n_buckets=n_buckets),
+            }
+        )
+    return out

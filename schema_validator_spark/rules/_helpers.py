@@ -161,7 +161,19 @@ def compare_lit(op: str, col: Column, dtype: T.DataType, param: str, rule: str) 
     if k == "array":
         return f(F.size(F.coalesce(col, F.array())), F.lit(param_int(rule, param)))
     if k == "bool":
-        # Go: cast bool through compare is unsupported → hard error.
+        # Engine extension: Go's compareValue hard-errors on bool
+        # (validators.go:128-135 default branch), but conditional
+        # constraints over boolean flag columns (FIXTURES.md F6:
+        # required_if=required,true) need eq/ne; other ops stay errors.
+        if op in ("eq", "ne"):
+            pl = param.strip().lower()
+            if pl in ("true", "1"):
+                b = True
+            elif pl in ("false", "0"):
+                b = False
+            else:
+                raise CompileError(f"rule {rule!r}: param {param!r} is not a bool")
+            return f(F.coalesce(col, F.lit(False)), F.lit(b))
         raise CompileError(f"rule {rule!r}: unsupported comparison on bool column")
     if k in ("timestamp", "date"):
         return f(col, F.lit(param).cast("timestamp" if k == "timestamp" else "date"))
@@ -192,7 +204,7 @@ def compare_field(op: str, col: Column, dtype: T.DataType,
 
 
 def strict_anchor(pattern: str) -> str:
-    """Java's `$` matches before a trailing newline; Go's (RE2) does not.
+    r"""Java's `$` matches before a trailing newline; Go's (RE2) does not.
     Rewrite a final `$` to `\z` so rlike matches Go semantics on content
     with trailing newlines (critical for source-code columns)."""
     if pattern.endswith("$") and not pattern.endswith(r"\$"):

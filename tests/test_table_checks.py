@@ -1,0 +1,131 @@
+"""Table-level operator tests: uniqueness, referential integrity,
+distribution drift, checkpoint/resume — the north-rule half of the
+engine (SURVEY.md §2.0; no reference analog)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from schema_validator_spark.operators import drift, referential, uniqueness
+from schema_validator_spark.checkpoint import CheckpointedValidation
+from schema_validator_spark.sources import datagen
+from schema_validator_spark.engine import ValidationEngine
+
+
+def test_duplicate_keys_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b"), (3, "c"), (3, "c"), (3, "c")],
+        "k int, v string",
+    )
+    dups = {r["k"]: r["dup_count"] for r in uniqueness.duplicate_keys(df, ["k"]).collect()}
+    assert dups == {1: 2, 3: 3}
+    rows = uniqueness.duplicate_rows(df, ["k"]).count()
+    assert rows == 5
+
+
+def test_uniqueness_stats(spark):
+    df = spark.range(1000).select((F.col("id") % 500).alias("k"))
+    exact = uniqueness.exact_uniqueness_stats(df, ["k"]).first()
+    assert exact["n_rows"] == 1000
+    assert exact["n_distinct_keys"] == 500
+    assert exact["n_dup_keys"] == 500
+    approx = uniqueness.uniqueness_stats(df, ["k"]).first()
+    assert abs(approx["approx_distinct_keys"] - 500) / 500 < 0.15
+
+
+def test_referential_violations(spark):
+    fact = spark.createDataFrame(
+        [(1, "r1"), (2, "r2"), (3, "ghost"), (4, None)], "uid int, repo string"
+    )
+    dim = spark.createDataFrame([("r1",), ("r2",)], "repo string")
+    orphans = {r["uid"] for r in
+               referential.referential_violations(fact, ["repo"], dim, broadcast=True).collect()}
+    assert orphans == {3, 4}
+    stats = referential.orphan_stats(fact, ["repo"], dim, broadcast=True).first()
+    assert stats["n_rows"] == 4 and stats["n_orphans"] == 2
+    assert stats["orphan_rate"] == 0.5
+
+
+def test_drift_psi(spark):
+    # commit A: uniform 0..99; commit B: shifted 50..149 → high PSI;
+    # commit C: same as A → near-zero PSI.
+    a = spark.range(2000).select(F.lit("A").alias("commit"), (F.col("id") % 100).cast("double").alias("v"))
+    b = spark.range(2000).select(F.lit("B").alias("commit"), (F.col("id") % 100 + 50).cast("double").alias("v"))
+    c = spark.range(2000).select(F.lit("C").alias("commit"), (F.col("id") % 100).cast("double").alias("v"))
+    df = a.unionByName(b).unionByName(c)
+
+    psi_ab = drift.psi(df, "v", "commit", "A", "B")
+    psi_ac = drift.psi(df, "v", "commit", "A", "C")
+    assert psi_ab > 0.25, psi_ab
+    assert psi_ac < 0.01, psi_ac
+
+    stats = {r["commit"]: r for r in drift.column_stats(df, "v", ["commit"]).collect()}
+    assert stats["A"]["n"] == 2000
+    assert abs(stats["B"]["mean"] - stats["A"]["mean"] - 50) < 1.0
+
+    report = drift.drift_report(df, "v", "commit", baseline="A")
+    by_group = {r["group"]: r["psi"] for r in report}
+    assert by_group["B"] > by_group["C"]
+
+
+def test_datagen_known_violations(spark):
+    df = datagen.code_files(spark, 3000)
+    assert df.count() == 3000
+    eng = datagen.full_suite_engine()
+    res = eng.run(df)
+    codes = {(r["field"], r["code"]) for r in res.violations.collect()}
+    assert ("commit", "lowercase") in codes
+    assert ("commit", "len") in codes
+    assert ("lang", "oneof") in codes
+    assert ("content", "required") in codes
+    assert ("path", "startsnotwith") in codes
+    # the derived sha256 invariant never fails on generated data
+    assert ("content_sha256", "hexadecimal") not in codes
+    # skew: mega-repo owns ~20%
+    mega = df.filter(F.col("repo") == "bigorg/monorepo").count()
+    assert 0.15 < mega / 3000 < 0.25
+
+
+def test_datagen_referential_orphans(spark):
+    files = datagen.code_files(spark, 2000)
+    dim = datagen.repos_dim(spark)
+    orphans = referential.referential_violations(files, ["repo"], dim, broadcast=True)
+    n = orphans.count()
+    assert n > 0  # the dropped residue-42 repos
+    assert orphans.filter(F.col("repo") == "bigorg/monorepo").count() == 0
+
+
+def test_checkpoint_resume(spark):
+    tmp = tempfile.mkdtemp(prefix="svs_ckpt_")
+    try:
+        df = datagen.code_files(spark, 1000)
+        eng = datagen.full_suite_engine()
+        ck = CheckpointedValidation(eng, tmp, bucket_col="repo", n_buckets=8)
+
+        first = ck.run(df)
+        assert first["skipped"] == []
+        assert len(first["processed"]) > 0
+
+        # resume: everything already done → nothing reprocessed
+        second = ck.run(df)
+        assert second["processed"] == []
+        assert second["skipped"] == first["processed"]
+
+        total = ck.summary(spark).first()
+        assert total["n_rows"] == 1000
+
+        # violations on disk match a direct run
+        direct = eng.run(df).violations.count()
+        on_disk = spark.read.parquet(f"{tmp}/violations").count()
+        assert on_disk == direct
+
+        # a spec change invalidates the checkpoint
+        eng2 = ValidationEngine({"content": "required"}, key_cols=["repo", "path", "commit"])
+        ck2 = CheckpointedValidation(eng2, tmp, bucket_col="repo", n_buckets=8)
+        assert ck2.completed_buckets(spark) == set()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
