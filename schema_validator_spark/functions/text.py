@@ -1,0 +1,153 @@
+"""Text-analysis column functions for large-scale training-data pipelines.
+
+All pure Spark SQL expressions (whole-stage codegen; no Python in the
+hot path): tokenization, shingling, language-ID heuristic, quality
+scoring, token counting, document fingerprinting.  These power the
+dedup/similarity operators and the `documents` queries in
+``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------------ tokenizing
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of non-empty words."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_tokens(col: Column) -> Column:
+    """A BPE-ish regex tokenization: words, numbers, punctuation runs —
+    the standard pre-tokenizer shape (letters | digits | single punct)."""
+    return F.filter(
+        F.split(col, r"(?=[^\p{L}\p{Nd}])|(?<=[^\p{L}\p{Nd}])"),
+        lambda t: (t != "") & (t != " "),
+    )
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    return F.size(bpe_ish_tokens(col))
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct word k-grams (the MinHash input set)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - k + 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def char_ngrams(col: Column, n: int = 4) -> Column:
+    """Distinct character n-grams of the lowercased text."""
+    s = F.lower(col)
+    ln = F.length(s)
+    return F.array_distinct(
+        F.when(
+            ln >= n,
+            F.transform(
+                F.sequence(F.lit(1), ln - n + 1), lambda i: F.substring(s, i, n)
+            ),
+        ).otherwise(F.array(s))
+    )
+
+
+# NOTE on F.substring(s, i, n) with a Column start: substring accepts
+# column arguments in Spark 4; guarded by tests.
+
+
+# ------------------------------------------------------------------ quality
+
+def quality_score(col: Column) -> Column:
+    """Heuristic document quality in [0,1] — length, word shape, alpha
+    ratio, repetition.  Deterministic pure-SQL arithmetic (oracle-able)."""
+    s = F.coalesce(col, F.lit(""))
+    n_chars = F.length(s)
+    n_tokens = F.size(tokens(s))
+    alpha_chars = F.length(F.regexp_replace(s, r"[^\p{L}]", ""))
+    distinct_tokens = F.size(F.array_distinct(tokens(s)))
+
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    alpha_ratio = F.when(n_chars > 0, alpha_chars / n_chars).otherwise(0.0)
+    mean_word_len = F.when(n_tokens > 0, (n_chars + 1) / (n_tokens + 1)).otherwise(0.0)
+    word_len_score = F.when(
+        (mean_word_len >= 3) & (mean_word_len <= 12), F.lit(1.0)
+    ).otherwise(F.lit(0.4))
+    rep_score = F.when(n_tokens > 0, distinct_tokens / n_tokens).otherwise(0.0)
+
+    return F.round(
+        0.25 * len_score + 0.25 * alpha_ratio + 0.2 * word_len_score + 0.3 * rep_score,
+        6,
+    )
+
+
+# ------------------------------------------------------------------ lang id
+
+# Tiny per-language stopword marker sets for the n-gram/stopword heuristic.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "with"],
+    "es": ["el", "la", "de", "que", "y", "los", "en", "un", "una", "por"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "für", "auf"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"],
+}
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-hit language ID: the language whose marker set overlaps
+    the token set most; CJK-dominant text → 'zh'; no hits → 'unknown'."""
+    toks = F.array_distinct(F.transform(tokens(col), F.lower))
+    scores = [
+        (lang, F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))))
+        for lang, words in _LANG_MARKERS.items()
+    ]
+    cjk = F.length(F.regexp_replace(col, r"[^一-鿿]", ""))
+
+    best = F.lit("unknown")
+    best_score = F.lit(0)
+    for lang, score in scores:
+        cond = score > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, score).otherwise(best_score)
+    return F.when(cjk * 4 > F.length(col), F.lit("zh")).otherwise(best)
+
+
+# ------------------------------------------------------------------ hashing
+
+_FP_MOD = 1_000_000_007
+_FP_BASE = 131
+
+
+def rolling_hash(col: Column) -> Column:
+    """Polynomial rolling hash of the raw text (mod 1e9+7) — stays far
+    below int64 overflow so it is ANSI-mode safe."""
+    chars = F.split(F.coalesce(col, F.lit("")), "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: F.pmod(acc * _FP_BASE + F.ascii(c), F.lit(_FP_MOD)),
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Canonical document fingerprint: lowercase, strip non-alphanumerics,
+    collapse whitespace, md5.  Two near-identical docs (case/punct/space
+    variants) share a fingerprint — the classic exact-near-dedup key."""
+    normalized = F.regexp_replace(
+        F.regexp_replace(F.lower(F.coalesce(col, F.lit(""))), r"[^\p{L}\p{Nd}\s]", ""),
+        r"\s+",
+        " ",
+    )
+    return F.md5(F.trim(normalized))

@@ -1,0 +1,121 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+* ``cosine_topk``   — exact brute force: broadcast the (small) query set
+  against the corpus, window top-k per query.  The correctness baseline;
+  cost O(|Q|·|C|) but the corpus is never shuffled — only scanned once.
+* ``srp_topk``      — scale path: signed-random-projection buckets with
+  multi-probe (hamming-1 neighbors), exact cosine re-rank inside the
+  probed buckets.  At 10^9+ vectors the probe list bounds the candidate
+  set per query to a tiny fraction of the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import similarity as V
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine: (query_id, vec_id, cosine, rank)."""
+    q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qv"))
+    c = corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("_cv"))
+    scored = F.broadcast(q).crossJoin(c).select(
+        "query_id",
+        "vec_id",
+        F.round(V.cosine(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _bucket_expr(vec_col, planes):
+    sig = V.srp_signature(vec_col, planes)
+    return F.concat_ws(
+        "", *[F.element_at(sig, i + 1).cast("string") for i in range(len(planes))]
+    )
+
+
+def _probe_buckets(bucket: str) -> list[str]:
+    """The bucket itself plus all hamming-1 neighbors (multi-probe)."""
+    out = [bucket]
+    for i, ch in enumerate(bucket):
+        out.append(bucket[:i] + ("1" if ch == "0" else "0") + bucket[i + 1 :])
+    return out
+
+
+def srp_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """LSH-bucketed approximate top-k (same output schema as cosine_topk).
+
+    Corpus is bucketed once by SRP signature; each query probes its own
+    bucket plus hamming-1 neighbors.  Recall rises with fewer planes /
+    more probes; 8 planes + multi-probe ≈ high recall at ~1/2^5 of the
+    corpus scanned per query.
+    """
+    if dim is None:
+        dim = int(corpus.select(F.size(corpus_vec).alias("d")).first()["d"])
+    planes = V.deterministic_planes(n_planes, dim)
+
+    c = corpus.select(
+        F.col(corpus_id).alias("vec_id"),
+        F.col(corpus_vec).alias("_cv"),
+        _bucket_expr(F.col(corpus_vec), planes).alias("_bkt"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("_qv"),
+        _bucket_expr(F.col(query_vec), planes).alias("_qbkt"),
+    )
+    # multi-probe list: own bucket + every hamming-1 neighbor, in SQL
+    probe_list = F.array(
+        F.col("_qbkt"),
+        *[
+            F.concat(
+                F.substring("_qbkt", 1, i),
+                F.when(F.substring("_qbkt", i + 1, 1) == "0", "1").otherwise("0"),
+                F.substring("_qbkt", i + 2, n_planes - i - 1),
+            )
+            for i in range(n_planes)
+        ],
+    )
+    q_probed = q.select(
+        "query_id", "_qv", F.explode(probe_list).alias("_bkt")
+    )
+
+    scored = F.broadcast(q_probed).join(c, on="_bkt").select(
+        "query_id",
+        "vec_id",
+        F.round(V.cosine(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+    ).dropDuplicates(["query_id", "vec_id"])
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

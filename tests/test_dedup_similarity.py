@@ -1,0 +1,175 @@
+"""Dedup / similarity / text-analysis operator tests — the
+training-data-pipeline half of the engine, over the driver testdata
+`documents` and `embeddings` tables plus synthetic fixtures."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from schema_validator_spark.functions import similarity as V
+from schema_validator_spark.functions import text as X
+from schema_validator_spark.operators import ann, dedup
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_exact_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other"), (4, "Same Text!")],
+        "doc_id int, text string",
+    )
+    groups = dedup.exact_duplicates(df, "doc_id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == [1, 2]
+    # fingerprint dedup also folds case/punct variant 4
+    fp = dedup.fingerprint_duplicates(df, "doc_id", "text").collect()
+    assert fp[0]["doc_ids"] == [1, 2, 4]
+    assert dedup.dedup_exact(df, "text").count() == 3
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again in the field"
+    near = base.replace("lazy", "sleepy")
+    other = "completely different words about spark shuffle partitions and catalyst plans"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id int, text string"
+    )
+    pairs = dedup.minhash_lsh_candidates(
+        df, "doc_id", "text", num_hashes=64, bands=16, jaccard_threshold=0.3
+    ).collect()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {(1, 2)}
+    assert pairs[0]["jaccard"] > 0.3
+
+
+def test_simhash_candidates(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    near = base.replace("kappa", "lambda", 1)
+    other = "one two three four five six seven eight nine ten " * 3
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id int, text string"
+    )
+    pairs = dedup.simhash_candidates(df, "doc_id", "text", max_hamming=8).collect()
+    got = {(p["id_a"], p["id_b"]) for p in pairs}
+    assert (1, 2) in got
+    assert (1, 3) not in got
+
+
+def test_ngram_jaccard(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abcdefghiX"), (3, "zzzzzzzzzz")],
+        "doc_id int, text string",
+    )
+    pairs = dedup.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {(1, 2)}
+
+
+def test_embedding_near_duplicates(spark):
+    v = [1.0] * 8
+    v_near = [1.0] * 7 + [0.95]
+    v_far = [(-1.0) ** i for i in range(8)]
+    df = spark.createDataFrame(
+        [(1, v), (2, v_near), (3, v_far)], "vec_id int, embedding array<double>"
+    )
+    pairs = dedup.embedding_near_duplicates(
+        df, "vec_id", "embedding", cosine_threshold=0.99, n_planes=8
+    ).collect()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {(1, 2)}
+
+
+def test_cosine_topk_exact(embs):
+    queries = embs.limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk = ann.cosine_topk(queries, embs, k=5)
+    rows = topk.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        assert len(rs) == 5
+        rs.sort(key=lambda r: r["rank"])
+        # rank 1 is the query itself (cosine 1.0)
+        assert rs[0]["vec_id"] == qid
+        assert rs[0]["cosine"] == pytest.approx(1.0, abs=1e-4)
+        # scores non-increasing
+        assert all(rs[i]["cosine"] >= rs[i + 1]["cosine"] for i in range(4))
+
+
+def test_srp_topk_recall(embs):
+    queries = embs.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = ann.cosine_topk(queries, embs, k=3).collect()
+    approx = ann.srp_topk(queries, embs, k=3, n_planes=6).collect()
+    exact_top1 = {r["query_id"]: r["vec_id"] for r in exact if r["rank"] == 1}
+    approx_by_q = {}
+    for r in approx:
+        approx_by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    # the query itself (top-1, cosine 1.0, same bucket) must always be found
+    hits = sum(1 for q, v in exact_top1.items() if v in approx_by_q.get(q, set()))
+    assert hits == len(exact_top1)
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog went to the market and it is fine"),
+            (2, "el perro y el gato en la casa de los abuelos por la tarde"),
+            (3, "aaa aaa aaa aaa aaa"),
+        ],
+        "doc_id int, text string",
+    )
+    out = df.select(
+        "doc_id",
+        X.token_count(F.col("text")).alias("n_tok"),
+        X.lang_id(F.col("text")).alias("lang"),
+        X.quality_score(F.col("text")).alias("q"),
+        X.fingerprint(F.col("text")).alias("fp"),
+        X.rolling_hash(F.col("text")).alias("rh"),
+    ).collect()
+    rows = {r["doc_id"]: r for r in out}
+    assert rows[1]["n_tok"] == 13
+    assert rows[1]["lang"] == "en"
+    assert rows[2]["lang"] == "es"
+    # repetitive doc scores below varied doc
+    assert rows[3]["q"] < rows[1]["q"]
+    assert len(rows[1]["fp"]) == 32
+    assert 0 <= rows[1]["rh"] < 1_000_000_007
+
+
+def test_shingles_and_ngrams(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    row = df.select(
+        X.word_shingles(F.col("text"), 2).alias("sh"),
+        X.char_ngrams(F.col("text"), 3).alias("ng"),
+    ).first()
+    assert set(row["sh"]) == {"a b", "b c", "c d"}
+    assert "a b" in row["ng"]
+
+
+def test_docs_table_text_pipeline(docs):
+    """Run the text-analysis suite over the driver documents table."""
+    out = docs.select(
+        "doc_id",
+        X.token_count(F.col("text")).alias("n_tok"),
+        X.quality_score(F.col("text")).alias("q"),
+        X.lang_id(F.col("text")).alias("lid"),
+    )
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("q").alias("qmin"),
+        F.max("q").alias("qmax"),
+    ).first()
+    assert agg["n"] == docs.count()
+    assert 0.0 <= agg["qmin"] <= agg["qmax"] <= 1.0
