@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship run: full constraint-suite validation over the
+sf0.001 documents table (violations output).
+
+``queries()`` — one entry per implemented operator family from
+SURVEY.md §2 (row-level rule packs, table-level uniqueness / referential /
+drift, dedup tiers, ANN, text analysis).  Each callable takes
+(spark, sf_dir) and returns a DataFrame whose column names match the
+corresponding ``oracle_sql()`` exactly.
+
+``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
+Approximate operators (MinHash LSH, SimHash, SRP ANN, PSI) are exposed
+rows-only (no oracle) — the exact-verify variants carry the oracles.
 """
 
 from __future__ import annotations
@@ -12,27 +19,592 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from schema_validator_spark import ValidationEngine
+from schema_validator_spark.functions import similarity as V
+from schema_validator_spark.functions import text as X
+from schema_validator_spark.operators import ann, dedup, drift, referential, uniqueness
+
+# ---------------------------------------------------------------------------
+# shared bits
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+DOC_SPEC = {
+    "text": "required",
+    "lang": "required|oneof=en,es,de,fr",   # zh deliberately outside → violations
+    "source": "required|startswith=src|endswith=0",
+    "n_chars": "min=1|max=100000",
+}
+
+
+def _doc_engine() -> ValidationEngine:
+    return ValidationEngine(DOC_SPEC, key_cols=["doc_id"], partition_cols=["lang"])
+
+
+# ---------------------------------------------------------------------------
+# flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Full validation suite over sf0.001 documents → violations table."""
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    return _doc_engine().run(docs).violations
+
+
+# ---------------------------------------------------------------------------
+# queries
+
+
+def q_rule_violations(spark, sf_dir):
+    """Row-level constraint eval + violation emission (SURVEY.md §2.0)."""
+    res = _doc_engine().run(_t(spark, sf_dir, "documents"))
+    return res.violations.select("doc_id", "field", "code")
+
+
+def q_partition_summary(spark, sf_dir):
+    """Per-partition pass/fail summary (validator.go:43-48 generalized)."""
+    res = _doc_engine().run(_t(spark, sf_dir, "documents"))
+    return res.summary.select("lang", "n_rows", "n_rows_failed", "n_violations")
+
+
+def q_sha256_invariant(spark, sf_dir):
+    """Per-row invariant: sha256(content) (BASELINE.json input_hint)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("content_sha256")
+    )
+
+
+def q_string_rules_profile(spark, sf_dir):
+    """String/format rule pack applied column-wide: failures per rule."""
+    from schema_validator_spark.registry import RuleContext, default_registry
+    from pyspark.sql import types as T
+
+    docs = _t(spark, sf_dir, "documents")
+    reg = default_registry()
+    ctx = RuleContext("text", F.col("text"), T.StringType(), {})
+    rules = [
+        ("ascii", ()),
+        ("lowercase", ()),
+        ("contains", ("data",)),
+        ("startswith", ("key",)),
+        ("number", ()),
+        ("alpha", ()),
+    ]
+    aggs = [
+        F.sum((~reg.make(name, ctx, params)).cast("long")).alias(f"r{i}")
+        for i, (name, params) in enumerate(rules)
+    ]
+    wide = docs.agg(*aggs).first()
+    rows = [(name, int(wide[f"r{i}"])) for i, (name, _p) in enumerate(rules)]
+    return spark.createDataFrame(rows, "rule string, n_failed long")
+
+
+def q_luhn_profile(spark, sf_dir):
+    """Pure-SQL Luhn checksum (format.go:378-397) over derived digit strings."""
+    from schema_validator_spark.rules.formats import _luhn_ok
+
+    orders = _t(spark, sf_dir, "orders")
+    s = F.col("o_orderkey").cast("string")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_luhn_ok(s).cast("long")).alias("n_luhn_valid"),
+    )
+
+
+def q_unique_stats(spark, sf_dir):
+    """Exact uniqueness (north_rule: groupBy-count)."""
+    return uniqueness.exact_uniqueness_stats(
+        _t(spark, sf_dir, "lineitem"), ["l_orderkey"]
+    )
+
+
+def q_duplicate_keys(spark, sf_dir):
+    """Duplicate key groups on orders.o_custkey."""
+    return uniqueness.duplicate_keys(_t(spark, sf_dir, "orders"), ["o_custkey"])
+
+
+def q_referential_orphans(spark, sf_dir):
+    """RI violations via left_anti against a restricted dimension."""
+    orders = _t(spark, sf_dir, "orders")
+    dim = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 != 3)
+    out = referential.referential_violations(
+        orders, ["o_custkey"], dim, ["c_custkey"], broadcast=True
+    )
+    return out.select("o_orderkey", "o_custkey")
+
+
+def q_orphan_stats(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    dim = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 != 3)
+    return referential.orphan_stats(
+        orders, ["o_custkey"], dim, ["c_custkey"], broadcast=True
+    ).select("n_rows", "n_orphans")
+
+
+def q_drift_stats(spark, sf_dir):
+    """Per-group distribution stats (drift check input)."""
+    out = drift.column_stats(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice", ["l_returnflag"]
+    )
+    return out.select(
+        "l_returnflag",
+        "n",
+        F.round(F.col("mean"), 2).alias("mean"),
+        F.round(F.col("stddev"), 2).alias("stddev"),
+        F.round(F.col("min"), 2).alias("min"),
+        F.round(F.col("max"), 2).alias("max"),
+    )
+
+
+def q_drift_buckets(spark, sf_dir):
+    """Histogram buckets per event_type — the drift comparison input."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 50.0), F.lit(9)).cast("int")
+    return (
+        ev.groupBy(F.col("event_type"), bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup groups (hash groupBy) on documents ∪ shifted copy."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    shifted = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    both = docs.unionByName(shifted)
+    groups = dedup.exact_duplicates(both, "doc_id", "text")
+    return groups.select(
+        "content_sha256",
+        "n_docs",
+        F.element_at("doc_ids", 1).alias("min_doc_id"),
+        F.element_at("doc_ids", -1).alias("max_doc_id"),
+    )
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    """Token-set Jaccard near-dup pairs within the 'fr' block (exact tier;
+    the LSH tier is q_minhash_lsh, rows-only)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("lang") == "fr")
+    toks = F.array_distinct(X.tokens(F.col("text")))
+    base = docs.select(F.col("doc_id").alias("_id"), toks.alias("_w"))
+    l, r = base.alias("l"), base.alias("r")
+    jac = F.size(F.array_intersect("l._w", "r._w")) / F.size(
+        F.array_union("l._w", "r._w")
+    )
+    return (
+        l.join(r, F.col("l._id") < F.col("r._id"))
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+def q_ann_topk(spark, sf_dir):
+    """Exact brute-force cosine top-k (ANN baseline); ids+rank only."""
+    embs = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = embs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann.cosine_topk(queries, embs, k=5).select("query_id", "vec_id", "rank")
+
+
+def q_text_profile(spark, sf_dir):
+    """Token counting + fingerprinting over documents."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count(F.col("text")).alias("n_tokens"),
+        X.fingerprint(F.col("text")).alias("fingerprint"),
+        X.rolling_hash(F.col("text")).alias("rolling_hash"),
+    )
+
+
+def q_lang_id_counts(spark, sf_dir):
+    """Language-ID heuristic vs labeled lang (confusion counts)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", X.lang_id(F.col("text")).alias("lid"))
+        .groupBy("lang", "lid")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_quality_scores(spark, sf_dir):
+    """Quality scoring over documents (deterministic arithmetic)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", X.quality_score(F.col("text")).alias("quality")
+    )
+
+
+def q_conditional_rules(spark, sf_dir):
+    """Conditional/presence family over events (required_if + max)."""
+    ev = _t(spark, sf_dir, "events")
+    eng = ValidationEngine(
+        {
+            "value": "required_if=event_type,purchase|max=100",
+            "event_type": "oneof=click,view,signup,purchase",
+        },
+        key_cols=["event_id"],
+    )
+    res = eng.run(ev)
+    return (
+        res.violations.groupBy("field", "code")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_compare_polymorphism(spark, sf_dir):
+    """min on a string column = byte-length ≥ (validators.go:117-127)."""
+    cust = _t(spark, sf_dir, "customer")
+    eng = ValidationEngine(
+        {"c_name": "required|min=12", "c_acctbal": "gte=0"},
+        key_cols=["c_custkey"],
+    )
+    res = eng.run(cust)
+    return res.violations.groupBy("field", "code").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_cross_field(spark, sf_dir):
+    """Cross-field rules, same-row column vs column (rule/field.go)."""
+    li = _t(spark, sf_dir, "lineitem")
+    eng = ValidationEngine(
+        {"l_discount": "ltefield=l_tax"}, key_cols=["l_orderkey", "l_linenumber"]
+    )
+    return eng.run(li).violations.groupBy("field", "code").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# ------------------------------------------------------------- rows-only tier
+# (approximate / non-SQL-expressible: driver records a rows-only check)
+
+
+def q_minhash_lsh(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=32, bands=8, jaccard_threshold=0.5
+    )
+
+
+def q_simhash_candidates(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.simhash_candidates(docs, "doc_id", "text", max_hamming=3)
+
+
+def q_srp_ann(spark, sf_dir):
+    embs = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = embs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann.srp_topk(queries, embs, k=5, n_planes=6)
+
+
+def q_embedding_neardups(spark, sf_dir):
+    embs = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return dedup.embedding_near_duplicates(
+        embs, "vec_id", "embedding", cosine_threshold=0.95, n_planes=8
+    )
+
+
+def q_drift_psi(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    score = drift.psi(ev, "value", "event_type", "click", "purchase", n_buckets=10)
+    return spark.createDataFrame(
+        [("click", "purchase", round(score, 4))],
+        "baseline string, current string, psi double",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "rule_violations": q_rule_violations,
+        "partition_summary": q_partition_summary,
+        "sha256_invariant": q_sha256_invariant,
+        "string_rules_profile": q_string_rules_profile,
+        "luhn_profile": q_luhn_profile,
+        "unique_stats": q_unique_stats,
+        "duplicate_keys": q_duplicate_keys,
+        "referential_orphans": q_referential_orphans,
+        "orphan_stats": q_orphan_stats,
+        "drift_stats": q_drift_stats,
+        "drift_buckets": q_drift_buckets,
+        "dedup_exact": q_dedup_exact,
+        "jaccard_pairs": q_jaccard_pairs,
+        "ann_topk": q_ann_topk,
+        "text_profile": q_text_profile,
+        "lang_id_counts": q_lang_id_counts,
+        "quality_scores": q_quality_scores,
+        "conditional_rules": q_conditional_rules,
+        "compare_polymorphism": q_compare_polymorphism,
+        "cross_field": q_cross_field,
+        # rows-only tier (approximate / non-SQL-expressible)
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_candidates": q_simhash_candidates,
+        "srp_ann": q_srp_ann,
+        "embedding_neardups": q_embedding_neardups,
+        "drift_psi": q_drift_psi,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB SQL; views pre-registered by the driver)
+
+_DOC_VIOLATIONS_SQL = """
+select doc_id, 'text' as field, 'required' as code from documents
+  where text is null or text = ''
+union all
+select doc_id, 'lang', 'required' from documents where lang is null or lang = ''
+union all
+select doc_id, 'lang', 'oneof' from documents
+  where coalesce(lang,'') not in ('en','es','de','fr')
+union all
+select doc_id, 'source', 'required' from documents where source is null or source = ''
+union all
+select doc_id, 'source', 'startswith' from documents
+  where not starts_with(coalesce(source,''), 'src')
+union all
+select doc_id, 'source', 'endswith' from documents
+  where not ends_with(coalesce(source,''), '0')
+union all
+select doc_id, 'n_chars', 'min' from documents where coalesce(n_chars,0) < 1
+union all
+select doc_id, 'n_chars', 'max' from documents where coalesce(n_chars,0) > 100000
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "rule_violations": _DOC_VIOLATIONS_SQL,
+        "partition_summary": f"""
+            with v as ({_DOC_VIOLATIONS_SQL})
+            select d.lang,
+                   count(distinct d.doc_id) as n_rows,
+                   count(distinct case when v.doc_id is not null then d.doc_id end) as n_rows_failed,
+                   count(v.doc_id) as n_violations
+            from documents d left join v on v.doc_id = d.doc_id
+            group by d.lang
+        """,
+        "sha256_invariant": "select doc_id, sha256(text) as content_sha256 from documents",
+        "string_rules_profile": r"""
+            select 'ascii' as rule,
+                   count(*) filter (where not regexp_matches(text, '^[\x00-\x7F]*$')) as n_failed
+            from documents
+            union all
+            select 'lowercase', count(*) filter (where text <> lower(text)) from documents
+            union all
+            select 'contains', count(*) filter (where not contains(text, 'data')) from documents
+            union all
+            select 'startswith', count(*) filter (where not starts_with(text, 'key')) from documents
+            union all
+            select 'number', count(*) filter (where not regexp_matches(text, '^[\p{Nd}]*$')) from documents
+            union all
+            select 'alpha', count(*) filter (where not regexp_matches(text, '^\p{L}*$')) from documents
+        """,
+        "luhn_profile": """
+            select count(*) as n_rows,
+                   count(*) filter (where
+                     s = '' or
+                     list_sum(list_transform(string_split_regex(reverse(s), ''), (x, i) ->
+                       case when i % 2 = 0 then
+                         case when (ascii(x)-48)*2 > 9 then (ascii(x)-48)*2 - 9
+                              else (ascii(x)-48)*2 end
+                       else ascii(x)-48 end)) % 10 = 0
+                   ) as n_luhn_valid
+            from (select cast(o_orderkey as varchar) as s from orders)
+        """,
+        "unique_stats": """
+            select sum(c)::bigint as n_rows,
+                   count(*) as n_distinct_keys,
+                   sum(case when c > 1 then c else 0 end)::bigint as n_rows_in_dup_groups,
+                   sum(case when c > 1 then 1 else 0 end)::bigint as n_dup_keys
+            from (select l_orderkey, count(*) as c from lineitem group by 1)
+        """,
+        "duplicate_keys": """
+            select o_custkey, count(*) as dup_count
+            from orders group by 1 having count(*) > 1
+        """,
+        "referential_orphans": """
+            select o_orderkey, o_custkey from orders
+            where o_custkey not in (
+              select c_custkey from customer where c_custkey % 10 <> 3)
+        """,
+        "orphan_stats": """
+            select count(*) as n_rows,
+                   count(*) filter (where o_custkey not in (
+                     select c_custkey from customer where c_custkey % 10 <> 3)) as n_orphans
+            from orders
+        """,
+        "drift_stats": """
+            select l_returnflag,
+                   count(l_extendedprice) as n,
+                   round(avg(l_extendedprice), 2) as mean,
+                   round(stddev_samp(l_extendedprice), 2) as stddev,
+                   round(min(l_extendedprice), 2) as min,
+                   round(max(l_extendedprice), 2) as max
+            from lineitem group by 1
+        """,
+        "drift_buckets": """
+            select event_type,
+                   cast(least(floor(value / 50.0), 9) as int) as bucket,
+                   count(*) as n
+            from events group by 1, 2
+        """,
+        "dedup_exact": """
+            with doubled as (
+              select doc_id, text from documents
+              union all
+              select doc_id + 1000000, text from documents
+            )
+            select sha256(text) as content_sha256,
+                   count(*) as n_docs,
+                   min(doc_id) as min_doc_id,
+                   max(doc_id) as max_doc_id
+            from doubled group by text having count(*) > 1
+        """,
+        "jaccard_pairs": r"""
+            with d as (
+              select doc_id,
+                     list_distinct(string_split_regex(trim(text), '\s+')) as w
+              from documents where lang = 'fr'
+            )
+            select a.doc_id as id_a, b.doc_id as id_b,
+                   round(len(list_intersect(a.w, b.w))::double
+                         / len(list_distinct(list_concat(a.w, b.w))), 6) as jaccard
+            from d a join d b on a.doc_id < b.doc_id
+            where round(len(list_intersect(a.w, b.w))::double
+                        / len(list_distinct(list_concat(a.w, b.w))), 6) >= 0.8
+        """,
+        "ann_topk": """
+            with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+            q as (select vec_id as query_id, v as qv from e where vec_id < 5),
+            scored as (
+              select q.query_id, e.vec_id,
+                     round(
+                       list_sum(list_transform(range(1, len(qv)+1), i -> qv[i] * e.v[i]))
+                       / (sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])))
+                          * sqrt(list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i]*e.v[i])))),
+                     6) as cosine
+              from q cross join e
+            )
+            select query_id, vec_id, rank from (
+              select query_id, vec_id,
+                     row_number() over (partition by query_id
+                                        order by cosine desc, vec_id asc) as rank
+              from scored)
+            where rank <= 5
+        """,
+        "text_profile": r"""
+            select doc_id,
+                   len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) as n_tokens,
+                   md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{Nd}\s]', '', 'g'),
+                                           '\s+', ' ', 'g'))) as fingerprint,
+                   list_reduce(
+                     list_prepend(0::bigint,
+                       list_transform(string_split_regex(text, ''), c -> ascii(c)::bigint)),
+                     (acc, c) -> (acc * 131 + c) % 1000000007) as rolling_hash
+            from documents
+        """,
+        "lang_id_counts": r"""
+            with scored as (
+              select lang, text,
+                     list_distinct(list_transform(
+                       list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''),
+                       t -> lower(t))) as toks,
+                     length(regexp_replace(text, '[^一-鿿]', '', 'g')) as cjk,
+                     length(text) as n
+              from documents
+            ), hits as (
+              select lang, cjk, n,
+                len(list_intersect(toks, ['the','and','of','to','is','in','that','it','for','with'])) as s_en,
+                len(list_intersect(toks, ['el','la','de','que','y','los','en','un','una','por'])) as s_es,
+                len(list_intersect(toks, ['der','die','und','das','ist','nicht','ein','mit','für','auf'])) as s_de,
+                len(list_intersect(toks, ['le','la','et','les','des','est','une','dans','que','pour'])) as s_fr
+              from scored
+            ), lid as (
+              select lang,
+                case when cjk * 4 > n then 'zh'
+                     when s_fr > s_de and s_fr > s_es and s_fr > s_en then 'fr'
+                     when s_de > s_es and s_de > s_en then 'de'
+                     when s_es > s_en then 'es'
+                     when s_en > 0 then 'en'
+                     else 'unknown' end as lid
+              from hits
+            )
+            select lang, lid, count(*) as n from lid group by 1, 2
+        """,
+        "quality_scores": r"""
+            with t as (
+              select doc_id,
+                     coalesce(text, '') as s,
+                     length(coalesce(text, '')) as n_chars,
+                     list_filter(string_split_regex(trim(coalesce(text,'')), '\s+'), x -> x <> '') as toks
+              from documents
+            ), m as (
+              select doc_id, n_chars,
+                     len(toks) as n_tokens,
+                     len(list_distinct(toks)) as distinct_tokens,
+                     length(regexp_replace(s, '[^\p{L}]', '', 'g')) as alpha_chars
+              from t
+            )
+            select doc_id,
+                   round(
+                     0.25 * least(n_chars / 500.0, 1.0)
+                   + 0.25 * (case when n_chars > 0 then alpha_chars::double / n_chars else 0 end)
+                   + 0.2  * (case when n_tokens > 0 and
+                                  (n_chars + 1.0) / (n_tokens + 1.0) between 3 and 12
+                             then 1.0 else 0.4 end)
+                   + 0.3  * (case when n_tokens > 0 then distinct_tokens::double / n_tokens else 0 end)
+                   , 6) as quality
+            from m
+        """,
+        "conditional_rules": """
+            select field, code, n from (
+              select 'value' as field, 'required_if' as code,
+                     count(*) filter (where event_type = 'purchase'
+                                      and (value is null or value = 0)) as n
+              from events
+              union all
+              select 'value', 'max', count(*) filter (where coalesce(value,0) > 100) from events
+              union all
+              select 'event_type', 'oneof',
+                     count(*) filter (where coalesce(event_type,'') not in
+                       ('click','view','signup','purchase')) from events
+            ) where n > 0
+        """,
+        "compare_polymorphism": """
+            select field, code, n from (
+              select 'c_name' as field, 'required' as code,
+                     count(*) filter (where c_name is null or c_name = '') as n
+              from customer
+              union all
+              select 'c_name', 'min',
+                     count(*) filter (where strlen(coalesce(c_name,'')) < 12) from customer
+              union all
+              select 'c_acctbal', 'gte',
+                     count(*) filter (where coalesce(c_acctbal,0) < 0) from customer
+            ) where n > 0
+        """,
+        "cross_field": """
+            select field, code, n from (
+              select 'l_discount' as field, 'ltefield' as code,
+                     count(*) filter (where not (coalesce(l_discount,0) <= coalesce(l_tax,0))) as n
+              from lineitem
+            ) where n > 0
+        """,
+    }
