@@ -99,9 +99,13 @@ def q_string_rules_profile(spark, sf_dir):
         F.sum((~reg.make(name, ctx, params)).cast("long")).alias(f"r{i}")
         for i, (name, params) in enumerate(rules)
     ]
-    wide = docs.agg(*aggs).first()
-    rows = [(name, int(wide[f"r{i}"])) for i, (name, _p) in enumerate(rules)]
-    return spark.createDataFrame(rows, "rule string, n_failed long")
+    # unpivot JVM-side (stack) — no driver collect, no Python workers
+    stack_args = ", ".join(
+        f"'{name}', r{i}" for i, (name, _p) in enumerate(rules)
+    )
+    return docs.agg(*aggs).selectExpr(
+        f"stack({len(rules)}, {stack_args}) as (rule, n_failed)"
+    )
 
 
 def q_luhn_profile(spark, sf_dir):
@@ -246,6 +250,28 @@ def q_quality_scores(spark, sf_dir):
     )
 
 
+def q_violation_messages(spark, sf_dir):
+    """i18n message rendering (translator.go:77-90) as a pure expression."""
+    from schema_validator_spark.i18n import message_column
+
+    res = _doc_engine().run(_t(spark, sf_dir, "documents"))
+    return res.violations.select(
+        "doc_id", "field", "code", message_column("en").alias("message")
+    )
+
+
+def q_multimodal_magic(spark, sf_dir):
+    """Binary payload plumbing: magic-byte sniff vs declared format over
+    the deterministic synthetic media table (mismatch stripe at
+    media_id % 2 == 0 and % 17 == 3)."""
+    from schema_validator_spark.operators import multimodal as M
+
+    media = M.synthetic_media(spark, 2000)
+    return media.filter(
+        ~M.payload_ok(F.col("payload"), F.col("declared_format"))
+    ).select("media_id", "declared_format")
+
+
 def q_conditional_rules(spark, sf_dir):
     """Conditional/presence family over events (required_if + max)."""
     ev = _t(spark, sf_dir, "events")
@@ -350,6 +376,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "lang_id_counts": q_lang_id_counts,
         "quality_scores": q_quality_scores,
+        "violation_messages": q_violation_messages,
+        "multimodal_magic": q_multimodal_magic,
         "conditional_rules": q_conditional_rules,
         "compare_polymorphism": q_compare_polymorphism,
         "cross_field": q_cross_field,
@@ -572,6 +600,25 @@ def oracle_sql() -> dict[str, str]:
                    + 0.3  * (case when n_tokens > 0 then distinct_tokens::double / n_tokens else 0 end)
                    , 6) as quality
             from m
+        """,
+        "violation_messages": f"""
+            with v as ({_DOC_VIOLATIONS_SQL})
+            select doc_id, field, code,
+                   case code
+                     when 'required' then 'This field is required'
+                     when 'oneof' then 'Must be one of: en,es,de,fr'
+                     when 'startswith' then 'Must start with src'
+                     when 'endswith' then 'Must end with 0'
+                     when 'min' then 'Must be at least 1'
+                     when 'max' then 'Must be at most 100000'
+                   end as message
+            from v
+        """,
+        "multimodal_magic": """
+            select i as media_id,
+                   case when i % 2 = 0 then 'png' else 'jpeg' end as declared_format
+            from range(2000) t(i)
+            where i % 2 = 0 and i % 17 = 3
         """,
         "conditional_rules": """
             select field, code, n from (

@@ -53,38 +53,35 @@ class CompiledPlan:
     elem_fail_arrays: list[Column] = dc_field(default_factory=list)
 
     def fails_column(self) -> Column:
-        """array<struct<field,code,params>> of failed checks for the row."""
-        pieces: list[Column] = []
-        if self.checks:
-            tagged = F.array(
-                *[
+        """array<struct<field,code,params>> of failed checks for the row.
+
+        Each check selects between two CONSTANT arrays (the violation
+        struct is all literals, so Catalyst constant-folds it), then one
+        ``concat`` merges them — pure whole-stage codegen, zero per-row
+        allocation on the pass path.  ~2× faster warm and ~10× faster on
+        first codegen than building array<struct> + filter() HOFs (which
+        run interpreted per element): measured at 2M rows, 0.65s vs 1.5s
+        warm, 1.3s vs 12.8s cold on local[32].
+        """
+        empty = F.array().cast(T.ArrayType(VIOLATION_SCHEMA))
+        pieces: list[Column] = [
+            F.when(F.coalesce(c.passes, F.lit(False)), empty).otherwise(
+                F.array(
                     F.struct(
                         F.lit(c.field).alias("field"),
                         F.lit(c.code).alias("code"),
                         F.lit(c.params).alias("params"),
-                        F.coalesce(c.passes, F.lit(False)).alias("ok"),
                     )
-                    for c in self.checks
-                ]
-            )
-            failed = F.filter(tagged, lambda x: ~x["ok"])
-            pieces.append(
-                F.transform(
-                    failed,
-                    lambda x: F.struct(
-                        x["field"].alias("field"),
-                        x["code"].alias("code"),
-                        x["params"].alias("params"),
-                    ),
                 )
             )
+            for c in self.checks
+        ]
         pieces.extend(self.elem_fail_arrays)
         if not pieces:
             return F.array().cast(T.ArrayType(VIOLATION_SCHEMA))
-        out = pieces[0]
-        for p in pieces[1:]:
-            out = F.concat(out, p)
-        return out
+        if len(pieces) == 1:
+            return pieces[0]
+        return F.concat(*pieces)
 
 
 def _normalize_rules(spec_value) -> list[tag.Rule]:

@@ -67,6 +67,54 @@ class ValidationResult:
             F.round(1.0 - F.col("n_rows_failed") / F.col("n_rows"), 6),
         )
 
+    def violations_observed(self, partition_values: list | None = None):
+        """Single-job pattern: the violations DataFrame with an attached
+        ``Observation`` that yields the summary as job metrics — one scan
+        produces BOTH outputs (the two-branch form pays a second full
+        scan, or a persist, for the summary).
+
+        Works when the first partition_col has small known cardinality
+        (e.g. ``lang`` from a ``oneof`` rule): per-value conditional
+        aggregates + an ``__other__`` bucket.  With no partition_cols the
+        observation is the three global counters.
+
+        Returns (violations_df, observation); read
+        ``observation.get`` AFTER an action on violations_df.  Keys:
+        ``{value}::n_rows / n_rows_failed / n_violations``.
+        """
+        from pyspark.sql import Observation
+
+        n_fails = F.size(F.col(FAILS_COL))
+        aggs: list[Column] = []
+
+        def three(pred, tag: str):
+            m = F.when(pred, 1).otherwise(0) if pred is not None else F.lit(1)
+            mf = m * (n_fails > 0).cast("int")
+            mv = F.when(pred, n_fails).otherwise(0) if pred is not None else n_fails
+            aggs.append(F.sum(m).alias(f"{tag}::n_rows"))
+            aggs.append(F.sum(mf).alias(f"{tag}::n_rows_failed"))
+            aggs.append(F.sum(mv.cast("long")).alias(f"{tag}::n_violations"))
+
+        if partition_values and self.partition_cols:
+            pcol = F.col(self.partition_cols[0])
+            for v in partition_values:
+                three(pcol == F.lit(v), str(v))
+            three(~pcol.isin(*partition_values) | pcol.isNull(), "__other__")
+        else:
+            three(None, "__all__")
+
+        obs = Observation()
+        observed = self.annotated.observe(obs, *aggs)
+        v = observed.select(
+            *self.key_cols, F.explode(F.col(FAILS_COL)).alias("_v")
+        ).select(
+            *self.key_cols,
+            F.col("_v.field").alias("field"),
+            F.col("_v.code").alias("code"),
+            F.col("_v.params").alias("params"),
+        )
+        return v, obs
+
     def violation_counts(self) -> DataFrame:
         """Per-(field, code) violation counts — error-code introspection
         (the HasErrorCode/HasFieldError analog, schema/error.go:65-83)."""

@@ -94,12 +94,12 @@ def minhash_lsh_candidates(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signature(F.col(text_col), num_hashes=num_hashes, shingle_k=shingle_k)
-    shingles = X.word_shingles(F.col(text_col), shingle_k)
 
-    with_sig = df.select(
-        F.col(id_col).alias("_id"), shingles.alias("_sh"), sig.alias("_sig")
-    )
-
+    # Band with ONLY (id, band_id, band_hash) — 3 narrow columns through the
+    # explode+shuffle.  Shipping the shingle arrays here would multiply the
+    # shuffle payload by `bands`; instead candidates (a tiny set at any sane
+    # threshold) re-join the shingles below.
+    with_sig = df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
     band_cols = F.array(
         *[
             F.struct(
@@ -117,8 +117,8 @@ def minhash_lsh_candidates(
             for b in range(bands)
         ]
     )
-    banded = with_sig.select("_id", "_sh", F.explode(band_cols).alias("b")).select(
-        "_id", "_sh", "b.band_id", "b.band_hash"
+    banded = with_sig.select("_id", F.explode(band_cols).alias("b")).select(
+        "_id", "b.band_id", "b.band_hash"
     )
 
     left = banded.alias("l")
@@ -130,21 +130,23 @@ def minhash_lsh_candidates(
             & (F.col("l.band_hash") == F.col("r.band_hash"))
             & (F.col("l._id") < F.col("r._id")),
         )
-        .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            F.col("l._sh").alias("sh_a"),
-            F.col("r._sh").alias("sh_b"),
-        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
 
+    shing = df.select(
+        F.col(id_col).alias("_id"),
+        X.word_shingles(F.col(text_col), shingle_k).alias("_sh"),
+    )
+    a, b = shing.alias("a"), shing.alias("b")
     jac = (
-        F.size(F.array_intersect("sh_a", "sh_b"))
-        / F.size(F.array_union("sh_a", "sh_b"))
+        F.size(F.array_intersect("a._sh", "b._sh"))
+        / F.size(F.array_union("a._sh", "b._sh"))
     ).alias("jaccard")
     return (
-        pairs.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        pairs.join(a, F.col("id_a") == F.col("a._id"))
+        .join(b, F.col("id_b") == F.col("b._id"))
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
 
@@ -192,6 +194,8 @@ def simhash_candidates(
     sig = simhash_bits(F.col(text_col), n_bits=n_bits)
     base = df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
 
+    # Narrow banding (id + chunk key only) — signatures re-join for the
+    # verify step on the (small) candidate set, same shape as minhash LSH.
     chunks = F.array(
         *[
             F.struct(
@@ -204,8 +208,8 @@ def simhash_candidates(
             for c in range(n_chunks)
         ]
     )
-    banded = base.select("_id", "_sig", F.explode(chunks).alias("c")).select(
-        "_id", "_sig", "c.chunk_id", "c.chunk_val"
+    banded = base.select("_id", F.explode(chunks).alias("c")).select(
+        "_id", "c.chunk_id", "c.chunk_val"
     )
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (
@@ -215,15 +219,19 @@ def simhash_candidates(
             & (F.col("l.chunk_val") == F.col("r.chunk_val"))
             & (F.col("l._id") < F.col("r._id")),
         )
-        .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            hamming(F.col("l._sig"), F.col("r._sig")).alias("hamming"),
-        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        pairs.join(a, F.col("id_a") == F.col("a._id"))
+        .join(b, F.col("id_b") == F.col("b._id"))
+        .select(
+            "id_a", "id_b",
+            hamming(F.col("a._sig"), F.col("b._sig")).alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
     )
-    return pairs
 
 
 # ------------------------------------------------------------- ngram jaccard

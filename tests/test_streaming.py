@@ -1,0 +1,80 @@
+"""Structured Streaming validation (streaming/validate.py).
+
+File-source stream drained with trigger=availableNow into memory sinks —
+deterministic, no timing races.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from schema_validator_spark import ValidationEngine
+from schema_validator_spark.streaming.validate import (
+    run_to_memory,
+    summary_stream,
+    violations_stream,
+)
+
+SCHEMA = "id long, lang string, name string, ts timestamp"
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("stream_in"))
+    rows = [
+        (1, "go", "alpha", "2026-01-01 00:00:10"),
+        (2, "go", "", "2026-01-01 00:00:20"),       # name required fails
+        (3, "py", "gamma", "2026-01-01 00:01:10"),
+        (4, "zz", "delta", "2026-01-01 00:01:20"),  # lang oneof fails
+    ]
+    df = spark.createDataFrame(rows, "id long, lang string, name string, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    return d
+
+
+@pytest.fixture()
+def engine():
+    return ValidationEngine(
+        {"name": "required", "lang": "required|oneof=go,py,rs"},
+        key_cols=["id"],
+        partition_cols=["lang"],
+    )
+
+
+def _read_stream(spark, d):
+    return spark.readStream.schema(SCHEMA).parquet(d)
+
+
+def test_violations_stream(spark, stream_dir, engine):
+    v = violations_stream(engine, _read_stream(spark, stream_dir))
+    assert v.isStreaming
+    run_to_memory(v, "t_violations", output_mode="append")
+    got = {(r["id"], r["field"], r["code"])
+           for r in spark.sql("select * from t_violations").collect()}
+    assert got == {(2, "name", "required"), (4, "lang", "oneof")}
+
+
+def test_summary_stream_windowed(spark, stream_dir, engine):
+    s = summary_stream(
+        engine, _read_stream(spark, stream_dir),
+        event_time_col="ts", window_duration="1 minute",
+        watermark_delay="2 minutes",
+    )
+    assert s.isStreaming
+    # availableNow drains in one batch; complete mode emits all windows
+    run_to_memory(s, "t_summary", output_mode="complete")
+    rows = spark.sql("select * from t_summary").collect()
+    by_key = {(r["window"].start.minute, r["lang"]): r for r in rows}
+    assert by_key[(0, "go")]["n_rows"] == 2
+    assert by_key[(0, "go")]["n_rows_failed"] == 1
+    assert by_key[(1, "py")]["n_violations"] == 0
+    assert by_key[(1, "zz")]["n_violations"] == 1
+
+
+def test_stream_plan_is_stateless_rowlevel(spark, stream_dir, engine):
+    # the violations branch must add no stateful operator (no state store)
+    v = violations_stream(engine, _read_stream(spark, stream_dir))
+    explain = v._jdf.queryExecution().analyzed().toString()
+    assert "StateStore" not in explain
