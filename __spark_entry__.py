@@ -175,6 +175,28 @@ def q_drift_buckets(spark, sf_dir):
     )
 
 
+def q_salted_distinct(spark, sf_dir):
+    """Exact distinct-count under skew: two-level salted aggregation
+    (operators/skew.py — the mega-repo path of the north rule)."""
+    from schema_validator_spark.operators import skew
+
+    li = _t(spark, sf_dir, "lineitem")
+    return skew.salted_count_distinct(li, ["l_returnflag"], "l_partkey", n_salts=16)
+
+
+def q_sketch_stats(spark, sf_dir):
+    """Mergeable quantile sketch (mapInPandas + applyInPandas,
+    operators/sketch.py); n/vmin/vmax are exact so the oracle checks them."""
+    from schema_validator_spark.operators import sketch as S
+
+    ev = _t(spark, sf_dir, "events")
+    sk = S.sketch(ev, "value", ["event_type"], compression=64)
+    return sk.select(
+        "event_type", "n",
+        F.round("vmin", 6).alias("vmin"), F.round("vmax", 6).alias("vmax"),
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup groups (hash groupBy) on documents ∪ shifted copy."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -370,6 +392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orphan_stats": q_orphan_stats,
         "drift_stats": q_drift_stats,
         "drift_buckets": q_drift_buckets,
+        "salted_distinct": q_salted_distinct,
+        "sketch_stats": q_sketch_stats,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
         "ann_topk": q_ann_topk,
@@ -492,6 +516,15 @@ def oracle_sql() -> dict[str, str]:
                    cast(least(floor(value / 50.0), 9) as int) as bucket,
                    count(*) as n
             from events group by 1, 2
+        """,
+        "salted_distinct": """
+            select l_returnflag, count(distinct l_partkey) as l_partkey_n_distinct
+            from lineitem group by 1
+        """,
+        "sketch_stats": """
+            select event_type, count(value) as n,
+                   round(min(value), 6) as vmin, round(max(value), 6) as vmax
+            from events where value is not null group by 1
         """,
         "dedup_exact": """
             with doubled as (

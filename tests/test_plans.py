@@ -1,0 +1,86 @@
+"""Physical-plan quality gates (SURVEY.md §4): pushdown, pruning,
+codegen, shuffle count, join strategy.  These are the '.explain and
+iterate' results pinned as tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from schema_validator_spark import ValidationEngine
+from schema_validator_spark.operators import referential
+from schema_validator_spark.plans import inspect as P
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def eng():
+    return ValidationEngine(
+        {"text": "required", "lang": "required|oneof=en,es,de,fr"},
+        key_cols=["doc_id"], partition_cols=["lang"],
+    )
+
+
+def test_rowlevel_plan_is_shuffle_and_python_free(docs, eng):
+    ann = eng.annotate(docs)
+    P.assert_single_pass(ann)          # zero Exchange
+    assert not P.uses_python(ann)      # zero per-row Python (north_star)
+    assert P.n_codegen_stages(ann) >= 1
+
+
+def test_violations_branch_adds_no_shuffle(docs, eng):
+    v = eng.run(docs).violations
+    assert P.n_exchanges(v) == 0       # explode is narrow
+    assert not P.uses_python(v)
+
+
+def test_summary_is_exactly_one_shuffle(docs, eng):
+    s = eng.run(docs).summary
+    assert P.n_exchanges(s) == 1       # the groupBy — nothing else
+
+
+def test_filter_pushdown_reaches_scan(docs):
+    q = docs.filter(F.col("lang") == "en").select("doc_id")
+    pushed = P.pushed_filters(q)
+    assert any("lang" in p for p in pushed), pushed
+
+
+def test_column_pruning(docs, eng):
+    # summary needs only the spec columns + partition cols — content-free
+    s = eng.run(docs).summary
+    cols = P.read_schema(s)
+    assert "text" in cols and "lang" in cols
+    assert "source" not in cols and "n_chars" not in cols, cols
+
+
+def test_key_projection_prunes(docs):
+    q = docs.select("doc_id")
+    assert P.read_schema(q) == ["doc_id"]
+
+
+def test_referential_broadcasts_small_dim(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    out = referential.referential_violations(
+        orders, ["o_custkey"], cust, ["c_custkey"], broadcast=True
+    )
+    kinds = P.join_kinds(out)
+    assert "BroadcastHashJoin" in kinds, kinds
+    assert "SortMergeJoin" not in kinds
+    # fact side never shuffles
+    assert P.n_exchanges(out) == 0
+
+
+def test_pandas_udf_rules_are_isolated(spark, docs):
+    """A spec with an ipaddress rule uses Python — but ONLY that spec."""
+    df = spark.createDataFrame([(1, "1.2.3.4")], "id long, ip string")
+    eng_ip = ValidationEngine({"ip": "required|ipv4"}, key_cols=["id"])
+    assert P.uses_python(eng_ip.annotate(df))
+    eng_re = ValidationEngine({"ip": "required|len=7"}, key_cols=["id"])
+    assert not P.uses_python(eng_re.annotate(df))
