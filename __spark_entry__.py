@@ -175,6 +175,14 @@ def q_drift_buckets(spark, sf_dir):
     )
 
 
+def q_column_profile(spark, sf_dir):
+    """One-pass per-column stats (north_rule 'column stats')."""
+    from schema_validator_spark.operators import profile as PR
+
+    docs = _t(spark, sf_dir, "documents")
+    return PR.profile_exact(docs, ["lang", "source", "n_chars"])
+
+
 def q_salted_distinct(spark, sf_dir):
     """Exact distinct-count under skew: two-level salted aggregation
     (operators/skew.py — the mega-repo path of the north rule)."""
@@ -392,6 +400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orphan_stats": q_orphan_stats,
         "drift_stats": q_drift_stats,
         "drift_buckets": q_drift_buckets,
+        "column_profile": q_column_profile,
         "salted_distinct": q_salted_distinct,
         "sketch_stats": q_sketch_stats,
         "dedup_exact": q_dedup_exact,
@@ -516,6 +525,23 @@ def oracle_sql() -> dict[str, str]:
                    cast(least(floor(value / 50.0), 9) as int) as bucket,
                    count(*) as n
             from events group by 1, 2
+        """,
+        "column_profile": """
+            select 'lang' as column, count(*) as n_rows,
+                   count(*) filter (where lang is null) as n_nulls,
+                   count(distinct lang) as n_distinct,
+                   cast(min(lang) as varchar) as min, cast(max(lang) as varchar) as max
+            from documents
+            union all
+            select 'source', count(*), count(*) filter (where source is null),
+                   count(distinct source),
+                   cast(min(source) as varchar), cast(max(source) as varchar)
+            from documents
+            union all
+            select 'n_chars', count(*), count(*) filter (where n_chars is null),
+                   count(distinct n_chars),
+                   cast(min(n_chars) as varchar), cast(max(n_chars) as varchar)
+            from documents
         """,
         "salted_distinct": """
             select l_returnflag, count(distinct l_partkey) as l_partkey_n_distinct

@@ -84,6 +84,54 @@ class CompiledPlan:
         return F.concat(*pieces)
 
 
+def resolve_path(schema: T.StructType, path: str) -> tuple[Column, T.DataType]:
+    """Resolve a dotted path (``meta.author.name``) through nested structs
+    — the reference's accessor chain (data/accessor.go:61-64 ``cutPath``,
+    struct_accessor.go:73-87) done statically against the schema."""
+    parts = path.split(".")
+    names = {f.name: f for f in schema.fields}
+    if parts[0] not in names:
+        raise CompileError(f"spec references unknown column {parts[0]!r}")
+    dtype = names[parts[0]].dataType
+    col = F.col(parts[0])
+    for p in parts[1:]:
+        if not isinstance(dtype, T.StructType):
+            raise CompileError(
+                f"path {path!r}: {p!r} is not a struct field (parent is {dtype})"
+            )
+        sub = {f.name: f for f in dtype.fields}
+        if p not in sub:
+            raise CompileError(f"path {path!r}: unknown struct field {p!r}")
+        dtype = sub[p].dataType
+        col = col.getField(p)
+    return col, dtype
+
+
+class _Siblings(dict):
+    """Column-name → (Column, DataType), resolving nested dotted paths on
+    demand so cross-field rules can reference struct members."""
+
+    def __init__(self, schema: T.StructType) -> None:
+        super().__init__(
+            {f.name: (F.col(f.name), f.dataType) for f in schema.fields}
+        )
+        self._schema = schema
+
+    def __missing__(self, key: str):
+        val = resolve_path(self._schema, key)  # raises CompileError
+        self[key] = val
+        return val
+
+    def __contains__(self, key) -> bool:  # `in` must match resolvability
+        if super().__contains__(key):
+            return True
+        try:
+            self[key]
+            return True
+        except CompileError:
+            return False
+
+
 def _normalize_rules(spec_value) -> list[tag.Rule]:
     if isinstance(spec_value, str):
         return tag.parse(spec_value)
@@ -106,17 +154,18 @@ def compile_spec(
     registry: Registry,
     *,
     allow_driver_only: bool = False,
+    field_labels: dict[str, str] | None = None,
 ) -> CompiledPlan:
-    """Compile a {column: tag-string | rule-list} spec against a schema."""
-    siblings: dict[str, tuple[Column, T.DataType]] = {
-        f.name: (F.col(f.name), f.dataType) for f in schema.fields
-    }
+    """Compile a {column: tag-string | rule-list} spec against a schema.
+
+    ``field_labels`` maps storage column name → display name in violation
+    rows (the fieldNameMap analog, schema/object.go:13,100-103)."""
+    field_labels = field_labels or {}
+    siblings = _Siblings(schema)
     plan = CompiledPlan()
 
     for col_name, spec_value in spec.items():
-        if col_name not in siblings:
-            raise CompileError(f"spec references unknown column {col_name!r}")
-        col, dtype = siblings[col_name]
+        col, dtype = siblings[col_name]  # resolves nested dotted paths too
         rules = _normalize_rules(spec_value)
 
         if DIVE in [r.name for r in rules]:
@@ -127,10 +176,11 @@ def compile_spec(
         else:
             outer, inner = rules, []
 
-        _compile_column(plan, registry, col_name, col, dtype, outer, siblings,
+        label = field_labels.get(col_name, col_name)
+        _compile_column(plan, registry, label, col, dtype, outer, siblings,
                         allow_driver_only)
         if inner:
-            _compile_elements(plan, registry, col_name, col, dtype, inner,
+            _compile_elements(plan, registry, label, col, dtype, inner,
                               siblings, allow_driver_only)
 
     return plan

@@ -155,6 +155,7 @@ class ValidationEngine:
         derived: Mapping[str, Column] | None = None,
         registry: Registry | None = None,
         allow_driver_only: bool = False,
+        field_labels: Mapping[str, str] | None = None,
     ) -> None:
         if registry is None:
             from .registry import default_registry
@@ -166,6 +167,7 @@ class ValidationEngine:
         self.derived = dict(derived or {})
         self.registry = registry
         self.allow_driver_only = allow_driver_only
+        self.field_labels = dict(field_labels or {})
 
     # -- plan construction --------------------------------------------------
 
@@ -180,6 +182,7 @@ class ValidationEngine:
             self._with_derived(df).schema,
             self.registry,
             allow_driver_only=self.allow_driver_only,
+            field_labels=self.field_labels,
         )
 
     def annotate(self, df: DataFrame) -> DataFrame:
