@@ -77,6 +77,23 @@ def test_referential_broadcasts_small_dim(spark):
     assert P.n_exchanges(out) == 0
 
 
+def test_pandas_udf_rules_batch_into_one_arrow_node(spark):
+    """SURVEY.md §4.3: all pandas-UDF rules in a spec must cost ONE Arrow
+    round trip per batch.  Catalyst's ExtractPythonUDFs collapses the
+    independent UDFs into a single ArrowEvalPython node — pinned here."""
+    import re
+
+    df = spark.createDataFrame(
+        [(1, "1.2.3.4", "10.0.0.0/8", "a@b.co")],
+        "id long, ip string, net string, mail string",
+    )
+    eng = ValidationEngine(
+        {"ip": "ipv4", "net": "cidr", "mail": "email"}, key_cols=["id"]
+    )
+    plan = P.executed_plan(eng.annotate(df))
+    assert len(re.findall(r"ArrowEvalPython", plan)) == 1, plan
+
+
 def test_pandas_udf_rules_are_isolated(spark, docs):
     """A spec with an ipaddress rule uses Python — but ONLY that spec."""
     df = spark.createDataFrame([(1, "1.2.3.4")], "id long, ip string")
