@@ -225,7 +225,9 @@ def q_jaccard_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").filter(F.col("lang") == "fr")
     toks = F.array_distinct(X.tokens(F.col("text")))
     base = docs.select(F.col("doc_id").alias("_id"), toks.alias("_w"))
-    l, r = base.alias("l"), base.alias("r")
+    # one parquet file -> 1 partition; spread the O(n^2) verify work
+    l = base.repartition(32).alias("l")
+    r = base.alias("r")
     jac = F.size(F.array_intersect("l._w", "r._w")) / F.size(
         F.array_union("l._w", "r._w")
     )

