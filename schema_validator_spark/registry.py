@@ -110,9 +110,14 @@ class Registry:
 
 def default_registry(*, parity_stubs: bool = True) -> Registry:
     """Registry with the full built-in rule pack installed
-    (mirrors RegisterDefault, rule/validators.go:15-22)."""
+    (mirrors RegisterDefault, rule/validators.go:15-22).
+
+    ``parity_stubs=True`` (default) keeps the reference's always-pass
+    stubs byte-compatible (unique, uuidN_rfc4122,
+    postcode_iso3166_alpha2_field); ``False`` swaps in real checks —
+    see rules._install_engine_mode."""
     from .rules import install_all
 
     r = Registry()
-    install_all(r)
+    install_all(r, parity_stubs=parity_stubs)
     return r
