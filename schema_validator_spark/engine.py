@@ -131,6 +131,23 @@ class ValidationResult:
         ).first()
         return (row["n"] or 0) == 0
 
+    # -- error introspection (schema/error.go:65-93 analogs) ---------------
+
+    def has_field_error(self, field: str) -> bool:
+        """HasFieldError: any violation on this field path (error.go:65-73)."""
+        return self.violations.filter(F.col("field") == field).limit(1).count() > 0
+
+    def has_error_code(self, code: str) -> bool:
+        """HasErrorCode (error.go:75-83)."""
+        return self.violations.filter(F.col("code") == code).limit(1).count() > 0
+
+    def translated(self, lang: str = "en") -> DataFrame:
+        """Translate (error.go:85-93): violations + rendered ``message``
+        column — pure expression, composes with any sink."""
+        from .i18n import message_column
+
+        return self.violations.withColumn("message", message_column(lang))
+
 
 class ValidationEngine:
     """Compile-once, run-many validation over DataFrames.

@@ -61,3 +61,16 @@ def test_message_column_is_pure_expression(spark):
                                "id long, field string, code string, params string")
     plan = df.withColumn("m", message_column())._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_result_introspection_api(spark):
+    """HasFieldError / HasErrorCode / Translate analogs (error.go:65-93)."""
+    df = spark.createDataFrame([(1, "", 30)], "id long, name string, age long")
+    res = ValidationEngine({"name": "required", "age": "max=150"},
+                           key_cols=["id"]).run(df)
+    assert res.has_field_error("name")
+    assert not res.has_field_error("age")
+    assert res.has_error_code("required")
+    assert not res.has_error_code("max")
+    t = res.translated("zh-CN").collect()
+    assert t[0]["message"] == "该字段为必填项"
