@@ -129,3 +129,36 @@ def test_checkpoint_resume(spark):
         assert ck2.completed_buckets(spark) == set()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_checkpoint_crash_window_idempotent(spark):
+    """Crash AFTER a bucket's outputs landed but BEFORE its lineage row
+    (checkpoint.py protocol note): resume reprocesses exactly those
+    buckets, dynamic partition overwrite REPLACES their outputs, and the
+    final state equals a clean one-shot run (no dupes, no gaps)."""
+    tmp = tempfile.mkdtemp(prefix="svs_ckpt_crash_")
+    try:
+        df = datagen.code_files(spark, 1000)
+        eng = datagen.full_suite_engine()
+        ck = CheckpointedValidation(eng, tmp, bucket_col="repo", n_buckets=8)
+        ck.run(df)
+
+        # simulate the crash: drop lineage for half the buckets while
+        # their violations partitions remain on disk
+        lineage = spark.read.parquet(ck.lineage_path)
+        kept = lineage.filter(F.col("_bucket") < 4)
+        kept_rows = kept.collect()
+        shutil.rmtree(ck.lineage_path)
+        spark.createDataFrame(kept_rows, lineage.schema).write.parquet(ck.lineage_path)
+
+        out = ck.run(df)
+        assert sorted(out["skipped"]) == [r["_bucket"] for r in
+                                          sorted(kept_rows, key=lambda r: r["_bucket"])]
+        assert all(b >= 4 for b in out["processed"])
+
+        direct = eng.run(df).violations.count()
+        on_disk = spark.read.parquet(f"{tmp}/violations").count()
+        assert on_disk == direct  # replaced, not duplicated
+        assert ck.summary(spark).first()["n_rows"] == 1000
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
