@@ -205,6 +205,17 @@ def q_sketch_stats(spark, sf_dir):
     )
 
 
+def q_drift_psi_width(spark, sf_dir):
+    """Fully-distributed PSI (equal-width buckets, zero driver compute) —
+    the oracle-checked tier of the drift family (quantile-edge PSI is
+    rows-only q_drift_psi)."""
+    out = drift.psi_df(
+        _t(spark, sf_dir, "events"), "value", "event_type",
+        "click", "purchase", n_buckets=10,
+    )
+    return out.select("baseline", F.col("current").alias("curr"), "psi")
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup groups (hash groupBy) on documents ∪ shifted copy."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -405,6 +416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_profile": q_column_profile,
         "salted_distinct": q_salted_distinct,
         "sketch_stats": q_sketch_stats,
+        "drift_psi_width": q_drift_psi_width,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
         "ann_topk": q_ann_topk,
@@ -553,6 +565,28 @@ def oracle_sql() -> dict[str, str]:
             select event_type, count(value) as n,
                    round(min(value), 6) as vmin, round(max(value), 6) as vmax
             from events where value is not null group by 1
+        """,
+        "drift_psi_width": """
+            with span as (
+              select min(value) as lo, max(value) as hi from events
+              where event_type = 'click' and value is not null
+            ), b as (
+              select event_type as g,
+                     cast(least(greatest(floor((value - lo) / ((hi - lo) / 10.0)), 0), 9) as int) as bk
+              from events, span
+              where event_type in ('click','purchase') and value is not null
+            ), pb as (
+              select bk,
+                     count(*) filter (where g = 'click') as cb,
+                     count(*) filter (where g = 'purchase') as cc
+              from b group by 1
+            ), t as (select sum(cb) as tb, sum(cc) as tc from pb)
+            select 'click' as baseline, 'purchase' as curr,
+                   round(sum(
+                     (greatest(cc / tc, 1e-6) - greatest(cb / tb, 1e-6))
+                     * ln(greatest(cc / tc, 1e-6) / greatest(cb / tb, 1e-6))
+                   ), 6) as psi
+            from pb, t
         """,
         "dedup_exact": """
             with doubled as (

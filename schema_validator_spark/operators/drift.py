@@ -104,6 +104,66 @@ def psi(
     return score
 
 
+def psi_df(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    baseline,
+    current,
+    *,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Fully-distributed PSI: equal-width buckets over the baseline's
+    [min, max], both histograms in one groupBy, PSI as an aggregate —
+    zero driver-side computation (the quantile-edge variant ``psi``
+    collects one edges row; this one collects nothing).
+
+    Returns one row: (baseline, current, psi).  Out-of-range current
+    values clamp into the edge buckets.
+    """
+    v = F.col(value_col)
+    g = F.col(group_col)
+    both = df.filter(g.isin(baseline, current) & v.isNotNull()).select(
+        g.alias("_g"), v.alias("_v")
+    )
+
+    span = both.filter(F.col("_g") == baseline).agg(
+        F.min("_v").alias("_lo"), F.max("_v").alias("_hi")
+    )
+    width = (F.col("_hi") - F.col("_lo")) / n_buckets
+    bucket = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+        F.least(
+            F.greatest(F.floor((F.col("_v") - F.col("_lo")) / width), F.lit(0)),
+            F.lit(n_buckets - 1),
+        )
+    ).cast("int")
+
+    hist = (
+        both.crossJoin(F.broadcast(span))
+        .groupBy(F.col("_g"), bucket.alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    per_bucket = hist.groupBy("_b").agg(
+        F.sum(F.when(F.col("_g") == baseline, F.col("_c")).otherwise(0)).alias("_cb"),
+        F.sum(F.when(F.col("_g") == current, F.col("_c")).otherwise(0)).alias("_cc"),
+    )
+    totals = per_bucket.agg(
+        F.sum("_cb").alias("_tb"), F.sum("_cc").alias("_tc")
+    )
+    eps = F.lit(1e-6)
+    pb = F.greatest(F.col("_cb") / F.col("_tb"), eps)
+    pc = F.greatest(F.col("_cc") / F.col("_tc"), eps)
+    return (
+        per_bucket.crossJoin(F.broadcast(totals))
+        .agg(F.round(F.sum((pc - pb) * F.log(pc / pb)), 6).alias("psi"))
+        .select(
+            F.lit(str(baseline)).alias("baseline"),
+            F.lit(str(current)).alias("current"),
+            "psi",
+        )
+    )
+
+
 def drift_report(
     df: DataFrame,
     value_col: str,
