@@ -46,11 +46,20 @@ class CheckpointedValidation:
         *,
         bucket_col: str,
         n_buckets: int = 64,
+        identity_buckets: bool = False,
     ) -> None:
+        """``identity_buckets=True``: the bucket IS the (integral)
+        bucket_col value, not a hash of it.  Use when the source is
+        physically partitioned by that column — the resume filter then
+        lands on the partition column and the scan PRUNES completed
+        buckets instead of reading and discarding them (verified in
+        tests/test_table_checks.py: PartitionFilters in the scan node).
+        """
         self.engine = engine
         self.dir = checkpoint_dir.rstrip("/")
         self.bucket_col = bucket_col
         self.n_buckets = n_buckets
+        self.identity_buckets = identity_buckets
         self.spec_hash = spec_hash(engine)
 
     @property
@@ -58,6 +67,8 @@ class CheckpointedValidation:
         return f"{self.dir}/lineage"
 
     def _bucket(self, df: DataFrame) -> DataFrame:
+        if self.identity_buckets:
+            return df.withColumn(BUCKET_COL, F.col(self.bucket_col).cast("int"))
         return df.withColumn(
             BUCKET_COL, F.pmod(F.xxhash64(F.col(self.bucket_col)), self.n_buckets)
         )

@@ -45,6 +45,63 @@ def cosine_topk(
     )
 
 
+def cosine_topk_arrow(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k like :func:`cosine_topk` but the dot products run as a
+    numpy matmul inside mapInPandas (Arrow batches) — wins over the
+    expression-HOF form at high dimensionality (768+), where interpreted
+    per-element lambdas dominate.  Two-level top-k: each Arrow batch
+    emits its local top-k per query, one window reduces to the global
+    top-k; shuffled data is O(batches x |Q| x k), never the corpus."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(query_id, query_vec).collect()
+    if not qrows:
+        raise ValueError("empty query set")
+    qids = [r[0] for r in qrows]
+    Q = np.asarray([list(map(float, r[1])) for r in qrows])
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.asarray([list(map(float, v)) for v in pdf[corpus_vec]])
+            Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+            sims = Cn @ Qn.T  # (n_batch, n_queries)
+            ids = pdf[corpus_id].to_numpy()
+            out_q, out_c, out_s = [], [], []
+            top = min(k, sims.shape[0])
+            for qi, qid in enumerate(qids):
+                part = np.argpartition(-sims[:, qi], top - 1)[:top]
+                out_q.extend([qid] * len(part))
+                out_c.extend(ids[part])
+                out_s.extend(np.round(sims[part, qi], 6))
+            yield pd.DataFrame(
+                {"query_id": out_q, "vec_id": out_c, "cosine": out_s}
+            )
+
+    batch_topk = corpus.select(corpus_id, corpus_vec).mapInPandas(
+        run, "query_id long, vec_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        batch_topk.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def _bucket_expr(vec_col, planes):
     sig = V.srp_signature(vec_col, planes)
     return F.concat_ws(

@@ -173,3 +173,22 @@ def test_docs_table_text_pipeline(docs):
     ).first()
     assert agg["n"] == docs.count()
     assert 0.0 <= agg["qmin"] <= agg["qmax"] <= 1.0
+
+
+def test_cosine_topk_arrow_matches_expression(spark):
+    """Arrow-matmul top-k must return the identical ranking as the
+    expression-HOF exact form."""
+    from pyspark.sql import functions as F
+    from schema_validator_spark.operators import ann
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = {(r["query_id"], r["rank"]): r["vec_id"]
+         for r in ann.cosine_topk(queries, embs, k=5).collect()}
+    b = {(r["query_id"], r["rank"]): r["vec_id"]
+         for r in ann.cosine_topk_arrow(queries, embs, k=5).collect()}
+    assert a == b

@@ -162,3 +162,44 @@ def test_checkpoint_crash_window_idempotent(spark):
         assert ck.summary(spark).first()["n_rows"] == 1000
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_checkpoint_identity_buckets_prune_scan(spark):
+    """identity_buckets on a partitioned source: the resume filter lands
+    on the partition column and the scan PRUNES completed buckets."""
+    tmp = tempfile.mkdtemp(prefix="svs_ckpt_id_")
+    try:
+        src = f"{tmp}/src"
+        (datagen.code_files(spark, 1000)
+         .withColumn("bkt", F.pmod(F.xxhash64("repo"), 4).cast("int"))
+         .write.partitionBy("bkt").parquet(src))
+        df = spark.read.parquet(src)
+
+        eng = ValidationEngine({"content": "required"},
+                               key_cols=["repo", "path", "commit"])
+        ck = CheckpointedValidation(eng, f"{tmp}/ck", bucket_col="bkt",
+                                    n_buckets=4, identity_buckets=True)
+        first = ck.run(df)
+        assert sorted(first["processed"]) == [0, 1, 2, 3]
+
+        # pretend buckets 2,3 crashed before lineage landed
+        lineage = spark.read.parquet(ck.lineage_path)
+        kept = lineage.filter(F.col("_bucket") < 2).collect()
+        shutil.rmtree(ck.lineage_path)
+        spark.createDataFrame(kept, lineage.schema).write.parquet(ck.lineage_path)
+
+        # the resume plan must prune partitions 0,1 at the SCAN
+        done = ck.completed_buckets(spark)
+        assert done == {0, 1}
+        pruned = ck._bucket(df).filter(~F.col("_bucket").isin(*sorted(done)))
+        from schema_validator_spark.plans.inspect import explain_str
+        txt = explain_str(pruned, "formatted")
+        import re
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", txt)
+        assert m and "bkt" in m.group(1), txt[:2000]
+
+        out = ck.run(df)
+        assert sorted(out["processed"]) == [2, 3]
+        assert ck.summary(spark).first()["n_rows"] == 1000
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
