@@ -382,6 +382,16 @@ def q_srp_ann(spark, sf_dir):
     return ann.srp_topk(queries, embs, k=5, n_planes=6)
 
 
+def q_ivf_ann(spark, sf_dir):
+    embs = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = embs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann.ivf_topk(queries, embs, k=5, nlist=16, nprobe=6)
+
+
 def q_embedding_neardups(spark, sf_dir):
     embs = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -432,6 +442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash_candidates": q_simhash_candidates,
         "srp_ann": q_srp_ann,
+        "ivf_ann": q_ivf_ann,
         "embedding_neardups": q_embedding_neardups,
         "drift_psi": q_drift_psi,
     }

@@ -45,6 +45,100 @@ def cosine_topk(
     )
 
 
+def _spherical_kmeans(X, nlist: int, iters: int, seed: int):
+    """Driver-side spherical k-means on a (sampled) vector matrix —
+    deterministic (hash-seeded init, fixed iteration count).  This is the
+    FAISS-style IVF training step: the training set is a SAMPLE, so
+    driver memory is bounded no matter the corpus size."""
+    import numpy as np
+
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cent = Xn[rng.choice(len(Xn), size=min(nlist, len(Xn)), replace=False)]
+    for _ in range(iters):
+        sims = Xn @ cent.T
+        assign = sims.argmax(axis=1)
+        new = np.zeros_like(cent)
+        for c in range(len(cent)):
+            members = Xn[assign == c]
+            new[c] = members.mean(axis=0) if len(members) else cent[c]
+        cent = new / np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
+    return cent
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    train_sample: int = 100_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: spherical-k-means coarse quantizer (trained
+    on a driver-side sample), corpus assigned to inverted lists via an
+    Arrow matmul, queries probe their nprobe nearest lists, exact cosine
+    re-rank inside the probed lists.
+
+    Scale shape: assignment is one mapInPandas pass over the corpus (the
+    list id is a small int to persist alongside the vector); each query
+    then touches ~nprobe/nlist of the corpus via an equi-join on list id
+    — no cross join anywhere.  Output schema matches cosine_topk.
+    """
+    import numpy as np
+    import pandas as pd
+
+    frac = min(1.0, train_sample / max(corpus.count(), 1))
+    sample = corpus.select(corpus_vec).sample(frac, seed=seed).collect()
+    X = np.asarray([list(map(float, r[0])) for r in sample])
+    cent = _spherical_kmeans(X, nlist, iters, seed)
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.asarray([list(map(float, v)) for v in pdf[corpus_vec]])
+            Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+            pdf = pdf.rename(columns={corpus_id: "vec_id", corpus_vec: "_cv"})
+            pdf["_list"] = (Cn @ cent.T).argmax(axis=1).astype("int32")
+            yield pdf[["vec_id", "_list", "_cv"]]
+
+    listed = corpus.select(corpus_id, corpus_vec).mapInPandas(
+        assign, f"vec_id long, _list int, _cv array<double>"
+    )
+
+    qrows = queries.select(query_id, query_vec).collect()
+    probe_rows = []
+    for r in qrows:
+        q = np.asarray(list(map(float, r[1])))
+        qn = q / max(np.linalg.norm(q), 1e-12)
+        top_lists = np.argsort(-(cent @ qn))[:nprobe]
+        for li in top_lists:
+            probe_rows.append((r[0], int(li), [float(x) for x in r[1]]))
+    probes = queries.sparkSession.createDataFrame(
+        probe_rows, f"query_id long, _list int, _qv array<double>"
+    )
+
+    scored = (
+        F.broadcast(probes)
+        .join(listed, on="_list")
+        .select(
+            "query_id", "vec_id",
+            F.round(V.cosine(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def cosine_topk_arrow(
     queries: DataFrame,
     corpus: DataFrame,

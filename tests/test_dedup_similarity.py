@@ -192,3 +192,29 @@ def test_cosine_topk_arrow_matches_expression(spark):
     b = {(r["query_id"], r["rank"]): r["vec_id"]
          for r in ann.cosine_topk_arrow(queries, embs, k=5).collect()}
     assert a == b
+
+
+def test_ivf_topk_recall(spark):
+    """IVF (k-means lists + nprobe) recall@5 vs exact must be high on the
+    64-dim corpus; schema matches the exact form."""
+    from pyspark.sql import functions as F
+    from schema_validator_spark.operators import ann
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = embs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = ann.cosine_topk(queries, embs, k=5).collect()
+    approx = ann.ivf_topk(queries, embs, k=5, nlist=16, nprobe=6).collect()
+    assert {c for c in ann.ivf_topk(queries, embs, k=2, nlist=8, nprobe=2).columns} \
+        == {"query_id", "vec_id", "cosine", "rank"}
+    e = {}
+    for r in exact:
+        e.setdefault(r["query_id"], set()).add(r["vec_id"])
+    a = {}
+    for r in approx:
+        a.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recall = sum(len(e[q] & a.get(q, set())) for q in e) / sum(len(v) for v in e.values())
+    assert recall >= 0.7, recall
