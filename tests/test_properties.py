@@ -18,7 +18,18 @@ _param = st.text(
 ).map(str.strip).filter(bool)
 
 
-@given(st.lists(st.tuples(_name, st.lists(_param, max_size=3)), min_size=1, max_size=6))
+def _unambiguous(rules):
+    """The reference grammar folds a param-less segment that follows a
+    rule-with-params into that rule's params (the `|`-inside-params
+    lookahead, tag/tag.go:57-75) — exclude exactly those inputs."""
+    for prev, cur in zip(rules, rules[1:]):
+        if prev[1] and not cur[1]:
+            return False
+    return True
+
+
+@given(st.lists(st.tuples(_name, st.lists(_param, max_size=3)),
+                min_size=1, max_size=6).filter(_unambiguous))
 def test_tag_roundtrip(rules):
     rendered = "|".join(
         n if not ps else f"{n}={','.join(ps)}" for n, ps in rules
@@ -27,6 +38,22 @@ def test_tag_roundtrip(rules):
     assert [(r.name, list(r.params)) for r in parsed] == [
         (n, ps) for n, ps in rules
     ]
+
+
+@given(st.lists(st.tuples(_name, st.lists(_param, max_size=3)),
+                min_size=1, max_size=6))
+def test_tag_parse_idempotent(rules):
+    """Even for ambiguous inputs (where the fold heuristic kicks in),
+    render(parse(x)) must be a fixed point."""
+    rendered = "|".join(
+        n if not ps else f"{n}={','.join(ps)}" for n, ps in rules
+    )
+    once = tag.parse(rendered)
+    re_rendered = "|".join(
+        r.name if not r.params else f"{r.name}={','.join(r.params)}" for r in once
+    )
+    twice = tag.parse(re_rendered)
+    assert [(r.name, r.params) for r in once] == [(r.name, r.params) for r in twice]
 
 
 # ------------------------------------------------------------------ i18n totality
