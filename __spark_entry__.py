@@ -315,6 +315,38 @@ def q_multimodal_magic(spark, sf_dir):
     ).select("media_id", "declared_format")
 
 
+EVENTS_SCHEMA = ("event_id long, ts timestamp, user_id long, "
+                 "event_type string, value double, props string")
+
+
+def q_streaming_summary(spark, sf_dir):
+    """Structured Streaming validation: the same compiled plan over a
+    file stream, watermarked 1-hour windowed summary, drained with
+    trigger=availableNow (deterministic — DuckDB oracle via time_bucket)."""
+    from schema_validator_spark.streaming.validate import summary_stream
+
+    eng = ValidationEngine(
+        {"event_type": "oneof=click,view,signup,purchase", "value": "max=100"},
+        partition_cols=["event_type"],
+    )
+    # file-stream source needs a directory basePath; the glob keeps the
+    # source scoped to the events file inside it
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(
+        f"{sf_dir}/events.parquet*"
+    )
+    s = summary_stream(eng, stream, event_time_col="ts",
+                       window_duration="1 hour", watermark_delay="2 hours")
+    q = (
+        s.writeStream.format("memory").queryName("q_stream_summary")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table("q_stream_summary").select(
+        F.col("window.start").alias("window_start"),
+        "event_type", "n_rows", "n_rows_failed", "n_violations",
+    )
+
+
 def q_conditional_rules(spark, sf_dir):
     """Conditional/presence family over events (required_if + max)."""
     ev = _t(spark, sf_dir, "events")
@@ -435,6 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "violation_messages": q_violation_messages,
         "multimodal_magic": q_multimodal_magic,
+        "streaming_summary": q_streaming_summary,
         "conditional_rules": q_conditional_rules,
         "compare_polymorphism": q_compare_polymorphism,
         "cross_field": q_cross_field,
@@ -725,6 +758,22 @@ def oracle_sql() -> dict[str, str]:
                    case when i % 2 = 0 then 'png' else 'jpeg' end as declared_format
             from range(2000) t(i)
             where i % 2 = 0 and i % 17 = 3
+        """,
+        "streaming_summary": """
+            with v as (
+              select time_bucket(interval '1 hour', ts) as window_start,
+                     event_type,
+                     (case when event_type is null
+                           or event_type not in ('click','view','signup','purchase')
+                           then 1 else 0 end
+                      + case when coalesce(value, 0) > 100 then 1 else 0 end) as nv
+              from events
+            )
+            select window_start, event_type,
+                   count(*) as n_rows,
+                   count(*) filter (where nv > 0) as n_rows_failed,
+                   sum(nv)::bigint as n_violations
+            from v group by 1, 2
         """,
         "conditional_rules": """
             select field, code, n from (
