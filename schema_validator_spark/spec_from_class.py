@@ -1,0 +1,98 @@
+"""Spec-from-class — entry point A of the reference (``New(User{})``,
+validator.go:15-22 / parser.go:58-122) re-expressed over Python
+dataclasses: rule tags live in ``field(metadata={"validate": ...})``,
+nested dataclasses recurse into dotted column paths, ``"-"`` skips a
+field (parser.go:110-112), and ``metadata["name"]`` overrides the
+display name (the json/param/query tag resolution, parser.go:310-331).
+
+    @dataclass
+    class Contact:
+        email: str = field(metadata={"validate": "required|email"})
+        age: int = field(metadata={"validate": "gte=18"})
+
+    @dataclass
+    class User:
+        name: str = field(metadata={"validate": "required|min=2",
+                                    "name": "Name"})
+        contact: Contact = field(default=None)
+
+    spec, labels = from_dataclass(User)
+    # spec   == {"name": "required|min=2",
+    #            "contact.email": "required|email", "contact.age": "gte=18"}
+    # labels == {"name": "Name"}
+
+    engine_from_dataclass(User, key_cols=["id"])   # ready-to-run engine
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from .errors import CompileError
+
+SKIP = "-"
+
+
+def from_dataclass(cls) -> tuple[dict[str, str], dict[str, str]]:
+    """(spec, field_labels) from a dataclass tree."""
+    if not dataclasses.is_dataclass(cls):
+        raise CompileError(f"{cls!r} is not a dataclass")
+    spec: dict[str, str] = {}
+    labels: dict[str, str] = {}
+    _walk(cls, prefix="", spec=spec, labels=labels, seen=set())
+    return spec, labels
+
+
+def _walk(cls, *, prefix: str, spec: dict, labels: dict, seen: set) -> None:
+    if cls in seen:  # self-referential dataclasses would recurse forever
+        raise CompileError(f"recursive dataclass {cls.__name__!r} in spec")
+    seen = seen | {cls}
+    import typing
+
+    try:  # resolve postponed (string) annotations
+        hints = typing.get_type_hints(cls)
+    except Exception:
+        hints = {}
+    for f in dataclasses.fields(cls):
+        tag = f.metadata.get("validate")
+        if tag == SKIP:
+            continue
+        path = f"{prefix}{f.name}"
+        ftype = hints.get(f.name, f.type)
+        # typing.Optional[X] / unions: validate the dataclass member if any
+        inner = _unwrap_optional(ftype)
+        if dataclasses.is_dataclass(inner):
+            if tag:
+                raise CompileError(
+                    f"{path}: rules on a nested-dataclass field belong on "
+                    f"its members (object-level rules: use builder/Object)"
+                )
+            _walk(inner, prefix=f"{path}.", spec=spec, labels=labels, seen=seen)
+            continue
+        if tag:
+            spec[path] = tag
+        if "name" in f.metadata:
+            labels[path] = f.metadata["name"]
+
+
+def _unwrap_optional(t):
+    import typing
+
+    if isinstance(t, str):  # postponed annotations: can't resolve here
+        return None
+    origin = typing.get_origin(t)
+    if origin is typing.Union:
+        args = [a for a in typing.get_args(t) if a is not type(None)]
+        if len(args) == 1:
+            return args[0]
+    return t
+
+
+def engine_from_dataclass(cls, **engine_kwargs):
+    """New(prototype) analog: dataclass → compiled-once ValidationEngine."""
+    from .engine import ValidationEngine
+
+    spec, labels = from_dataclass(cls)
+    if not spec:
+        raise CompileError(f"{cls.__name__}: no validate metadata found")
+    return ValidationEngine(spec, field_labels=labels, **engine_kwargs)

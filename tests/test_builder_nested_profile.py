@@ -158,3 +158,61 @@ def test_profile_single_job_no_python(spark):
     assert P.n_exchanges(p) == 1  # the single global aggregate
     rows = {r["column"] for r in p.collect()}
     assert rows == {"doc_id", "text", "lang", "source", "n_chars"}
+
+
+# ------------------------------------------------------- spec-from-dataclass
+
+
+from dataclasses import dataclass, field as dfield
+
+
+@dataclass
+class _Contact:
+    email: str = dfield(default="", metadata={"validate": "required|email"})
+    age: int = dfield(default=0, metadata={"validate": "gte=18"})
+
+
+@dataclass
+class _User:
+    name: str = dfield(default="", metadata={"validate": "required|min=2",
+                                             "name": "Name"})
+    internal: str = dfield(default="", metadata={"validate": "-"})
+    contact: _Contact = dfield(default=None)
+
+
+def test_spec_from_dataclass(spark):
+    """Entry point A analog (New(User{}) — validator.go:15-22): dataclass
+    metadata tags -> spec, nested dataclass -> dotted paths, '-' skips,
+    metadata name -> display label."""
+    from schema_validator_spark.spec_from_class import (
+        engine_from_dataclass, from_dataclass,
+    )
+
+    spec, labels = from_dataclass(_User)
+    assert spec == {
+        "name": "required|min=2",
+        "contact.email": "required|email",
+        "contact.age": "gte=18",
+    }
+    assert labels == {"name": "Name"}
+
+    df = spark.createDataFrame(
+        [(1, "al", "x", ("a@b.co", 30)), (2, "z", "x", ("bad", 10))],
+        "id long, name string, internal string, "
+        "contact struct<email string, age long>",
+    )
+    eng = engine_from_dataclass(_User, key_cols=["id"])
+    got = {(r["id"], r["field"], r["code"])
+           for r in eng.run(df).violations.collect()}
+    assert got == {
+        (2, "Name", "min"),               # display label applied
+        (2, "contact.email", "email"),
+        (2, "contact.age", "gte"),
+    }
+
+
+def test_spec_from_dataclass_rejects_non_dataclass():
+    from schema_validator_spark.spec_from_class import from_dataclass
+
+    with pytest.raises(CompileError):
+        from_dataclass(int)
