@@ -124,6 +124,41 @@ FORMAT_CASES = [
     ("postcode_iso3166_alpha2", (), "ab", True),
     ("spicedb", (), "ns/obj", False),
     ("spicedb", (), "nope", True),
+    # hash-format variants (format.go:502-590) — one valid + one invalid each
+    ("md4", (), "d41d8cd98f00b204e9800998ecf8427e", False),
+    ("md4", (), "d41d8cd98f00b204e9800998ecf8427", True),
+    ("sha384", (), "a" * 96, False),
+    ("sha384", (), "a" * 95, True),
+    ("sha512", (), "ab12" * 32, False),
+    ("sha512", (), "g" * 128, True),
+    ("ripemd128", (), "c" * 32, False),
+    ("ripemd128", (), "c" * 33, True),
+    ("ripemd160", (), "d" * 40, False),
+    ("ripemd160", (), "zz", True),
+    ("tiger128", (), "e" * 32, False),
+    ("tiger128", (), "e" * 31, True),
+    ("tiger160", (), "f" * 40, False),
+    ("tiger160", (), "f" * 39, True),
+    ("tiger192", (), "0123456789abcdef" * 3, False),
+    ("tiger192", (), "0123456789abcdef" * 2, True),
+    # versioned UUIDs: base regex + version digit at index 14 (:458-492)
+    ("uuid3", (), "a987fbc9-4bed-3078-cf07-9141ba07c9f3", False),
+    ("uuid3", (), "625e63f3-58f5-40b7-83a1-a72ad31acffb", True),
+    ("uuid5", (), "987fbc97-4bed-5078-af07-9141ba07c9f3", False),
+    ("uuid5", (), "a987fbc9-4bed-3078-cf07-9141ba07c9f3", True),
+    ("uuid_rfc4122", (), "a987fbc9-4bed-3078-cf07-9141ba07c9f3", False),
+    ("uuid_rfc4122", (), "not-a-uuid", True),
+    # bic alias regex (:44-59)
+    ("bic_iso_9362_2014", (), "DEUTDEFF", False),
+    ("bic_iso_9362_2014", (), "DEUTDEFF500", False),
+    ("bic_iso_9362_2014", (), "DEUT", True),
+    ("mongodb_connection_string", (), "mongodb://localhost:27017", False),
+    ("mongodb_connection_string", (), "mongodb+srv://c.example.com", False),
+    ("mongodb_connection_string", (), "redis://localhost", True),
+    # isbn = isbn10 OR isbn13 (:257-284)
+    ("isbn", (), "0306406152", False),
+    ("isbn", (), "9780306406157", False),
+    ("isbn", (), "0306406153", True),
 ]
 
 STRING_CASES = [
@@ -397,3 +432,53 @@ def test_rule_count_full_pack():
     them all (plus the 'dive' pseudo-token handled by the compiler)."""
     reg = default_registry()
     assert len(reg.names()) >= 160, len(reg.names())
+
+
+# --------------------------------------------------------------------------
+# conditional presence family (rule/other.go:115-309): each rule evaluated
+# over (c, f, g) with the trigger both firing and not firing.
+
+PRESENCE_CASES = [
+    # (tag-for-c, c, f, g, wantErr)
+    ("required_if=f,x",        "",  "x", "", True),   # trigger fires, c zero
+    ("required_if=f,x",        "v", "x", "", False),
+    ("required_if=f,x",        "",  "y", "", False),  # trigger not fired
+    ("required_unless=f,x",    "",  "y", "", True),
+    ("required_unless=f,x",    "",  "x", "", False),
+    ("required_with=f",        "",  "v", "", True),   # f present → c required
+    ("required_with=f",        "",  "",  "", False),
+    ("required_with=f,g",      "",  "",  "w", True),  # ANY present
+    ("required_with_all=f,g",  "",  "v", "w", True),  # ALL present
+    ("required_with_all=f,g",  "",  "v", "", False),
+    ("required_without=f",     "",  "",  "", True),   # f absent → c required
+    ("required_without=f",     "",  "v", "", False),
+    ("required_without_all=f,g", "", "",  "", True),
+    ("required_without_all=f,g", "", "v", "", False),
+    ("excluded_if=f,x",        "v", "x", "", True),   # trigger fires, c present
+    ("excluded_if=f,x",        "",  "x", "", False),
+    ("excluded_if=f,x",        "v", "y", "", False),
+    ("excluded_unless=f,x",    "v", "y", "", True),
+    ("excluded_unless=f,x",    "v", "x", "", False),
+    ("excluded_with=f",        "v", "w", "", True),
+    ("excluded_with=f",        "v", "",  "", False),
+    ("excluded_with_all=f,g",  "v", "w", "u", True),
+    ("excluded_with_all=f,g",  "v", "w", "", False),
+    ("excluded_without=f",     "v", "",  "", True),
+    ("excluded_without=f",     "v", "w", "", False),
+    ("excluded_without_all=f,g", "v", "",  "", True),
+    ("excluded_without_all=f,g", "v", "",  "u", False),
+]
+
+
+def test_truth_table_presence_family(spark):
+    from schema_validator_spark.engine import ValidationEngine
+
+    rows = [(i, c, f, g) for i, (_t, c, f, g, _w) in enumerate(PRESENCE_CASES)]
+    df = spark.createDataFrame(rows, "uid int, c string, f string, g string")
+    failed_by_case = {}
+    for i, (tag_str, _c, _f, _g, _want) in enumerate(PRESENCE_CASES):
+        eng = ValidationEngine({"c": tag_str}, key_cols=["uid"])
+        v = eng.run(df.filter(F.col("uid") == i)).violations.collect()
+        failed_by_case[i] = len(v) > 0
+    for i, (tag_str, c, f, g, want) in enumerate(PRESENCE_CASES):
+        assert failed_by_case[i] == want, (tag_str, c, f, g)
