@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import similarity as V
+from ._util import ensure_parallelism
 
 
 def cosine_topk(
@@ -30,7 +31,7 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k by cosine: (query_id, vec_id, cosine, rank)."""
     q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qv"))
-    c = corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("_cv"))
+    c = ensure_parallelism(corpus).select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("_cv"))
     scored = F.broadcast(q).crossJoin(c).select(
         "query_id",
         "vec_id",
@@ -234,7 +235,7 @@ def srp_topk(
         dim = int(corpus.select(F.size(corpus_vec).alias("d")).first()["d"])
     planes = V.deterministic_planes(n_planes, dim)
 
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(corpus_id).alias("vec_id"),
         F.col(corpus_vec).alias("_cv"),
         _bucket_expr(F.col(corpus_vec), planes).alias("_bkt"),

@@ -24,15 +24,7 @@ from ..functions import similarity as V
 from ..functions import text as X
 
 
-def _ensure_parallelism(df: DataFrame) -> DataFrame:
-    """Small inputs (one parquet file) collapse CPU-heavy signature
-    computation onto one core; round-robin them across the cluster.
-    No-op at scale — a real scan already has >= defaultParallelism/2
-    partitions, and this inspects the plan only (no job)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
-        return df.repartition(target)
-    return df
+from ._util import ensure_parallelism as _ensure_parallelism
 
 
 # --------------------------------------------------------------------- exact
@@ -314,7 +306,7 @@ def embedding_near_duplicates(
         dim = int(first["d"])
     planes = V.deterministic_planes(n_planes, dim)
     sig = V.srp_signature(F.col(vec_col), planes)
-    base = df.select(
+    base = _ensure_parallelism(df).select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         F.concat_ws("", *[F.element_at(sig, i + 1).cast("string") for i in range(n_planes)]).alias("_bkt"),
