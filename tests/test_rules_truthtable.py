@@ -263,6 +263,11 @@ COMPARE_CASES = [
     ("min", ("8",), "short", True),
     ("eq", ("5",), "hello", False),   # len("hello") == 5
     ("len", ("6",), "héllo", False),  # é is 2 bytes — octet semantics
+    ("len", ("5",), "héllo", True),   # char-length 5 must NOT match (Go len = bytes)
+    ("min", ("9",), "中文字", False),   # 3 CJK chars = 9 bytes
+    ("min", ("10",), "中文字", True),
+    ("max", ("8",), "中文字", True),    # 9 bytes > 8
+    ("eq", ("6",), "héllo", False),   # string vs int param compares byte length
 ]
 
 NETWORK_CASES = [
