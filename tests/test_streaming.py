@@ -78,3 +78,32 @@ def test_stream_plan_is_stateless_rowlevel(spark, stream_dir, engine):
     v = violations_stream(engine, _read_stream(spark, stream_dir))
     explain = v._jdf.queryExecution().analyzed().toString()
     assert "StateStore" not in explain
+
+
+def test_violations_stream_parquet_sink_exactly_once(spark, stream_dir, engine, tmp_path):
+    """Production path: violations stream -> parquet sink with a
+    streaming checkpoint.  A second availableNow run over the SAME input
+    must add no duplicate rows (source offsets are committed)."""
+    out = str(tmp_path / "viol_out")
+    ckpt = str(tmp_path / "viol_ckpt")
+
+    def run_once():
+        v = violations_stream(engine, _read_stream(spark, stream_dir))
+        q = (
+            v.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = spark.read.parquet(out).collect()
+    assert {(r["id"], r["code"]) for r in first} == {
+        (2, "required"), (4, "oneof")
+    }
+    run_once()  # restart over same input: offsets committed, no re-emit
+    second = spark.read.parquet(out).collect()
+    assert len(second) == len(first)
