@@ -315,6 +315,9 @@ def q_multimodal_magic(spark, sf_dir):
     ).select("media_id", "declared_format")
 
 
+# NOTE: watermarks require zoned TIMESTAMP (NTZ rejected by
+# EventTimeWatermark), so hour-window starts assume a UTC session — true
+# for the driver gate and conftest alike.
 EVENTS_SCHEMA = ("event_id long, ts timestamp, user_id long, "
                  "event_type string, value double, props string")
 
