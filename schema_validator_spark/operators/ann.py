@@ -46,6 +46,19 @@ def cosine_topk(
     )
 
 
+
+def _stack(series):
+    """Arrow->pandas gives each array cell as np.ndarray; np.stack is a
+    single C-level copy.  Fall back to the per-row path for plain lists."""
+    import numpy as np
+
+    vals = series.to_numpy()
+    try:
+        return np.stack(vals).astype(float, copy=False)
+    except Exception:
+        return np.asarray([list(map(float, v)) for v in vals])
+
+
 def _spherical_kmeans(X, nlist: int, iters: int, seed: int):
     """Driver-side spherical k-means on a (sampled) vector matrix —
     deterministic (hash-seeded init, fixed iteration count).  This is the
@@ -67,6 +80,46 @@ def _spherical_kmeans(X, nlist: int, iters: int, seed: int):
     return cent
 
 
+def ivf_build(
+    corpus: DataFrame,
+    *,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    nlist: int = 16,
+    train_sample: int = 100_000,
+    iters: int = 10,
+    seed: int = 42,
+):
+    """Build the IVF index: (listed_df, centroids).
+
+    The index build is the expensive pass (k-means training on a bounded
+    sample + one Arrow-matmul assignment scan of the corpus); persist or
+    WRITE ``listed_df`` partitioned by ``_list`` and reuse it across query
+    batches — that amortization is where IVF beats per-query brute force.
+    """
+    import numpy as np
+
+    frac = min(1.0, train_sample / max(corpus.count(), 1))
+    sample = corpus.select(corpus_vec).sample(frac, seed=seed).collect()
+    X = np.asarray([list(map(float, r[0])) for r in sample])
+    cent = _spherical_kmeans(X, nlist, iters, seed)
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = _stack(pdf[corpus_vec])
+            Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+            pdf = pdf.rename(columns={corpus_id: "vec_id", corpus_vec: "_cv"})
+            pdf["_list"] = (Cn @ cent.T).argmax(axis=1).astype("int32")
+            yield pdf[["vec_id", "_list", "_cv"]]
+
+    listed = corpus.select(corpus_id, corpus_vec).mapInPandas(
+        assign, "vec_id long, _list int, _cv array<double>"
+    )
+    return listed, cent
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -82,58 +135,73 @@ def ivf_topk(
     iters: int = 10,
     seed: int = 42,
 ) -> DataFrame:
-    """IVF approximate top-k: spherical-k-means coarse quantizer (trained
-    on a driver-side sample), corpus assigned to inverted lists via an
-    Arrow matmul, queries probe their nprobe nearest lists, exact cosine
-    re-rank inside the probed lists.
+    """One-shot convenience: ivf_build + ivf_query.  For repeated query
+    batches, build once and call ivf_query against the persisted index.
 
     Scale shape: assignment is one mapInPandas pass over the corpus (the
-    list id is a small int to persist alongside the vector); each query
+    list id is a small int persisted alongside the vector); each query
     then touches ~nprobe/nlist of the corpus via an equi-join on list id
     — no cross join anywhere.  Output schema matches cosine_topk.
     """
+    listed, cent = ivf_build(
+        corpus, corpus_id=corpus_id, corpus_vec=corpus_vec, nlist=nlist,
+        train_sample=train_sample, iters=iters, seed=seed,
+    )
+    return ivf_query(queries, listed, cent, query_id=query_id,
+                     query_vec=query_vec, k=k, nprobe=nprobe)
+
+
+def ivf_query(
+    queries: DataFrame,
+    listed: DataFrame,
+    cent,
+    *,
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Query a prebuilt IVF index (probe nprobe lists, matmul re-rank)."""
     import numpy as np
     import pandas as pd
 
-    frac = min(1.0, train_sample / max(corpus.count(), 1))
-    sample = corpus.select(corpus_vec).sample(frac, seed=seed).collect()
-    X = np.asarray([list(map(float, r[0])) for r in sample])
-    cent = _spherical_kmeans(X, nlist, iters, seed)
-
-    def assign(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            C = np.asarray([list(map(float, v)) for v in pdf[corpus_vec]])
-            Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
-            pdf = pdf.rename(columns={corpus_id: "vec_id", corpus_vec: "_cv"})
-            pdf["_list"] = (Cn @ cent.T).argmax(axis=1).astype("int32")
-            yield pdf[["vec_id", "_list", "_cv"]]
-
-    listed = corpus.select(corpus_id, corpus_vec).mapInPandas(
-        assign, f"vec_id long, _list int, _cv array<double>"
-    )
-
     qrows = queries.select(query_id, query_vec).collect()
+    qvecs = {}
     probe_rows = []
     for r in qrows:
         q = np.asarray(list(map(float, r[1])))
         qn = q / max(np.linalg.norm(q), 1e-12)
-        top_lists = np.argsort(-(cent @ qn))[:nprobe]
-        for li in top_lists:
-            probe_rows.append((r[0], int(li), [float(x) for x in r[1]]))
+        qvecs[r[0]] = qn
+        for li in np.argsort(-(cent @ qn))[:nprobe]:
+            probe_rows.append((r[0], int(li)))
     probes = queries.sparkSession.createDataFrame(
-        probe_rows, f"query_id long, _list int, _qv array<double>"
+        probe_rows, "query_id long, _list int"
     )
 
-    scored = (
-        F.broadcast(probes)
-        .join(listed, on="_list")
-        .select(
-            "query_id", "vec_id",
-            F.round(V.cosine(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
-        )
+    # only (query_id, vec_id, _cv) cross the join — query vectors travel
+    # once in the task closure, not once per candidate row
+    joined = F.broadcast(probes).join(listed, on="_list").select(
+        "query_id", "vec_id", "_cv"
     )
+
+    def rerank(batches):
+        # per-query matmul over the candidate block — vectorized numpy,
+        # not per-row HOF cosine
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = _stack(pdf["_cv"])
+            Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+            cos = np.empty(len(pdf))
+            for qid, idx in pdf.groupby("query_id").indices.items():
+                cos[idx] = Cn[idx] @ qvecs[qid]
+            yield pd.DataFrame({
+                "query_id": pdf["query_id"],
+                "vec_id": pdf["vec_id"],
+                "cosine": np.round(cos, 6),
+            })
+
+    scored = joined.mapInPandas(rerank, "query_id long, vec_id long, cosine double")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
     )
@@ -170,7 +238,7 @@ def cosine_topk_arrow(
         for pdf in batches:
             if pdf.empty:
                 continue
-            C = np.asarray([list(map(float, v)) for v in pdf[corpus_vec]])
+            C = _stack(pdf[corpus_vec])
             Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
             sims = Cn @ Qn.T  # (n_batch, n_queries)
             ids = pdf[corpus_id].to_numpy()
