@@ -230,6 +230,22 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
+def q_dedup_pipeline(spark, sf_dir):
+    """Full dedup pipeline: exact-dup pairs -> connected components ->
+    keep one per cluster (lowest id) over documents ∪ shifted copy."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    shifted = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    both = docs.unionByName(shifted)
+    groups = dedup.exact_duplicates(both, "doc_id", "text")
+    pairs = groups.select(
+        F.element_at("doc_ids", 1).alias("id_a"),
+        F.explode(F.slice("doc_ids", 2, F.size("doc_ids") - 1)).alias("id_b"),
+    )
+    clusters = dedup.cluster_pairs(pairs)
+    kept = dedup.dedup_keep_best(both, clusters)
+    return kept.select("doc_id")
+
+
 def q_jaccard_pairs(spark, sf_dir):
     """Token-set Jaccard near-dup pairs within the 'fr' block (exact tier;
     the LSH tier is q_minhash_lsh, rows-only)."""
@@ -463,6 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_stats": q_sketch_stats,
         "drift_psi_width": q_drift_psi_width,
         "dedup_exact": q_dedup_exact,
+        "dedup_pipeline": q_dedup_pipeline,
         "jaccard_pairs": q_jaccard_pairs,
         "ann_topk": q_ann_topk,
         "text_profile": q_text_profile,
@@ -646,6 +663,14 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) as min_doc_id,
                    max(doc_id) as max_doc_id
             from doubled group by text having count(*) > 1
+        """,
+        "dedup_pipeline": """
+            with doubled as (
+              select doc_id, text from documents
+              union all
+              select doc_id + 1000000, text from documents
+            )
+            select min(doc_id) as doc_id from doubled group by text
         """,
         "jaccard_pairs": r"""
             with d as (

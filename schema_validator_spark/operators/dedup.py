@@ -287,6 +287,91 @@ def ngram_jaccard_pairs(
     )
 
 
+# -------------------------------------------------- clustering & selection
+
+def cluster_pairs(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Connected components over near-dup pairs: (doc_id, cluster_id)
+    where cluster_id = min doc id of the component.
+
+    Iterative min-label propagation (each node takes the min label in its
+    neighborhood, repeat until fixed point) — the standard large-graph CC
+    shape on Spark: per iteration one join + one groupBy, datasets only
+    as wide as (node, label).  Converges in O(diameter) iterations; near-
+    dup graphs are unions of small cliques, so 2-3 in practice.  Lineage
+    is truncated with localCheckpoint every ``checkpoint_every`` iters.
+    """
+    from pyspark.sql.window import Window  # local: keep module header slim
+
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+    )
+    labels = (
+        edges.groupBy("a")
+        .agg(F.least(F.min("b"), F.first("a")).alias("label"))
+        .select(F.col("a").alias("node"), "label")
+    )
+    for it in range(max_iters):
+        neighbor_labels = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .select(edges["a"].alias("node"), F.col("label"))
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        if (it + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    cluster_assignments: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    score_col: str | None = None,
+) -> DataFrame:
+    """Keep ONE representative per near-dup cluster: highest score
+    (ties/no score: lowest id).  Docs with no cluster assignment are
+    singletons and always kept — the final pass of a dedup pipeline."""
+    from pyspark.sql.window import Window
+
+    joined = df.join(
+        cluster_assignments.withColumnRenamed("doc_id", id_col), on=id_col, how="left"
+    ).withColumn(
+        "_cl", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+    order = [F.col(score_col).desc_nulls_last()] if score_col else []
+    order.append(F.col(id_col).asc())
+    w = Window.partitionBy("_cl").orderBy(*order)
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_cl", "cluster_id")
+    )
+
+
 # ------------------------------------------------------- embedding near-dups
 
 def embedding_near_duplicates(

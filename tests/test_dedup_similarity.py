@@ -218,3 +218,34 @@ def test_ivf_topk_recall(spark):
         a.setdefault(r["query_id"], set()).add(r["vec_id"])
     recall = sum(len(e[q] & a.get(q, set())) for q in e) / sum(len(v) for v in e.values())
     assert recall >= 0.7, recall
+
+
+def test_cluster_pairs_connected_components(spark):
+    """Pairs -> components: chain 1-2-3, clique 10-11-12, isolated pair 20-21."""
+    from schema_validator_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.cluster_pairs(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_keep_best(spark):
+    from schema_validator_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.7), (10, 0.1), (99, 0.2)],
+        "doc_id long, quality double",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    clusters = dedup.cluster_pairs(pairs)
+    kept = dedup.dedup_keep_best(docs, clusters, score_col="quality")
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # cluster {1,2,3} keeps 2 (best quality); 10 and 99 are singletons
+    assert ids == [2, 10, 99]
+    # no score: lowest id wins
+    kept2 = dedup.dedup_keep_best(docs, clusters)
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [1, 10, 99]
