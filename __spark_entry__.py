@@ -230,6 +230,16 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Exact per-stratum quotas by deterministic md5 rank (training-data
+    curation; operators/sampling.py)."""
+    from schema_validator_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.stratified_sample_exact(docs, ["lang"], "doc_id", 20) \
+        .select("doc_id", "lang")
+
+
 def q_dedup_pipeline(spark, sf_dir):
     """Full dedup pipeline: exact-dup pairs -> connected components ->
     keep one per cluster (lowest id) over documents ∪ shifted copy."""
@@ -479,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_stats": q_sketch_stats,
         "drift_psi_width": q_drift_psi_width,
         "dedup_exact": q_dedup_exact,
+        "stratified_sample": q_stratified_sample,
         "dedup_pipeline": q_dedup_pipeline,
         "jaccard_pairs": q_jaccard_pairs,
         "ann_topk": q_ann_topk,
@@ -663,6 +674,16 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) as min_doc_id,
                    max(doc_id) as max_doc_id
             from doubled group by text having count(*) > 1
+        """,
+        "stratified_sample": """
+            select doc_id, lang from (
+              select doc_id, lang,
+                     row_number() over (
+                       partition by lang
+                       order by md5(cast(doc_id as varchar) || 'v1'), doc_id
+                     ) as rk
+              from documents
+            ) where rk <= 20
         """,
         "dedup_pipeline": """
             with doubled as (

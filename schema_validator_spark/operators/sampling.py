@@ -1,0 +1,70 @@
+"""Sampling operators for training-data curation.
+
+* ``stratified_sample_approx`` — per-stratum Bernoulli sampling
+  (``sampleBy``): single scan, no shuffle, approximate counts — the
+  right tool at 10^12 rows when quotas are fractions.
+* ``stratified_sample_exact`` — exact per-stratum quotas via a
+  deterministic hash ranking (md5 of the id, so any engine reproduces
+  the same sample — no RNG state): one shuffle on the stratum column.
+  AQE splits skewed strata; for a dominant stratum prefer the approx
+  form or pre-filter.
+* ``split_train_eval`` — deterministic hash split (no leakage across
+  runs or engines; complement property guaranteed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _hash_key(id_col: str, salt: str) -> F.Column:
+    return F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_cols: list[str],
+    id_col: str,
+    n_per_stratum: int,
+    *,
+    salt: str = "v1",
+) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum, chosen by md5 rank —
+    deterministic across engines/runs (oracle-able in plain SQL)."""
+    w = Window.partitionBy(*strata_cols).orderBy(
+        _hash_key(id_col, salt).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )
+
+
+def stratified_sample_approx(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    *,
+    seed: int = 42,
+) -> DataFrame:
+    """Bernoulli per-stratum sampling (single scan, approximate counts)."""
+    return df.sampleBy(strata_col, fractions, seed)
+
+
+def split_train_eval(
+    df: DataFrame,
+    id_col: str,
+    *,
+    eval_fraction: float = 0.01,
+    salt: str = "split-v1",
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic hash split: (train, eval).  A row's side depends only
+    on (id, salt), so re-runs and different engines agree, and the two
+    sides are exact complements."""
+    bucket = F.conv(F.substring(_hash_key(id_col, salt), 1, 4), 16, 10).cast("long")
+    cutoff = int(eval_fraction * 65536)
+    is_eval = bucket < cutoff
+    return df.filter(~is_eval), df.filter(is_eval)

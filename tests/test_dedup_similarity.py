@@ -249,3 +249,28 @@ def test_dedup_keep_best(spark):
     # no score: lowest id wins
     kept2 = dedup.dedup_keep_best(docs, clusters)
     assert sorted(r["doc_id"] for r in kept2.collect()) == [1, 10, 99]
+
+
+def test_stratified_sample_exact_and_split(spark):
+    from schema_validator_spark.operators import sampling
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    samp = sampling.stratified_sample_exact(docs, ["lang"], "doc_id", 10)
+    per = {r["lang"]: r["n"] for r in
+           samp.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    base = {r["lang"]: r["n"] for r in
+            docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in per.items():
+        assert n == min(10, base[lang])
+    # deterministic: same ids both runs
+    again = sampling.stratified_sample_exact(docs, ["lang"], "doc_id", 10)
+    assert sorted(r["doc_id"] for r in samp.select("doc_id").collect()) == \
+           sorted(r["doc_id"] for r in again.select("doc_id").collect())
+
+    train, ev = sampling.split_train_eval(docs, "doc_id", eval_fraction=0.1)
+    nt, ne, n = train.count(), ev.count(), docs.count()
+    assert nt + ne == n           # exact complements
+    assert 0.02 < ne / n < 0.25   # ~10% at 500 rows, loose bound
+    # stable across invocations
+    train2, _ = sampling.split_train_eval(docs, "doc_id", eval_fraction=0.1)
+    assert train2.count() == nt
