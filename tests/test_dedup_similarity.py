@@ -274,3 +274,38 @@ def test_stratified_sample_exact_and_split(spark):
     # stable across invocations
     train2, _ = sampling.split_train_eval(docs, "doc_id", eval_fraction=0.1)
     assert train2.count() == nt
+
+
+def test_curation_pipeline_funnel(spark):
+    """curate(): validation -> quality/lang filters -> two-tier dedup ->
+    stratified sample, with a monotone funnel and planted dups removed."""
+    from schema_validator_spark.operators.curate import CurationReport, curate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # plant exact dups: copy 10 docs with shifted ids
+    extra = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 900000).alias("doc_id"), "text", "lang",
+        "source", "n_chars",
+    )
+    both = docs.unionByName(extra)
+
+    rep = CurationReport()
+    out = curate(
+        both,
+        spec={"text": "required", "lang": "required"},
+        min_quality=0.3,
+        allowed_langs=["en", "es", "de", "fr"],
+        sample_per_stratum=50,
+        strata_cols=["lang"],
+        report=rep,
+    )
+    ids = [r["doc_id"] for r in out.select("doc_id").collect()]
+    c = rep.counts
+    # monotone funnel
+    assert c["input"] >= c["valid"] >= c["quality"] >= c["lang"] >= c["dedup"] >= c["sample"]
+    assert c["input"] == both.count()
+    assert len(ids) == c["sample"] and len(set(ids)) == len(ids)
+    # planted exact dups: at most one of (i, i+900000) survives
+    surviving = set(ids)
+    for i in range(10):
+        assert not ({i, i + 900000} <= surviving)
