@@ -230,6 +230,16 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
+def q_contamination(spark, sf_dir):
+    """Train/eval n-gram contamination sweep: docs sharing 5-grams with
+    the 'eval set' (docs 0-4) — benchmark-leakage detection."""
+    from schema_validator_spark.operators import decontaminate as D
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_df = docs.filter(F.col("doc_id") < 5)
+    return D.ngram_contamination(docs, eval_df, k=5, min_shared=1)
+
+
 def q_stratified_sample(spark, sf_dir):
     """Exact per-stratum quotas by deterministic md5 rank (training-data
     curation; operators/sampling.py)."""
@@ -489,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_stats": q_sketch_stats,
         "drift_psi_width": q_drift_psi_width,
         "dedup_exact": q_dedup_exact,
+        "contamination": q_contamination,
         "stratified_sample": q_stratified_sample,
         "dedup_pipeline": q_dedup_pipeline,
         "jaccard_pairs": q_jaccard_pairs,
@@ -674,6 +685,27 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) as min_doc_id,
                    max(doc_id) as max_doc_id
             from doubled group by text having count(*) > 1
+        """,
+        "contamination": r"""
+            with toks as (
+              select doc_id,
+                     list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') as w
+              from documents
+            ), sh as (
+              select doc_id,
+                     case when len(w) >= 5
+                          then list_distinct(list_transform(range(1, len(w) - 3),
+                                 i -> array_to_string(w[i:i+4], ' ')))
+                          else [array_to_string(w, ' ')] end as g
+              from toks
+            ), ev as (
+              select distinct unnest(g) as gram from sh where doc_id < 5
+            ), tr as (
+              select doc_id, unnest(g) as gram from sh
+            )
+            select tr.doc_id, count(*) as n_shared_grams
+            from tr join ev using (gram)
+            group by 1
         """,
         "stratified_sample": """
             select doc_id, lang from (

@@ -309,3 +309,26 @@ def test_curation_pipeline_funnel(spark):
     surviving = set(ids)
     for i in range(10):
         assert not ({i, i + 900000} <= surviving)
+
+
+def test_decontaminate_removes_flagged(spark):
+    from schema_validator_spark.operators import decontaminate as D
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely unrelated content nothing shared here at all"),
+         (3, "we said the quick brown fox jumps too")],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "quick brown fox jumps over something")], "doc_id long, text string"
+    )
+    flagged = D.ngram_contamination(train, eval_df, k=4, min_shared=1)
+    ids = {r["doc_id"] for r in flagged.collect()}
+    assert ids == {1, 3}   # both contain 'quick brown fox jumps'
+    clean = D.decontaminate(train, eval_df, k=4)
+    assert {r["doc_id"] for r in clean.select("doc_id").collect()} == {2}
+    # broadcast path stays broadcast: fact side never shuffles
+    from schema_validator_spark.plans import inspect as P
+    flg = D.ngram_contamination(train, eval_df, k=4)
+    assert "BroadcastHashJoin" in P.join_kinds(flg)
