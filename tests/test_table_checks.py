@@ -203,3 +203,56 @@ def test_checkpoint_identity_buckets_prune_scan(spark):
         assert ck.summary(spark).first()["n_rows"] == 1000
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_schema_diff_and_compat(spark):
+    from pyspark.sql import types as T
+    from schema_validator_spark.operators.schema_diff import (
+        assert_compatible, schema_diff,
+    )
+
+    before = T.StructType.fromDDL(
+        "id long, name string, meta struct<a int, b string>")
+    after = T.StructType.fromDDL(
+        "id long, name varchar(10), meta struct<a bigint>, extra double")
+    # varchar(10) normalizes to string in Spark, so `name` is unchanged
+    diff = {r["column"]: (r["change"], r["from_type"], r["to_type"])
+            for r in schema_diff(spark, before, after).collect()}
+    assert diff == {
+        "meta.a": ("type_changed", "int", "bigint"),
+        "meta.b": ("removed", "string", None),
+        "extra": ("added", None, "double"),
+    }
+    assert schema_diff(spark, before, before).count() == 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="meta.b: removed"):
+        assert_compatible(spark, before, after)
+    # additions alone are fine by default
+    widened = T.StructType.fromDDL("id long, name string, "
+                                   "meta struct<a int, b string>, extra double")
+    assert_compatible(spark, before, widened)
+    with _pytest.raises(ValueError):
+        assert_compatible(spark, before, widened, allow_added=False)
+
+
+def test_cli_sha256_derived_column(spark, tmp_path):
+    """--sha256-col derives content_sha256 and validates it (input_hint
+    per-row invariant through the CLI surface)."""
+    import json as _json
+    from schema_validator_spark import cli
+
+    src = str(tmp_path / "in.parquet")
+    datagen.code_files(spark, 500).write.parquet(src)
+    spec_file = tmp_path / "spec.json"
+    spec_file.write_text(_json.dumps(
+        {"content_sha256": "len=64|hexadecimal|lowercase"}))
+    rc = cli.main([
+        "--input", src, "--spec", str(spec_file),
+        "--key-cols", "repo,path", "--output", str(tmp_path / "out"),
+        "--sha256-col", "content",
+    ])
+    assert rc == 0
+    summ = spark.read.parquet(str(tmp_path / "out" / "summary"))
+    row = summ.agg(F.sum("n_rows"), F.sum("n_violations")).first()
+    assert row[0] == 500 and row[1] == 0  # sha256 of content always valid
