@@ -230,6 +230,12 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
+def q_vocabulary(spark, sf_dir):
+    """Corpus token-frequency table (top-200) — tokenizer-training input."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.vocabulary(docs, "text", top_n=200)
+
+
 def q_contamination(spark, sf_dir):
     """Train/eval n-gram contamination sweep: docs sharing 5-grams with
     the 'eval set' (docs 0-4) — benchmark-leakage detection."""
@@ -499,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_stats": q_sketch_stats,
         "drift_psi_width": q_drift_psi_width,
         "dedup_exact": q_dedup_exact,
+        "vocabulary": q_vocabulary,
         "contamination": q_contamination,
         "stratified_sample": q_stratified_sample,
         "dedup_pipeline": q_dedup_pipeline,
@@ -685,6 +692,13 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) as min_doc_id,
                    max(doc_id) as max_doc_id
             from doubled group by text having count(*) > 1
+        """,
+        "vocabulary": r"""
+            select token, count(*) as n from (
+              select unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                        t -> t <> '')) as token
+              from documents)
+            group by 1 order by n desc, token asc limit 200
         """,
         "contamination": r"""
             with toks as (

@@ -151,3 +151,18 @@ def fingerprint(col: Column) -> Column:
         " ",
     )
     return F.md5(F.trim(normalized))
+
+
+def vocabulary(df, text_col: str, *, top_n: int = 1000, min_count: int = 1):
+    """Corpus token-frequency table (tokenizer-training input):
+    (token, n) for the top_n most frequent tokens, count-desc then
+    token-asc (deterministic).  One explode + one groupBy; at 10^12 docs
+    the groupBy is the classic word-count shape — map-side combined,
+    skew-safe (hot tokens partial-aggregate per task before the shuffle)."""
+    counted = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    return counted.orderBy(F.col("n").desc(), F.col("token").asc()).limit(top_n)
