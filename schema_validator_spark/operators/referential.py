@@ -31,7 +31,11 @@ def referential_violations(
     violations here (use a `required` rule to separate them).
     """
     pk_cols = pk_cols or fk_cols
-    keys = dim.select(*[F.col(p).alias(f) for p, f in zip(pk_cols, fk_cols)]).dropDuplicates(fk_cols)
+    # No dropDuplicates: left_anti is set-semantics on the build side by
+    # construction (a fact row is dropped if ANY match exists), so
+    # deduping the dim keys would only add a dim-side shuffle for nothing
+    # — this plan is zero-Exchange when the dim broadcasts.
+    keys = dim.select(*[F.col(p).alias(f) for p, f in zip(pk_cols, fk_cols)])
     if broadcast is True:
         keys = F.broadcast(keys)
     return fact.join(keys, on=fk_cols, how="left_anti")

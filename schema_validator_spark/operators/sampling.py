@@ -20,7 +20,11 @@ from pyspark.sql.window import Window
 
 
 def _hash_key(id_col: str, salt: str) -> F.Column:
-    return F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    # NULL ids coalesce to a sentinel so the hash (and thus the split /
+    # rank) is never NULL — a NULL would otherwise drop the row from BOTH
+    # sides of split_train_eval, breaking the complement guarantee.
+    key = F.coalesce(F.col(id_col).cast("string"), F.lit("\x00null"))
+    return F.md5(F.concat(key, F.lit(salt)))
 
 
 def stratified_sample_exact(

@@ -72,6 +72,9 @@ def salted_count_distinct(
     reducer and the count is exact — then sum partial distincts."""
     stage1 = (
         df.select(*key_cols, F.col(value_col))
+        # SQL count(distinct) ignores NULL; drop it here too (a NULL value
+        # would survive dropDuplicates and inflate the count by one).
+        .filter(F.col(value_col).isNotNull())
         .withColumn("_salt", F.pmod(F.xxhash64(F.col(value_col)), n_salts))
         .dropDuplicates([*key_cols, value_col])
         .groupBy(*key_cols, "_salt")

@@ -56,9 +56,14 @@ def read_schema(df: DataFrame) -> list[str]:
 
 def n_exchanges(df: DataFrame) -> int:
     """Number of shuffle boundaries in the physical plan (broadcast
-    exchanges excluded — they ship the small side, not the data)."""
+    exchanges excluded — they ship the small side, not the data).
+
+    ``\\bExchange\\b`` already fails to match inside ``BroadcastExchange``
+    (the preceding ``t`` is a word character), so no subtraction: shuffle
+    exchanges print as ``Exchange hashpartitioning/…`` and are exactly
+    the word-boundary matches."""
     plan = executed_plan(df)
-    return len(re.findall(r"\bExchange\b", plan)) - plan.count("BroadcastExchange")
+    return len(re.findall(r"\bExchange\b", plan))
 
 
 def count_op(df: DataFrame, op: str) -> int:

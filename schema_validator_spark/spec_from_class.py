@@ -76,12 +76,21 @@ def _walk(cls, *, prefix: str, spec: dict, labels: dict, seen: set) -> None:
 
 
 def _unwrap_optional(t):
+    import types
     import typing
 
-    if isinstance(t, str):  # postponed annotations: can't resolve here
-        return None
+    if isinstance(t, str):
+        # Postponed annotation that get_type_hints could not resolve.
+        # Treating it as a scalar would silently drop the rules of a
+        # nested dataclass typed 'Contact | None' — fail loudly instead.
+        raise CompileError(
+            f"unresolvable annotation {t!r}: import the referenced type "
+            f"into the dataclass module or avoid postponed annotations"
+        )
     origin = typing.get_origin(t)
-    if origin is typing.Union:
+    # typing.Optional[X] (origin Union) and PEP 604 'X | None'
+    # (origin types.UnionType) both unwrap to X.
+    if origin is typing.Union or origin is types.UnionType:
         args = [a for a in typing.get_args(t) if a is not type(None)]
         if len(args) == 1:
             return args[0]
