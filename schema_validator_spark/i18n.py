@@ -137,6 +137,60 @@ _EN: dict[str, str] = {
 }
 _EN.update({c: f"Must be a valid {n}" for c, n in _FORMAT_NAMES_EN.items()})
 
+# zh-CN format-family nouns — same keys as _FORMAT_NAMES_EN so both
+# catalogs cover the identical code set (parity pinned in tests).
+_FORMAT_NAMES_ZH = {
+    "email": "电子邮件地址", "base64": "base64 字符串",
+    "base64url": "base64url 字符串", "base64rawurl": "原始 base64url 字符串",
+    "bic": "BIC 代码", "bic_iso_9362_2014": "BIC 代码 (ISO 9362:2014)",
+    "bcp47_language_tag": "BCP 47 语言标签",
+    "btc_addr": "比特币地址", "btc_addr_bech32": "Bech32 比特币地址",
+    "credit_card": "信用卡号", "mongodb": "MongoDB ObjectID",
+    "mongodb_connection_string": "MongoDB 连接字符串",
+    "cron": "cron 表达式", "spicedb": "SpiceDB 标识符",
+    "datetime": "日期时间", "e164": "E.164 电话号码", "ein": "EIN 编号",
+    "eth_addr": "以太坊地址", "hexadecimal": "十六进制字符串",
+    "hexcolor": "十六进制颜色", "hsl": "HSL 颜色", "hsla": "HSLA 颜色",
+    "html": "HTML 片段", "html_encoded": "HTML 编码字符串",
+    "isbn": "ISBN", "isbn10": "ISBN-10", "isbn13": "ISBN-13", "issn": "ISSN",
+    "iso3166_1_alpha2": "ISO 3166-1 两位国家代码",
+    "iso3166_1_alpha3": "ISO 3166-1 三位国家代码",
+    "iso3166_1_alpha_numeric": "ISO 3166-1 数字国家代码",
+    "iso3166_2": "ISO 3166-2 代码", "iso4217": "ISO 4217 货币代码",
+    "json": "JSON 文档", "jwt": "JWT", "latitude": "纬度",
+    "longitude": "经度", "luhn_checksum": "Luhn 校验和",
+    "postcode_iso3166_alpha2": "邮政编码",
+    "postcode_iso3166_alpha2_field": "邮政编码",
+    "rgb": "RGB 颜色", "rgba": "RGBA 颜色", "ssn": "社会保障号",
+    "timezone": "IANA 时区", "uuid": "UUID", "uuid3": "UUIDv3",
+    "uuid4": "UUIDv4", "uuid5": "UUIDv5", "uuid_rfc4122": "RFC 4122 UUID",
+    "uuid3_rfc4122": "RFC 4122 UUIDv3", "uuid4_rfc4122": "RFC 4122 UUIDv4",
+    "uuid5_rfc4122": "RFC 4122 UUIDv5",
+    "md4": "MD4 哈希", "md5": "MD5 哈希", "sha256": "SHA-256 哈希",
+    "sha384": "SHA-384 哈希", "sha512": "SHA-512 哈希",
+    "ripemd128": "RIPEMD-128 哈希", "ripemd160": "RIPEMD-160 哈希",
+    "tiger128": "TIGER-128 哈希", "tiger160": "TIGER-160 哈希",
+    "tiger192": "TIGER-192 哈希", "semver": "语义化版本号",
+    "ulid": "ULID", "cve": "CVE 编号",
+    "cidr": "CIDR 表示法", "cidrv4": "IPv4 CIDR 表示法",
+    "cidrv6": "IPv6 CIDR 表示法", "datauri": "data URI",
+    "fqdn": "完全限定域名", "hostname": "主机名",
+    "hostname_rfc1123": "RFC 1123 主机名", "hostname_port": "主机:端口",
+    "ip": "IP 地址", "ip_addr": "IP 地址", "ipv4": "IPv4 地址",
+    "ip4_addr": "IPv4 地址", "ipv6": "IPv6 地址",
+    "ip6_addr": "IPv6 地址", "mac": "MAC 地址",
+    "tcp_addr": "TCP 地址", "tcp4_addr": "TCPv4 地址",
+    "tcp6_addr": "TCPv6 地址", "udp_addr": "UDP 地址",
+    "udp4_addr": "UDPv4 地址", "udp6_addr": "UDPv6 地址",
+    "unix_addr": "Unix 套接字地址", "uds_exists": "已存在的 Unix 套接字",
+    "uri": "URI", "url": "URL", "http_url": "HTTP URL",
+    "https_url": "HTTPS URL", "url_encoded": "URL 编码字符串",
+    "urn_rfc2141": "RFC 2141 URN", "boolean": "布尔字符串",
+    "image": "图片文件路径", "dirpath": "目录路径",
+    "filepath": "文件路径", "dir": "已存在的目录",
+    "file": "已存在的文件",
+}
+
 _ZH: dict[str, str] = {
     "required": "该字段为必填项",
     "min": "最小值为 {p1}",
@@ -144,7 +198,9 @@ _ZH: dict[str, str] = {
     "len": "长度必须为 {p1}",
     "oneof": "必须是以下值之一: {params}",
     "eq": "必须等于 {p1}",
+    "eq_ignore_case": "必须等于 {p1}（忽略大小写）",
     "ne": "不能等于 {p1}",
+    "ne_ignore_case": "不能等于 {p1}（忽略大小写）",
     "gt": "必须大于 {p1}",
     "gte": "必须大于或等于 {p1}",
     "lt": "必须小于 {p1}",
@@ -155,33 +211,51 @@ _ZH: dict[str, str] = {
     "ltfield": "必须小于 {p1}",
     "gtefield": "必须大于或等于 {p1}",
     "ltefield": "必须小于或等于 {p1}",
+    "fieldcontains": "必须包含 {p1} 的值",
+    "fieldexcludes": "不能包含 {p1} 的值",
     "required_if": "当 {p1} 为 {p2} 时必填",
     "required_unless": "除非 {p1} 为 {p2}，否则必填",
     "required_with": "当 {params} 存在时必填",
+    "required_with_all": "当 {params} 全部存在时必填",
     "required_without": "当 {params} 不存在时必填",
+    "required_without_all": "当 {params} 全部不存在时必填",
     "excluded_if": "当 {p1} 为 {p2} 时必须为空",
+    "excluded_unless": "除非 {p1} 为 {p2}，否则必须为空",
+    "excluded_with": "当 {params} 存在时必须为空",
+    "excluded_with_all": "当 {params} 全部存在时必须为空",
+    "excluded_without": "当 {params} 不存在时必须为空",
+    "excluded_without_all": "当 {params} 全部不存在时必须为空",
     "isdefault": "必须为零值",
     "unique": "值必须唯一",
-    "contains": "必须包含 {p1}",
-    "excludes": "不能包含 {p1}",
-    "startswith": "必须以 {p1} 开头",
-    "endswith": "必须以 {p1} 结尾",
-    "lowercase": "必须为小写",
-    "uppercase": "必须为大写",
+    "omitempty": "",
+    "pattern": "格式无效",
     "alpha": "只能包含字母",
+    "alphaspace": "只能包含字母和空格",
     "alphanum": "只能包含字母和数字",
+    "alphanumspace": "只能包含字母、数字和空格",
+    "alphanumunicode": "只能包含字母和数字",
+    "alphaunicode": "只能包含字母",
     "ascii": "只能包含 ASCII 字符",
+    "printascii": "只能包含可打印的 ASCII 字符",
+    "multibyte": "必须包含多字节字符",
     "number": "只能包含数字",
     "numeric": "必须为数字",
-    "email": "必须是有效的电子邮件地址",
-    "url": "必须是有效的 URL",
-    "uuid": "必须是有效的 UUID",
-    "ip": "必须是有效的 IP 地址",
+    "lowercase": "必须为小写",
+    "uppercase": "必须为大写",
+    "contains": "必须包含 {p1}",
+    "containsany": "必须包含字符 {p1} 中的至少一个",
+    "containsrune": "必须包含字符 {p1}",
+    "excludes": "不能包含 {p1}",
+    "excludesall": "不能包含字符 {p1} 中的任何一个",
+    "excludesrune": "不能包含字符 {p1}",
+    "startswith": "必须以 {p1} 开头",
+    "startsnotwith": "不能以 {p1} 开头",
+    "endswith": "必须以 {p1} 结尾",
+    "endsnotwith": "不能以 {p1} 结尾",
     "port": "必须是有效的端口号 (1-65535)",
-    "datetime": "必须是有效的日期时间",
-    "json": "必须是有效的 JSON",
-    "pattern": "格式无效",
+    "domain": "必须是有效的域名",
 }
+_ZH.update({c: f"必须是有效的{n}" for c, n in _FORMAT_NAMES_ZH.items()})
 
 CATALOGS: dict[str, dict[str, str]] = {"en": _EN, "zh-CN": _ZH}
 

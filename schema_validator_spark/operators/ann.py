@@ -47,6 +47,27 @@ def cosine_topk(
 
 
 
+_MAX_DRIVER_QUERY_ROWS = 100_000
+
+
+def _collect_query_rows(queries: DataFrame, cols: list[str], max_rows: int):
+    """Collect the query set with a fail-fast cardinality guard.
+
+    ivf_query / cosine_topk_arrow ship query vectors driver-side (task
+    closure) — correct for search-style batches, an OOM for a 10M-row
+    "query set".  limit(max+1) bounds the collect itself, so even the
+    failing path never materializes the full set."""
+    rows = queries.select(*cols).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"query set exceeds max_query_rows={max_rows}: query vectors are "
+            f"collected to the driver and shipped in task closures. Chunk the "
+            f"query DataFrame and call once per chunk, or raise max_query_rows "
+            f"if driver memory allows."
+        )
+    return rows
+
+
 def _stack(series):
     """Arrow->pandas gives each array cell as np.ndarray; np.stack is a
     single C-level copy.  Fall back to the per-row path for plain lists."""
@@ -160,12 +181,13 @@ def ivf_query(
     query_vec: str = "embedding",
     k: int = 10,
     nprobe: int = 4,
+    max_query_rows: int = _MAX_DRIVER_QUERY_ROWS,
 ) -> DataFrame:
     """Query a prebuilt IVF index (probe nprobe lists, matmul re-rank)."""
     import numpy as np
     import pandas as pd
 
-    qrows = queries.select(query_id, query_vec).collect()
+    qrows = _collect_query_rows(queries, [query_id, query_vec], max_query_rows)
     qvecs = {}
     probe_rows = []
     for r in qrows:
@@ -217,6 +239,7 @@ def cosine_topk_arrow(
     query_vec: str = "embedding",
     corpus_vec: str = "embedding",
     k: int = 10,
+    max_query_rows: int = _MAX_DRIVER_QUERY_ROWS,
 ) -> DataFrame:
     """Exact top-k like :func:`cosine_topk` but the dot products run as a
     numpy matmul inside mapInPandas (Arrow batches) — wins over the
@@ -227,7 +250,7 @@ def cosine_topk_arrow(
     import numpy as np
     import pandas as pd
 
-    qrows = queries.select(query_id, query_vec).collect()
+    qrows = _collect_query_rows(queries, [query_id, query_vec], max_query_rows)
     if not qrows:
         raise ValueError("empty query set")
     qids = [r[0] for r in qrows]

@@ -164,6 +164,71 @@ def psi_df(
     )
 
 
+def psi_quantile_df(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    baseline,
+    current,
+    *,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Quantile-edge PSI, fully distributed AND engine-reproducible.
+
+    Like :func:`psi` but (a) edges are EXACT percentiles of the baseline
+    (``percentile`` — linear interpolation at rank p·(n-1), the same
+    definition as ANSI ``quantile_cont``), rounded to 6dp so any engine
+    derives identical buckets, and (b) the whole computation stays in the
+    plan — edges broadcast, one bucketed groupBy for both sides, PSI as
+    an aggregate; nothing but the one-row result reaches the driver.
+
+    Exact percentiles shuffle the baseline's values per group; at 10^12
+    rows prefer :func:`psi` (mergeable sketch edges).  This is the
+    oracle-checked tier of the drift family.
+
+    Returns one row: (baseline, current, psi).
+    """
+    v = F.col(value_col)
+    g = F.col(group_col)
+    both = df.filter(g.isin(baseline, current) & v.isNotNull()).select(
+        g.alias("_g"), v.alias("_v")
+    )
+    probs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+    edges = both.filter(F.col("_g") == baseline).agg(
+        F.transform(
+            F.percentile(F.col("_v"), probs), lambda e: F.round(e, 6)
+        ).alias("_edges")
+    )
+    # bucket = number of edges strictly below the value — identical
+    # arithmetic in any engine, no interpolation at compare time
+    bucket = F.aggregate(
+        F.col("_edges"),
+        F.lit(0),
+        lambda acc, e: acc + (F.col("_v") > e).cast("int"),
+    )
+    per_bucket = (
+        both.crossJoin(F.broadcast(edges))
+        .groupBy(bucket.alias("_b"))
+        .agg(
+            F.sum((F.col("_g") == baseline).cast("long")).alias("_cb"),
+            F.sum((F.col("_g") == current).cast("long")).alias("_cc"),
+        )
+    )
+    totals = per_bucket.agg(F.sum("_cb").alias("_tb"), F.sum("_cc").alias("_tc"))
+    eps = F.lit(1e-6)
+    pb = F.greatest(F.col("_cb") / F.col("_tb"), eps)
+    pc = F.greatest(F.col("_cc") / F.col("_tc"), eps)
+    return (
+        per_bucket.crossJoin(F.broadcast(totals))
+        .agg(F.round(F.sum((pc - pb) * F.log(pc / pb)), 6).alias("psi"))
+        .select(
+            F.lit(str(baseline)).alias("baseline"),
+            F.lit(str(current)).alias("current"),
+            "psi",
+        )
+    )
+
+
 def drift_report(
     df: DataFrame,
     value_col: str,

@@ -332,3 +332,159 @@ def test_decontaminate_removes_flagged(spark):
     from schema_validator_spark.plans import inspect as P
     flg = D.ngram_contamination(train, eval_df, k=4)
     assert "BroadcastHashJoin" in P.join_kinds(flg)
+
+
+def test_minhash_hot_bucket_cap_bounds_pairs(spark, caplog):
+    """A planted degenerate bucket (60 identical docs) must not go
+    quadratic when max_bucket_size is set — and the drop is logged."""
+    import logging
+
+    base = "the quick brown fox jumps over the lazy dog again and again in the field"
+    near = base.replace("lazy", "sleepy")
+    boiler = "license header " * 5
+    rows = [(1, base), (2, near)] + [(100 + i, boiler) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    uncapped = dedup.minhash_lsh_candidates(
+        df, "doc_id", "text", num_hashes=64, bands=16, jaccard_threshold=0.3
+    )
+    assert uncapped.count() > 1000  # 60 identical docs -> ~1770 pairs
+
+    with caplog.at_level(logging.WARNING,
+                         logger="schema_validator_spark.operators.dedup"):
+        capped = dedup.minhash_lsh_candidates(
+            df, "doc_id", "text", num_hashes=64, bands=16,
+            jaccard_threshold=0.3, max_bucket_size=10,
+        )
+        got = {(p["id_a"], p["id_b"]) for p in capped.collect()}
+    assert got == {(1, 2)}  # hot bucket suppressed, real near-dup kept
+    assert any("hot bucket" in r.message for r in caplog.records)
+
+
+def test_simhash_hot_bucket_cap(spark, caplog):
+    import logging
+
+    boiler = "alpha beta gamma delta epsilon zeta " * 4
+    rows = [(100 + i, boiler) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    assert dedup.simhash_candidates(df, "doc_id", "text").count() > 500
+    with caplog.at_level(logging.WARNING,
+                         logger="schema_validator_spark.operators.dedup"):
+        capped = dedup.simhash_candidates(
+            df, "doc_id", "text", max_bucket_size=8)
+        assert capped.count() == 0
+    assert any("hot bucket" in r.message for r in caplog.records)
+
+
+def test_embedding_neardups_banded_recall_and_cap(spark):
+    """Banded SRP: scaled copies (cosine exactly 1.0) are ALWAYS found
+    (identical signatures in every band); far vectors never pass verify."""
+    import hashlib
+    import struct
+
+    def vec(seed, dim=16):
+        out = []
+        for d in range(dim):
+            h = hashlib.sha256(f"t:{seed}:{d}".encode()).digest()
+            (u,) = struct.unpack("<Q", h[:8])
+            out.append((u / 2**64) * 2.0 - 1.0)
+        return out
+
+    rows = []
+    for i in range(20):
+        v = vec(i)
+        rows.append((i, v))
+        rows.append((1000 + i, [x * 2.5 for x in v]))  # scaled copy, cos=1.0
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    pairs = dedup.embedding_near_duplicates(
+        df, "vec_id", "embedding", cosine_threshold=0.999,
+        n_planes=16, bands=4,
+    )
+    got = {(p["id_a"], p["id_b"]) for p in pairs.collect()}
+    assert got == {(i, 1000 + i) for i in range(20)}
+
+    # degenerate bucket: 30 identical vectors, capped
+    same = [(2000 + i, vec(999)) for i in range(30)]
+    df2 = spark.createDataFrame(same, "vec_id int, embedding array<double>")
+    capped = dedup.embedding_near_duplicates(
+        df2, "vec_id", "embedding", cosine_threshold=0.99,
+        n_planes=16, bands=4, max_bucket_size=5, log_dropped=False,
+    )
+    assert capped.count() == 0
+
+
+def test_simhash_portable_equals_bruteforce(spark):
+    """portable=True (md5-bit signatures): banded output must equal the
+    brute-force all-pairs hamming set — pigeonhole banding is exact."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta " * 3),
+        (2, "alpha beta gamma delta epsilon zeta eta iota " * 3),
+        (3, "one two three four five six seven eight " * 3),
+        (4, "alpha beta gamma delta epsilon zeta eta theta " * 3 + "tail"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    banded = {(r["id_a"], r["id_b"]): r["hamming"]
+              for r in dedup.simhash_candidates(
+                  df, "doc_id", "text", max_hamming=10, portable=True).collect()}
+    sig = dedup.simhash_bits_md5(F.col("text"))
+    base = df.select(F.col("doc_id").alias("_id"), sig.alias("_s"))
+    l, r = base.alias("l"), base.alias("r")
+    brute = {
+        (x["id_a"], x["id_b"]): x["h"]
+        for x in l.join(r, F.col("l._id") < F.col("r._id"))
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"),
+                dedup.hamming(F.col("l._s"), F.col("r._s")).alias("h"))
+        .filter(F.col("h") <= 10).collect()
+    }
+    assert banded == brute and len(brute) > 0
+
+
+def test_ivf_recall_on_clustered_embeddings(spark):
+    """IVF recall gate on CLUSTERED vectors (the distribution IVF is for —
+    uniform-random corpora have no neighbor structure to exploit):
+    recall@10 >= 0.9 vs exact with nlist=16, nprobe=4."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(16, 32)
+    rows = []
+    vid = 0
+    for c in range(16):
+        for _ in range(40):
+            v = centers[c] + 0.15 * rng.randn(32)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") % 64 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = ann.cosine_topk(queries, df, k=10).collect()
+    approx = ann.ivf_topk(queries, df, k=10, nlist=16, nprobe=4, seed=3).collect()
+    e, a = {}, {}
+    for r in exact:
+        e.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in approx:
+        a.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recall = sum(len(e[q] & a.get(q, set())) for q in e) / sum(len(v) for v in e.values())
+    assert recall >= 0.9, recall
+
+
+def test_ann_driver_guard_rejects_huge_query_set(spark):
+    """A query set beyond max_query_rows must fail fast with guidance —
+    never silently collect to the driver."""
+    import pytest as _pytest
+
+    corpus = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * (i + 1) % 7).cast("double") + 1.0
+                  for i in range(4)]).alias("embedding"),
+    )
+    queries = corpus.select(F.col("vec_id").alias("query_id"), "embedding")
+    with _pytest.raises(ValueError, match="max_query_rows"):
+        ann.cosine_topk_arrow(queries, corpus, k=3, max_query_rows=10)
+    listed, cent = ann.ivf_build(corpus, nlist=4)
+    with _pytest.raises(ValueError, match="max_query_rows"):
+        ann.ivf_query(queries, listed, cent, k=3, max_query_rows=10)
+    # within the guard: works
+    small = queries.filter(F.col("query_id") < 3)
+    assert ann.cosine_topk_arrow(small, corpus, k=3, max_query_rows=10).count() == 9

@@ -23,8 +23,10 @@ def test_translate_fallbacks():
     # zh catalog
     assert translate("required", lang="zh-CN") == "该字段为必填项"
     assert translate("min", params="8", lang="zh-CN") == "最小值为 8"
-    # zh missing a code -> falls through to en
-    assert translate("semver", lang="zh-CN") == "Must be a valid semantic version"
+    # zh-CN is now a complete catalog (parity pinned below); a code absent
+    # from BOTH catalogs still falls through zh -> en -> generic
+    assert translate("semver", lang="zh-CN") == "必须是有效的语义化版本号"
+    assert translate("nope_rule", lang="zh-CN") == "nope_rule check failed"
 
 
 def test_catalog_covers_default_registry():
@@ -74,3 +76,22 @@ def test_result_introspection_api(spark):
     assert not res.has_error_code("max")
     t = res.translated("zh-CN").collect()
     assert t[0]["message"] == "该字段为必填项"
+
+
+def test_zh_catalog_full_parity():
+    """zh-CN covers every code en covers, and both cover every registered
+    rule (the reference ships complete catalogs for both languages —
+    i18n/msg.en.yaml + msg.zh-CN.yaml; fallback never fires for a
+    registered rule in either)."""
+    from schema_validator_spark.i18n import _EN, _ZH, translate
+    from schema_validator_spark.registry import default_registry
+
+    assert set(_ZH) == set(_EN)
+    names = set(default_registry().names())
+    missing_en = names - set(_EN)
+    missing_zh = names - set(_ZH)
+    assert not missing_en, missing_en
+    assert not missing_zh, missing_zh
+    # rendering sanity for a format-family code in both langs
+    assert translate("ipv4", lang="en") == "Must be a valid IPv4 address"
+    assert translate("ipv4", lang="zh-CN") == "必须是有效的IPv4 地址"

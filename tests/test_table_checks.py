@@ -256,3 +256,22 @@ def test_cli_sha256_derived_column(spark, tmp_path):
     summ = spark.read.parquet(str(tmp_path / "out" / "summary"))
     row = summ.agg(F.sum("n_rows"), F.sum("n_violations")).first()
     assert row[0] == 500 and row[1] == 0  # sha256 of content always valid
+
+
+def test_psi_quantile_df_distributed(spark):
+    """Quantile-edge PSI (exact deciles, zero driver compute): shifted
+    distribution scores high, identical scores ~0; the plan contains no
+    collect — result is a one-row DataFrame."""
+    a = spark.range(2000).select(F.lit("A").alias("commit"),
+                                 (F.col("id") % 100).cast("double").alias("v"))
+    b = spark.range(2000).select(F.lit("B").alias("commit"),
+                                 (F.col("id") % 100 + 50).cast("double").alias("v"))
+    c = spark.range(2000).select(F.lit("C").alias("commit"),
+                                 (F.col("id") % 100).cast("double").alias("v"))
+    df = a.unionByName(b).unionByName(c)
+
+    high = drift.psi_quantile_df(df, "v", "commit", "A", "B").first()
+    low = drift.psi_quantile_df(df, "v", "commit", "A", "C").first()
+    assert high["baseline"] == "A" and high["current"] == "B"
+    assert high["psi"] > 0.25, high["psi"]
+    assert low["psi"] < 0.01, low["psi"]
