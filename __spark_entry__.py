@@ -10,8 +10,10 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-Approximate operators (MinHash LSH, SimHash, SRP ANN, PSI) are exposed
-rows-only (no oracle) — the exact-verify variants carry the oracles.
+EVERY query has an oracle (38/38), including the approximate tiers
+(MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
+ground truth is re-derived exactly in SQL — see the per-query docstrings
+for why the approximate result provably equals the exact set here.
 """
 
 from __future__ import annotations
@@ -509,6 +511,36 @@ def q_embedding_neardups(spark, sf_dir):
     )
 
 
+def q_snapshot_drift(spark, sf_dir):
+    """Drift ACROSS COMMITS over a snapshot-pinned table (the Iceberg
+    semantics of the north rule, manifest-based stand-in — no Iceberg
+    runtime jars in this container): commit 1 = click events, commit 2
+    appends purchase events; PSI between the two pinned snapshots.  The
+    oracle recomputes both snapshot file sets relationally."""
+    import os
+    import tempfile
+
+    from schema_validator_spark.sources.snapshots import (
+        SnapshotTable, drift_across_commits,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"svs_snapshot_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    t = SnapshotTable(path)
+    t.drop()
+    t = SnapshotTable(path)
+    s1 = t.commit(ev.filter(F.col("event_type") == "click").select("value"))
+    s2 = t.commit(
+        ev.filter(F.col("event_type") == "purchase").select("value"),
+        mode="append",
+    )
+    out = drift_across_commits(spark, t, "value", s1, s2)
+    return out.select("baseline", F.col("current").alias("curr"), "psi")
+
+
 def q_drift_psi(spark, sf_dir):
     """Quantile-edge PSI, fully distributed with EXACT decile edges
     (percentile ≡ ANSI quantile_cont, edges rounded 6dp) — the
@@ -560,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": q_ivf_ann,
         "embedding_neardups": q_embedding_neardups,
         "drift_psi": q_drift_psi,
+        "snapshot_drift": q_snapshot_drift,
     }
 
 
@@ -1050,6 +1083,35 @@ def oracle_sql() -> dict[str, str]:
               from b group by 1
             ), t as (select sum(cb) as tb, sum(cc) as tc from pb)
             select 'click' as baseline, 'purchase' as curr,
+                   round(sum(
+                     (greatest(cc / tc, 1e-6) - greatest(cb / tb, 1e-6))
+                     * ln(greatest(cc / tc, 1e-6) / greatest(cb / tb, 1e-6))
+                   ), 6) as psi
+            from pb, t
+        """,
+        "snapshot_drift": """
+            with e as (
+              select list_transform(quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+                                    x -> round(x, 6)) as edges
+              from events where event_type = 'click' and value is not null
+            ), src as (
+              select 'snap1' as g, value from events
+              where event_type = 'click' and value is not null
+              union all
+              select 'snap2', value from events
+              where event_type in ('click','purchase') and value is not null
+            ), b as (
+              select g,
+                     list_sum(list_transform(e.edges,
+                       ed -> case when value > ed then 1 else 0 end)) as bk
+              from src, e
+            ), pb as (
+              select bk,
+                     count(*) filter (where g = 'snap1') as cb,
+                     count(*) filter (where g = 'snap2') as cc
+              from b group by 1
+            ), t as (select sum(cb) as tb, sum(cc) as tc from pb)
+            select 'snap1' as baseline, 'snap2' as curr,
                    round(sum(
                      (greatest(cc / tc, 1e-6) - greatest(cb / tb, 1e-6))
                      * ln(greatest(cc / tc, 1e-6) / greatest(cb / tb, 1e-6))

@@ -249,20 +249,28 @@ def simhash_bits_md5(text: Column, *, n_bits: int = 64) -> Column:
     engine reproduces the signature exactly (this is the DuckDB-oracle
     tier; default :func:`simhash_bits` uses xxhash64, ~an order of
     magnitude less HOF work, for corpus scale)."""
-    md5s = F.transform(X.tokens(text), lambda t: F.md5(t))
+    # unpack each digest's hex digits ONCE per token (n_bits/4 conv calls),
+    # then the per-bit vote is pure arithmetic over the small int array —
+    # 4x less string work than substring+conv per bit
+    digit_vals = F.transform(
+        F.transform(X.tokens(text), lambda t: F.md5(t)),
+        lambda m: F.transform(
+            F.sequence(F.lit(1), F.lit(n_bits // 4)),
+            lambda p: F.conv(F.substring(m, p, 1), 16, 10).cast("int"),
+        ),
+    )
     idx = F.sequence(F.lit(0), F.lit(n_bits - 1))
     pow2 = F.array(F.lit(1), F.lit(2), F.lit(4), F.lit(8))
 
-    def vote(acc, m):
+    def vote(acc, dv):
         def per_bit(a, i):
-            digit = F.substring(m, F.floor(i / 4).cast("int") + 1, 1)
-            val = F.conv(digit, 16, 10).cast("int")
+            val = F.element_at(dv, F.floor(i / 4).cast("int") + 1)
             bit = F.pmod(F.floor(val / F.element_at(pow2, F.pmod(i, F.lit(4)).cast("int") + 1)), 2)
             return a + (bit * 2 - 1).cast("int")
 
         return F.zip_with(acc, idx, per_bit)
 
-    votes = F.aggregate(md5s, F.array_repeat(F.lit(0), n_bits), vote)
+    votes = F.aggregate(digit_vals, F.array_repeat(F.lit(0), n_bits), vote)
     return F.transform(votes, lambda v: F.when(v > 0, 1).otherwise(0))
 
 

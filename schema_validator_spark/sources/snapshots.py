@@ -1,0 +1,143 @@
+"""Snapshot-pinned table reads + drift-across-commits (Iceberg semantics).
+
+The north rule targets Iceberg tables with snapshot pinning so drift can
+be measured ACROSS COMMITS.  This container has no Iceberg runtime jars
+(and no network to fetch them — documented blocker), so this module
+implements the load-bearing subset of the Iceberg table spec over plain
+parquet, with the same contract a real catalog would give us:
+
+* a table is a directory of immutable data files plus an append-only
+  chain of JSON snapshot manifests (`snapshots/N.json`), each listing
+  exactly the data files visible at that commit;
+* commits are atomic (manifest written to a temp name, then rename —
+  the same single-atomic-swap idea as Iceberg's metadata pointer);
+* reads PIN a snapshot: the file list comes from the manifest, so a
+  later commit can never change what an open query sees (time travel);
+* `drift_across_commits` runs the PSI drift check between two pinned
+  snapshots — the "compare distribution at commit A vs commit B" check
+  the reference's fixtures motivate (SURVEY.md §2.0).
+
+Swapping in real Iceberg is a constructor change: `read_table(...,
+fmt='table')` + `VERSION AS OF` replace `SnapshotTable.read`; every
+operator downstream is DataFrame-in/DataFrame-out and does not care.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotTable:
+    """A parquet table with Iceberg-style snapshot manifests."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._meta = os.path.join(path, "snapshots")
+        os.makedirs(self._meta, exist_ok=True)
+
+    # -- commit ------------------------------------------------------------
+
+    def commit(self, df: DataFrame, *, mode: str = "append") -> int:
+        """Write df's rows as new immutable data files and commit a new
+        snapshot.  ``append`` layers onto the parent snapshot's files;
+        ``overwrite`` starts the visible set fresh (old files stay on
+        disk — historical snapshots still read them: time travel)."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        sid = self.current_snapshot_id() + 1
+        data_dir = os.path.join(self.path, "data", f"s{sid}")
+        df.write.mode("overwrite").parquet(data_dir)
+        files = sorted(
+            os.path.join(data_dir, f)
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet")
+        )
+        parent = self.current_snapshot_id()
+        visible = files if mode == "overwrite" or parent == 0 else (
+            self._manifest(parent)["files"] + files
+        )
+        manifest = {
+            "snapshot_id": sid,
+            "parent_id": parent or None,
+            "operation": mode,
+            "timestamp_ms": int(time.time() * 1000),
+            "files": visible,
+        }
+        final = os.path.join(self._meta, f"{sid}.json")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.rename(tmp, final)  # atomic swap = the commit point
+        return sid
+
+    # -- metadata ----------------------------------------------------------
+
+    def current_snapshot_id(self) -> int:
+        ids = self.snapshot_ids()
+        return ids[-1] if ids else 0
+
+    def snapshot_ids(self) -> list[int]:
+        return sorted(
+            int(f[:-5])
+            for f in os.listdir(self._meta)
+            if f.endswith(".json") and not f.endswith(".tmp")
+        )
+
+    def _manifest(self, snapshot_id: int) -> dict:
+        p = os.path.join(self._meta, f"{snapshot_id}.json")
+        if not os.path.exists(p):
+            raise ValueError(
+                f"snapshot {snapshot_id} does not exist "
+                f"(have: {self.snapshot_ids()})"
+            )
+        with open(p) as f:
+            return json.load(f)
+
+    def history(self) -> list[dict]:
+        return [self._manifest(i) for i in self.snapshot_ids()]
+
+    # -- read --------------------------------------------------------------
+
+    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        """Read the table AS OF a snapshot (default: current).  The file
+        list is pinned by the manifest — later commits are invisible."""
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        files = self._manifest(sid)["files"]
+        if not files:
+            raise ValueError(f"snapshot {sid} has no data files")
+        return spark.read.parquet(*files)
+
+    def drop(self) -> None:
+        shutil.rmtree(self.path, ignore_errors=True)
+
+
+def drift_across_commits(
+    spark: SparkSession,
+    table: SnapshotTable,
+    value_col: str,
+    snapshot_a: int,
+    snapshot_b: int,
+    *,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Quantile-edge PSI of ``value_col`` between two pinned snapshots —
+    one row (baseline, current, psi); baseline edges from snapshot A."""
+    from pyspark.sql import functions as F
+
+    from ..operators.drift import psi_quantile_df
+
+    a = table.read(spark, snapshot_a).select(
+        F.lit(f"snap{snapshot_a}").alias("_commit"), F.col(value_col)
+    )
+    b = table.read(spark, snapshot_b).select(
+        F.lit(f"snap{snapshot_b}").alias("_commit"), F.col(value_col)
+    )
+    return psi_quantile_df(
+        a.unionByName(b), value_col, "_commit",
+        f"snap{snapshot_a}", f"snap{snapshot_b}", n_buckets=n_buckets,
+    )

@@ -101,3 +101,15 @@ def test_pandas_udf_rules_are_isolated(spark, docs):
     assert P.uses_python(eng_ip.annotate(df))
     eng_re = ValidationEngine({"ip": "required|len=7"}, key_cols=["id"])
     assert not P.uses_python(eng_re.annotate(df))
+
+
+def test_jaccard_pairs_has_no_nested_loop(spark):
+    """Round-2 fix pinned: the headline near-dup query must be an
+    equi-join (LSH-blocked) plan — no cartesian / nested-loop stage."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["jaccard_pairs"](spark, SF)
+    kinds = P.join_kinds(df)
+    assert "CartesianProduct" not in kinds, kinds
+    assert "BroadcastNestedLoopJoin" not in kinds, kinds
+    assert kinds, "expected equi-joins in the blocked plan"

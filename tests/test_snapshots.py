@@ -1,0 +1,60 @@
+"""Snapshot-pinned table semantics (the Iceberg stand-in: manifest-based
+time travel, atomic commits, drift-across-commits)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from schema_validator_spark.sources.snapshots import SnapshotTable, drift_across_commits
+
+
+@pytest.fixture()
+def table():
+    d = tempfile.mkdtemp(prefix="svs_snap_test_")
+    t = SnapshotTable(d)
+    yield t
+    t.drop()
+
+
+def test_time_travel_pins_files(spark, table):
+    s1 = table.commit(spark.range(100).select(F.col("id").cast("double").alias("v")))
+    s2 = table.commit(spark.range(100, 150).select(F.col("id").cast("double").alias("v")))
+    assert (s1, s2) == (1, 2)
+    # snapshot 1 is immutable: still 100 rows after the append
+    assert table.read(spark, s1).count() == 100
+    assert table.read(spark, s2).count() == 150
+    assert table.read(spark).count() == 150  # default = current
+    assert table.snapshot_ids() == [1, 2]
+    assert table.history()[1]["operation"] == "append"
+
+
+def test_overwrite_resets_visible_set_but_keeps_history(spark, table):
+    s1 = table.commit(spark.range(10).select(F.col("id").alias("v")))
+    s2 = table.commit(spark.range(5).select(F.col("id").alias("v")), mode="overwrite")
+    assert table.read(spark, s2).count() == 5
+    assert table.read(spark, s1).count() == 10  # history intact
+
+
+def test_missing_snapshot_fails_fast(spark, table):
+    table.commit(spark.range(3).select(F.col("id").alias("v")))
+    with pytest.raises(ValueError, match="snapshot 99"):
+        table.read(spark, 99)
+    with pytest.raises(ValueError, match="append|overwrite"):
+        table.commit(spark.range(1), mode="upsert")
+
+
+def test_drift_across_commits(spark, table):
+    base = spark.range(2000).select((F.col("id") % 100).cast("double").alias("v"))
+    shifted = spark.range(2000).select((F.col("id") % 100 + 50).cast("double").alias("v"))
+    s1 = table.commit(base)
+    s2 = table.commit(shifted, mode="overwrite")
+    s3 = table.commit(base, mode="overwrite")
+    high = drift_across_commits(spark, table, "v", s1, s2).first()
+    low = drift_across_commits(spark, table, "v", s1, s3).first()
+    assert high["psi"] > 0.25, high["psi"]
+    assert low["psi"] < 0.01, low["psi"]
+    assert high["baseline"] == "snap1" and high["current"] == "snap2"
