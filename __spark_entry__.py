@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (38/38), including the approximate tiers
+EVERY query has an oracle (39/39), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -507,7 +507,34 @@ def q_embedding_neardups(spark, sf_dir):
     all-pairs cosine ≥ 0.95 set."""
     return dedup.embedding_near_duplicates(
         _augmented_embeddings(spark, sf_dir), "vec_id", "embedding",
-        cosine_threshold=0.95, n_planes=16, bands=4,
+        cosine_threshold=0.95, n_planes=32, bands=4,
+    )
+
+
+def q_clean_docs(spark, sf_dir):
+    """C4-style cleaning pass over synthesized multi-line docs (each doc
+    gets planted junk: a too-short line, a boilerplate line, a PII line,
+    and a duplicated line).  Audit counts + md5 of the cleaned text make
+    the whole transform byte-checkable; all regexes are RE2-safe so the
+    DuckDB oracle reproduces every edit exactly."""
+    from schema_validator_spark.operators import clean as C
+
+    docs = _t(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("short"),
+            F.lit("Accept our Privacy Policy and cookie settings now"),
+            F.lit("Contact admin@example.com at 192.168.0.1 id 12345678901234."),
+            F.col("text"),
+        ).alias("text"),
+    )
+    out = C.clean_documents(synth, "text")
+    return out.select(
+        "doc_id", "n_lines", "n_lines_kept",
+        F.md5("text_clean").alias("clean_md5"),
     )
 
 
@@ -593,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardups": q_embedding_neardups,
         "drift_psi": q_drift_psi,
         "snapshot_drift": q_snapshot_drift,
+        "clean_docs": q_clean_docs,
     }
 
 
@@ -1088,6 +1116,44 @@ def oracle_sql() -> dict[str, str]:
                      * ln(greatest(cc / tc, 1e-6) / greatest(cb / tb, 1e-6))
                    ), 6) as psi
             from pb, t
+        """,
+        "clean_docs": r"""
+            with synth as (
+              select doc_id,
+                     concat_ws(chr(10), text, 'short',
+                               'Accept our Privacy Policy and cookie settings now',
+                               'Contact admin@example.com at 192.168.0.1 id 12345678901234.',
+                               text) as t
+              from documents
+            ), kept as (
+              select doc_id, t,
+                     list_filter(string_split(t, chr(10)), x ->
+                       length(trim(x)) >= 10
+                       and not contains(lower(trim(x)), 'javascript')
+                       and not contains(lower(trim(x)), 'cookie')
+                       and not contains(lower(trim(x)), 'terms of use')
+                       and not contains(lower(trim(x)), 'privacy policy')) as ks
+              from synth
+            ), dedup as (
+              select doc_id, t,
+                     list_filter(ks, (x, i) -> list_position(ks, x) = i) as ds
+              from kept
+            ), fin as (
+              select doc_id,
+                     len(string_split(t, chr(10))) as n_lines,
+                     regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                       array_to_string(ds, chr(10)),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                       '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+                       '\b\d{13,19}\b', '<LONGNUM>', 'g') as clean
+              from dedup
+            )
+            select doc_id, n_lines,
+                   case when clean = '' then 0
+                        else len(string_split(clean, chr(10))) end as n_lines_kept,
+                   md5(clean) as clean_md5
+            from fin
         """,
         "snapshot_drift": """
             with e as (

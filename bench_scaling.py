@@ -159,8 +159,17 @@ estimate — all raw times shown).
 Reproduce: `python bench_scaling.py`. Headline per-query timings:
 `python bench.py` (see BENCH_r*.json recorded by the driver).
 """
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
-        f.write(md)
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md")
+    # preserve hand-added sections (capacity runs, dedup/ANN scale points):
+    # everything from the first "## " heading on survives the rewrite
+    extra = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        i = old.find("\n## ")
+        if i != -1:
+            extra = old[i:]
+    with open(path, "w") as f:
+        f.write(md + extra)
 
 
 if __name__ == "__main__":

@@ -516,8 +516,12 @@ def embedding_near_duplicates(
     r_planes = n_planes // bands
     planes = V.deterministic_planes(n_planes, dim)
     sig = V.srp_signature(F.col(vec_col), planes)
+    # normalize ONCE per row (4k rows) so the verify join needs a single
+    # dot product per candidate pair (150k+ pairs) instead of dot+2 norms
     base = _ensure_parallelism(df).select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), sig.alias("_sig")
+        F.col(id_col).alias("_id"),
+        V.normalize(F.col(vec_col)).alias("_v"),
+        sig.alias("_sig"),
     )
     # narrow banding (id + band key only); vectors re-join for the verify
     band_cols = F.array(
@@ -555,7 +559,7 @@ def embedding_near_duplicates(
     )
     vecs = base.select("_id", "_v")
     a, b = vecs.alias("a"), vecs.alias("b")
-    cos = V.cosine(F.col("a._v"), F.col("b._v"))
+    cos = V.dot(F.col("a._v"), F.col("b._v"))  # unit vectors: dot == cosine
     return (
         pairs.join(a, F.col("id_a") == F.col("a._id"))
         .join(b, F.col("id_b") == F.col("b._id"))
