@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (39/39), including the approximate tiers
+EVERY query has an oracle (40/40), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -511,6 +511,22 @@ def q_embedding_neardups(spark, sf_dir):
     )
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher/MassiveText quality + repetition signals per document plus
+    the combined keep decision — the standard pre-training quality gate,
+    all metrics re-derived exactly by the DuckDB oracle."""
+    from schema_validator_spark.functions import gopher as G
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = G.gopher_metrics(docs, "text")
+    return out.select(
+        "doc_id", "n_tokens", "mean_word_len", "symbol_ratio",
+        "alpha_word_frac", "dup_line_frac", "dup_2gram_frac",
+        "dup_3gram_frac", "stopword_hits",
+        G.gopher_keep(min_tokens=10).cast("int").alias("keep"),
+    )
+
+
 def q_clean_docs(spark, sf_dir):
     """C4-style cleaning pass over synthesized multi-line docs (each doc
     gets planted junk: a too-short line, a boilerplate line, a PII line,
@@ -621,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi": q_drift_psi,
         "snapshot_drift": q_snapshot_drift,
         "clean_docs": q_clean_docs,
+        "gopher_quality": q_gopher_quality,
     }
 
 
@@ -1116,6 +1133,58 @@ def oracle_sql() -> dict[str, str]:
                      * ln(greatest(cc / tc, 1e-6) / greatest(cb / tb, 1e-6))
                    ), 6) as psi
             from pb, t
+        """,
+        "gopher_quality": r"""
+            with base as (
+              select doc_id,
+                     coalesce(text, '') as s,
+                     list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                                 t -> t <> '') as w,
+                     string_split(coalesce(text, ''), chr(10)) as ls
+              from documents
+            ), m as (
+              select doc_id,
+                     len(w) as n_tokens,
+                     case when len(w) > 0
+                          then round(list_sum(list_transform(w, t -> length(t)))::double
+                                     / len(w), 6) else 0.0 end as mean_word_len,
+                     case when len(w) > 0
+                          then round((
+                              cast((length(s) - length(replace(s, '#', ''))) / 1 as bigint)
+                            + cast((length(s) - length(replace(s, '...', ''))) / 3 as bigint)
+                          )::double / len(w), 6) else 0.0 end as symbol_ratio,
+                     case when len(w) > 0
+                          then round(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))::double
+                                     / len(w), 6) else 0.0 end as alpha_word_frac,
+                     case when len(ls) > 0
+                          then round((len(ls) - len(list_distinct(ls)))::double / len(ls), 6)
+                          else 0.0 end as dup_line_frac,
+                     case when len(w) >= 2
+                          then round((
+                              (len(w) - 1) - len(list_distinct(list_transform(
+                                range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))))
+                          )::double / (len(w) - 1), 6) else 0.0 end as dup_2gram_frac,
+                     case when len(w) >= 3
+                          then round((
+                              (len(w) - 2) - len(list_distinct(list_transform(
+                                range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))))
+                          )::double / (len(w) - 2), 6) else 0.0 end as dup_3gram_frac,
+                     len(list_intersect(
+                       list_distinct(list_transform(w, t -> lower(t))),
+                       ['the','be','to','of','and','that','have','with'])) as stopword_hits
+              from base
+            )
+            select doc_id, n_tokens, mean_word_len, symbol_ratio,
+                   alpha_word_frac, dup_line_frac, dup_2gram_frac,
+                   dup_3gram_frac, stopword_hits,
+                   cast(n_tokens between 10 and 100000
+                        and mean_word_len between 3.0 and 10.0
+                        and symbol_ratio <= 0.1
+                        and alpha_word_frac >= 0.8
+                        and dup_line_frac <= 0.3
+                        and dup_2gram_frac <= 0.2
+                        and stopword_hits >= 2 as int) as keep
+            from m
         """,
         "clean_docs": r"""
             with synth as (

@@ -1,0 +1,124 @@
+"""Gopher/MassiveText-style document quality + repetition signals.
+
+The standard pre-training quality gate (cf. the MassiveText filtering
+rules in the Gopher paper): per-document token counts, word-shape and
+symbol ratios, repetition fractions (duplicate lines / word n-grams),
+and a stopword-presence check, combined into a keep/drop decision.
+
+Everything is a pure Spark SQL expression over one row — whole-stage
+codegen, no Python, no shuffle — so the gate composes with validation,
+cleaning and dedup in a single scan.  All string ops are engine-portable
+(the DuckDB oracle for ``gopher_quality`` re-derives every metric).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import text as X
+
+# Gopher's stopword-presence rule: a natural-language document should
+# contain at least STOPWORD_MIN of these common English function words.
+STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+STOPWORD_MIN = 2
+
+
+def _occurrences(s: Column, sub: str) -> Column:
+    """Occurrence count of a literal substring — portable arithmetic
+    (length difference), no regex dialect involved."""
+    return (
+        (F.length(s) - F.length(F.replace(s, F.lit(sub), F.lit("")))) / len(sub)
+    ).cast("long")
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = X.tokens(text)
+    n = F.size(toks)
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+    return F.when(n > 0, F.round(total / n, 6)).otherwise(F.lit(0.0))
+
+
+def symbol_word_ratio(text: Column) -> Column:
+    """(# of '#' and '...' occurrences) per token — Gopher drops docs
+    where this exceeds ~0.1 (boilerplate/markup tells)."""
+    s = F.coalesce(text, F.lit(""))
+    n = X.token_count(s)
+    syms = _occurrences(s, "#") + _occurrences(s, "...")
+    return F.when(n > 0, F.round(syms / n, 6)).otherwise(F.lit(0.0))
+
+
+def alpha_word_fraction(text: Column) -> Column:
+    """Fraction of tokens containing at least one alphabetic character."""
+    toks = X.tokens(text)
+    n = F.size(toks)
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    return F.when(n > 0, F.round(n_alpha / n, 6)).otherwise(F.lit(0.0))
+
+
+def duplicate_line_fraction(text: Column) -> Column:
+    lines = F.split(F.coalesce(text, F.lit("")), "\n")
+    n = F.size(lines)
+    return F.when(
+        n > 0, F.round((n - F.size(F.array_distinct(lines))) / n, 6)
+    ).otherwise(F.lit(0.0))
+
+
+def duplicate_ngram_fraction(text: Column, n: int = 2) -> Column:
+    """Fraction of word n-grams that are repeats of an earlier n-gram."""
+    toks = X.tokens(text)
+    cnt = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), cnt - n + 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    total = F.size(grams)
+    return F.when(
+        cnt >= n,
+        F.round((total - F.size(F.array_distinct(grams))) / total, 6),
+    ).otherwise(F.lit(0.0))
+
+
+def stopword_hits(text: Column) -> Column:
+    toks = F.array_distinct(F.transform(X.tokens(text), F.lower))
+    return F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS])))
+
+
+def gopher_metrics(df: DataFrame, text_col: str) -> DataFrame:
+    """Adds the Gopher signal columns (one narrow projection)."""
+    t = F.col(text_col)
+    return df.withColumns({
+        "n_tokens": X.token_count(t),
+        "mean_word_len": mean_word_length(t),
+        "symbol_ratio": symbol_word_ratio(t),
+        "alpha_word_frac": alpha_word_fraction(t),
+        "dup_line_frac": duplicate_line_fraction(t),
+        "dup_2gram_frac": duplicate_ngram_fraction(t, 2),
+        "dup_3gram_frac": duplicate_ngram_fraction(t, 3),
+        "stopword_hits": stopword_hits(t),
+    })
+
+
+def gopher_keep(
+    *,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    max_dup_line_frac: float = 0.3,
+    max_dup_2gram_frac: float = 0.2,
+    min_stopword_hits: int = STOPWORD_MIN,
+) -> Column:
+    """The combined keep decision over gopher_metrics columns (Gopher's
+    published thresholds as defaults)."""
+    return (
+        F.col("n_tokens").between(min_tokens, max_tokens)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("dup_2gram_frac") <= max_dup_2gram_frac)
+        & (F.col("stopword_hits") >= min_stopword_hits)
+    )

@@ -3,7 +3,9 @@ individual operators exist for:
 
     raw docs
       -> constraint validation (drop rows with violations)
+      -> [optional] C4-style line cleanup (operators/clean.py)
       -> quality + language filters (functions/text.py scores)
+      -> [optional] Gopher/MassiveText repetition+shape gate (functions/gopher.py)
       -> exact dedup (fingerprint clusters, keep best quality)
       -> near-dup dedup (MinHash LSH pairs -> components -> keep best)
       -> stratified sample / train-eval split
@@ -39,6 +41,8 @@ def curate(
     text_col: str = "text",
     spec: dict | None = None,
     min_quality: float = 0.5,
+    gopher_gate: dict | None = None,
+    clean: bool = False,
     allowed_langs: list[str] | None = None,
     near_dup_threshold: float = 0.8,
     sample_per_stratum: int | None = None,
@@ -67,8 +71,30 @@ def curate(
             eng.annotate(out).filter(F.size(F.col(FAILS_COL)) == 0).drop(FAILS_COL),
         )
 
+    if clean:
+        # C4-style line cleanup BEFORE scoring: quality/dedup then see the
+        # cleaned text (still one composed plan — narrow projection)
+        from . import clean as C
+
+        out = stage(
+            "clean",
+            C.clean_documents(out, text_col, out_col=text_col)
+            .drop("n_lines", "n_lines_kept"),
+        )
+
     out = out.withColumn("_quality", X.quality_score(F.col(text_col)))
     out = stage("quality", out.filter(F.col("_quality") >= min_quality))
+
+    if gopher_gate is not None:
+        # Gopher/MassiveText repetition + shape gate (thresholds overridable
+        # via the dict, e.g. {"min_tokens": 10})
+        from ..functions import gopher as G
+
+        gated = G.gopher_metrics(out, text_col).filter(G.gopher_keep(**gopher_gate))
+        out = stage("gopher", gated.drop(
+            "n_tokens", "mean_word_len", "symbol_ratio", "alpha_word_frac",
+            "dup_line_frac", "dup_2gram_frac", "dup_3gram_frac", "stopword_hits",
+        ))
 
     if allowed_langs:
         out = stage(

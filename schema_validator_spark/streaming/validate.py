@@ -71,6 +71,30 @@ def summary_stream(
     )
 
 
+def dedup_stream(
+    stream: DataFrame,
+    key_cols: list[str],
+    *,
+    event_time_col: str | None = None,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup on key columns.
+
+    With an event-time column: ``dropDuplicatesWithinWatermark`` — state
+    for a key is dropped once the watermark passes it, so state stays
+    bounded by (arrival rate x watermark delay) no matter how long the
+    stream runs; a duplicate arriving inside the lateness bound is
+    removed even if its event time differs from the first occurrence.
+    Without one: plain ``dropDuplicates`` (state grows with distinct
+    keys — only for short-lived/finite streams).
+    """
+    if event_time_col is not None:
+        return stream.withWatermark(
+            event_time_col, watermark_delay
+        ).dropDuplicatesWithinWatermark(key_cols)
+    return stream.dropDuplicates(key_cols)
+
+
 def run_to_memory(
     query_df: DataFrame,
     name: str,

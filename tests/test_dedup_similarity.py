@@ -488,3 +488,26 @@ def test_ann_driver_guard_rejects_huge_query_set(spark):
     # within the guard: works
     small = queries.filter(F.col("query_id") < 3)
     assert ann.cosine_topk_arrow(small, corpus, k=3, max_query_rows=10).count() == 9
+
+
+def test_curation_with_clean_and_gopher_stages(spark):
+    """curate() with the round-2 stages wired in: C4 cleanup rewrites the
+    text column, the Gopher gate filters on repetition/shape signals, and
+    the funnel stays monotone with both stages reported."""
+    from schema_validator_spark.operators.curate import CurationReport, curate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rep = CurationReport()
+    out = curate(
+        docs,
+        spec={"text": "required"},
+        min_quality=0.2,
+        clean=True,
+        gopher_gate={"min_tokens": 5, "min_stopword_hits": 0},
+        report=rep,
+    )
+    n = out.count()
+    c = rep.counts
+    assert set(c) >= {"input", "valid", "clean", "quality", "gopher", "dedup"}
+    assert c["input"] >= c["valid"] >= c["clean"] >= c["quality"] >= c["gopher"] >= c["dedup"] == n
+    assert n > 0

@@ -107,3 +107,28 @@ def test_violations_stream_parquet_sink_exactly_once(spark, stream_dir, engine, 
     run_once()  # restart over same input: offsets committed, no re-emit
     second = spark.read.parquet(out).collect()
     assert len(second) == len(first)
+
+
+def test_dedup_stream_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: duplicates arriving inside the watermark
+    are dropped; state is watermark-bounded (dropDuplicatesWithinWatermark)."""
+    import datetime as dt
+
+    from schema_validator_spark.streaming.validate import dedup_stream, run_to_memory
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base),
+        (1, base + dt.timedelta(minutes=1)),   # dup, different event time
+        (2, base),
+        (3, base + dt.timedelta(minutes=5)),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp")
+    p = str(tmp_path / "dedup_in")
+    df.write.parquet(p)
+    stream = spark.readStream.schema("k long, ts timestamp").parquet(p)
+    out = dedup_stream(stream, ["k"], event_time_col="ts",
+                       watermark_delay="10 minutes")
+    run_to_memory(out, "t_dedup_stream", output_mode="append")
+    got = sorted(r["k"] for r in spark.table("t_dedup_stream").collect())
+    assert got == [1, 2, 3]
