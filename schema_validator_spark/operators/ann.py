@@ -28,8 +28,17 @@ def cosine_topk(
     query_vec: str = "embedding",
     corpus_vec: str = "embedding",
     k: int = 10,
+    n_salts: int = 64,
 ) -> DataFrame:
-    """Exact top-k by cosine: (query_id, vec_id, cosine, rank)."""
+    """Exact top-k by cosine: (query_id, vec_id, cosine, rank).
+
+    Two-level salted reduction: a single window partitioned by query_id
+    would funnel EVERY scored corpus row for a query through one reducer
+    (|C| rows each — the hot-reducer scale-killer).  Instead level 1
+    ranks within (query_id, salt) — |Q|·n_salts reducers, each seeing
+    ~|C|/n_salts rows — and level 2 ranks the surviving |Q|·n_salts·k
+    rows globally.  The union of per-salt top-ks contains the global
+    top-k, so results are identical to the naive form."""
     q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qv"))
     c = ensure_parallelism(corpus).select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("_cv"))
     scored = F.broadcast(q).crossJoin(c).select(
@@ -37,17 +46,35 @@ def cosine_topk(
         "vec_id",
         F.round(V.cosine(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _topk_two_level(scored, k, n_salts)
 
 
 
 _MAX_DRIVER_QUERY_ROWS = 100_000
+
+
+def _topk_two_level(scored: DataFrame, k: int, n_salts: int = 64) -> DataFrame:
+    """Global top-k per query from a (query_id, vec_id, cosine) score set
+    without funneling a query's whole candidate set through one reducer:
+    rank within (query_id, salt-of-vec_id) first, keep k per salt, then
+    rank the |Q|·n_salts·k survivors globally.  Identical results to a
+    single window (each salt group's top-k covers its members)."""
+    w1 = Window.partitionBy("query_id", "_salt").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    local = (
+        scored.withColumn("_salt", F.pmod(F.xxhash64(F.col("vec_id")), n_salts))
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_r1", "_salt")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def _collect_query_rows(queries: DataFrame, cols: list[str], max_rows: int):
@@ -224,10 +251,7 @@ def ivf_query(
             })
 
     scored = joined.mapInPandas(rerank, "query_id long, vec_id long, cosine double")
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id").asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _topk_two_level(scored, k)
 
 
 def cosine_topk_arrow(
@@ -279,13 +303,9 @@ def cosine_topk_arrow(
     batch_topk = corpus.select(corpus_id, corpus_vec).mapInPandas(
         run, "query_id long, vec_id long, cosine double"
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id").asc()
-    )
-    return (
-        batch_topk.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    # batch-level top-k already bounds rows to O(batches·|Q|·k); the salted
+    # two-level reduction removes the per-query hot reducer on top of that
+    return _topk_two_level(batch_topk, k)
 
 
 def _bucket_expr(vec_col, planes):
@@ -358,7 +378,4 @@ def srp_topk(
         F.round(V.cosine(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
     ).dropDuplicates(["query_id", "vec_id"])
 
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id").asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _topk_two_level(scored, k)

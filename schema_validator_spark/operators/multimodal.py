@@ -5,10 +5,11 @@ The reference validates only scalar leaves (its closest analog is the
 pipeline additionally needs binary payload columns with typed metadata and
 distributed decode / feature-extract / frame-sample stages.  This module
 makes the Spark-side plumbing real — schema, partitioning, Arrow batch
-shape, mapInPandas signatures — while the actual codec work is gated:
-image decoding uses Pillow when importable, otherwise a clearly-marked
-deterministic fallback (byte-histogram features), since codec libraries
-are not in this container.
+shape, mapInPandas signatures — and the decode itself is real for PNG:
+a pure-stdlib codec (functions/png.py, zlib+struct) decodes dimensions
+and pixels with no external library.  Pillow is preferred when importable
+(covers every format); payloads neither can decode fall back to the
+clearly-marked deterministic byte-histogram features.
 
 Scale notes: payloads stay opaque ``binary`` end-to-end (no base64 blowup);
 mapInPandas streams Arrow batches so a 100 TB scan never materializes a
@@ -107,13 +108,16 @@ def extract_image_features(
 ) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow-batched).
 
-    With Pillow present decodes real dimensions; otherwise emits the
-    deterministic byte-histogram fallback with width/height = -1 and
-    decoder='histogram-fallback' so downstream code can tell them apart.
+    Decoder ladder per payload: Pillow (any format, when importable) →
+    pure-stdlib PNG codec (real dimensions + pixels, always available) →
+    deterministic byte-histogram fallback (width/height = -1, decoder
+    ='histogram-fallback') so downstream code can tell the tiers apart.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
+
+        from ..functions import png as PNG
 
         for pdf in batches:
             rows = []
@@ -128,6 +132,12 @@ def extract_image_features(
                             decoder = "pil"
                     except Exception:
                         pass
+                if decoder == "histogram-fallback":
+                    try:
+                        width, height, _ch, _px = PNG.decode_png(buf)
+                        decoder = "stdlib-png"
+                    except PNG.PngError:
+                        pass
                 rows.append(
                     (mid, len(buf), decoder, width, height,
                      _histogram_features(buf, n_bins))
@@ -141,17 +151,50 @@ def extract_image_features(
     return df.select(id_col, payload_col).mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Distributed resize — requires a real codec. STUB: raises unless
-    Pillow is importable (not present in this container); the plumbing
-    (signature, schema) is what the pipeline binds against."""
-    if not HAVE_PIL:  # pragma: no branch
-        raise NotImplementedError(
-            "resize_images requires Pillow; container has no codec libs. "
-            "Plumbing (mapInPandas over binary payload) is in "
-            "extract_image_features."
-        )
-    raise NotImplementedError("real resize path not exercised in this sandbox")
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("resized", T.BooleanType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Distributed nearest-neighbor resize of PNG payloads via the
+    pure-stdlib codec (decode → resize → re-encode inside Arrow batches).
+    Payloads the codec cannot decode pass through unchanged with
+    resized=False and width/height = -1 — never silently wrong."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import png as PNG
+
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf[id_col], pdf[payload_col]):
+                buf = bytes(buf) if buf is not None else b""
+                try:
+                    _w, _h, _ch, px = PNG.decode_png(buf)
+                    small = PNG.resize_nearest(px, width, height)
+                    if _ch == 1:
+                        small = small.reshape(height, width)
+                    rows.append((mid, True, width, height,
+                                 PNG.encode_png(small)))
+                except PNG.PngError:
+                    rows.append((mid, False, -1, -1, buf))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "resized", "width", "height", "payload"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, RESIZE_SCHEMA)
 
 
 def sample_frames(
@@ -185,6 +228,33 @@ def sample_frames(
 
 
 # ------------------------------------------------------------- synthetic data
+
+def synthetic_png_media(spark, n_rows: int) -> DataFrame:
+    """REAL decodable PNG payloads generated in executors via the stdlib
+    codec: a deterministic gradient image per id, dimensions varying with
+    the id (columns: media_id, payload, true_w, true_h)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions import png as PNG
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                w, h = 8 + mid % 5, 6 + mid % 3
+                yy, xx = np.mgrid[0:h, 0:w]
+                px = ((xx * 17 + yy * 31 + mid) % 256).astype("uint8")
+                rows.append((mid, PNG.encode_png(px), w, h))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "payload", "true_w", "true_h"]
+            )
+
+    return spark.range(n_rows).mapInPandas(
+        gen, "media_id long, payload binary, true_w int, true_h int"
+    )
+
 
 def synthetic_media(spark, n_rows: int, seed_tag: str = "m") -> DataFrame:
     """Deterministic opaque media table: payload bytes derived from

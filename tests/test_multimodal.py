@@ -65,10 +65,13 @@ def test_extract_image_features_deterministic(media):
     assert again[0] == r0["features"]
 
 
-def test_resize_is_gated_stub():
-    if not M.HAVE_PIL:
-        with pytest.raises(NotImplementedError):
-            M.resize_images(None, 64, 64)
+def test_resize_is_real_for_png(spark):
+    """Round 2: resize is no longer a gated stub — the stdlib PNG codec
+    decodes/resizes/re-encodes; non-PNG payloads pass through flagged
+    (full coverage in tests/test_png_codec.py)."""
+    media = M.synthetic_png_media(spark, 3)
+    rows = M.resize_images(media, 5, 5).collect()
+    assert all(r["resized"] and r["width"] == 5 for r in rows)
 
 
 def test_sample_frames_fanout(spark):
