@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (40/40), including the approximate tiers
+EVERY query has an oracle (41/41), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -584,6 +584,39 @@ def q_snapshot_drift(spark, sf_dir):
     return out.select("baseline", F.col("current").alias("curr"), "psi")
 
 
+def q_incremental_validation(spark, sf_dir):
+    """Incremental validation over a snapshot table: commit 1 = click
+    events, commit 2 appends purchase events; the manifest file-delta
+    scan reads ONLY commit 2's files (no row comparison, no full-table
+    scan) and the engine validates just those rows.  Oracle = the same
+    rule counts over the purchase slice directly."""
+    import os
+    import tempfile
+
+    from schema_validator_spark.sources.snapshots import (
+        SnapshotTable, validate_appended,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"svs_incr_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    t = SnapshotTable(path)
+    t.drop()
+    t = SnapshotTable(path)
+    s1 = t.commit(ev.filter(F.col("event_type") == "click"))
+    t.commit(ev.filter(F.col("event_type") == "purchase"), mode="append")
+    eng = ValidationEngine(
+        {"value": "required|max=100", "event_type": "oneof=click,view,signup,purchase"},
+        key_cols=["event_id"],
+    )
+    res = validate_appended(spark, t, eng, s1)
+    return res.violations.groupBy("field", "code").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 def q_drift_psi(spark, sf_dir):
     """Quantile-edge PSI, fully distributed with EXACT decile edges
     (percentile ≡ ANSI quantile_cont, edges rounded 6dp) — the
@@ -638,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_drift": q_snapshot_drift,
         "clean_docs": q_clean_docs,
         "gopher_quality": q_gopher_quality,
+        "incremental_validation": q_incremental_validation,
     }
 
 
@@ -1133,6 +1167,22 @@ def oracle_sql() -> dict[str, str]:
                      * ln(greatest(cc / tc, 1e-6) / greatest(cb / tb, 1e-6))
                    ), 6) as psi
             from pb, t
+        """,
+        "incremental_validation": """
+            select field, code, n from (
+              select 'value' as field, 'required' as code,
+                     count(*) filter (where value is null or value = 0) as n
+              from events where event_type = 'purchase'
+              union all
+              select 'value', 'max',
+                     count(*) filter (where coalesce(value, 0) > 100)
+              from events where event_type = 'purchase'
+              union all
+              select 'event_type', 'oneof',
+                     count(*) filter (where coalesce(event_type, '') not in
+                       ('click','view','signup','purchase'))
+              from events where event_type = 'purchase'
+            ) where n > 0
         """,
         "gopher_quality": r"""
             with base as (

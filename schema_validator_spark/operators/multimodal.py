@@ -151,6 +151,102 @@ def extract_image_features(
     return df.select(id_col, payload_col).mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),   # of 16-bit PCM, normalized
+        T.StructField("peak", T.DoubleType()),
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL audio decode for WAV/PCM payloads — the `wave` stdlib module
+    parses the RIFF container and 16-bit PCM needs no codec.  Emits
+    per-clip metadata plus RMS/peak levels; non-WAV payloads come back
+    decoded=False with -1/0 fields (never silently wrong)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf[id_col], pdf[payload_col]):
+                buf = bytes(buf) if buf is not None else b""
+                try:
+                    with wave.open(io.BytesIO(buf)) as wf:
+                        nch = wf.getnchannels()
+                        rate = wf.getframerate()
+                        n = wf.getnframes()
+                        width = wf.getsampwidth()
+                        pcm = wf.readframes(n)
+                    if width != 2:
+                        raise ValueError(f"only 16-bit PCM supported, got {width*8}")
+                    x = np.frombuffer(pcm, dtype="<i2").astype(np.float64) / 32768.0
+                    rms = float(np.sqrt(np.mean(x * x))) if x.size else 0.0
+                    peak = float(np.max(np.abs(x))) if x.size else 0.0
+                    rows.append((mid, True, nch, rate, n,
+                                 round(n / rate, 6) if rate else 0.0,
+                                 round(rms, 6), round(peak, 6)))
+                except Exception:
+                    rows.append((mid, False, -1, -1, -1, 0.0, 0.0, 0.0))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "decoded", "n_channels", "sample_rate",
+                         "n_frames", "duration_sec", "rms", "peak"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+def synthetic_wav_media(spark, n_rows: int) -> DataFrame:
+    """REAL 16-bit PCM WAV payloads generated in executors (stdlib `wave`):
+    a deterministic sine tone per id — frequency/duration vary with the id
+    (columns: media_id, payload, true_rate, true_frames)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                rate = 8000
+                n = 400 + (mid % 5) * 100
+                freq = 220.0 * (1 + mid % 4)
+                t = np.arange(n) / rate
+                x = (0.5 * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
+                bio = io.BytesIO()
+                with wave.open(bio, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(rate)
+                    wf.writeframes(x.tobytes())
+                rows.append((mid, bio.getvalue(), rate, n))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "payload", "true_rate", "true_frames"]
+            )
+
+    return spark.range(n_rows).mapInPandas(
+        gen, "media_id long, payload binary, true_rate int, true_frames int"
+    )
+
+
 RESIZE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

@@ -112,8 +112,47 @@ class SnapshotTable:
             raise ValueError(f"snapshot {sid} has no data files")
         return spark.read.parquet(*files)
 
+    def read_appended(
+        self,
+        spark: SparkSession,
+        since_snapshot: int,
+        as_of: int | None = None,
+    ) -> DataFrame:
+        """Incremental scan: ONLY the data files appended after
+        ``since_snapshot`` (up to ``as_of``, default current).
+
+        This is the Iceberg incremental-read idea: because data files are
+        immutable and manifests list them, the delta between two commits
+        is a FILE-LIST difference — no row comparison, no shuffle, no
+        full-table scan.  The natural input for incremental validation:
+        each run validates exactly the rows new since its checkpoint.
+        """
+        to_sid = as_of if as_of is not None else self.current_snapshot_id()
+        old = set(self._manifest(since_snapshot)["files"])
+        new_files = [f for f in self._manifest(to_sid)["files"] if f not in old]
+        if not new_files:
+            raise ValueError(
+                f"no files appended between snapshots {since_snapshot} and {to_sid}"
+            )
+        return spark.read.parquet(*new_files)
+
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)
+
+
+def validate_appended(
+    spark: SparkSession,
+    table: SnapshotTable,
+    engine,
+    since_snapshot: int,
+    *,
+    as_of: int | None = None,
+):
+    """Incremental validation: run the engine over ONLY the rows added
+    after ``since_snapshot`` (file-pruned manifest delta — each run costs
+    the size of the delta, not the table).  Returns the engine's
+    ValidationResult for the delta rows."""
+    return engine.run(table.read_appended(spark, since_snapshot, as_of=as_of))
 
 
 def drift_across_commits(

@@ -58,3 +58,28 @@ def test_drift_across_commits(spark, table):
     assert high["psi"] > 0.25, high["psi"]
     assert low["psi"] < 0.01, low["psi"]
     assert high["baseline"] == "snap1" and high["current"] == "snap2"
+
+
+def test_read_appended_is_file_delta(spark, table):
+    s1 = table.commit(spark.range(100).select(F.col("id").alias("v")))
+    s2 = table.commit(spark.range(100, 130).select(F.col("id").alias("v")),
+                      mode="append")
+    delta = table.read_appended(spark, s1, as_of=s2)
+    vals = sorted(r["v"] for r in delta.collect())
+    assert vals == list(range(100, 130))  # only commit-2 rows, no comparison
+    with pytest.raises(ValueError, match="no files appended"):
+        table.read_appended(spark, s2)
+
+
+def test_validate_appended_runs_engine_on_delta(spark, table):
+    from schema_validator_spark.engine import ValidationEngine
+    from schema_validator_spark.sources.snapshots import validate_appended
+
+    s1 = table.commit(spark.range(50).select(F.col("id").alias("v")))
+    table.commit(
+        spark.range(200, 220).select(F.col("id").alias("v")), mode="append"
+    )
+    eng = ValidationEngine({"v": "max=210"}, key_cols=["v"])
+    res = validate_appended(spark, table, eng, s1)
+    # only delta rows validated: 211..219 violate, the 50 old rows never scanned
+    assert res.violations.count() == 9
