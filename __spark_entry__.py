@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (41/41), including the approximate tiers
+EVERY query has an oracle (43/43), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -584,6 +584,39 @@ def q_snapshot_drift(spark, sf_dir):
     return out.select("baseline", F.col("current").alias("curr"), "psi")
 
 
+def q_line_dedup_global(spark, sf_dir):
+    """Corpus-wide duplicate-line removal (RefinedWeb/CCNet boilerplate
+    pass) over synthesized multi-line docs: each doc = its text, a shared
+    boilerplate footer (cross-doc duplicate), then its text again
+    (within-doc duplicate).  First occurrence by (doc_id, line_idx)
+    survives; oracle re-derives the whole pass byte-exactly."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n", F.col("text"),
+            F.lit("shared boilerplate footer line"),
+            F.col("text"),
+        ).alias("text"),
+    )
+    out = dedup.global_line_dedup(docs, "doc_id", "text")
+    return out.select(
+        "doc_id", "n_lines_kept", F.md5("text_dedup").alias("dedup_md5")
+    )
+
+
+def q_token_budget_sample(spark, sf_dir):
+    """Token-budget sampling per language (dataset-mixing quotas in
+    TOKENS, not rows): deterministic md5-rank walk keeps docs while the
+    stratum's running token total stays ≤ 2000."""
+    from schema_validator_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", X.token_count(F.col("text")).alias("n_tokens")
+    )
+    out = sampling.sample_token_budget(docs, ["lang"], "doc_id", "n_tokens", 2000)
+    return out.select("doc_id", "lang", "n_tokens")
+
+
 def q_incremental_validation(spark, sf_dir):
     """Incremental validation over a snapshot table: commit 1 = click
     events, commit 2 appends purchase events; the manifest file-delta
@@ -672,6 +705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_docs": q_clean_docs,
         "gopher_quality": q_gopher_quality,
         "incremental_validation": q_incremental_validation,
+        "line_dedup_global": q_line_dedup_global,
+        "token_budget_sample": q_token_budget_sample,
     }
 
 
@@ -1167,6 +1202,49 @@ def oracle_sql() -> dict[str, str]:
                      * ln(greatest(cc / tc, 1e-6) / greatest(cb / tb, 1e-6))
                    ), 6) as psi
             from pb, t
+        """,
+        "line_dedup_global": """
+            with synth as (
+              select doc_id,
+                     string_split(concat_ws(chr(10), text,
+                       'shared boilerplate footer line', text), chr(10)) as ls
+              from documents
+            ), lines as (
+              select doc_id, u['idx'] as idx, u['line'] as line
+              from (select doc_id,
+                           unnest(list_transform(range(1, len(ls)+1),
+                             i -> {'idx': i, 'line': ls[i]})) as u
+                    from synth)
+            ), ranked as (
+              select doc_id, idx, line,
+                     row_number() over (partition by line
+                                        order by doc_id, idx) as rn
+              from lines
+            ), rebuilt as (
+              select doc_id,
+                     count(*) as n_kept,
+                     string_agg(line, chr(10) order by idx) as txt
+              from ranked where rn = 1
+              group by doc_id
+            )
+            select d.doc_id,
+                   cast(coalesce(r.n_kept, 0) as bigint) as n_lines_kept,
+                   md5(coalesce(r.txt, '')) as dedup_md5
+            from documents d left join rebuilt r using (doc_id)
+        """,
+        "token_budget_sample": r"""
+            select doc_id, lang, n_tokens from (
+              select doc_id, lang, n_tokens,
+                     sum(n_tokens) over (
+                       partition by lang
+                       order by md5(cast(doc_id as varchar) || 'v1'), doc_id
+                       rows between unbounded preceding and current row
+                     ) as cum
+              from (select doc_id, lang,
+                           len(list_filter(string_split_regex(trim(text), '\s+'),
+                                           t -> t <> '')) as n_tokens
+                    from documents)
+            ) where cum <= 2000
         """,
         "incremental_validation": """
             select field, code, n from (

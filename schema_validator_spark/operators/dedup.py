@@ -393,6 +393,63 @@ def ngram_jaccard_pairs(
     )
 
 
+# ----------------------------------------------------- global line dedup
+
+def global_line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    out_col: str = "text_dedup",
+) -> DataFrame:
+    """Corpus-WIDE duplicate-line removal (the RefinedWeb/CCNet
+    boilerplate pass): a line that appears in many documents survives
+    only at its first occurrence — ordered by (doc id, line index) — and
+    is dropped everywhere else.
+
+    Scale shape: explode to (id, idx, line); the first occurrence per
+    line is ``min(struct(id, idx))`` — a map-side-combinable aggregate,
+    so a boilerplate line repeated 10^9 times costs one combiner row per
+    task, NOT one hot reducer (a window over the line would).  The
+    keep-join shuffles on the line value (AQE skew-join splits hot
+    lines); reassembly is one groupBy per doc.
+    """
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"))
+        .alias("_idx", "_line"),
+    )
+    first = lines.groupBy("_line").agg(
+        F.min(F.struct(F.col("_id"), F.col("_idx"))).alias("_first")
+    )
+    kept = (
+        lines.join(first, "_line")
+        .filter(
+            (F.col("_id") == F.col("_first._id"))
+            & (F.col("_idx") == F.col("_first._idx"))
+        )
+        .select("_id", "_idx", "_line")
+    )
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_idx", "_line"))),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias(out_col),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    return (
+        df.join(rebuilt, df[id_col] == rebuilt["_id"], "left")
+        .drop("_id")
+        .withColumns({
+            out_col: F.coalesce(F.col(out_col), F.lit("")),
+            "n_lines_kept": F.coalesce(F.col("n_lines_kept"), F.lit(0)),
+        })
+    )
+
+
 # -------------------------------------------------- clustering & selection
 
 def cluster_pairs(

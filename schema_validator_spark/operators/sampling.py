@@ -58,6 +58,39 @@ def stratified_sample_approx(
     return df.sampleBy(strata_col, fractions, seed)
 
 
+def sample_token_budget(
+    df: DataFrame,
+    strata_cols: list[str],
+    id_col: str,
+    token_col: str,
+    budget_per_stratum: int,
+    *,
+    salt: str = "v1",
+) -> DataFrame:
+    """Token-budget sampling for dataset mixing: within each stratum
+    (e.g. domain/language), walk the docs in deterministic md5-rank order
+    and keep them while the running token total stays within the budget
+    (the first doc that would cross the budget is excluded).
+
+    This is how mixture weights become concrete document sets — quotas
+    expressed in TOKENS, not rows, so long docs count for what they cost.
+    Deterministic across engines (hash rank, no RNG).  One shuffle on the
+    strata; a dominant stratum serializes its cumulative sum, same
+    caveat as stratified_sample_exact.
+    """
+    w = Window.partitionBy(*strata_cols).orderBy(
+        _hash_key(id_col, salt).asc(), F.col(id_col).asc()
+    )
+    cum = F.sum(F.col(token_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("_cum_tokens", cum)
+        .filter(F.col("_cum_tokens") <= budget_per_stratum)
+        .drop("_cum_tokens")
+    )
+
+
 def split_train_eval(
     df: DataFrame,
     id_col: str,

@@ -511,3 +511,38 @@ def test_curation_with_clean_and_gopher_stages(spark):
     assert set(c) >= {"input", "valid", "clean", "quality", "gopher", "dedup"}
     assert c["input"] >= c["valid"] >= c["clean"] >= c["quality"] >= c["gopher"] >= c["dedup"] == n
     assert n > 0
+
+
+def test_global_line_dedup(spark):
+    """Corpus-wide duplicate-line removal: first occurrence (doc_id,
+    line_idx) survives; later within-doc and cross-doc copies drop."""
+    rows = [
+        (1, "unique alpha line\nshared footer\nunique alpha line"),
+        (2, "unique beta line\nshared footer"),
+        (3, "shared footer"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.global_line_dedup(df, "doc_id", "text").collect()}
+    assert out[1]["text_dedup"] == "unique alpha line\nshared footer"
+    assert out[2]["text_dedup"] == "unique beta line"
+    assert out[3]["text_dedup"] == ""
+    assert [out[i]["n_lines_kept"] for i in (1, 2, 3)] == [2, 1, 0]
+
+
+def test_sample_token_budget(spark):
+    from schema_validator_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, "a", 100) for i in range(50)] + [(100 + i, "b", 400) for i in range(10)],
+        "doc_id long, lang string, n_tokens long",
+    )
+    out = sampling.sample_token_budget(docs, ["lang"], "doc_id", "n_tokens", 1000)
+    per = {r["lang"]: r["t"] for r in
+           out.groupBy("lang").agg(F.sum("n_tokens").alias("t")).collect()}
+    assert per["a"] == 1000   # exactly 10 of the 100-token docs
+    assert per["b"] <= 1000 and per["b"] % 400 == 0
+    # deterministic
+    again = sampling.sample_token_budget(docs, ["lang"], "doc_id", "n_tokens", 1000)
+    assert sorted(r["doc_id"] for r in out.collect()) == \
+           sorted(r["doc_id"] for r in again.collect())
