@@ -46,34 +46,50 @@ class SnapshotTable:
         """Write df's rows as new immutable data files and commit a new
         snapshot.  ``append`` layers onto the parent snapshot's files;
         ``overwrite`` starts the visible set fresh (old files stay on
-        disk — historical snapshots still read them: time travel)."""
+        disk — historical snapshots still read them: time travel).
+
+        Concurrency: the commit point is ``os.link(tmp, N.json)``, which
+        FAILS if snapshot N already exists — the same optimistic CAS idea
+        as Iceberg's metadata-pointer swap (rename would silently replace
+        a concurrent winner's manifest, losing its commit).  On conflict
+        the manifest is rebuilt against the new parent and retried; the
+        data files, written once under a unique directory, are reused.
+        """
+        import uuid
+
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-        sid = self.current_snapshot_id() + 1
-        data_dir = os.path.join(self.path, "data", f"s{sid}")
+        data_dir = os.path.join(self.path, "data", uuid.uuid4().hex[:12])
         df.write.mode("overwrite").parquet(data_dir)
         files = sorted(
             os.path.join(data_dir, f)
             for f in os.listdir(data_dir)
             if f.endswith(".parquet")
         )
-        parent = self.current_snapshot_id()
-        visible = files if mode == "overwrite" or parent == 0 else (
-            self._manifest(parent)["files"] + files
-        )
-        manifest = {
-            "snapshot_id": sid,
-            "parent_id": parent or None,
-            "operation": mode,
-            "timestamp_ms": int(time.time() * 1000),
-            "files": visible,
-        }
-        final = os.path.join(self._meta, f"{sid}.json")
-        tmp = final + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.rename(tmp, final)  # atomic swap = the commit point
-        return sid
+        while True:
+            parent = self.current_snapshot_id()
+            sid = parent + 1
+            visible = files if mode == "overwrite" or parent == 0 else (
+                self._manifest(parent)["files"] + files
+            )
+            manifest = {
+                "snapshot_id": sid,
+                "parent_id": parent or None,
+                "operation": mode,
+                "timestamp_ms": int(time.time() * 1000),
+                "files": visible,
+            }
+            final = os.path.join(self._meta, f"{sid}.json")
+            tmp = os.path.join(self._meta, f".tmp-{uuid.uuid4().hex[:12]}")
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            try:
+                os.link(tmp, final)  # atomic create-if-absent = commit point
+                return sid
+            except FileExistsError:
+                continue  # lost the race: recompute against the new parent
+            finally:
+                os.unlink(tmp)
 
     # -- metadata ----------------------------------------------------------
 

@@ -83,3 +83,21 @@ def test_validate_appended_runs_engine_on_delta(spark, table):
     res = validate_appended(spark, table, eng, s1)
     # only delta rows validated: 211..219 violate, the 50 old rows never scanned
     assert res.violations.count() == 9
+
+
+def test_commit_cas_retries_on_conflict(spark, table):
+    """The commit point is create-if-absent (os.link), not rename: if a
+    concurrent committer wins the snapshot id, the loser rebuilds against
+    the new parent and retries — no lost commits."""
+    import json
+    import os
+
+    s1 = table.commit(spark.range(5).select(F.col("id").alias("v")))
+    # simulate a concurrent committer winning snapshot 2 (same file set)
+    m2 = dict(table._manifest(s1), snapshot_id=2, parent_id=1, operation="append")
+    with open(os.path.join(table._meta, "2.json"), "w") as f:
+        json.dump(m2, f)
+    sid = table.commit(spark.range(5, 8).select(F.col("id").alias("v")),
+                       mode="append")
+    assert sid == 3  # retried past the conflicting id
+    assert table.read(spark, 3).count() == 8  # winner's files + ours
