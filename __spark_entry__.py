@@ -568,9 +568,11 @@ def q_snapshot_drift(spark, sf_dir):
     )
 
     ev = _t(spark, sf_dir, "events")
+    # pid suffix: concurrent processes (gate mimic + bench) must not
+    # drop() the snapshot table out from under each other's pinned reads
     path = os.path.join(
         tempfile.gettempdir(),
-        f"svs_snapshot_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"svs_snapshot_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     t = SnapshotTable(path)
     t.drop()
@@ -631,9 +633,10 @@ def q_incremental_validation(spark, sf_dir):
     )
 
     ev = _t(spark, sf_dir, "events")
+    # pid suffix: see q_snapshot_drift (no cross-process drop() races)
     path = os.path.join(
         tempfile.gettempdir(),
-        f"svs_incr_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"svs_incr_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     t = SnapshotTable(path)
     t.drop()

@@ -32,56 +32,28 @@ def _occurrences(s: Column, sub: str) -> Column:
     ).cast("long")
 
 
-def mean_word_length(text: Column) -> Column:
-    toks = X.tokens(text)
+def _tokens_of(text: Column) -> Column:
+    """Tokens of the NULL-coalesced text — every metric MUST go through
+    this so NULL text yields 0-valued metrics (matching the DuckDB
+    oracle), never NULL-propagated ones."""
+    return X.tokens(F.coalesce(text, F.lit("")))
+
+
+def _mean_word_len_from(toks: Column) -> Column:
     n = F.size(toks)
     total = F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
     return F.when(n > 0, F.round(total / n, 6)).otherwise(F.lit(0.0))
 
 
-def symbol_word_ratio(text: Column) -> Column:
-    """(# of '#' and '...' occurrences) per token — Gopher drops docs
-    where this exceeds ~0.1 (boilerplate/markup tells)."""
-    s = F.coalesce(text, F.lit(""))
-    n = X.token_count(s)
-    syms = _occurrences(s, "#") + _occurrences(s, "...")
-    return F.when(n > 0, F.round(syms / n, 6)).otherwise(F.lit(0.0))
-
-
-def alpha_word_fraction(text: Column) -> Column:
-    """Fraction of tokens containing at least one alphabetic character."""
-    toks = X.tokens(text)
+def _alpha_word_frac_from(toks: Column) -> Column:
     n = F.size(toks)
     n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
     return F.when(n > 0, F.round(n_alpha / n, 6)).otherwise(F.lit(0.0))
 
 
-def duplicate_line_fraction(text: Column) -> Column:
-    lines = F.split(F.coalesce(text, F.lit("")), "\n")
-    n = F.size(lines)
-    return F.when(
-        n > 0, F.round((n - F.size(F.array_distinct(lines))) / n, 6)
-    ).otherwise(F.lit(0.0))
-
-
-def duplicate_ngram_fraction(text: Column, n: int = 2) -> Column:
-    """Fraction of word n-grams that are repeats of an earlier n-gram."""
-    toks = X.tokens(text)
-    cnt = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), cnt - n + 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
-    total = F.size(grams)
-    return F.when(
-        cnt >= n,
-        F.round((total - F.size(F.array_distinct(grams))) / total, 6),
-    ).otherwise(F.lit(0.0))
-
-
-def stopword_hits(text: Column) -> Column:
-    toks = F.array_distinct(F.transform(X.tokens(text), F.lower))
-    return F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS])))
+def _stopword_hits_from(toks: Column) -> Column:
+    low = F.array_distinct(F.transform(toks, F.lower))
+    return F.size(F.array_intersect(low, F.array(*[F.lit(w) for w in STOPWORDS])))
 
 
 def _dup_ngram_frac_from(toks: Column, n: int) -> Column:
@@ -97,6 +69,41 @@ def _dup_ngram_frac_from(toks: Column, n: int) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def mean_word_length(text: Column) -> Column:
+    return _mean_word_len_from(_tokens_of(text))
+
+
+def symbol_word_ratio(text: Column) -> Column:
+    """(# of '#' and '...' occurrences) per token — Gopher drops docs
+    where this exceeds ~0.1 (boilerplate/markup tells)."""
+    s = F.coalesce(text, F.lit(""))
+    n = F.size(_tokens_of(text))
+    syms = _occurrences(s, "#") + _occurrences(s, "...")
+    return F.when(n > 0, F.round(syms / n, 6)).otherwise(F.lit(0.0))
+
+
+def alpha_word_fraction(text: Column) -> Column:
+    """Fraction of tokens containing at least one alphabetic character."""
+    return _alpha_word_frac_from(_tokens_of(text))
+
+
+def duplicate_line_fraction(text: Column) -> Column:
+    lines = F.split(F.coalesce(text, F.lit("")), "\n")
+    n = F.size(lines)
+    return F.when(
+        n > 0, F.round((n - F.size(F.array_distinct(lines))) / n, 6)
+    ).otherwise(F.lit(0.0))
+
+
+def duplicate_ngram_fraction(text: Column, n: int = 2) -> Column:
+    """Fraction of word n-grams that are repeats of an earlier n-gram."""
+    return _dup_ngram_frac_from(_tokens_of(text), n)
+
+
+def stopword_hits(text: Column) -> Column:
+    return _stopword_hits_from(_tokens_of(text))
+
+
 def gopher_metrics(df: DataFrame, text_col: str) -> DataFrame:
     """Adds the Gopher signal columns.
 
@@ -106,30 +113,19 @@ def gopher_metrics(df: DataFrame, text_col: str) -> DataFrame:
     narrow projection pipeline, no shuffle."""
     t = F.col(text_col)
     s = F.coalesce(t, F.lit(""))
-    with_toks = df.withColumn("_toks", X.tokens(t))
+    with_toks = df.withColumn("_toks", _tokens_of(t))
     toks = F.col("_toks")
     n = F.size(toks)
-    total_len = F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
     syms = _occurrences(s, "#") + _occurrences(s, "...")
-    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
-    lines = F.split(s, "\n")
-    n_lines = F.size(lines)
-    stop = F.size(F.array_intersect(
-        F.array_distinct(F.transform(toks, F.lower)),
-        F.array(*[F.lit(w) for w in STOPWORDS]),
-    ))
     return with_toks.withColumns({
         "n_tokens": n,
-        "mean_word_len": F.when(n > 0, F.round(total_len / n, 6)).otherwise(0.0),
+        "mean_word_len": _mean_word_len_from(toks),
         "symbol_ratio": F.when(n > 0, F.round(syms / n, 6)).otherwise(0.0),
-        "alpha_word_frac": F.when(n > 0, F.round(n_alpha / n, 6)).otherwise(0.0),
-        "dup_line_frac": F.when(
-            n_lines > 0,
-            F.round((n_lines - F.size(F.array_distinct(lines))) / n_lines, 6),
-        ).otherwise(0.0),
+        "alpha_word_frac": _alpha_word_frac_from(toks),
+        "dup_line_frac": duplicate_line_fraction(t),
         "dup_2gram_frac": _dup_ngram_frac_from(toks, 2),
         "dup_3gram_frac": _dup_ngram_frac_from(toks, 3),
-        "stopword_hits": stop,
+        "stopword_hits": _stopword_hits_from(toks),
     }).drop("_toks")
 
 

@@ -71,9 +71,19 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def decode_png(buf: bytes):
+# Refuse to materialize images beyond this many pixels: a forged IHDR
+# (or a deliberate decompression bomb) must fail with PngError in the
+# mapInPandas worker, never an uncatchable MemoryError/OOM-kill.
+MAX_PIXELS = 64_000_000
+
+
+def decode_png(buf: bytes, *, max_pixels: int = MAX_PIXELS):
     """Decode PNG bytes → (width, height, channels, pixels) where pixels
-    is a uint8 numpy array of shape (h, w, channels)."""
+    is a uint8 numpy array of shape (h, w, channels).
+
+    Every malformed-input path raises :class:`PngError` (callers rely on
+    that to fall back per payload); decompression is bounded by the
+    declared dimensions, so a zip-bomb IDAT cannot balloon memory."""
     import numpy as np
 
     if not buf.startswith(_SIG):
@@ -89,6 +99,8 @@ def decode_png(buf: bytes):
         if len(body) != length:
             raise PngError("truncated chunk")
         if tag == b"IHDR":
+            if length != 13:
+                raise PngError(f"bad IHDR length {length}")
             width, height, bit_depth, color_type, _comp, _filt, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )
@@ -104,13 +116,19 @@ def decode_png(buf: bytes):
             f"unsupported PNG variant (depth={bit_depth}, "
             f"color={color_type}, interlace={interlace})"
         )
+    if width == 0 or height == 0 or width * height > max_pixels:
+        raise PngError(f"refusing dimensions {width}x{height} "
+                       f"(max_pixels={max_pixels})")
     ch = _CHANNELS[color_type]
     stride = width * ch
+    expected = height * (stride + 1)
     try:
-        raw = zlib.decompress(bytes(idat))
+        # bounded inflate: never produce more than the dims call for
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected + 1)
     except zlib.error as e:
         raise PngError(f"bad IDAT stream: {e}") from None
-    if len(raw) != height * (stride + 1):
+    if len(raw) != expected or not (d.eof or d.decompress(b"", 1) == b""):
         raise PngError("IDAT length does not match dimensions")
 
     out = np.zeros((height, stride), dtype=np.uint8)

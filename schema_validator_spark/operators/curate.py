@@ -72,29 +72,31 @@ def curate(
         )
 
     if clean:
-        # C4-style line cleanup BEFORE scoring: quality/dedup then see the
-        # cleaned text (still one composed plan — narrow projection)
+        # C4-style line cleanup BEFORE scoring.  Computed on a pruned
+        # (id, text) frame and joined back so the stage can never clobber
+        # user columns that happen to share the audit-column names.
         from . import clean as C
 
-        out = stage(
-            "clean",
-            C.clean_documents(out, text_col, out_col=text_col)
-            .drop("n_lines", "n_lines_kept"),
-        )
+        cleaned = C.clean_documents(
+            out.select(id_col, text_col), text_col, out_col="_cleaned"
+        ).select(id_col, F.col("_cleaned").alias(text_col))
+        out = stage("clean", out.drop(text_col).join(cleaned, on=id_col))
 
     out = out.withColumn("_quality", X.quality_score(F.col(text_col)))
     out = stage("quality", out.filter(F.col("_quality") >= min_quality))
 
     if gopher_gate is not None:
         # Gopher/MassiveText repetition + shape gate (thresholds overridable
-        # via the dict, e.g. {"min_tokens": 10})
+        # via the dict, e.g. {"min_tokens": 10}).  Metrics run on a pruned
+        # frame; survivors semi-join back — no metric-column collisions.
         from ..functions import gopher as G
 
-        gated = G.gopher_metrics(out, text_col).filter(G.gopher_keep(**gopher_gate))
-        out = stage("gopher", gated.drop(
-            "n_tokens", "mean_word_len", "symbol_ratio", "alpha_word_frac",
-            "dup_line_frac", "dup_2gram_frac", "dup_3gram_frac", "stopword_hits",
-        ))
+        keep_ids = (
+            G.gopher_metrics(out.select(id_col, text_col), text_col)
+            .filter(G.gopher_keep(**gopher_gate))
+            .select(id_col)
+        )
+        out = stage("gopher", out.join(keep_ids, on=id_col, how="left_semi"))
 
     if allowed_langs:
         out = stage(

@@ -48,16 +48,21 @@ def _cap_hot_buckets(
     bucket key — the self-join hashes on the same key, so the window's
     exchange is the one the join needs anyway.
 
-    No silent caps: when the cap drops anything and ``log_dropped`` is
-    set, the drop count is computed (one small aggregate job over the
-    banding stage) and logged.  Pass ``log_dropped=False`` to skip that
-    extra job on giant inputs — the cap still applies, just unlogged.
+    No silent caps: when ``log_dropped`` is set the drop count is
+    computed eagerly and logged.  To avoid paying the signature+banding
+    stage twice (once for the count, once for the candidate self-join —
+    which itself evaluates both join sides), the banded rows are
+    localCheckpoint'ed first: ONE materialization of the narrow
+    (id, bucket-key) rows feeds the count AND both sides of the join.
+    Pass ``log_dropped=False`` to keep the plan fully lazy (the cap
+    still applies, just unlogged).
     """
     if max_bucket_size is None:
         return banded
     from pyspark.sql.window import Window
 
     if log_dropped:
+        banded = banded.localCheckpoint()
         hot = (
             banded.groupBy(*key_cols)
             .agg(F.count(F.lit(1)).alias("n"))

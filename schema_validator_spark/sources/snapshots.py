@@ -147,9 +147,10 @@ class SnapshotTable:
         old = set(self._manifest(since_snapshot)["files"])
         new_files = [f for f in self._manifest(to_sid)["files"] if f not in old]
         if not new_files:
-            raise ValueError(
-                f"no files appended between snapshots {since_snapshot} and {to_sid}"
-            )
+            # zero new data is the routine steady state of an incremental
+            # pipeline — return an empty frame with the table's schema
+            # (limit(0) prunes the scan), don't make callers try/except it
+            return self.read(spark, since_snapshot).limit(0)
         return spark.read.parquet(*new_files)
 
     def drop(self) -> None:

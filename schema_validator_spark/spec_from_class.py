@@ -75,14 +75,36 @@ def _walk(cls, *, prefix: str, spec: dict, labels: dict, seen: set) -> None:
             labels[path] = f.metadata["name"]
 
 
+# String annotations we can safely call scalars when get_type_hints
+# failed for the class (one unresolvable annotation anywhere makes ALL
+# annotations come back as strings — the common builtins must keep
+# working then).
+_SCALAR_ANNOTATIONS = {
+    "str", "int", "float", "bool", "bytes", "bytearray", "complex",
+    "None", "NoneType", "object", "Any", "typing.Any",
+    "date", "datetime", "Decimal", "datetime.date", "datetime.datetime",
+    "decimal.Decimal",
+}
+
+
 def _unwrap_optional(t):
     import types
     import typing
 
     if isinstance(t, str):
         # Postponed annotation that get_type_hints could not resolve.
-        # Treating it as a scalar would silently drop the rules of a
-        # nested dataclass typed 'Contact | None' — fail loudly instead.
+        # Recognizable scalars (incl. 'Optional[str]' / 'str | None'
+        # spellings) stay scalars; anything else COULD be a nested
+        # dataclass whose member rules would silently vanish — fail loud.
+        base = t.strip()
+        if base.startswith("Optional[") and base.endswith("]"):
+            base = base[len("Optional["):-1].strip()
+        elif base.startswith("typing.Optional[") and base.endswith("]"):
+            base = base[len("typing.Optional["):-1].strip()
+        parts = [p.strip() for p in base.split("|")]
+        names = [p for p in parts if p not in ("None", "NoneType")]
+        if all(n in _SCALAR_ANNOTATIONS for n in names):
+            return None  # scalar: caller keeps any rule tag on the field
         raise CompileError(
             f"unresolvable annotation {t!r}: import the referenced type "
             f"into the dataclass module or avoid postponed annotations"

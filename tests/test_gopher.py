@@ -60,3 +60,16 @@ def test_gate_is_single_pass(spark):
     out = G.gopher_metrics(df, "text")
     P.assert_single_pass(out)
     assert not P.uses_python(out)
+
+
+def test_null_text_yields_zero_metrics(spark):
+    """Review regression: NULL text must give 0-valued metrics and a
+    False keep decision (matching the oracle's coalesce-to-'' view),
+    never NULL-propagated ones."""
+    df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    r = G.gopher_metrics(df, "text").withColumn(
+        "keep", G.gopher_keep(min_tokens=1)).first()
+    assert r["n_tokens"] == 0
+    assert r["stopword_hits"] == 0
+    assert r["mean_word_len"] == 0.0 and r["dup_2gram_frac"] == 0.0
+    assert r["keep"] is False

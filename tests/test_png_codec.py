@@ -120,3 +120,29 @@ def test_resize_passthrough_on_undecodable(spark):
     rows = out.collect()
     assert all(not r["resized"] for r in rows)
     assert all(r["width"] == -1 for r in rows)
+
+
+def test_malformed_inputs_always_raise_pngerror():
+    """Review regression: every malformed path must be PngError (the
+    mapInPandas fallbacks catch exactly that), never struct/MemoryError."""
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # IHDR with wrong length (5 bytes) -> was struct.error
+    with pytest.raises(PNG.PngError, match="IHDR length"):
+        PNG.decode_png(sig + chunk(b"IHDR", b"12345"))
+    # forged 4-billion-pixel dimensions -> bounded rejection, no allocation
+    huge = struct.pack(">IIBBBBB", 0xFFFFFFF, 0xFFFFFFF, 8, 0, 0, 0, 0)
+    with pytest.raises(PNG.PngError, match="refusing dimensions"):
+        PNG.decode_png(sig + chunk(b"IHDR", huge) + chunk(b"IEND", b""))
+    # decompression bomb: tiny IDAT inflating past the declared dims
+    ihdr = struct.pack(">IIBBBBB", 4, 2, 8, 0, 0, 0, 0)
+    bomb = zlib.compress(b"\x00" * 100_000)
+    with pytest.raises(PNG.PngError, match="does not match"):
+        PNG.decode_png(sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", bomb)
+                       + chunk(b"IEND", b""))

@@ -114,3 +114,37 @@ def test_luhn_sql_matches_python(spark, strings):
            df.select("i", _luhn_ok(F.col("s")).alias("ok")).collect()}
     for i, s in enumerate(strings):
         assert got[i] == _luhn_py(s), (s, got[i])
+
+
+def test_unresolvable_scalar_annotations_still_compile():
+    """Review regression: when get_type_hints fails for a class, plain
+    scalar annotations ('str', 'Optional[int]', 'str | None') must keep
+    working; only unrecognizable names (potential nested dataclasses)
+    fail loudly."""
+    import dataclasses
+
+    import pytest as _pytest
+
+    from schema_validator_spark.errors import CompileError
+    from schema_validator_spark.spec_from_class import _unwrap_optional, from_dataclass
+
+    assert _unwrap_optional("str") is None
+    assert _unwrap_optional("Optional[int]") is None
+    assert _unwrap_optional("str | None") is None
+    with _pytest.raises(CompileError, match="unresolvable"):
+        _unwrap_optional("Contact | None")
+
+    # a class whose OTHER field references an unknown type: the scalar
+    # rule field still compiles (get_type_hints fails -> all strings)
+    ns = {}
+    exec(
+        "from __future__ import annotations\n"
+        "import dataclasses\n"
+        "@dataclasses.dataclass\n"
+        "class U:\n"
+        "    name: str = dataclasses.field(\n"
+        "        default='', metadata={'validate': 'required|min=2'})\n",
+        ns,
+    )
+    spec, _labels = from_dataclass(ns["U"])
+    assert spec == {"name": "required|min=2"}

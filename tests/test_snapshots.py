@@ -67,8 +67,9 @@ def test_read_appended_is_file_delta(spark, table):
     delta = table.read_appended(spark, s1, as_of=s2)
     vals = sorted(r["v"] for r in delta.collect())
     assert vals == list(range(100, 130))  # only commit-2 rows, no comparison
-    with pytest.raises(ValueError, match="no files appended"):
-        table.read_appended(spark, s2)
+    # steady state: zero new data -> empty frame with the table's schema
+    empty = table.read_appended(spark, s2)
+    assert empty.count() == 0 and empty.columns == ["v"]
 
 
 def test_validate_appended_runs_engine_on_delta(spark, table):
