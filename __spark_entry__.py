@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (43/43), including the approximate tiers
+EVERY query has an oracle (45/45), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -586,6 +586,22 @@ def q_snapshot_drift(spark, sf_dir):
     return out.select("baseline", F.col("current").alias("curr"), "psi")
 
 
+def q_bpe_pairs(spark, sf_dir):
+    """First BPE merge-step statistic: corpus-weighted adjacent-character
+    pair counts (vocabulary first, so each distinct word's characters are
+    scanned once regardless of frequency)."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.bpe_pair_counts(docs, "text", top_n=100)
+
+
+def q_outlier_stats(spark, sf_dir):
+    """Per-group numeric outlier counts (z-score + Tukey IQR fences) with
+    6dp-rounded fence statistics so any engine re-derives identical
+    borderline decisions."""
+    ev = _t(spark, sf_dir, "events")
+    return drift.outlier_stats(ev, "value", ["event_type"], round_stats=6)
+
+
 def q_line_dedup_global(spark, sf_dir):
     """Corpus-wide duplicate-line removal (RefinedWeb/CCNet boilerplate
     pass) over synthesized multi-line docs: each doc = its text, a shared
@@ -710,6 +726,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_validation": q_incremental_validation,
         "line_dedup_global": q_line_dedup_global,
         "token_budget_sample": q_token_budget_sample,
+        "bpe_pairs": q_bpe_pairs,
+        "outlier_stats": q_outlier_stats,
     }
 
 
@@ -1205,6 +1223,38 @@ def oracle_sql() -> dict[str, str]:
                      * ln(greatest(cc / tc, 1e-6) / greatest(cb / tb, 1e-6))
                    ), 6) as psi
             from pb, t
+        """,
+        "bpe_pairs": r"""
+            with words as (
+              select w, count(*) as wn from (
+                select unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                          t -> t <> '')) as w
+                from documents) group by 1
+            ), pairs as (
+              select unnest(list_transform(range(1, length(w)),
+                                           i -> substr(w, i, 2))) as pair, wn
+              from words where length(w) >= 2
+            )
+            select pair, sum(wn)::bigint as n from pairs group by 1
+            order by n desc, pair asc limit 100
+        """,
+        "outlier_stats": """
+            with s as (
+              select event_type,
+                     round(avg(value), 6) as m,
+                     round(stddev_samp(value), 6) as sd,
+                     round(quantile_cont(value, 0.25), 6) as q1,
+                     round(quantile_cont(value, 0.75), 6) as q3
+              from events where value is not null group by 1
+            )
+            select e.event_type, count(*) as n,
+                   count(*) filter (where sd is not null and sd > 0
+                                    and abs(value - m) > 3.0 * sd) as n_outliers_z,
+                   count(*) filter (where value < q1 - 1.5 * (q3 - q1)
+                                    or value > q3 + 1.5 * (q3 - q1)) as n_outliers_iqr
+            from events e join s using (event_type)
+            where e.value is not null
+            group by 1
         """,
         "line_dedup_global": """
             with synth as (

@@ -153,6 +153,38 @@ def fingerprint(col: Column) -> Column:
     return F.md5(F.trim(normalized))
 
 
+def bpe_pair_counts(df, text_col: str, *, top_n: int = 200):
+    """The first BPE merge-step statistic: corpus-weighted counts of
+    adjacent CHARACTER pairs within words — (pair, n) for the top_n
+    pairs, count-desc then pair-asc.
+
+    Two word-count-shaped aggregations, both map-side combined: (1) the
+    word vocabulary (so each distinct word's characters are scanned once
+    no matter how often it occurs), (2) pair counts weighted by word
+    frequency.  This is the statistic a BPE trainer consumes per merge
+    iteration; at 10^12 docs stage (1) bounds stage (2) by vocabulary
+    size, not corpus size."""
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wn"))
+    )
+    pair = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.length("w") - 1),
+            lambda i: F.substring(F.col("w"), i, 2),
+        )
+    )
+    return (
+        words.filter(F.length("w") >= 2)
+        .select(pair.alias("pair"), "wn")
+        .groupBy("pair")
+        .agg(F.sum("wn").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(top_n)
+    )
+
+
 def vocabulary(df, text_col: str, *, top_n: int = 1000, min_count: int = 1):
     """Corpus token-frequency table (tokenizer-training input):
     (token, n) for the top_n most frequent tokens, count-desc then

@@ -229,6 +229,56 @@ def psi_quantile_df(
     )
 
 
+def outlier_stats(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    *,
+    z_threshold: float = 3.0,
+    iqr_k: float = 1.5,
+    round_stats: int | None = None,
+) -> DataFrame:
+    """Per-group numeric outlier counts — both the z-score and the
+    Tukey-fence (IQR) definitions in one result:
+
+      n_outliers_z   — |v - mean| > z_threshold · stddev_samp
+      n_outliers_iqr — v outside [q1 - k·IQR, q3 + k·IQR] (exact quartiles)
+
+    Two passes by construction (mean/quantiles need the full group before
+    any row can be judged): a per-group stats aggregate (one row per
+    group — broadcast back) and one counting scan.  Exact percentiles
+    make the result engine-reproducible; ``round_stats`` additionally
+    rounds the fence statistics to N decimals so a different engine's
+    summation order cannot flip a borderline row (the oracle mode).  At
+    extreme scale swap percentile → percentile_approx and accept sketch
+    error.
+    """
+    v = F.col(value_col)
+    g = [F.col(c) for c in group_cols]
+
+    def _r(c):
+        return F.round(c, round_stats) if round_stats is not None else c
+
+    stats = df.filter(v.isNotNull()).groupBy(*g).agg(
+        _r(F.avg(v)).alias("_mean"),
+        _r(F.stddev_samp(v)).alias("_std"),
+        _r(F.percentile(v, F.lit(0.25))).alias("_q1"),
+        _r(F.percentile(v, F.lit(0.75))).alias("_q3"),
+    )
+    joined = df.filter(v.isNotNull()).join(F.broadcast(stats), group_cols)
+    iqr = F.col("_q3") - F.col("_q1")
+    z_out = (
+        F.col("_std").isNotNull() & (F.col("_std") > 0)
+        & (F.abs(v - F.col("_mean")) > z_threshold * F.col("_std"))
+    )
+    iqr_out = (v < F.col("_q1") - iqr_k * iqr) | (v > F.col("_q3") + iqr_k * iqr)
+    return joined.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(z_out.cast("long")).alias("n_outliers_z"),
+        F.sum(iqr_out.cast("long")).alias("n_outliers_iqr"),
+    )
+
+
 def drift_report(
     df: DataFrame,
     value_col: str,

@@ -546,3 +546,11 @@ def test_sample_token_budget(spark):
     again = sampling.sample_token_budget(docs, ["lang"], "doc_id", "n_tokens", 1000)
     assert sorted(r["doc_id"] for r in out.collect()) == \
            sorted(r["doc_id"] for r in again.collect())
+
+
+def test_bpe_pair_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "abab abab cd"), (2, "abab")], "doc_id long, text string")
+    got = {r["pair"]: r["n"] for r in X.bpe_pair_counts(df, "text").collect()}
+    # 'abab' occurs 3x -> pairs ab,ba,ab per occurrence; 'cd' once
+    assert got["ab"] == 6 and got["ba"] == 3 and got["cd"] == 1

@@ -275,3 +275,20 @@ def test_psi_quantile_df_distributed(spark):
     assert high["baseline"] == "A" and high["current"] == "B"
     assert high["psi"] > 0.25, high["psi"]
     assert low["psi"] < 0.01, low["psi"]
+
+
+def test_outlier_stats_both_definitions(spark):
+    """Planted outliers: 1000 values near 50 plus two extremes — both the
+    z-score and IQR-fence counts find exactly the planted rows."""
+    base = spark.range(1000).select(
+        F.lit("g").alias("grp"), (40 + (F.col("id") % 21)).cast("double").alias("v"))
+    extremes = spark.createDataFrame(
+        [("g", 10_000.0), ("g", -10_000.0), ("h", 1.0)], "grp string, v double")
+    df = base.unionByName(extremes)
+    rows = {r["grp"]: r for r in
+            drift.outlier_stats(df, "v", ["grp"]).collect()}
+    assert rows["g"]["n"] == 1002
+    assert rows["g"]["n_outliers_z"] == 2
+    assert rows["g"]["n_outliers_iqr"] == 2
+    # single-value group: stddev NULL -> no z outliers, IQR degenerate
+    assert rows["h"]["n_outliers_z"] == 0 and rows["h"]["n_outliers_iqr"] == 0
