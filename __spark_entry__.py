@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (45/45), including the approximate tiers
+EVERY query has an oracle (47/47), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -586,6 +586,29 @@ def q_snapshot_drift(spark, sf_dir):
     return out.select("baseline", F.col("current").alias("curr"), "psi")
 
 
+def q_sessions(spark, sf_dir):
+    """Gap-based sessionization of the events stream (30-min silence
+    splits a session): per-session event counts and durations, ties
+    broken by event_id — deterministic window algebra re-derived exactly
+    by the oracle."""
+    from schema_validator_spark.operators import sessions as SS
+
+    ev = _t(spark, sf_dir, "events")
+    return SS.session_stats(ev, "user_id", "ts", id_col="event_id",
+                            gap_seconds=1800)
+
+
+def q_fd_check(spark, sf_dir):
+    """Functional-dependency check o_custkey -> o_orderpriority:
+    customers whose orders span more than one priority class (a 1:N
+    mapping where a 1:1 was expected is the classic FD data-quality
+    violation)."""
+    orders = _t(spark, sf_dir, "orders")
+    return uniqueness.functional_dependency_violations(
+        orders, ["o_custkey"], ["o_orderpriority"]
+    )
+
+
 def q_bpe_pairs(spark, sf_dir):
     """First BPE merge-step statistic: corpus-weighted adjacent-character
     pair counts (vocabulary first, so each distinct word's characters are
@@ -728,6 +751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": q_token_budget_sample,
         "bpe_pairs": q_bpe_pairs,
         "outlier_stats": q_outlier_stats,
+        "sessions": q_sessions,
+        "fd_check": q_fd_check,
     }
 
 
@@ -1223,6 +1248,40 @@ def oracle_sql() -> dict[str, str]:
                      * ln(greatest(cc / tc, 1e-6) / greatest(cb / tb, 1e-6))
                    ), 6) as psi
             from pb, t
+        """,
+        "sessions": """
+            with o as (
+              select user_id, event_id, ts,
+                     lag(ts) over (partition by user_id
+                                   order by ts, event_id) as pts
+              from events
+            ), f as (
+              select user_id, event_id, ts,
+                     case when pts is null
+                          or floor(epoch(ts)) - floor(epoch(pts)) > 1800
+                          then 1 else 0 end as ns
+              from o
+            ), s as (
+              select user_id, ts,
+                     cast(sum(ns) over (partition by user_id
+                                        order by ts, event_id
+                                        rows between unbounded preceding
+                                                 and current row) as bigint)
+                       as session_idx
+              from f
+            )
+            select user_id, session_idx,
+                   count(*) as n_events,
+                   cast(floor(epoch(max(ts))) - floor(epoch(min(ts))) as bigint)
+                     as duration_sec
+            from s group by 1, 2
+        """,
+        "fd_check": """
+            select o_custkey,
+                   count(*) as n_rows,
+                   count(distinct {'v': o_orderpriority}) as n_distinct_dep
+            from orders group by 1
+            having count(distinct {'v': o_orderpriority}) > 1
         """,
         "bpe_pairs": r"""
             with words as (

@@ -68,3 +68,44 @@ def exact_uniqueness_stats(df: DataFrame, keys: list[str]) -> DataFrame:
         ),
         F.sum((F.col("c") > 1).cast("long")).alias("n_dup_keys"),
     )
+
+
+def functional_dependency_violations(
+    df: DataFrame, det_cols: list[str], dep_cols: list[str]
+) -> DataFrame:
+    """Functional-dependency check det_cols -> dep_cols: determinant
+    values mapping to MORE than one distinct dependent tuple violate the
+    dependency (e.g. custkey -> name must be 1:1).
+
+    One groupBy on the determinant with a countDistinct over the
+    dependent tuple — map-side partially aggregated; AQE splits skewed
+    determinants.  Returns (det_cols..., n_rows, n_distinct_dep) for
+    violating determinants only.
+    """
+    dep = F.struct(*[F.col(c) for c in dep_cols])
+    return (
+        df.groupBy(*det_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(dep).alias("n_distinct_dep"),
+        )
+        .filter(F.col("n_distinct_dep") > 1)
+    )
+
+
+def functional_dependency_stats(
+    df: DataFrame, det_cols: list[str], dep_cols: list[str]
+) -> DataFrame:
+    """One-row summary of an FD check: total determinants, violating
+    determinants, violation rate."""
+    per = df.groupBy(*det_cols).agg(
+        F.countDistinct(F.struct(*[F.col(c) for c in dep_cols])).alias("_nd")
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_determinants"),
+        F.sum((F.col("_nd") > 1).cast("long")).alias("n_violating"),
+    ).select(
+        "n_determinants",
+        "n_violating",
+        F.round(F.col("n_violating") / F.col("n_determinants"), 6).alias("violation_rate"),
+    )
