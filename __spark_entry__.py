@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (47/47), including the approximate tiers
+EVERY query has an oracle (48/48), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -586,6 +586,22 @@ def q_snapshot_drift(spark, sf_dir):
     return out.select("baseline", F.col("current").alias("curr"), "psi")
 
 
+def q_schema_evolution(spark, sf_dir):
+    """Schema-evolution diff across a simulated commit (drop a column,
+    change a type, add a column) — the metadata-level drift check.  The
+    oracle re-derives BOTH schemas relationally via DuckDB DESCRIBE, so
+    this checks real schema introspection, not a hardcoded expectation."""
+    from schema_validator_spark.operators.schema_diff import schema_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    evolved = (
+        docs.drop("source")
+        .withColumn("n_chars", F.col("n_chars").cast("string"))
+        .withColumn("quality", F.lit(0.5))
+    )
+    return schema_diff(spark, docs, evolved)
+
+
 def q_sessions(spark, sf_dir):
     """Gap-based sessionization of the events stream (30-min silence
     splits a session): per-session event counts and durations, ties
@@ -753,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlier_stats": q_outlier_stats,
         "sessions": q_sessions,
         "fd_check": q_fd_check,
+        "schema_evolution": q_schema_evolution,
     }
 
 
@@ -1248,6 +1265,31 @@ def oracle_sql() -> dict[str, str]:
                      * ln(greatest(cc / tc, 1e-6) / greatest(cb / tb, 1e-6))
                    ), 6) as psi
             from pb, t
+        """,
+        "schema_evolution": """
+            with before as (
+              select column_name as col,
+                     case lower(column_type) when 'varchar' then 'string'
+                          else lower(column_type) end as t
+              from (describe select * from documents)
+            ), after as (
+              select column_name as col,
+                     case lower(column_type) when 'varchar' then 'string'
+                          else lower(column_type) end as t
+              from (describe select * exclude(source)
+                           replace (cast(n_chars as varchar) as n_chars),
+                           cast(0.5 as double) as quality
+                    from documents)
+            )
+            select col as "column", 'removed' as change,
+                   b.t as from_type, cast(null as varchar) as to_type
+            from before b where col not in (select col from after)
+            union all
+            select col, 'added', cast(null as varchar), a.t
+            from after a where col not in (select col from before)
+            union all
+            select b.col, 'type_changed', b.t, a.t
+            from before b join after a using (col) where b.t <> a.t
         """,
         "sessions": """
             with o as (
