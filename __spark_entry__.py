@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (48/48), including the approximate tiers
+EVERY query has an oracle (49/49), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -586,6 +586,15 @@ def q_snapshot_drift(spark, sf_dir):
     return out.select("baseline", F.col("current").alias("curr"), "psi")
 
 
+def q_psi_report(spark, sf_dir):
+    """Drift of EVERY event_type against the 'click' baseline in one
+    plan (distributed drift_report): exact 6dp decile edges, complete
+    group×bucket grid, per-group PSI aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    out = drift.psi_report_df(ev, "value", "event_type", "click")
+    return out.select(F.col("current").alias("curr"), "psi")
+
+
 def q_schema_evolution(spark, sf_dir):
     """Schema-evolution diff across a simulated commit (drop a column,
     change a type, add a column) — the metadata-level drift check.  The
@@ -770,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions": q_sessions,
         "fd_check": q_fd_check,
         "schema_evolution": q_schema_evolution,
+        "psi_report": q_psi_report,
     }
 
 
@@ -1265,6 +1275,43 @@ def oracle_sql() -> dict[str, str]:
                      * ln(greatest(cc / tc, 1e-6) / greatest(cb / tb, 1e-6))
                    ), 6) as psi
             from pb, t
+        """,
+        "psi_report": """
+            with e as (
+              select list_transform(quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+                                    x -> round(x, 6)) as edges
+              from events where event_type = 'click' and value is not null
+            ), b as (
+              select event_type as g,
+                     list_sum(list_transform(e.edges,
+                       ed -> case when value > ed then 1 else 0 end)) as bk
+              from events, e where value is not null
+            ), pb as (
+              select g, bk, count(*) as c from b group by 1, 2
+            ), base as (
+              select bk, c as cb from pb where g = 'click'
+            ), tb as (
+              select sum(c) as tbv from pb where g = 'click'
+            ), tg as (
+              select g, sum(c) as tgv from pb where g <> 'click' group by 1
+            ), grid as (
+              select gg.g, bb.bk
+              from (select distinct g from pb where g <> 'click') gg
+              cross join (select distinct bk from pb) bb
+            )
+            select grid.g as curr,
+                   round(sum(
+                     (greatest(coalesce(cur.c, 0) / tg.tgv, 1e-6)
+                      - greatest(coalesce(base.cb, 0) / tb.tbv, 1e-6))
+                     * ln(greatest(coalesce(cur.c, 0) / tg.tgv, 1e-6)
+                          / greatest(coalesce(base.cb, 0) / tb.tbv, 1e-6))
+                   ), 6) as psi
+            from grid
+            left join pb cur on cur.g = grid.g and cur.bk = grid.bk
+            left join base on base.bk = grid.bk
+            join tg on tg.g = grid.g
+            cross join tb
+            group by 1
         """,
         "schema_evolution": """
             with before as (

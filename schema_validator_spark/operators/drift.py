@@ -229,6 +229,68 @@ def psi_quantile_df(
     )
 
 
+def psi_report_df(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    baseline,
+    *,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """PSI of EVERY group against the baseline in ONE plan — the
+    distributed form of :func:`drift_report`, which runs two driver-side
+    jobs per group (2·G jobs for G groups; this is 1 job total).
+
+    Exact decile edges of the baseline (rounded 6dp — engine
+    reproducible) broadcast over a single bucketed groupBy of all rows;
+    per-group PSI is a second small aggregate over (group, bucket)
+    histogram rows.  Returns (current, psi) per non-baseline group.
+    """
+    v = F.col(value_col)
+    g = F.col(group_col)
+    rows = df.filter(v.isNotNull()).select(g.alias("_g"), v.alias("_v"))
+    probs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+    edges = rows.filter(F.col("_g") == baseline).agg(
+        F.transform(
+            F.percentile(F.col("_v"), probs), lambda e: F.round(e, 6)
+        ).alias("_edges")
+    )
+    bucket = F.aggregate(
+        F.col("_edges"), F.lit(0),
+        lambda acc, e: acc + (F.col("_v") > e).cast("int"),
+    )
+    hist = (
+        rows.crossJoin(F.broadcast(edges))
+        .groupBy(F.col("_g"), bucket.alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    base_hist = (
+        hist.filter(F.col("_g") == baseline)
+        .select(F.col("_b"), F.col("_c").alias("_cb"))
+    )
+    totals = hist.groupBy("_g").agg(F.sum("_c").alias("_tg"))
+    base_total = F.broadcast(
+        totals.filter(F.col("_g") == baseline).select(F.col("_tg").alias("_tb"))
+    )
+    # complete (group x bucket) grid so a bucket missing from EITHER side
+    # still contributes its eps term — G x <=n_buckets rows, trivially small
+    cur_hist = hist.filter(F.col("_g") != baseline)
+    grid = cur_hist.select("_g").distinct().crossJoin(hist.select("_b").distinct())
+    eps = F.lit(1e-6)
+    joined = (
+        grid.join(cur_hist, ["_g", "_b"], "left")
+        .join(F.broadcast(base_hist), "_b", "left")
+        .join(F.broadcast(totals), "_g")
+        .crossJoin(base_total)
+    )
+    pb = F.greatest(F.coalesce(F.col("_cb"), F.lit(0)) / F.col("_tb"), eps)
+    pc = F.greatest(F.coalesce(F.col("_c"), F.lit(0)) / F.col("_tg"), eps)
+    return (
+        joined.groupBy(F.col("_g").alias("current"))
+        .agg(F.round(F.sum((pc - pb) * F.log(pc / pb)), 6).alias("psi"))
+    )
+
+
 def outlier_stats(
     df: DataFrame,
     value_col: str,

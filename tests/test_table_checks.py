@@ -292,3 +292,23 @@ def test_outlier_stats_both_definitions(spark):
     assert rows["g"]["n_outliers_iqr"] == 2
     # single-value group: stddev NULL -> no z outliers, IQR degenerate
     assert rows["h"]["n_outliers_z"] == 0 and rows["h"]["n_outliers_iqr"] == 0
+
+
+def test_psi_report_df_matches_per_pair_quantile_psi(spark):
+    """The one-plan all-groups report must equal psi_quantile_df run
+    pair-by-pair (same edges, bucketing, eps) — and the shifted group
+    scores high while the identical one scores ~0."""
+    a = spark.range(2000).select(F.lit("A").alias("commit"),
+                                 (F.col("id") % 100).cast("double").alias("v"))
+    b = spark.range(2000).select(F.lit("B").alias("commit"),
+                                 (F.col("id") % 100 + 50).cast("double").alias("v"))
+    c = spark.range(2000).select(F.lit("C").alias("commit"),
+                                 (F.col("id") % 100).cast("double").alias("v"))
+    df = a.unionByName(b).unionByName(c)
+    report = {r["current"]: r["psi"]
+              for r in drift.psi_report_df(df, "v", "commit", "A").collect()}
+    assert set(report) == {"B", "C"}
+    for grp in ("B", "C"):
+        pair = drift.psi_quantile_df(df, "v", "commit", "A", grp).first()["psi"]
+        assert report[grp] == pair, (grp, report[grp], pair)
+    assert report["B"] > 0.25 and report["C"] < 0.01
