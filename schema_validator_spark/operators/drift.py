@@ -350,7 +350,11 @@ def drift_report(
     n_buckets: int = 10,
 ) -> list[dict]:
     """PSI of every group against the baseline (default: first group in
-    sort order).  Returns a small driver-side list of dicts."""
+    sort order).  Returns a small driver-side list of dicts.
+
+    NOTE: runs 2 Spark jobs per group (sketch edges + histogram).  With
+    many groups prefer :func:`psi_report_df` — one plan for all groups
+    (exact edges instead of sketch edges)."""
     groups = [r[0] for r in df.select(group_col).distinct().orderBy(group_col).collect()]
     if not groups:
         return []
