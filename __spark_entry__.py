@@ -554,6 +554,28 @@ def q_clean_docs(spark, sf_dir):
     )
 
 
+def _gc_stale_snapshot_dirs(max_age_sec: int = 6 * 3600) -> None:
+    """Age-based GC for the pid-suffixed snapshot tables the entry queries
+    create in tempdir: a process only drops its OWN tables (concurrent
+    gate/bench runs must not race), so dirs from dead pids would otherwise
+    accumulate forever.  Anything old enough that no live run can still be
+    reading it gets swept."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    now = _time.time()
+    for d in glob.glob(os.path.join(tempfile.gettempdir(), "svs_snapshot_*")) + \
+            glob.glob(os.path.join(tempfile.gettempdir(), "svs_incr_*")):
+        try:
+            if now - os.path.getmtime(d) > max_age_sec:
+                shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            continue
+
+
 def q_snapshot_drift(spark, sf_dir):
     """Drift ACROSS COMMITS over a snapshot-pinned table (the Iceberg
     semantics of the north rule, manifest-based stand-in — no Iceberg
@@ -570,6 +592,7 @@ def q_snapshot_drift(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     # pid suffix: concurrent processes (gate mimic + bench) must not
     # drop() the snapshot table out from under each other's pinned reads
+    _gc_stale_snapshot_dirs()
     path = os.path.join(
         tempfile.gettempdir(),
         f"svs_snapshot_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
@@ -698,6 +721,7 @@ def q_incremental_validation(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     # pid suffix: see q_snapshot_drift (no cross-process drop() races)
+    _gc_stale_snapshot_dirs()
     path = os.path.join(
         tempfile.gettempdir(),
         f"svs_incr_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",

@@ -107,14 +107,19 @@ def stopword_hits(text: Column) -> Column:
 def gopher_metrics(df: DataFrame, text_col: str) -> DataFrame:
     """Adds the Gopher signal columns.
 
-    Tokenization happens ONCE into a shared `_toks` column and every
+    Tokenization happens ONCE into a shared temp column and every
     token-derived metric reads it — the naive per-metric form re-ran the
     regex split ~7x per row (measured 15s -> ~2s at sf0.1).  Still one
     narrow projection pipeline, no shuffle."""
     t = F.col(text_col)
     s = F.coalesce(t, F.lit(""))
-    with_toks = df.withColumn("_toks", _tokens_of(t))
-    toks = F.col("_toks")
+    # collision-proof temp name: an input that already has `_toks` must
+    # not be clobbered-and-dropped
+    toks_col = "_toks"
+    while toks_col in df.columns:
+        toks_col += "_"
+    with_toks = df.withColumn(toks_col, _tokens_of(t))
+    toks = F.col(toks_col)
     n = F.size(toks)
     syms = _occurrences(s, "#") + _occurrences(s, "...")
     return with_toks.withColumns({
@@ -126,7 +131,7 @@ def gopher_metrics(df: DataFrame, text_col: str) -> DataFrame:
         "dup_2gram_frac": _dup_ngram_frac_from(toks, 2),
         "dup_3gram_frac": _dup_ngram_frac_from(toks, 3),
         "stopword_hits": _stopword_hits_from(toks),
-    }).drop("_toks")
+    }).drop(toks_col)
 
 
 def gopher_keep(

@@ -352,23 +352,19 @@ def drift_report(
     """PSI of every group against the baseline (default: first group in
     sort order).  Returns a small driver-side list of dicts.
 
-    NOTE: runs 2 Spark jobs per group (sketch edges + histogram).  With
-    many groups prefer :func:`psi_report_df` — one plan for all groups
-    (exact edges instead of sketch edges)."""
-    groups = [r[0] for r in df.select(group_col).distinct().orderBy(group_col).collect()]
-    if not groups:
-        return []
+    Deprecated convenience wrapper: delegates to :func:`psi_report_df`
+    (ONE plan for all groups, exact 6dp decile edges) and collects the
+    tiny per-group result.  The old implementation ran 2 Spark jobs per
+    group (sketch edges + histogram) — 2·G driver round-trips for G
+    groups — and is gone so it cannot be reached by accident."""
     if baseline is None:
-        baseline = groups[0]
-    out = []
-    for g in groups:
-        if g == baseline:
-            continue
-        out.append(
-            {
-                "group": g,
-                "baseline": baseline,
-                "psi": psi(df, value_col, group_col, baseline, g, n_buckets=n_buckets),
-            }
-        )
-    return out
+        first = df.select(group_col).distinct().orderBy(group_col).limit(1).collect()
+        if not first:
+            return []
+        baseline = first[0][0]
+    return [
+        {"group": r["current"], "baseline": baseline, "psi": r["psi"]}
+        for r in psi_report_df(
+            df, value_col, group_col, baseline, n_buckets=n_buckets
+        ).orderBy("current").collect()
+    ]

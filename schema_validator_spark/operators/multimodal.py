@@ -177,9 +177,15 @@ def extract_audio_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
+        import struct
         import wave
 
         import numpy as np
+
+        # Only genuine decode failures of malformed/non-WAV payloads map to
+        # decoded=False; anything else (numpy bugs, schema mistakes) must
+        # propagate — mirroring the PNG path's narrow `except PngError`.
+        decode_errors = (wave.Error, EOFError, ValueError, struct.error)
 
         for pdf in batches:
             rows = []
@@ -200,7 +206,7 @@ def extract_audio_features(
                     rows.append((mid, True, nch, rate, n,
                                  round(n / rate, 6) if rate else 0.0,
                                  round(rms, 6), round(peak, 6)))
-                except Exception:
+                except decode_errors:
                     rows.append((mid, False, -1, -1, -1, 0.0, 0.0, 0.0))
             yield pd.DataFrame(
                 rows,

@@ -85,11 +85,24 @@ class SnapshotTable:
                 json.dump(manifest, f)
             try:
                 os.link(tmp, final)  # atomic create-if-absent = commit point
+                os.unlink(tmp)
                 return sid
             except FileExistsError:
-                continue  # lost the race: recompute against the new parent
-            finally:
                 os.unlink(tmp)
+                continue  # lost the race: recompute against the new parent
+            except OSError:
+                # Filesystem without hardlinks (NFS/FUSE/object-store
+                # mounts): claim the slot with O_CREAT|O_EXCL (same
+                # create-if-absent CAS), then atomically replace the empty
+                # claim with the manifest.  Readers that catch the tiny
+                # claim->replace window retry (see _manifest).
+                try:
+                    os.close(os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+                except FileExistsError:
+                    os.unlink(tmp)
+                    continue
+                os.replace(tmp, final)
+                return sid
 
     # -- metadata ----------------------------------------------------------
 
@@ -111,8 +124,15 @@ class SnapshotTable:
                 f"snapshot {snapshot_id} does not exist "
                 f"(have: {self.snapshot_ids()})"
             )
-        with open(p) as f:
-            return json.load(f)
+        # the no-hardlink commit path has a tiny claim->replace window in
+        # which the manifest file exists but is still empty — retry briefly
+        for _ in range(50):
+            with open(p) as f:
+                body = f.read()
+            if body:
+                return json.loads(body)
+            time.sleep(0.02)
+        raise ValueError(f"snapshot {snapshot_id} manifest empty (commit in flight?)")
 
     def history(self) -> list[dict]:
         return [self._manifest(i) for i in self.snapshot_ids()]

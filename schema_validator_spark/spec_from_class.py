@@ -86,6 +86,24 @@ _SCALAR_ANNOTATIONS = {
     "decimal.Decimal",
 }
 
+# Container spellings that can never BE a nested dataclass themselves
+# ('list[str]', 'Dict[str, int]', bare 'dict', ...).  Such a field keeps
+# its own rule tag (treated as a scalar leaf) instead of failing compile —
+# only an unknown bare name could hide a nested dataclass whose member
+# rules would silently vanish.
+_CONTAINER_HEADS = {
+    "list", "dict", "set", "tuple", "frozenset",
+    "List", "Dict", "Set", "Tuple", "FrozenSet",
+    "Sequence", "Mapping", "MutableMapping", "Iterable",
+}
+
+
+def _is_container_annotation(name: str) -> bool:
+    head = name.split("[", 1)[0].strip()
+    if head.startswith("typing."):
+        head = head[len("typing."):]
+    return head in _CONTAINER_HEADS
+
 
 def _unwrap_optional(t):
     import types
@@ -103,7 +121,7 @@ def _unwrap_optional(t):
             base = base[len("typing.Optional["):-1].strip()
         parts = [p.strip() for p in base.split("|")]
         names = [p for p in parts if p not in ("None", "NoneType")]
-        if all(n in _SCALAR_ANNOTATIONS for n in names):
+        if all(n in _SCALAR_ANNOTATIONS or _is_container_annotation(n) for n in names):
             return None  # scalar: caller keeps any rule tag on the field
         raise CompileError(
             f"unresolvable annotation {t!r}: import the referenced type "

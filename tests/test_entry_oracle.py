@@ -67,6 +67,78 @@ def test_query_matches_oracle(spark, duck, name):
     assert s == d, f"{name}: value mismatch, first diffs: {mism}"
 
 
+# ---------------------------------------------------------------------------
+# LSH margin gates: the exact-equality claim of the banded-MinHash tiers
+# rests on every true pair sitting far enough above the banding S-curve
+# that a miss is (near-)impossible.  Assert that margin AT THIS SF instead
+# of only documenting it — a new SF with a borderline pair fails here, not
+# in a mysterious oracle hash mismatch.
+
+def _assert_banding_margin(duck, sql, *, r, bands, what):
+    j_min, n_pairs = duck.sql(sql).fetchall()[0]
+    if n_pairs == 0:  # no true pairs at this SF — margin is vacuous
+        return
+    # the 50%-collision point of the S-curve 1-(1-j^r)^b is ~ (1/b)^(1/r);
+    # every true pair must sit WELL above it, and its residual per-pair
+    # miss probability must be negligible (the gate's oracle equality then
+    # confirms the deterministic hashes actually collided)
+    s_curve_mid = (1.0 / bands) ** (1.0 / r)
+    miss_one = (1.0 - j_min ** r) ** bands
+    assert j_min >= s_curve_mid + 0.15, (
+        f"{what}: weakest true pair j={j_min:.4f} is within 0.15 of the "
+        f"S-curve midpoint {s_curve_mid:.4f} (r={r}, b={bands}) — "
+        f"exactness claim unsafe at this SF"
+    )
+    assert miss_one < 5e-3, (
+        f"{what}: weakest true pair j={j_min:.4f} has per-pair banding miss "
+        f"probability {miss_one:.2e} (r={r}, b={bands}) — exactness claim unsafe"
+    )
+
+
+def test_minhash_lsh_banding_margin(duck):
+    # mirrors q_minhash_lsh: 3-word shingles, threshold 0.5, r=4 x 8 bands
+    sql = r"""
+        with toks as (
+          select doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') as w
+          from documents
+        ), sh as (
+          select doc_id,
+                 case when len(w) >= 3
+                      then list_distinct(list_transform(range(1, len(w) - 1),
+                             i -> array_to_string(w[i:i+2], ' ')))
+                      else [array_to_string(w, ' ')] end as g
+          from toks
+        ), j as (
+          select len(list_intersect(a.g, b.g))::double
+                 / len(list_distinct(list_concat(a.g, b.g))) as jac
+          from sh a join sh b on a.doc_id < b.doc_id
+        )
+        select coalesce(min(jac), 1.0), count(*) from j where jac >= 0.5
+    """
+    _assert_banding_margin(duck, sql, r=4, bands=8, what="minhash_lsh")
+
+
+def test_jaccard_pairs_banding_margin(duck):
+    # mirrors q_jaccard_pairs: token sets on the 'fr' block, threshold 0.8,
+    # r=2 x 16 bands
+    sql = r"""
+        with toks as (
+          select doc_id,
+                 list_distinct(list_filter(string_split_regex(trim(text), '\s+'),
+                                           t -> t <> '')) as g
+          from documents where lang = 'fr'
+        ), j as (
+          select len(list_intersect(a.g, b.g))::double
+                 / len(list_distinct(list_concat(a.g, b.g))) as jac
+          from toks a join toks b on a.doc_id < b.doc_id
+          where len(a.g) > 0 and len(b.g) > 0
+        )
+        select coalesce(min(jac), 1.0), count(*) from j where jac >= 0.8
+    """
+    _assert_banding_margin(duck, sql, r=2, bands=16, what="jaccard_pairs")
+
+
 def test_rows_only_queries_run(spark):
     """Rows-only queries must at least execute and return a stable schema."""
     oracles = set(entry_mod.oracle_sql())

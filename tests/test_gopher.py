@@ -73,3 +73,15 @@ def test_null_text_yields_zero_metrics(spark):
     assert r["stopword_hits"] == 0
     assert r["mean_word_len"] == 0.0 and r["dup_2gram_frac"] == 0.0
     assert r["keep"] is False
+
+
+def test_existing_toks_column_not_clobbered(spark):
+    """Review regression: an input that already carries a `_toks` column
+    must survive gopher_metrics unchanged (the shared tokenization temp
+    column uniquifies around it)."""
+    df = spark.createDataFrame([(1, GOOD, "keepme")],
+                               "doc_id long, text string, _toks string")
+    out = G.gopher_metrics(df, "text")
+    r = out.first()
+    assert r["_toks"] == "keepme"
+    assert r["n_tokens"] > 0

@@ -131,6 +131,14 @@ def test_unresolvable_scalar_annotations_still_compile():
     assert _unwrap_optional("str") is None
     assert _unwrap_optional("Optional[int]") is None
     assert _unwrap_optional("str | None") is None
+    # container spellings can never be a nested dataclass — a field
+    # annotated 'list[str]'/'Dict[str, int]'/'dict' keeps its rule tag
+    # instead of failing compile (round-2 advice)
+    assert _unwrap_optional("list[str]") is None
+    assert _unwrap_optional("List[str] | None") is None
+    assert _unwrap_optional("Optional[Dict[str, int]]") is None
+    assert _unwrap_optional("dict") is None
+    assert _unwrap_optional("typing.Sequence[int]") is None
     with _pytest.raises(CompileError, match="unresolvable"):
         _unwrap_optional("Contact | None")
 
