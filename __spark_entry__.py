@@ -693,6 +693,31 @@ def q_line_dedup_global(spark, sf_dir):
     )
 
 
+# 9 tokens >= k=8: planted cross-document repeated span for q_span_dedup
+_SPAN_SENTINEL = ("shared licence header boilerplate repeated "
+                  "across many documents verbatim")
+
+
+def q_span_dedup(spark, sf_dir):
+    """Exact substring-level dedup (Lee et al. 2021 repeated-span pass)
+    over documents with a planted shared 9-token suffix on every 7th doc:
+    k=8 token-gram fingerprints occurring >= 2 times corpus-wide survive
+    only at their first (doc_id, pos) occurrence; all other occurrences'
+    tokens are removed.  The DuckDB oracle replays the entire pass and
+    byte-checks the cleaned text via md5."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" " + _SPAN_SENTINEL)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = dedup.remove_repeated_spans(docs, "doc_id", "text", k=8, min_count=2)
+    return out.select(
+        "doc_id", "n_tokens_removed", F.md5("text_despan").alias("despan_md5")
+    )
+
+
 def q_token_budget_sample(spark, sf_dir):
     """Token-budget sampling per language (dataset-mixing quotas in
     TOKENS, not rows): deterministic md5-rank walk keeps docs while the
@@ -797,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "incremental_validation": q_incremental_validation,
         "line_dedup_global": q_line_dedup_global,
+        "span_dedup": q_span_dedup,
         "token_budget_sample": q_token_budget_sample,
         "bpe_pairs": q_bpe_pairs,
         "outlier_stats": q_outlier_stats,
@@ -1456,6 +1482,53 @@ def oracle_sql() -> dict[str, str]:
                    cast(coalesce(r.n_kept, 0) as bigint) as n_lines_kept,
                    md5(coalesce(r.txt, '')) as dedup_md5
             from documents d left join rebuilt r using (doc_id)
+        """,
+        "span_dedup": f"""
+            with src as (
+              select doc_id,
+                     case when doc_id % 7 = 0
+                          then text || ' {_SPAN_SENTINEL}'
+                          else text end as text
+              from documents
+            ), base as (
+              select doc_id, string_split(coalesce(text, ''), ' ') as toks
+              from src
+            ), occ as (
+              select doc_id, unnest(range(1, len(toks) - 6)) as pos
+              from base where len(toks) >= 8
+            ), fp as (
+              select o.doc_id, o.pos,
+                     md5(array_to_string(b.toks[o.pos:o.pos+7], ' ')) as f
+              from occ o join base b using (doc_id)
+            ), ranked as (
+              select doc_id, pos,
+                     row_number() over (partition by f order by doc_id, pos) as rn,
+                     count(*) over (partition by f) as c
+              from fp
+            ), cov as (
+              select distinct doc_id, unnest(range(pos, pos + 8)) as cpos
+              from ranked where c >= 2 and rn > 1
+            ), covn as (
+              select doc_id, count(*) as n_removed from cov group by doc_id
+            ), toku as (
+              select doc_id, unnest(toks) as tok,
+                     unnest(range(1, len(toks)+1)) as p
+              from base
+            ), kept as (
+              select t.doc_id, t.tok, t.p
+              from toku t left join cov
+                on t.doc_id = cov.doc_id and t.p = cov.cpos
+              where cov.cpos is null
+            ), reb as (
+              select doc_id, string_agg(tok, ' ' order by p) as txt
+              from kept group by doc_id
+            )
+            select b.doc_id,
+                   cast(coalesce(cn.n_removed, 0) as bigint) as n_tokens_removed,
+                   md5(coalesce(r.txt, '')) as despan_md5
+            from base b
+            left join covn cn using (doc_id)
+            left join reb r using (doc_id)
         """,
         "token_budget_sample": r"""
             select doc_id, lang, n_tokens from (

@@ -455,6 +455,107 @@ def global_line_dedup(
     )
 
 
+# ---------------------------------------------- repeated-span (substring) dedup
+
+def remove_repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    min_count: int = 2,
+    out_col: str = "text_despan",
+) -> DataFrame:
+    """Exact substring-level dedup — the Lee et al. 2021 ("Deduplicating
+    Training Data Makes Language Models Better") repeated-span pass, the
+    modality exact/line/MinHash/SimHash dedup do not cover: a k-token
+    span whose fingerprint occurs ``min_count``+ times anywhere in the
+    corpus survives only at its globally-first occurrence (ordered by
+    (id, position)); every other occurrence's tokens are removed.
+
+    Distributed design — a k-gram fingerprint index instead of the
+    paper's suffix array (which needs global sorted adjacency; this
+    needs only equality on fingerprints, a natural shuffle key):
+
+    1. explode each doc's k-token sliding windows to
+       (id, pos, md5(k-gram)) — linear in corpus tokens, never pairs;
+    2. per fingerprint, ``count(*)`` and ``min(struct(id, pos))`` — both
+       map-side-combinable aggregates, so a boilerplate span repeated
+       10^9 times costs one combiner row per task, NOT one hot reducer;
+    3. join occurrences back on the fingerprint (AQE skew-join splits
+       hot fingerprints; fan-out stays linear in occurrences — there is
+       no pairwise stage anywhere, hence no hot-bucket cap needed);
+    4. non-first occurrences expand to covered token indices
+       (``sequence(pos, pos+k-1)``, distinct per doc);
+    5. rebuild with an index-aware ``filter`` over the original token
+       array — order preserved for free, one groupBy per doc.
+
+    Tokens are single-space splits so removal is byte-reversible and any
+    engine (the DuckDB oracle replays 1-5 verbatim) produces the
+    identical cleaned text.  Overlapping spans union their covered
+    indices.  Adds ``out_col`` and ``n_tokens_removed``.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("_toks"),
+    )
+    n = F.size(F.col("_toks"))
+
+    # (1) sliding k-gram fingerprints; guard n < k (sequence would descend)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, k))).alias("fp"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,fp:string>>"))
+    occ = (
+        _ensure_parallelism(base)
+        .select("_id", F.explode(grams).alias("g"))
+        .select("_id", F.col("g.pos").alias("_pos"), F.col("g.fp").alias("_fp"))
+    )
+
+    # (2) repeated fingerprints + their globally-first occurrence
+    rep = (
+        occ.groupBy("_fp")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.min(F.struct(F.col("_id"), F.col("_pos"))).alias("_first"),
+        )
+        .filter(F.col("_cnt") >= min_count)
+        .select("_fp", "_first")
+    )
+
+    # (3)+(4) every non-first occurrence covers its k token indices
+    covered = (
+        occ.join(rep, "_fp")
+        .filter(
+            (F.col("_id") != F.col("_first._id"))
+            | (F.col("_pos") != F.col("_first._pos"))
+        )
+        .select("_id", F.explode(F.sequence(F.col("_pos"), F.col("_pos") + k - 1)).alias("_ti"))
+        .distinct()
+        .groupBy("_id")
+        .agg(F.collect_set("_ti").alias("_cov"))
+    )
+
+    # (5) rebuild: drop covered indices, order preserved by the array form
+    joined = base.join(covered, "_id", "left")
+    cov = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("_toks"), lambda t, i: ~F.array_contains(cov, i.cast("int"))
+    )
+    rebuilt = joined.select(
+        F.col("_id"),
+        F.concat_ws(" ", kept).alias(out_col),
+        F.size(cov).alias("n_tokens_removed"),
+    )
+    return df.join(rebuilt, df[id_col] == rebuilt["_id"]).drop("_id")
+
+
 # -------------------------------------------------- clustering & selection
 
 def cluster_pairs(
