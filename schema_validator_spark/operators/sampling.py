@@ -74,10 +74,65 @@ def sample_token_budget(
 
     This is how mixture weights become concrete document sets — quotas
     expressed in TOKENS, not rows, so long docs count for what they cost.
-    Deterministic across engines (hash rank, no RNG).  One shuffle on the
-    strata; a dominant stratum serializes its cumulative sum, same
-    caveat as stratified_sample_exact.
+    Deterministic across engines (hash rank, no RNG).
+
+    Scale shape — DISTRIBUTED prefix sum, no per-stratum serial walk: the
+    md5 rank's first byte splits every stratum into 256 ordered ranges
+    (the byte is a prefix of the rank, so (range, rank) order == rank
+    order).  Pass 1 aggregates per-(stratum, range) token sums (map-side
+    combinable) and turns them into running offsets with a window over
+    the tiny #strata x 256 aggregate.  Pass 2 broadcast-joins the offsets
+    back and cumsums WITHIN each (stratum, range) — so an LLM mixture's
+    dominant stratum ("web", 10^10 docs) sorts as 256 parallel tasks of
+    1/256th each, not one.  Result is row-identical to the serial
+    definition (see _sample_token_budget_serial, kept for the
+    equivalence test and as the oracle-SQL reference semantics).
     """
+    h = _hash_key(id_col, salt)
+    rng = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    withb = df.withColumn("_h", h).withColumn("_rng", rng)
+
+    tok = F.coalesce(F.col(token_col), F.lit(0))  # NULL tokens count 0
+    bucket_sums = withb.groupBy(*strata_cols, "_rng").agg(
+        F.sum(tok).alias("_bsum")
+    )
+    w_off = (
+        Window.partitionBy(*strata_cols)
+        .orderBy(F.col("_rng").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bucket_sums.select(
+        *strata_cols,
+        "_rng",
+        F.coalesce(F.sum("_bsum").over(w_off), F.lit(0)).alias("_off"),
+    )
+
+    w_local = Window.partitionBy(*strata_cols, "_rng").orderBy(
+        F.col("_h").asc(), F.col(id_col).asc()
+    )
+    cum_local = F.sum(tok).over(
+        w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        withb.join(F.broadcast(offsets), [*strata_cols, "_rng"])
+        .withColumn("_cum_tokens", cum_local + F.col("_off"))
+        .filter(F.col("_cum_tokens") <= budget_per_stratum)
+        .drop("_h", "_rng", "_off", "_cum_tokens")
+    )
+
+
+def _sample_token_budget_serial(
+    df: DataFrame,
+    strata_cols: list[str],
+    id_col: str,
+    token_col: str,
+    budget_per_stratum: int,
+    *,
+    salt: str = "v1",
+) -> DataFrame:
+    """Reference semantics of :func:`sample_token_budget` as one serial
+    window per stratum — what the DuckDB oracle expresses in SQL.  Kept
+    ONLY for the equivalence test; the distributed form above is the API."""
     w = Window.partitionBy(*strata_cols).orderBy(
         _hash_key(id_col, salt).asc(), F.col(id_col).asc()
     )
