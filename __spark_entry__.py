@@ -665,6 +665,37 @@ def q_bpe_pairs(spark, sf_dir):
     return X.bpe_pair_counts(docs, "text", top_n=100)
 
 
+# Training-order-consistent merge table for q_bpe_token_counts (every
+# multi-char operand is a prior merge's output; validated at call time).
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("o", "n"),
+    ("e", "r"), ("a", "t"), ("e", "n"), ("o", "r"), ("an", "d"),
+    ("in", "g"), ("e", "s"), ("t", "o"), ("o", "u"), ("ou", "r"),
+]
+
+
+def _bpe_oracle_seg_sql(word_expr: str) -> str:
+    """DuckDB replay of functions.text.bpe_segment: delimited-symbol
+    string (chr(30)-wrapped chars) then one replace() pass per merge in
+    rank order — byte-identical semantics to the Spark expression."""
+    s = "chr(30)"
+    out = (f"regexp_replace(replace({word_expr}, chr(30), ''), "
+           f"'(.)', {s} || '\\1' || {s}, 'g')")
+    for a, b in _BPE_MERGES:
+        out = (f"replace({out}, {s}||'{a}'||{s}||{s}||'{b}'||{s}, "
+               f"{s}||'{a}{b}'||{s})")
+    return out
+
+
+def q_bpe_token_counts(spark, sf_dir):
+    """Tokenizer APPLICATION: exact per-document BPE token counts under a
+    learned merge table (rank-ordered replace passes over the
+    distinct-word vocabulary, joined back weighted by word frequency).
+    The DuckDB oracle replays every merge pass byte-identically."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.bpe_token_counts(docs, "doc_id", "text", _BPE_MERGES)
+
+
 def q_outlier_stats(spark, sf_dir):
     """Per-group numeric outlier counts (z-score + Tukey IQR fences) with
     6dp-rounded fence statistics so any engine re-derives identical
@@ -825,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "token_budget_sample": q_token_budget_sample,
         "bpe_pairs": q_bpe_pairs,
+        "bpe_token_counts": q_bpe_token_counts,
         "outlier_stats": q_outlier_stats,
         "sessions": q_sessions,
         "fd_check": q_fd_check,
@@ -1435,6 +1467,23 @@ def oracle_sql() -> dict[str, str]:
             )
             select pair, sum(wn)::bigint as n from pairs group by 1
             order by n desc, pair asc limit 100
+        """,
+        "bpe_token_counts": f"""
+            with w as (
+              select doc_id, unnest(list_filter(
+                       string_split_regex(trim(text), '\\s+'), t -> t <> '')) as w
+              from documents
+            ), wc as (
+              select doc_id, w, count(*) as c from w group by 1, 2
+            ), vocab as (
+              select w,
+                     cast((length(seg) - length(replace(seg, chr(30), ''))) / 2
+                          as bigint) as n_tok
+              from (select w, {_bpe_oracle_seg_sql("w")} as seg
+                    from (select distinct w from wc))
+            )
+            select wc.doc_id, cast(sum(wc.c * vocab.n_tok) as bigint) as n_bpe_tokens
+            from wc join vocab using (w) group by 1
         """,
         "outlier_stats": """
             with s as (

@@ -198,3 +198,90 @@ def vocabulary(df, text_col: str, *, top_n: int = 1000, min_count: int = 1):
         .filter(F.col("n") >= min_count)
     )
     return counted.orderBy(F.col("n").desc(), F.col("token").asc()).limit(top_n)
+
+
+# ----------------------------------------------------------------- BPE apply
+
+#: Symbol delimiter for the delimited-symbol BPE representation.  Chosen
+#: outside the printable range; any occurrence in input words is stripped
+#: before segmentation (documented, mirrored by the DuckDB oracle).
+BPE_SEP = "\x1e"
+
+
+def validate_bpe_merges(merges: list[tuple[str, str]]) -> None:
+    """Reject merge tables that are not training-order consistent: every
+    multi-character operand must be the output of an EARLIER merge.  This
+    is exactly the invariant a real BPE trainer produces, and it is what
+    makes rank-ordered single-pass application (``bpe_segment``)
+    equivalent to the priority-queue encoder (see test_bpe_apply.py's
+    reference implementation)."""
+    produced: set[str] = set()
+    for i, (a, b) in enumerate(merges):
+        for op in (a, b):
+            if len(op) > 1 and op not in produced:
+                raise ValueError(
+                    f"merge #{i} ({a!r},{b!r}): operand {op!r} is neither a "
+                    "base character nor produced by an earlier merge"
+                )
+        produced.add(a + b)
+
+
+def bpe_segment(col: Column, merges: list[tuple[str, str]]) -> Column:
+    """Apply a learned BPE merge table to a word column, returning the
+    delimited-symbol string (each token wrapped as ``\\x1e tok \\x1e``).
+
+    One ``replace`` pass per merge, in rank order — pure whole-stage
+    codegen, zero Python.  ``replace`` scans left-to-right and continues
+    AFTER each replacement, which is precisely greedy non-overlapping
+    single-pass merge semantics; for a training-order-consistent table
+    (``validate_bpe_merges``) the rank-ordered passes provably produce
+    the same segmentation as the priority-queue BPE encoder, because a
+    later merge can never create an adjacency consumable by an earlier
+    one (its output symbol would have to exist before it was created).
+    """
+    s = BPE_SEP
+    word = F.replace(col, F.lit(s), F.lit(""))  # delimiter cannot occur in symbols
+    out = F.regexp_replace(word, "(.)", s + "$1" + s)
+    for a, b in merges:
+        out = F.replace(out, F.lit(f"{s}{a}{s}{s}{b}{s}"), F.lit(f"{s}{a}{b}{s}"))
+    return out
+
+
+def bpe_word_token_count(col: Column, merges: list[tuple[str, str]]) -> Column:
+    """Exact BPE token count of a single word under ``merges`` (long)."""
+    seg = bpe_segment(col, merges)
+    n_sep = F.length(seg) - F.length(F.replace(seg, F.lit(BPE_SEP), F.lit("")))
+    return (n_sep / F.lit(2)).cast("long")
+
+
+def bpe_token_counts(
+    df, id_col: str, text_col: str, merges: list[tuple[str, str]]
+):
+    """Exact per-document BPE token counts under a learned merge table —
+    the tokenizer-APPLICATION stage that turns ``bpe_pair_counts``'s
+    training statistic into real token budgets for sampling/quality
+    gates (feed the result's ``n_bpe_tokens`` straight into
+    ``operators.sampling.sample_token_budget`` or gopher bounds).
+
+    Scale shape: BPE segmentation of a whitespace word depends only on
+    the word, so the merge passes run over the DISTINCT-WORD vocabulary
+    (Heaps-law bounded — ~10^8 entries at 10^12 docs, vs ~10^14 word
+    occurrences), then join back onto per-(doc, word) counts and sum.
+    Three word-count-shaped shuffles, all map-side combined; the
+    vocabulary-side merge chain is the only place the M replace passes
+    execute.  Docs with zero words are absent from the output (mirrored
+    by the oracle).
+    """
+    validate_bpe_merges(merges)
+    words = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w"))
+    wc = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        wc.select("w")
+        .distinct()
+        .withColumn("n_tok", bpe_word_token_count(F.col("w"), merges))
+    )
+    return (
+        wc.join(vocab, "w")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("c") * F.col("n_tok")).cast("long").alias("n_bpe_tokens"))
+    )
