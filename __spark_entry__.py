@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from schema_validator_spark import ValidationEngine
+from schema_validator_spark.functions import classifier as QC
 from schema_validator_spark.functions import similarity as V
 from schema_validator_spark.functions import text as X
 from schema_validator_spark.operators import ann, dedup, drift, referential, uniqueness
@@ -696,6 +697,21 @@ def q_bpe_token_counts(spark, sf_dir):
     return X.bpe_token_counts(docs, "doc_id", "text", _BPE_MERGES)
 
 
+def q_classifier_scores(spark, sf_dir):
+    """fastText-style linear quality classifier (hashed unigram+bigram
+    features, md5-derived deterministic weights, sigmoid of the mean):
+    one per-row codegen expression, zero shuffle/Python.  Scores compared
+    as 6dp-scaled longs (libm-drift-proof, per round-2 ADVICE)."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = QC.hashed_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(feats).alias("n_feats"),
+        F.round(QC.classifier_score(F.col("text")) * 1e6)
+        .cast("long").alias("score_e6"),
+    )
+
+
 def q_outlier_stats(spark, sf_dir):
     """Per-group numeric outlier counts (z-score + Tukey IQR fences) with
     6dp-rounded fence statistics so any engine re-derives identical
@@ -857,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": q_token_budget_sample,
         "bpe_pairs": q_bpe_pairs,
         "bpe_token_counts": q_bpe_token_counts,
+        "classifier_scores": q_classifier_scores,
         "outlier_stats": q_outlier_stats,
         "sessions": q_sessions,
         "fd_check": q_fd_check,
@@ -1484,6 +1501,31 @@ def oracle_sql() -> dict[str, str]:
             )
             select wc.doc_id, cast(sum(wc.c * vocab.n_tok) as bigint) as n_bpe_tokens
             from wc join vocab using (w) group by 1
+        """,
+        "classifier_scores": r"""
+            with base as (
+              select doc_id,
+                     list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                                 t -> t <> '') as w
+              from documents
+            ), f as (
+              select doc_id,
+                     list_concat(w,
+                       case when len(w) >= 2
+                            then list_transform(range(1, len(w)),
+                                                i -> w[i] || ' ' || w[i+1])
+                            else [] end) as feats
+              from base
+            )
+            select doc_id,
+                   len(feats) as n_feats,
+                   cast(round(
+                     1.0 / (1.0 + exp(-(
+                       coalesce(list_sum(list_transform(feats,
+                         t -> (('0x' || substr(md5(t || 'qc-v1'), 1, 8))::bigint
+                               ::double / 4294967296.0) - 0.5)), 0.0)
+                       / greatest(len(feats), 1)))) * 1e6) as bigint) as score_e6
+            from f
         """,
         "outlier_stats": """
             with s as (

@@ -6,6 +6,7 @@ individual operators exist for:
       -> [optional] C4-style line cleanup (operators/clean.py)
       -> quality + language filters (functions/text.py scores)
       -> [optional] Gopher/MassiveText repetition+shape gate (functions/gopher.py)
+      -> [optional] fastText-style classifier gate (functions/classifier.py)
       -> exact dedup (fingerprint clusters, keep best quality)
       -> near-dup dedup (MinHash LSH pairs -> components -> keep best)
       -> stratified sample / train-eval split
@@ -42,6 +43,8 @@ def curate(
     spec: dict | None = None,
     min_quality: float = 0.5,
     gopher_gate: dict | None = None,
+    classifier_threshold: float | None = None,
+    classifier_seed: str = "qc-v1",
     clean: bool = False,
     allowed_langs: list[str] | None = None,
     near_dup_threshold: float = 0.8,
@@ -97,6 +100,20 @@ def curate(
             .select(id_col)
         )
         out = stage("gopher", out.join(keep_ids, on=id_col, how="left_semi"))
+
+    if classifier_threshold is not None:
+        # fastText-style learned-classifier stage (functions/classifier.py):
+        # a pure per-row expression, so it fuses into the same scan as the
+        # heuristic gates above — no join, no shuffle.
+        from ..functions import classifier as QC
+
+        out = stage(
+            "classifier",
+            out.filter(
+                QC.classifier_score(F.col(text_col), seed=classifier_seed)
+                >= classifier_threshold
+            ),
+        )
 
     if allowed_langs:
         out = stage(
