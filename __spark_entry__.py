@@ -824,7 +824,67 @@ def q_drift_psi(spark, sf_dir):
     return out.select("baseline", F.col("current").alias("curr"), "psi")
 
 
+# ---------------------------------------------------------------------------
+# 6dp scaled-long hardening (round-2 VERDICT order #6): every double-valued
+# oracle-checked output is compared as cast(round(x*1e6) as bigint) on BOTH
+# sides, so a libm last-digit flip or double-representation difference on
+# another platform can never break hash_match.  Maps each affected query to
+# (passthrough columns, double columns); both the Spark DataFrame and the
+# DuckDB SQL are wrapped mechanically from the same table.
+
+_E6_COLS: dict[str, tuple[list[str], list[str]]] = {
+    "drift_stats": (["l_returnflag", "n"], ["mean", "stddev", "min", "max"]),
+    "sketch_stats": (["event_type", "n"], ["vmin", "vmax"]),
+    "drift_psi_width": (["baseline", "curr"], ["psi"]),
+    "jaccard_pairs": (["id_a", "id_b"], ["jaccard"]),
+    "quality_scores": (["doc_id"], ["quality"]),
+    "minhash_lsh": (["id_a", "id_b"], ["jaccard"]),
+    "embedding_neardups": (["id_a", "id_b"], ["cosine"]),
+    "drift_psi": (["baseline", "curr"], ["psi"]),
+    "snapshot_drift": (["baseline", "curr"], ["psi"]),
+    "gopher_quality": (
+        ["doc_id", "n_tokens", "stopword_hits", "keep"],
+        ["mean_word_len", "symbol_ratio", "alpha_word_frac",
+         "dup_line_frac", "dup_2gram_frac", "dup_3gram_frac"],
+    ),
+    "psi_report": (["curr"], ["psi"]),
+}
+
+
+def _scale_doubles_df(df: DataFrame) -> DataFrame:
+    cols = [
+        F.round(F.col(f.name) * 1e6).cast("long").alias(f.name + "_e6")
+        if f.dataType.typeName() in ("double", "float")
+        else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    return df.select(*cols)
+
+
+def _wrap_e6_query(fn):
+    def wrapped(spark, sf_dir):
+        return _scale_doubles_df(fn(spark, sf_dir))
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
+def _wrap_e6_sql(sql: str, keep: list[str], dbls: list[str]) -> str:
+    sel = ", ".join(
+        keep + [f"cast(round(({c}) * 1e6) as bigint) as {c}_e6" for c in dbls]
+    )
+    return f"select {sel} from ({sql})"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    base = _queries_raw()
+    for name in _E6_COLS:
+        base[name] = _wrap_e6_query(base[name])
+    return base
+
+
+def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rule_violations": q_rule_violations,
         "partition_summary": q_partition_summary,
@@ -939,6 +999,13 @@ _ANN_TOP2_AUGMENTED_SQL = """
 
 
 def oracle_sql() -> dict[str, str]:
+    base = _oracle_sql_raw()
+    for name, (keep, dbls) in _E6_COLS.items():
+        base[name] = _wrap_e6_sql(base[name], keep, dbls)
+    return base
+
+
+def _oracle_sql_raw() -> dict[str, str]:
     return {
         "rule_violations": _DOC_VIOLATIONS_SQL,
         "partition_summary": f"""
