@@ -712,6 +712,47 @@ def q_classifier_scores(spark, sf_dir):
     )
 
 
+# Deterministic URL synthesis for q_url_filter: host pool exercises every
+# registered-domain branch (multi-label suffix, bare suffix, unknown TLD).
+_URL_SUFFIXES = ["com", "org", "net", "io", "uk", "co.uk", "ac.uk", "jp", "co.jp"]
+_URL_HOSTS = [
+    "www.example.com", "ads.tracker.co.uk", "good.site.org",
+    "blog.example.co.jp", "cdn.tracker.co.uk", "weird.hostlocal",
+    "co.uk", "sub.deep.example.ac.uk",
+]
+_URL_BLOCKLIST = ["example.com", "tracker.co.uk"]
+
+
+def q_url_filter(spark, sf_dir):
+    """Domain-blocklist curation: registered-domain extraction
+    (public-suffix longest match, pure codegen InSet probes) plus the
+    broadcast left_anti blocklist filter — ads.tracker.co.uk is blocked
+    by the blocklist entry tracker.co.uk regardless of subdomain.  URLs
+    synthesized deterministically from doc_id; the oracle re-derives
+    host, registered domain, and keep decision from first principles."""
+    from schema_validator_spark.functions import url as U2
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    host_pool = F.array(*[F.lit(h) for h in _URL_HOSTS])
+    df = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"),
+            F.element_at(host_pool, (F.col("doc_id") % 8 + 1).cast("int")),
+            F.lit("/p/"), F.col("doc_id"),
+        ),
+    )
+    ann = U2.annotate_domains(df, "url", _URL_SUFFIXES)
+    kept = (
+        U2.filter_blocked_domains(df, "url", _URL_BLOCKLIST, _URL_SUFFIXES)
+        .select("doc_id", F.lit(1).alias("kept"))
+    )
+    return ann.join(kept, "doc_id", "left").select(
+        "doc_id", "host", "reg_domain",
+        F.coalesce(F.col("kept"), F.lit(0)).alias("kept"),
+    )
+
+
 def q_outlier_stats(spark, sf_dir):
     """Per-group numeric outlier counts (z-score + Tukey IQR fences) with
     6dp-rounded fence statistics so any engine re-derives identical
@@ -934,6 +975,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": q_bpe_pairs,
         "bpe_token_counts": q_bpe_token_counts,
         "classifier_scores": q_classifier_scores,
+        "url_filter": q_url_filter,
         "outlier_stats": q_outlier_stats,
         "sessions": q_sessions,
         "fd_check": q_fd_check,
@@ -1593,6 +1635,33 @@ def _oracle_sql_raw() -> dict[str, str]:
                                ::double / 4294967296.0) - 0.5)), 0.0)
                        / greatest(len(feats), 1)))) * 1e6) as bigint) as score_e6
             from f
+        """,
+        "url_filter": """
+            with u as (
+              select doc_id,
+                     (['www.example.com', 'ads.tracker.co.uk', 'good.site.org',
+                       'blog.example.co.jp', 'cdn.tracker.co.uk', 'weird.hostlocal',
+                       'co.uk', 'sub.deep.example.ac.uk'])[(doc_id % 8) + 1] as host
+              from documents
+            ), p as (
+              select doc_id, host, string_split(host, '.') as pp from u
+            ), d as (
+              select doc_id, host,
+                     case
+                       when len(pp) >= 2 and array_to_string(pp[-2:], '.')
+                            in ('co.uk', 'ac.uk', 'co.jp')
+                         then case when len(pp) >= 3
+                                   then array_to_string(pp[-3:], '.') end
+                       when pp[-1] in ('com', 'org', 'net', 'io', 'uk', 'jp')
+                         then case when len(pp) >= 2
+                                   then array_to_string(pp[-2:], '.') end
+                     end as reg_domain
+              from p
+            )
+            select doc_id, host, reg_domain,
+                   case when reg_domain in ('example.com', 'tracker.co.uk')
+                        then 0 else 1 end as kept
+            from d
         """,
         "outlier_stats": """
             with s as (

@@ -1,0 +1,105 @@
+"""URL blocklist filtering + registered-domain extraction (functions/url.py)."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from schema_validator_spark.functions import url as U
+from schema_validator_spark.plans import inspect as P
+
+SUFFIXES = ["com", "org", "net", "io", "uk", "co.uk", "ac.uk", "jp", "co.jp"]
+
+
+def _domains(spark, hosts):
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    rows = df.select(
+        "host", U.registered_domain(F.col("host"), SUFFIXES).alias("d")
+    ).collect()
+    return {r["host"]: r["d"] for r in rows}
+
+
+def test_host_of(spark):
+    cases = {
+        "https://Sub.Example.COM/path?q=1": "sub.example.com",
+        "http://user:pw@example.org:8080/x": "example.org",
+        "example.net/no-scheme": "example.net",
+        "ftp://archive.example.io.": "archive.example.io",
+        None: "",
+        "": "",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r["url"]: r["h"]
+           for r in df.select("url", U.host_of(F.col("url")).alias("h")).collect()}
+    assert got == cases
+
+
+def test_registered_domain_longest_match(spark):
+    got = _domains(spark, [
+        "www.example.co.uk",      # 2-label suffix beats 1-label "uk"
+        "deep.sub.example.co.uk",
+        "example.co.uk",
+        "co.uk",                  # host IS a suffix -> nothing registrable
+        "uk",
+        "example.com",
+        "a.b.example.com",
+        "weird.hostlocal",        # unknown TLD -> NULL
+        "site.ac.uk",
+        "blog.example.co.jp",
+    ])
+    assert got["www.example.co.uk"] == "example.co.uk"
+    assert got["deep.sub.example.co.uk"] == "example.co.uk"
+    assert got["example.co.uk"] == "example.co.uk"
+    assert got["co.uk"] is None
+    assert got["uk"] is None
+    assert got["example.com"] == "example.com"
+    assert got["a.b.example.com"] == "example.com"
+    assert got["weird.hostlocal"] is None
+    assert got["site.ac.uk"] == "site.ac.uk"
+    assert got["blog.example.co.jp"] == "example.co.jp"
+
+
+def test_registered_domain_rejects_empty():
+    with pytest.raises(ValueError, match="non-empty"):
+        U.registered_domain(F.lit("x"), [])
+
+
+def test_filter_blocked_domains(spark):
+    rows = [
+        (1, "https://ads.tracker.co.uk/pixel"),   # blocked via suffix walk
+        (2, "https://tracker.co.uk/x"),           # blocked exactly
+        (3, "https://good.site.org/a"),
+        (4, "https://sub.good.site.org/b"),
+        (5, "https://unknown.hostlocal/c"),       # no reg domain
+        (6, "https://TRACKER.CO.UK/upper"),       # case-insensitive
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = sorted(
+        r["doc_id"]
+        for r in U.filter_blocked_domains(
+            df, "url", ["tracker.co.uk"], SUFFIXES
+        ).collect()
+    )
+    assert kept == [3, 4, 5]
+    dropped_unknown = sorted(
+        r["doc_id"]
+        for r in U.filter_blocked_domains(
+            df, "url", ["tracker.co.uk"], SUFFIXES, keep_unknown=False
+        ).collect()
+    )
+    assert dropped_unknown == [3, 4]
+    # DataFrame blocklist form, and original columns survive untouched
+    bl = spark.createDataFrame([("Tracker.co.uk",)], "d string")
+    out = U.filter_blocked_domains(df, "url", bl, SUFFIXES)
+    assert sorted(r["doc_id"] for r in out.collect()) == [3, 4, 5]
+    assert out.columns == ["doc_id", "url"]
+
+
+def test_filter_plan_is_broadcast_anti_no_corpus_shuffle(spark):
+    df = spark.range(100).withColumn(
+        "url", F.concat(F.lit("https://h"), F.col("id"), F.lit(".example.com/x"))
+    )
+    out = U.filter_blocked_domains(df, "url", ["example.com"], SUFFIXES)
+    plan = P.executed_plan(out)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert P.n_exchanges(out) == 0, plan  # corpus side never shuffles
+    assert not P.uses_python(out)
