@@ -702,13 +702,16 @@ def q_classifier_scores(spark, sf_dir):
     features, md5-derived deterministic weights, sigmoid of the mean):
     one per-row codegen expression, zero shuffle/Python.  Scores compared
     as 6dp-scaled longs (libm-drift-proof, per round-2 ADVICE)."""
-    docs = _t(spark, sf_dir, "documents")
-    feats = QC.hashed_features(F.col("text"))
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_toks", X.tokens(F.coalesce(F.col("text"), F.lit("")))
+    )
+    feats = QC.hashed_features(F.col("_toks"), pre_tokenized=True)
     return docs.select(
         "doc_id",
         F.size(feats).alias("n_feats"),
-        F.round(QC.classifier_score(F.col("text")) * 1e6)
-        .cast("long").alias("score_e6"),
+        F.round(
+            QC.classifier_score(F.col("_toks"), pre_tokenized=True) * 1e6
+        ).cast("long").alias("score_e6"),
     )
 
 

@@ -28,10 +28,20 @@ from . import text as X
 _HASH_SPACE = float(1 << 32)
 
 
-def hashed_features(col: Column) -> Column:
+def hashed_features(col: Column, *, pre_tokenized: bool = False) -> Column:
     """array<string> of word unigrams + space-joined bigrams (the
-    fastText feature set at wordNgrams=2)."""
-    toks = X.tokens(F.coalesce(col, F.lit("")))
+    fastText feature set at wordNgrams=2).
+
+    PERF: codegen CSE does not reach inside lambda scopes, so handing
+    raw text here re-runs the regex tokenization per bigram element —
+    O(tokens²) per row (the same pitfall CLAUDE.md records for gopher).
+    Materialize the token array once (``withColumn`` + ``X.tokens``) and
+    pass it with ``pre_tokenized=True``; ``classify_documents`` does
+    exactly that, raw-text input stays correct but is the slow path."""
+    if pre_tokenized:
+        toks = F.coalesce(col, F.array().cast("array<string>"))
+    else:
+        toks = X.tokens(F.coalesce(col, F.lit("")))
     n = F.size(toks)
     bigrams = F.when(
         n >= 2,
@@ -53,12 +63,13 @@ def feature_weight(feat: Column, seed: str) -> Column:
 
 
 def classifier_logit(
-    col: Column, *, seed: str = "qc-v1", bias: float = 0.0
+    col: Column, *, seed: str = "qc-v1", bias: float = 0.0,
+    pre_tokenized: bool = False,
 ) -> Column:
     """Linear score before the sigmoid: bias + mean feature weight
     (mean, not sum — fastText normalizes by feature count so score is
     length-invariant).  Zero features -> logit = bias."""
-    feats = hashed_features(col)
+    feats = hashed_features(col, pre_tokenized=pre_tokenized)
     total = F.aggregate(
         feats,
         F.lit(0.0),
@@ -68,10 +79,11 @@ def classifier_logit(
 
 
 def classifier_score(
-    col: Column, *, seed: str = "qc-v1", bias: float = 0.0
+    col: Column, *, seed: str = "qc-v1", bias: float = 0.0,
+    pre_tokenized: bool = False,
 ) -> Column:
     """Quality probability in (0, 1): sigmoid(classifier_logit)."""
-    z = classifier_logit(col, seed=seed, bias=bias)
+    z = classifier_logit(col, seed=seed, bias=bias, pre_tokenized=pre_tokenized)
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 
@@ -87,8 +99,18 @@ def classify_documents(
     """Append the classifier score (and, given a threshold, a ``keep``
     flag).  Per-row expression only — composes into any plan without a
     shuffle."""
-    out = df.withColumn(
-        out_col, classifier_score(F.col(text_col), seed=seed, bias=bias)
+    toks_col = "_qc_toks"
+    while toks_col in df.columns:  # collision-proof temp name
+        toks_col += "_"
+    out = (
+        df.withColumn(toks_col, X.tokens(F.coalesce(F.col(text_col), F.lit(""))))
+        .withColumn(
+            out_col,
+            classifier_score(
+                F.col(toks_col), seed=seed, bias=bias, pre_tokenized=True
+            ),
+        )
+        .drop(toks_col)
     )
     if threshold is not None:
         out = out.withColumn(out_col + "_keep", F.col(out_col) >= F.lit(threshold))

@@ -109,10 +109,9 @@ def curate(
 
         out = stage(
             "classifier",
-            out.filter(
-                QC.classifier_score(F.col(text_col), seed=classifier_seed)
-                >= classifier_threshold
-            ),
+            QC.classify_documents(out, text_col, seed=classifier_seed)
+            .filter(F.col("qc_score") >= classifier_threshold)
+            .drop("qc_score"),
         )
 
     if allowed_langs:
