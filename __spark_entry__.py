@@ -756,6 +756,23 @@ def q_url_filter(spark, sf_dir):
     )
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style perplexity filter stage: add-alpha bigram LM trained
+    on the English slice, every document scored by mean negative
+    log-likelihood (broadcast LM joins — the corpus side never
+    shuffles).  Oracle replays training AND scoring; NLL compared as a
+    6dp-scaled long."""
+    from schema_validator_spark.operators import lm as LMOD
+
+    docs = _t(spark, sf_dir, "documents")
+    model = LMOD.train_bigram_lm(docs.filter(F.col("lang") == "en"), "text")
+    out = LMOD.perplexity_scores(docs, "doc_id", "text", model, alpha=0.1)
+    return out.select(
+        "doc_id", "n_bigrams",
+        F.round(F.col("nll") * 1e6).cast("long").alias("nll_e6"),
+    )
+
+
 def q_outlier_stats(spark, sf_dir):
     """Per-group numeric outlier counts (z-score + Tukey IQR fences) with
     6dp-rounded fence statistics so any engine re-derives identical
@@ -979,6 +996,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": q_bpe_token_counts,
         "classifier_scores": q_classifier_scores,
         "url_filter": q_url_filter,
+        "lm_perplexity": q_lm_perplexity,
         "outlier_stats": q_outlier_stats,
         "sessions": q_sessions,
         "fd_check": q_fd_check,
@@ -1638,6 +1656,38 @@ def _oracle_sql_raw() -> dict[str, str]:
                                ::double / 4294967296.0) - 0.5)), 0.0)
                        / greatest(len(feats), 1)))) * 1e6) as bigint) as score_e6
             from f
+        """,
+        "lm_perplexity": r"""
+            with tok as (
+              select doc_id, lang,
+                     list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                                 t -> t <> '') as w
+              from documents
+            ), refbg as (
+              select w[i] as prev, w[i+1] as cur from (
+                select w, unnest(range(1, len(w))) as i
+                from tok where lang = 'en' and len(w) >= 2)
+            ), bg as (
+              select prev, cur, count(*) as cbg from refbg group by 1, 2
+            ), ug as (
+              select tkn as wd, count(*) as cug from (
+                select unnest(w) as tkn from tok where lang = 'en') group by 1
+            ), vv as (
+              select count(*) as v from ug
+            ), tgt as (
+              select doc_id, w[i] as prev, w[i+1] as cur from (
+                select doc_id, w, unnest(range(1, len(w))) as i
+                from tok where len(w) >= 2)
+            )
+            select doc_id, count(*) as n_bigrams,
+                   cast(round(-avg(ln(
+                     (coalesce(cbg, 0) + 0.1) / (coalesce(cug, 0) + 0.1 * v)
+                   )) * 1e6) as bigint) as nll_e6
+            from tgt
+            left join bg using (prev, cur)
+            left join ug on tgt.prev = ug.wd
+            cross join vv
+            group by 1
         """,
         "url_filter": """
             with u as (
