@@ -773,6 +773,65 @@ def q_lm_perplexity(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (kdb/pandas/DuckDB semantics, backward-inclusive):
+    every purchase event enriched with the latest tier update
+    at-or-before it — union-window plan, ONE shuffle, no join node.
+    Updates synthesized from events (event_id % 10 == 0), deduped per
+    (user, ts) by max update_id on both sides; oracle is DuckDB's native
+    ASOF LEFT JOIN.  Timestamps compared as exact epoch microseconds."""
+    from schema_validator_spark.operators import temporal as T
+
+    ev = _t(spark, sf_dir, "events")
+    updates = (
+        ev.filter(F.col("event_id") % 10 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("update_id"))
+        .withColumn("tier", F.col("update_id") % 3)
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = T.asof_join(purchases, updates, ["user_id"], "ts")
+    # no-match rows surface as -1, not NULL: nullable BIGINTs decay to
+    # float64/NaN through pandas-based comparators
+    return out.select(
+        "event_id", "user_id",
+        F.coalesce(F.col("update_id"), F.lit(-1)).alias("update_id"),
+        F.coalesce(F.col("tier"), F.lit(-1)).alias("tier"),
+        F.coalesce(
+            F.unix_micros(F.col("ts_right").cast("timestamp")), F.lit(-1)
+        ).alias("matched_ts_us"),  # UTC session -> DuckDB epoch_us-identical
+    )
+
+
+def q_range_join(spark, sf_dir):
+    """Range join (click -> purchase by the same user within one hour,
+    bounds inclusive) as a binned EQUI-join — never a nested loop; bins
+    and the final predicate both in exact integer microseconds.  Oracle
+    is DuckDB's native inequality join."""
+    from schema_validator_spark.operators import temporal as T
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts").alias("ts_click"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("ts_purchase"),
+    )
+    out = T.range_join_binned(
+        clicks, purchases, ["user_id"], "ts_click", "ts_purchase",
+        lower_seconds=0, upper_seconds=3600,
+    )
+    return out.select(
+        "click_id", "purchase_id", "user_id",
+        (F.unix_micros(F.col("ts_purchase").cast("timestamp"))
+         - F.unix_micros(F.col("ts_click").cast("timestamp"))).alias("delta_us"),
+    )
+
+
 def q_outlier_stats(spark, sf_dir):
     """Per-group numeric outlier counts (z-score + Tukey IQR fences) with
     6dp-rounded fence statistics so any engine re-derives identical
@@ -997,6 +1056,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_scores": q_classifier_scores,
         "url_filter": q_url_filter,
         "lm_perplexity": q_lm_perplexity,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "outlier_stats": q_outlier_stats,
         "sessions": q_sessions,
         "fd_check": q_fd_check,
@@ -1688,6 +1749,33 @@ def _oracle_sql_raw() -> dict[str, str]:
             left join ug on tgt.prev = ug.wd
             cross join vv
             group by 1
+        """,
+        "asof_join": """
+            with u as (
+              select user_id, ts, max(event_id) as update_id
+              from events where event_id % 10 = 0 group by 1, 2
+            ), uu as (
+              select user_id, ts, update_id, update_id % 3 as tier from u
+            ), p as (
+              select event_id, user_id, ts from events
+              where event_type = 'purchase'
+            )
+            select p.event_id, p.user_id,
+                   coalesce(uu.update_id, -1) as update_id,
+                   coalesce(uu.tier, -1) as tier,
+                   coalesce(epoch_us(uu.ts), -1) as matched_ts_us
+            from p asof left join uu
+              on p.user_id = uu.user_id and p.ts >= uu.ts
+        """,
+        "range_join": """
+            select c.event_id as click_id, p.event_id as purchase_id,
+                   c.user_id,
+                   epoch_us(p.ts) - epoch_us(c.ts) as delta_us
+            from (select * from events where event_type = 'click') c
+            join (select * from events where event_type = 'purchase') p
+              on c.user_id = p.user_id
+             and p.ts >= c.ts
+             and epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
         """,
         "url_filter": """
             with u as (
