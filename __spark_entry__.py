@@ -512,6 +512,36 @@ def q_embedding_neardups(spark, sf_dir):
     )
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) over the embeddings corpus with
+    planted duplicate GROUPS: a 1.5x-scaled copy for vec_id % 3 == 0
+    (pairs) and an extra 0.75x copy for vec_id % 9 == 0 (triplets).
+    Positive scaling preserves the normalized vector exactly, so every
+    group member shares the k-means cluster and collides at cosine 1.0;
+    the base corpus's max natural pair (~0.52, margin-gated in
+    tests/test_entry_oracle.py) sits far below the 0.99 threshold, so
+    the planted groups are the COMPLETE pair set and the oracle derives
+    every keep/drop decision from first principles (survivor = min id)."""
+    embs = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    c1 = embs.filter(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.5).alias("embedding"),
+    )
+    c2 = embs.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 2000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 0.75).alias("embedding"),
+    )
+    corpus = embs.unionByName(c1).unionByName(c2)
+    kept = dedup.semdedup(
+        corpus, "vec_id", "embedding", cosine_threshold=0.99, nlist=8
+    )
+    return corpus.join(
+        kept.select("vec_id", F.lit(1).alias("kept")), "vec_id", "left"
+    ).select("vec_id", F.coalesce("kept", F.lit(0)).alias("kept"))
+
+
 def q_gopher_quality(spark, sf_dir):
     """Gopher/MassiveText quality + repetition signals per document plus
     the combined keep decision — the standard pre-training quality gate,
@@ -1043,6 +1073,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_ann": q_srp_ann,
         "ivf_ann": q_ivf_ann,
         "embedding_neardups": q_embedding_neardups,
+        "semdedup": q_semdedup,
         "drift_psi": q_drift_psi,
         "snapshot_drift": q_snapshot_drift,
         "clean_docs": q_clean_docs,
@@ -1749,6 +1780,13 @@ def _oracle_sql_raw() -> dict[str, str]:
             left join ug on tgt.prev = ug.wd
             cross join vv
             group by 1
+        """,
+        "semdedup": """
+            select vec_id, 1 as kept from embeddings
+            union all
+            select vec_id + 1000000, 0 from embeddings where vec_id % 3 = 0
+            union all
+            select vec_id + 2000000, 0 from embeddings where vec_id % 9 = 0
         """,
         "asof_join": """
             with u as (

@@ -729,3 +729,88 @@ def embedding_near_duplicates(
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= cosine_threshold)
     )
+
+
+# ---------------------------------------------------------------- SemDeDup
+
+def semdedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    cosine_threshold: float = 0.95,
+    nlist: int = 16,
+    train_sample: int = 100_000,
+    iters: int = 10,
+    seed: int = 42,
+    max_cluster_size: int | None = None,
+    log_dropped: bool = True,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) candidate stage: k-means-cluster the
+    embedding space (sampled spherical k-means, reusing ``ann.ivf_build``),
+    then exact all-pairs cosine WITHIN each cluster only — the clusters
+    bound the quadratic blowup, which is the paper's whole trick.
+
+    Returns (id_a, id_b, cosine) for within-cluster pairs at or above
+    the threshold.  Identical-direction vectors always share a cluster
+    (same normalized vector -> same argmax over centroids), so exact
+    duplicates are never missed; near-dups split across a cluster
+    boundary are missed by construction, exactly as in the paper.
+
+    Scale: cost is Σ c_i² over cluster sizes — ``nlist`` must grow with
+    the corpus (the paper uses ~10^5 clusters for 10^9 docs) and
+    ``max_cluster_size`` caps degenerate clusters the same way the LSH
+    tiers cap hot buckets (drops logged, never silent).
+    """
+    from . import ann as A
+
+    listed, _cent = A.ivf_build(
+        df, corpus_id=id_col, corpus_vec=vec_col, nlist=nlist,
+        train_sample=train_sample, iters=iters, seed=seed,
+    )
+    base = listed.select(
+        F.col("vec_id").alias("_id"), "_list",
+        V.normalize(F.col("_cv")).alias("_vn"),
+    )
+    capped = _cap_hot_buckets(
+        base, ["_list"], max_cluster_size,
+        what="semdedup cluster", log_dropped=log_dropped,
+    )
+    a = capped.select(
+        F.col("_id").alias("id_a"), "_list", F.col("_vn").alias("_va"))
+    b = capped.select(
+        F.col("_id").alias("id_b"), "_list", F.col("_vn").alias("_vb"))
+    return (
+        a.join(b, "_list")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", V.dot(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine") >= cosine_threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    cosine_threshold: float = 0.95,
+    nlist: int = 16,
+    train_sample: int = 100_000,
+    iters: int = 10,
+    seed: int = 42,
+    max_cluster_size: int | None = None,
+    log_dropped: bool = True,
+) -> DataFrame:
+    """Full SemDeDup pass: cluster-scoped near-dup pairs -> connected
+    components -> ONE survivor per component (lowest id — deterministic;
+    the paper keeps the lowest-centroid-similarity member instead, a
+    policy swap via ``dedup_keep_best(score_col=...)`` if desired).
+    Returns the surviving rows of ``df`` unchanged."""
+    pairs = semdedup_pairs(
+        df, id_col, vec_col, cosine_threshold=cosine_threshold, nlist=nlist,
+        train_sample=train_sample, iters=iters, seed=seed,
+        max_cluster_size=max_cluster_size, log_dropped=log_dropped,
+    )
+    clusters = cluster_pairs(pairs)
+    return dedup_keep_best(df, clusters, id_col)

@@ -589,3 +589,72 @@ def test_bpe_pair_counts(spark):
     got = {r["pair"]: r["n"] for r in X.bpe_pair_counts(df, "text").collect()}
     # 'abab' occurs 3x -> pairs ab,ba,ab per occurrence; 'cd' once
     assert got["ab"] == 6 and got["ba"] == 3 and got["cd"] == 1
+
+
+def test_semdedup_planted_groups(spark):
+    """SemDeDup over synthetic clustered embeddings with planted
+    duplicate groups of size 2 and 3: exactly one survivor (min id) per
+    group, every non-planted vector untouched, pairs match a brute-force
+    numpy replay."""
+    import numpy as np
+
+    from schema_validator_spark.operators import dedup as D
+
+    rng = np.random.RandomState(11)
+    # 6 well-separated direction clusters, 40 vectors each
+    centers = rng.randn(6, 16)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(240):
+        v = centers[i % 6] + 0.05 * rng.randn(16)
+        rows.append((i, [float(x) for x in v]))
+    # planted groups: copies (scaled -> cosine exactly 1.0)
+    for i in range(0, 240, 10):        # pair partner
+        rows.append((1000 + i, [float(x * 1.5) for x in rows[i][1]]))
+    for i in range(0, 240, 30):        # triplet third member
+        rows.append((2000 + i, [float(x * 0.5) for x in rows[i][1]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # brute-force ground truth at the chosen threshold
+    X = np.array([r[1] for r in rows])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sims = Xn @ Xn.T
+    ids = [r[0] for r in rows]
+    thr = 0.999
+    true_pairs = {
+        (min(ids[i], ids[j]), max(ids[i], ids[j]))
+        for i in range(len(ids)) for j in range(i + 1, len(ids))
+        if sims[i, j] >= thr
+    }
+    # the planted groups must be the ONLY pairs at this threshold
+    assert all(a < 1000 <= b or (1000 <= a < 2000 <= b) for a, b in true_pairs)
+
+    survivors = sorted(
+        r["vec_id"] for r in
+        D.semdedup(df, "vec_id", "embedding", cosine_threshold=thr,
+                   nlist=6, seed=7).collect()
+    )
+    # expected: every base id survives; all planted copies dropped
+    assert survivors == sorted(i for i in ids if i < 1000)
+
+    got_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.semdedup_pairs(df, "vec_id", "embedding",
+                                  cosine_threshold=thr, nlist=6,
+                                  seed=7).collect()
+    }
+    assert got_pairs == true_pairs
+
+
+def test_semdedup_cluster_cap_logs_drops(spark):
+    from schema_validator_spark.operators import dedup as D
+
+    rows = [(i, [1.0, 0.0, 0.0]) for i in range(50)]  # one degenerate cluster
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # cap semantics (same as every LSH tier): a bucket over the cap is
+    # EXCLUDED from pair generation entirely, with the drop logged
+    pairs = D.semdedup_pairs(df, "vec_id", "embedding", nlist=2,
+                             max_cluster_size=10, log_dropped=True)
+    assert pairs.count() == 0
+    uncapped = D.semdedup_pairs(df, "vec_id", "embedding", nlist=2)
+    assert uncapped.count() == 50 * 49 / 2

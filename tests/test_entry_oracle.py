@@ -139,6 +139,26 @@ def test_jaccard_pairs_banding_margin(duck):
     _assert_banding_margin(duck, sql, r=2, bands=16, what="jaccard_pairs")
 
 
+def test_semdedup_cosine_margin(duck):
+    """q_semdedup's exactness claim: no NATURAL pair of base embeddings
+    reaches the 0.99 threshold (planted groups are then the complete
+    pair set).  Checked with a numpy all-pairs matmul at this SF."""
+    import numpy as np
+
+    X = np.array(
+        duck.sql("select embedding from embeddings order by vec_id")
+        .df()["embedding"].tolist(),
+        dtype=float,
+    )
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    sims = Xn @ Xn.T
+    np.fill_diagonal(sims, -1.0)
+    assert sims.max() < 0.99 - 0.15, (
+        f"max natural cosine {sims.max():.4f} too close to the 0.99 "
+        "threshold — semdedup exactness claim unsafe at this SF"
+    )
+
+
 def test_rows_only_queries_run(spark):
     """Rows-only queries must at least execute and return a stable schema."""
     oracles = set(entry_mod.oracle_sql())
