@@ -928,6 +928,22 @@ def q_token_budget_sample(spark, sf_dir):
     return out.select("doc_id", "lang", "n_tokens")
 
 
+def q_temperature_sample(spark, sf_dir):
+    """Temperature mixture reweighting (mT5/XLM-R alpha sampling,
+    alpha = 1/T): per-language keep probabilities ∝ n^(1/T), rounded
+    6dp, applied as deterministic md5-hash acceptance — the corpus never
+    shuffles (one tiny count agg broadcast back).  T=2 boosts the
+    smaller language slices; oracle replays counts, tempering, and every
+    acceptance decision exactly."""
+    from schema_validator_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = sampling.temperature_sample(
+        docs, ["lang"], "doc_id", temperature=2.0, target_fraction=0.3
+    )
+    return out.select("doc_id", "lang")
+
+
 def q_incremental_validation(spark, sf_dir):
     """Incremental validation over a snapshot table: commit 1 = click
     events, commit 2 appends purchase events; the manifest file-delta
@@ -1074,6 +1090,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": q_ivf_ann,
         "embedding_neardups": q_embedding_neardups,
         "semdedup": q_semdedup,
+        "temperature_sample": q_temperature_sample,
         "drift_psi": q_drift_psi,
         "snapshot_drift": q_snapshot_drift,
         "clean_docs": q_clean_docs,
@@ -1780,6 +1797,22 @@ def _oracle_sql_raw() -> dict[str, str]:
             left join ug on tgt.prev = ug.wd
             cross join vv
             group by 1
+        """,
+        "temperature_sample": """
+            with c as (
+              select lang, count(*) as ns from documents group by 1
+            ), t as (
+              select sum(pow(ns, 0.5)) as qsum, sum(ns) as ntot from c
+            ), p as (
+              select lang,
+                     round(least(0.3 * ntot * pow(ns, 0.5) / (qsum * ns), 1.0),
+                           6) as ps
+              from c, t
+            )
+            select d.doc_id, d.lang
+            from documents d join p on d.lang = p.lang
+            where ('0x' || substr(md5(cast(d.doc_id as varchar) || 'v1'), 1, 8))
+                  ::bigint::double / 4294967296.0 < p.ps
         """,
         "semdedup": """
             select vec_id, 1 as kept from embeddings

@@ -160,3 +160,68 @@ def split_train_eval(
     cutoff = int(eval_fraction * 65536)
     is_eval = bucket < cutoff
     return df.filter(~is_eval), df.filter(is_eval)
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    id_col: str,
+    *,
+    temperature: float,
+    target_fraction: float,
+    salt: str = "v1",
+) -> DataFrame:
+    """Temperature-based mixture reweighting (the multilingual /
+    multi-source standard: sample stratum s with probability
+    ∝ n_s^(1/T), so T=1 keeps natural proportions and T→∞ flattens the
+    mixture — mT5/XLM-R's alpha sampling with alpha = 1/T).
+
+    Expected kept rows ≈ target_fraction · |df|, allocated across
+    strata by the tempered weights; per-row keep decisions are
+    DETERMINISTIC hash acceptance (md5-uniform(id ∥ salt) < p_s, no RNG
+    state), so any engine reproduces the exact row set.  p_s is rounded
+    to 6dp before the comparison — the acceptance boundary is then a
+    grid value identical across engines regardless of pow() libm ulps.
+
+    Scale shape: one tiny per-stratum count aggregate broadcast back
+    onto the corpus (the corpus itself never shuffles), then a per-row
+    filter — a single scan at any size.  Oversubscribed strata
+    (p_s ≥ 1) keep every row, exactly like the temperature formula says.
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    if not 0 < target_fraction <= 1:
+        raise ValueError("target_fraction must be in (0, 1]")
+
+    counts = df.groupBy(*strata_cols).agg(F.count(F.lit(1)).alias("_ns"))
+    tempered = counts.withColumn(
+        "_qs", F.pow(F.col("_ns").cast("double"), F.lit(1.0 / temperature))
+    )
+    totals = tempered.agg(
+        F.sum("_qs").alias("_qsum"), F.sum("_ns").alias("_ntot")
+    )
+    probs = (
+        tempered.join(F.broadcast(totals))
+        .withColumn(
+            "_ps",
+            F.round(
+                F.least(
+                    F.lit(target_fraction)
+                    * F.col("_ntot") * F.col("_qs")
+                    / (F.col("_qsum") * F.col("_ns")),
+                    F.lit(1.0),
+                ),
+                6,
+            ),
+        )
+        .select(*strata_cols, "_ps")
+    )
+    u = (
+        F.conv(F.substring(_hash_key(id_col, salt), 1, 8), 16, 10)
+        .cast("double") / F.lit(4294967296.0)
+    )
+    return (
+        df.join(F.broadcast(probs), strata_cols)
+        .filter(u < F.col("_ps"))
+        .drop("_ps")
+    )

@@ -658,3 +658,60 @@ def test_semdedup_cluster_cap_logs_drops(spark):
     assert pairs.count() == 0
     uncapped = D.semdedup_pairs(df, "vec_id", "embedding", nlist=2)
     assert uncapped.count() == 50 * 49 / 2
+
+
+def test_temperature_sample(spark):
+    """Temperature mixture sampling: deterministic hash acceptance,
+    tempered allocation (T>1 boosts small strata), exact Python replay."""
+    import hashlib
+
+    import pytest
+    from schema_validator_spark.operators import sampling
+
+    rows = (
+        [(i, "web") for i in range(4000)]
+        + [(10_000 + i, "code") for i in range(400)]
+        + [(20_000 + i, "wiki") for i in range(40)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+
+    def replay(temperature, frac):
+        ns = {"web": 4000, "code": 400, "wiki": 40}
+        qs = {k: v ** (1.0 / temperature) for k, v in ns.items()}
+        qsum, ntot = sum(qs.values()), sum(ns.values())
+        ps = {k: round(min(frac * ntot * qs[k] / (qsum * ns[k]), 1.0), 6)
+              for k in ns}
+        kept = []
+        for did, src in rows:
+            h = hashlib.md5((str(did) + "v1").encode()).hexdigest()[:8]
+            if int(h, 16) / 4294967296.0 < ps[src]:
+                kept.append(did)
+        return sorted(kept)
+
+    for T, frac in [(1.0, 0.25), (3.0, 0.25), (100.0, 0.5)]:
+        got = sorted(
+            r["doc_id"]
+            for r in sampling.temperature_sample(
+                df, ["src"], "doc_id", temperature=T, target_fraction=frac
+            ).collect()
+        )
+        assert got == replay(T, frac), (T, frac)
+
+    # T=1 ~ natural proportions; T=3 shifts share toward small strata
+    k1 = sampling.temperature_sample(df, ["src"], "doc_id",
+                                     temperature=1.0, target_fraction=0.25)
+    k3 = sampling.temperature_sample(df, ["src"], "doc_id",
+                                     temperature=3.0, target_fraction=0.25)
+    n1 = {r["src"]: r["n"] for r in k1.groupBy("src").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    n3 = {r["src"]: r["n"] for r in k3.groupBy("src").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert n3.get("wiki", 0) > n1.get("wiki", 0)
+    assert n3["web"] < n1["web"]
+
+    with pytest.raises(ValueError):
+        sampling.temperature_sample(df, ["src"], "doc_id",
+                                    temperature=0, target_fraction=0.5)
+    with pytest.raises(ValueError):
+        sampling.temperature_sample(df, ["src"], "doc_id",
+                                    temperature=1, target_fraction=0)
