@@ -786,6 +786,24 @@ def q_url_filter(spark, sf_dir):
     )
 
 
+def q_time_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate: hour/day/month rollups per
+    event_type in one unioned plan, coarse grains merging the finer
+    grain's (count,sum,min,max) partials instead of re-scanning events.
+    NULL values filtered on both sides (a pure-NULL bucket would emit a
+    NULL vsum, which decays to NaN through pandas comparators)."""
+    from schema_validator_spark.operators import rollup as RU
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    out = RU.rollup_timeseries(ev, "ts", ["event_type"], "value")
+    return out.select(
+        "grain", "event_type",
+        F.unix_micros(F.col("bucket_start").cast("timestamp"))
+        .alias("bucket_us"),
+        "n", "vsum", "vmin", "vmax",
+    )
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style perplexity filter stage: add-alpha bigram LM trained
     on the English slice, every document scored by mean negative
@@ -1014,6 +1032,9 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
          "dup_line_frac", "dup_2gram_frac", "dup_3gram_frac"],
     ),
     "psi_report": (["curr"], ["psi"]),
+    "time_rollup": (
+        ["grain", "event_type", "bucket_us", "n"], ["vsum", "vmin", "vmax"]
+    ),
 }
 
 
@@ -1091,6 +1112,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardups": q_embedding_neardups,
         "semdedup": q_semdedup,
         "temperature_sample": q_temperature_sample,
+        "time_rollup": q_time_rollup,
         "drift_psi": q_drift_psi,
         "snapshot_drift": q_snapshot_drift,
         "clean_docs": q_clean_docs,
@@ -1797,6 +1819,24 @@ def _oracle_sql_raw() -> dict[str, str]:
             left join ug on tgt.prev = ug.wd
             cross join vv
             group by 1
+        """,
+        "time_rollup": """
+            with base as (
+              select event_type, ts, value from events where value is not null
+            )
+            select 'hour' as grain, event_type,
+                   epoch_us(date_trunc('hour', ts)) as bucket_us,
+                   count(*) as n, sum(value) as vsum,
+                   min(value) as vmin, max(value) as vmax
+            from base group by 2, 3
+            union all
+            select 'day', event_type, epoch_us(date_trunc('day', ts)),
+                   count(*), sum(value), min(value), max(value)
+            from base group by 2, 3
+            union all
+            select 'month', event_type, epoch_us(date_trunc('month', ts)),
+                   count(*), sum(value), min(value), max(value)
+            from base group by 2, 3
         """,
         "temperature_sample": """
             with c as (

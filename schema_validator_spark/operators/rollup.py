@@ -1,0 +1,79 @@
+"""Hypertable-style time-series rollup — multi-granularity continuous
+aggregates (the TimescaleDB continuous-aggregate / druid rollup shape).
+
+The scale trick: only the FINEST grain aggregates raw events; every
+coarser grain re-aggregates the previous grain's partial rows, because
+(count, sum, min, max) are all mergeable.  At 10^12 events, the hourly
+pass is the one event-scale shuffle; daily then aggregates O(hours)
+rows and monthly O(days) — effectively free.  avg/stddev derive from
+(sum, count) downstream; percentile-grade rollups would carry the
+mergeable KLL sketch from operators/sketch.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: truncation units that form a merge hierarchy (each is an exact
+#: coarsening of the previous — date_trunc(coarse, trunc(fine, ts)) ==
+#: date_trunc(coarse, ts))
+GRAIN_HIERARCHY = ["minute", "hour", "day", "month", "year"]
+
+
+def rollup_timeseries(
+    df: DataFrame,
+    ts_col: str,
+    entity_cols: list[str],
+    value_col: str,
+    *,
+    grains: tuple[str, ...] = ("hour", "day", "month"),
+) -> DataFrame:
+    """Per-(entity, time-bucket) aggregates at every requested grain, as
+    one unioned frame with a ``grain`` discriminator column.
+
+    Output: grain, *entity_cols, bucket_start (truncated timestamp),
+    n (rows), vsum, vmin, vmax.  NULL values contribute to n but not to
+    sum/min/max (standard SQL aggregate semantics on both engines).
+    Grains must appear in fine-to-coarse hierarchy order so partials
+    merge exactly.
+    """
+    order = [g for g in GRAIN_HIERARCHY if g in grains]
+    if list(grains) != order or len(set(grains)) != len(grains):
+        raise ValueError(
+            f"grains must be distinct and fine-to-coarse from "
+            f"{GRAIN_HIERARCHY}, got {list(grains)}"
+        )
+
+    finest = grains[0]
+    cur = (
+        df.groupBy(
+            *entity_cols,
+            F.date_trunc(finest, F.col(ts_col)).alias("bucket_start"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(value_col).alias("vsum"),
+            F.min(value_col).alias("vmin"),
+            F.max(value_col).alias("vmax"),
+        )
+    )
+    levels = [cur.withColumn("grain", F.lit(finest))]
+    for g in grains[1:]:
+        cur = (
+            cur.groupBy(
+                *entity_cols,
+                F.date_trunc(g, F.col("bucket_start")).alias("bucket_start"),
+            )
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("vsum").alias("vsum"),
+                F.min("vmin").alias("vmin"),
+                F.max("vmax").alias("vmax"),
+            )
+        )
+        levels.append(cur.withColumn("grain", F.lit(g)))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.select("grain", *entity_cols, "bucket_start", "n", "vsum", "vmin", "vmax")
