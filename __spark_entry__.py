@@ -390,6 +390,32 @@ def q_streaming_summary(spark, sf_dir):
     )
 
 
+def q_streaming_sessions(spark, sf_dir):
+    """Streaming sessionization via Spark's NATIVE session_window (the
+    declarative Structured Streaming path — watermarked state, no custom
+    stateful UDF), drained with availableNow.  Exact-gap events merge
+    (split only when gap is exceeded), so the DuckDB oracle is the same
+    lag/flag/cumsum session derivation as the batch tier."""
+    from schema_validator_spark.streaming.sessions import session_stats_stream
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(
+        f"{sf_dir}/events.parquet*"
+    )
+    s = session_stats_stream(stream, "user_id", "ts", gap="30 minutes",
+                             watermark_delay="2 hours")
+    q = (
+        s.writeStream.format("memory").queryName("q_stream_sessions")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table("q_stream_sessions").select(
+        "user_id",
+        F.unix_micros(F.col("session_start").cast("timestamp"))
+        .alias("session_start_us"),
+        "n_events", "duration_us",
+    )
+
+
 def q_conditional_rules(spark, sf_dir):
     """Conditional/presence family over events (required_if + max)."""
     ev = _t(spark, sf_dir, "events")
@@ -1113,6 +1139,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "temperature_sample": q_temperature_sample,
         "time_rollup": q_time_rollup,
+        "streaming_sessions": q_streaming_sessions,
         "drift_psi": q_drift_psi,
         "snapshot_drift": q_snapshot_drift,
         "clean_docs": q_clean_docs,
@@ -1819,6 +1846,31 @@ def _oracle_sql_raw() -> dict[str, str]:
             left join ug on tgt.prev = ug.wd
             cross join vv
             group by 1
+        """,
+        "streaming_sessions": """
+            with o as (
+              select user_id, event_id, ts,
+                     lag(ts) over (partition by user_id
+                                   order by ts, event_id) as pts
+              from events
+            ), f as (
+              select user_id, event_id, ts,
+                     case when pts is null
+                               or epoch_us(ts) - epoch_us(pts) > 1800000000
+                          then 1 else 0 end as flag
+              from o
+            ), s as (
+              select user_id, ts,
+                     sum(flag) over (partition by user_id
+                                     order by ts, event_id
+                                     rows unbounded preceding) as sid
+              from f
+            )
+            select user_id,
+                   epoch_us(min(ts)) as session_start_us,
+                   count(*) as n_events,
+                   epoch_us(max(ts)) - epoch_us(min(ts)) as duration_us
+            from s group by user_id, sid
         """,
         "time_rollup": """
             with base as (

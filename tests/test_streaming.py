@@ -132,3 +132,50 @@ def test_dedup_stream_within_watermark(spark, tmp_path):
     run_to_memory(out, "t_dedup_stream", output_mode="append")
     got = sorted(r["k"] for r in spark.table("t_dedup_stream").collect())
     assert got == [1, 2, 3]
+
+
+def test_session_stream_matches_batch_and_sessionize(spark, tmp_path_factory):
+    """Native session_window streaming sessions == the same call in batch
+    == the batch sessionize window algebra (n_events + duration)."""
+    import datetime as dt
+
+    from schema_validator_spark.operators import sessions as SS
+    from schema_validator_spark.streaming.sessions import session_stats_stream
+    from schema_validator_spark.streaming.validate import run_to_memory
+
+    def ts(minute):
+        return dt.datetime(2026, 1, 1) + dt.timedelta(minutes=minute)
+
+    rows = [
+        (1, 10, ts(0)), (1, 11, ts(5)),         # session 1 (user 1)
+        (1, 12, ts(45)), (1, 13, ts(50)),       # >30min gap -> session 2
+        (2, 20, ts(0)),                         # single-event session
+        (2, 21, ts(29)), (2, 22, ts(58)),       # chained: gaps < 30min merge
+    ]
+    d = str(tmp_path_factory.mktemp("sess_in"))
+    batch = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    batch.coalesce(1).write.mode("overwrite").parquet(d)
+
+    stream = spark.readStream.schema("user_id long, event_id long, ts timestamp").parquet(d)
+    out = session_stats_stream(stream, "user_id", "ts", gap="30 minutes")
+    assert out.isStreaming
+    run_to_memory(out, "t_sessions", output_mode="complete")
+    got = {
+        (r["user_id"], r["n_events"], r["duration_us"])
+        for r in spark.sql("select * from t_sessions").collect()
+    }
+    # same call on the batch frame
+    got_batch = {
+        (r["user_id"], r["n_events"], r["duration_us"])
+        for r in session_stats_stream(batch, "user_id", "ts",
+                                      gap="30 minutes").collect()
+    }
+    # batch sessionize ground truth
+    want = {
+        (r["user_id"], r["n_events"], r["duration_sec"] * 1_000_000)
+        for r in SS.session_stats(batch, "user_id", "ts", id_col="event_id",
+                                  gap_seconds=1800).collect()
+    }
+    assert got == got_batch == want
+    # user 2's chained 58-minute session survived as ONE session
+    assert (2, 2, 29 * 60 * 1_000_000) in got or (2, 3, 58 * 60 * 1_000_000) in got
