@@ -107,14 +107,19 @@ def filter_blocked_domains(
     else:
         cols = blocked_domains.columns
         blocked = blocked_domains.select(F.lower(F.col(cols[0])).alias("reg_domain"))
+    host_col, dom_col = "_host", "_reg_domain"
+    while host_col in df.columns:  # collision-proof temp names
+        host_col += "_"
+    while dom_col in df.columns:
+        dom_col += "_"
     ann = annotate_domains(
-        df, url_col, public_suffixes, host_col="_host", domain_col="_reg_domain"
+        df, url_col, public_suffixes, host_col=host_col, domain_col=dom_col
     )
     out = ann.join(
-        F.broadcast(blocked.withColumnRenamed("reg_domain", "_reg_domain")),
-        on="_reg_domain",
+        F.broadcast(blocked.withColumnRenamed("reg_domain", dom_col)),
+        on=dom_col,
         how="left_anti",
     )
     if not keep_unknown:
-        out = out.filter(F.col("_reg_domain").isNotNull())
-    return out.drop("_reg_domain", "_host")
+        out = out.filter(F.col(dom_col).isNotNull())
+    return out.drop(dom_col, host_col)

@@ -113,11 +113,21 @@ def sample_token_budget(
     cum_local = F.sum(tok).over(
         w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # null-SAFE join keys: a NULL stratum is a legitimate stratum (the
+    # serial window treats NULL as its own partition); a plain equi-join
+    # would silently drop every NULL-stratum row.
+    off = offsets
+    for c in [*strata_cols, "_rng"]:
+        off = off.withColumnRenamed(c, f"_o_{c}")
+    cond = [
+        withb[c].eqNullSafe(off[f"_o_{c}"]) for c in [*strata_cols, "_rng"]
+    ]
     return (
-        withb.join(F.broadcast(offsets), [*strata_cols, "_rng"])
+        withb.join(F.broadcast(off), cond)
         .withColumn("_cum_tokens", cum_local + F.col("_off"))
         .filter(F.col("_cum_tokens") <= budget_per_stratum)
-        .drop("_h", "_rng", "_off", "_cum_tokens")
+        .drop("_h", "_rng", "_off", "_cum_tokens",
+              *[f"_o_{c}" for c in [*strata_cols, "_rng"]])
     )
 
 
@@ -220,8 +230,14 @@ def temperature_sample(
         F.conv(F.substring(_hash_key(id_col, salt), 1, 8), 16, 10)
         .cast("double") / F.lit(4294967296.0)
     )
+    # null-safe stratum join — a NULL stratum is counted in the tempered
+    # allocation above, so it must also be sampled, not silently dropped
+    p2 = probs
+    for c in strata_cols:
+        p2 = p2.withColumnRenamed(c, f"_p_{c}")
+    cond = [df[c].eqNullSafe(p2[f"_p_{c}"]) for c in strata_cols]
     return (
-        df.join(F.broadcast(probs), strata_cols)
+        df.join(F.broadcast(p2), cond)
         .filter(u < F.col("_ps"))
-        .drop("_ps")
+        .drop("_ps", *[f"_p_{c}" for c in strata_cols])
     )

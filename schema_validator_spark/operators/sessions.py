@@ -57,9 +57,13 @@ def sessionize_chunked(
     *,
     id_col: str | None = None,
     gap_seconds: int = 1800,
-    chunk_seconds: int = 86400,
+    chunk_seconds: int | None = None,
 ) -> DataFrame:
     """Hot-entity-safe ``sessionize``: identical output, bounded tasks.
+
+    ``chunk_seconds`` defaults to ``max(1 day, 4 * gap_seconds)`` so any
+    gap is valid out of the box (the invariant chunk > gap is what makes
+    single-lag stitching sufficient).
 
     Events window by (user, chunk) where chunk = floor(epoch /
     chunk_seconds).  Because ``chunk_seconds > gap_seconds``, two events
@@ -76,6 +80,8 @@ def sessionize_chunked(
     events over a year is 365 summary rows at day chunks, never one
     task.
     """
+    if chunk_seconds is None:
+        chunk_seconds = max(86400, 4 * gap_seconds)
     if chunk_seconds <= gap_seconds:
         raise ValueError(
             f"chunk_seconds ({chunk_seconds}) must exceed gap_seconds "
@@ -138,13 +144,16 @@ def session_stats(
     *,
     id_col: str | None = None,
     gap_seconds: int = 1800,
-    chunk_seconds: int | None = 86400,
+    chunked: bool = True,
+    chunk_seconds: int | None = None,
 ) -> DataFrame:
     """Per-session rollup: (user, session_idx, n_events, duration_sec).
 
-    Uses the hot-entity-safe chunked sessionizer by default; pass
-    ``chunk_seconds=None`` for the single-window variant."""
-    if chunk_seconds is not None:
+    Uses the hot-entity-safe chunked sessionizer by default with an
+    auto-sized chunk (``max(1 day, 4 * gap)`` — always valid for any
+    gap); pass ``chunked=False`` for the single-window variant or
+    ``chunk_seconds`` to pin the chunk size."""
+    if chunked:
         s = sessionize_chunked(
             df, user_col, ts_col, id_col=id_col,
             gap_seconds=gap_seconds, chunk_seconds=chunk_seconds,

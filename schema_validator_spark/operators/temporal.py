@@ -131,6 +131,12 @@ def range_join_binned(
     lo = int(round(lower_seconds * 1_000_000))
     hi = int(round(upper_seconds * 1_000_000))
     width = hi - lo
+    if width <= 0:
+        raise ValueError(
+            "window narrower than 1 microsecond after rounding "
+            f"(lower={lower_seconds}s, upper={upper_seconds}s) — timestamps "
+            "have microsecond precision, so the bin width would be 0"
+        )
 
     clash = (set(right.columns) - set(key_cols)) & set(left.columns)
     if clash:

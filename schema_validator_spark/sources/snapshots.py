@@ -69,9 +69,15 @@ class SnapshotTable:
         while True:
             parent = self.current_snapshot_id()
             sid = parent + 1
-            visible = files if mode == "overwrite" or parent == 0 else (
-                self._manifest(parent)["files"] + files
-            )
+            if mode == "overwrite" or parent == 0:
+                visible = files
+            else:
+                try:
+                    visible = self._manifest(parent)["files"] + files
+                except ValueError:
+                    # parent was an abandoned commit claim that _manifest
+                    # just reclaimed — recompute against the real head
+                    continue
             manifest = {
                 "snapshot_id": sid,
                 "parent_id": parent or None,
@@ -132,6 +138,22 @@ class SnapshotTable:
             if body:
                 return json.loads(body)
             time.sleep(0.02)
+        # still empty: either a commit is genuinely in flight, or its owner
+        # died between claim and replace.  Reclaim dead claims (empty AND
+        # old) so one crash can never wedge the table forever; 30 s is
+        # orders of magnitude above the claim->replace window (two
+        # syscalls), and a reclaimed slot just gets re-claimed via the
+        # same O_EXCL CAS by the next committer.
+        try:
+            st = os.stat(p)
+            if st.st_size == 0 and time.time() - st.st_mtime > 30:
+                os.unlink(p)
+                raise ValueError(
+                    f"snapshot {snapshot_id} was an abandoned commit claim "
+                    "(reclaimed)"
+                )
+        except FileNotFoundError:
+            pass  # owner finished or another reader reclaimed it
         raise ValueError(f"snapshot {snapshot_id} manifest empty (commit in flight?)")
 
     def history(self) -> list[dict]:

@@ -26,8 +26,8 @@ def session_stats_stream(
     gap: str = "30 minutes",
     watermark_delay: str = "1 hour",
 ) -> DataFrame:
-    """Per-session rollup over a stream: (user, session start/end,
-    n_events, duration_sec).  A session closes — and its single final
+    """Per-session rollup over a stream: (user, session_start,
+    session_end, n_events, duration_us).  A session closes — and its single final
     row becomes emittable in append mode — once the watermark passes
     its end + gap; state is therefore bounded by (live sessions), not
     stream length.

@@ -715,3 +715,27 @@ def test_temperature_sample(spark):
     with pytest.raises(ValueError):
         sampling.temperature_sample(df, ["src"], "doc_id",
                                     temperature=1, target_fraction=0)
+
+
+def test_token_budget_and_temperature_null_stratum(spark):
+    """NULL strata are real strata: the null-safe joins must sample them
+    (the round-3 review found plain equi-joins silently dropping them)."""
+    from schema_validator_spark.operators import sampling
+
+    rows = ([(i, "web", 10) for i in range(50)]
+            + [(1000 + i, None, 10) for i in range(50)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens int")
+
+    kept = sampling.sample_token_budget(df, ["lang"], "doc_id", "n_tokens", 200)
+    by = {k: 0 for k in ("web", None)}
+    for r in kept.collect():
+        by[r["lang"]] += 1
+    assert by["web"] == 20 and by[None] == 20  # 200 tokens / 10 each
+
+    t = sampling.temperature_sample(df, ["lang"], "doc_id",
+                                    temperature=1.0, target_fraction=0.9)
+    langs = {r["lang"] for r in t.collect()}
+    assert None in langs and "web" in langs
+    # column set unchanged (no leaked temp columns)
+    assert set(t.columns) == {"doc_id", "lang", "n_tokens"}
+    assert set(kept.columns) == {"doc_id", "lang", "n_tokens"}

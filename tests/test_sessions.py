@@ -109,3 +109,15 @@ def test_sessionize_chunked_rejects_bad_chunk():
     with pytest.raises(ValueError, match="must exceed"):
         SS.sessionize_chunked(None, "u", "ts", gap_seconds=1800,
                               chunk_seconds=1800)
+
+
+def test_session_stats_large_gap_autosizes_chunk(spark):
+    """gap >= 1 day must not raise: the chunk auto-sizes to 4x the gap
+    (round-3 review: fixed-86400 default rejected day-scale gaps)."""
+    rows = [(1, 1, _ts(0)), (1, 2, _ts(60 * 24)),          # 1 day apart
+            (1, 3, _ts(60 * 24 * 5))]                       # 4 days later
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    got = {(r["user_id"], r["session_idx"]): r["n_events"]
+           for r in SS.session_stats(df, "user_id", "ts", id_col="event_id",
+                                     gap_seconds=86400).collect()}
+    assert got == {(1, 1): 2, (1, 2): 1}  # day-gap merges, 4-day gap splits

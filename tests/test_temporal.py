@@ -146,3 +146,11 @@ def test_range_join_validations(spark):
     with pytest.raises(ValueError, match="collide"):
         T.range_join_binned(df, df, ["k"], "ts", "ts",
                             lower_seconds=0, upper_seconds=1)
+
+
+def test_range_join_rejects_submicrosecond_window(spark):
+    df = spark.createDataFrame([(1, _ts(0))], "k long, ts timestamp")
+    r = df.select("k", F.col("ts").alias("ts2"))
+    with pytest.raises(ValueError, match="microsecond"):
+        T.range_join_binned(df, r, ["k"], "ts", "ts2",
+                            lower_seconds=0, upper_seconds=4e-7)
