@@ -633,6 +633,44 @@ def _gc_stale_snapshot_dirs(max_age_sec: int = 6 * 3600) -> None:
             continue
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental exact dedup across snapshot commits — ingest a new
+    'crawl' without re-deduping the corpus: commit 1 = even documents;
+    commit 2 appends odd docs + copies of every even doc (+10000,
+    cross-commit dups) + second copies of odd docs (+20000, intra-delta
+    dups).  Survivors = delta rows whose text is absent from commit 1
+    and first (lowest id) within the delta; the oracle derives that
+    relationally from raw text, so natural text collisions are handled
+    identically on both sides."""
+    import os
+    import tempfile
+
+    from schema_validator_spark.sources.snapshots import (
+        SnapshotTable, dedup_appended,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    _gc_stale_snapshot_dirs()
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"svs_incrdedup_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    t = SnapshotTable(path)
+    t.drop()
+    t = SnapshotTable(path)
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    s1 = t.commit(even)
+    delta = (
+        odd
+        .unionByName(even.select((F.col("doc_id") + 10000).alias("doc_id"), "text"))
+        .unionByName(odd.select((F.col("doc_id") + 20000).alias("doc_id"), "text"))
+    )
+    t.commit(delta, mode="append")
+    out = dedup_appended(spark, t, "text", s1)
+    return out.select("doc_id", F.md5(F.coalesce("text", F.lit(""))).alias("text_md5"))
+
+
 def q_snapshot_drift(spark, sf_dir):
     """Drift ACROSS COMMITS over a snapshot-pinned table (the Iceberg
     semantics of the north rule, manifest-based stand-in — no Iceberg
@@ -1140,6 +1178,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": q_temperature_sample,
         "time_rollup": q_time_rollup,
         "streaming_sessions": q_streaming_sessions,
+        "incremental_dedup": q_incremental_dedup,
         "drift_psi": q_drift_psi,
         "snapshot_drift": q_snapshot_drift,
         "clean_docs": q_clean_docs,
@@ -1846,6 +1885,28 @@ def _oracle_sql_raw() -> dict[str, str]:
             left join ug on tgt.prev = ug.wd
             cross join vv
             group by 1
+        """,
+        "incremental_dedup": """
+            with delta as (
+              select doc_id, text from documents where doc_id % 2 = 1
+              union all
+              select doc_id + 10000, text from documents where doc_id % 2 = 0
+              union all
+              select doc_id + 20000, text from documents where doc_id % 2 = 1
+            ), existing as (
+              select distinct coalesce(text, '') as t
+              from documents where doc_id % 2 = 0
+            ), fresh as (
+              select doc_id, text from delta
+              where coalesce(text, '') not in (select t from existing)
+            ), ranked as (
+              select doc_id, text,
+                     row_number() over (partition by coalesce(text, '')
+                                        order by doc_id) as rn
+              from fresh
+            )
+            select doc_id, md5(coalesce(text, '')) as text_md5
+            from ranked where rn = 1
         """,
         "streaming_sessions": """
             with o as (

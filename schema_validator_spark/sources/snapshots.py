@@ -239,3 +239,50 @@ def drift_across_commits(
         a.unionByName(b), value_col, "_commit",
         f"snap{snapshot_a}", f"snap{snapshot_b}", n_buckets=n_buckets,
     )
+
+
+def dedup_appended(
+    spark: SparkSession,
+    table: SnapshotTable,
+    text_col: str,
+    since_snapshot: int,
+    *,
+    id_col: str = "doc_id",
+    as_of: int | None = None,
+):
+    """Incremental exact dedup: of the rows APPENDED after
+    ``since_snapshot``, keep only those whose content hash is (a) absent
+    from the existing corpus and (b) the first occurrence within the
+    delta itself (ties by lowest id).
+
+    This is how a production pipeline ingests a new crawl without
+    re-deduping the whole corpus: the existing side reduces to a
+    DISTINCT-hash index (one narrow column off a manifest-pinned file
+    list), the delta anti-joins it, and a within-delta min-id pass
+    finishes the job.  Cost scales with |delta| + |distinct corpus
+    hashes| — never with corpus rows; at 10^12 docs the hash index is
+    the thing you'd persist/bucket between runs (write it with
+    sources.io.write_bucketed on the hash to make this anti-join
+    zero-Exchange too, the referential.py shape).
+
+    Returns the surviving delta rows (original columns).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    delta = table.read_appended(spark, since_snapshot, as_of=as_of)
+    existing = (
+        table.read(spark, since_snapshot)
+        .select(F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("_h"))
+        .distinct()
+    )
+    hashed = delta.withColumn(
+        "_h", F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
+    )
+    fresh = hashed.join(existing, "_h", "left_anti")
+    w = Window.partitionBy("_h").orderBy(F.col(id_col).asc())
+    return (
+        fresh.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_h")
+    )

@@ -102,3 +102,33 @@ def test_commit_cas_retries_on_conflict(spark, table):
                        mode="append")
     assert sid == 3  # retried past the conflicting id
     assert table.read(spark, 3).count() == 8  # winner's files + ours
+
+
+def test_dedup_appended(spark, tmp_path):
+    """Incremental exact dedup of a snapshot delta: cross-commit dups
+    drop, intra-delta dups keep the lowest id, fresh rows survive —
+    without rereading corpus rows (only its distinct hash index)."""
+    from schema_validator_spark.sources.snapshots import (
+        SnapshotTable, dedup_appended,
+    )
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    base = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id long, text string")
+    s1 = t.commit(base)
+    delta = spark.createDataFrame(
+        [
+            (10, "alpha"),   # cross-commit duplicate -> dropped
+            (11, "delta"),   # fresh
+            (12, "delta"),   # intra-delta duplicate -> 11 survives
+            (13, "epsilon"), # fresh
+            (14, None),      # NULL text: hashes as '' — fresh here
+        ],
+        "doc_id long, text string",
+    )
+    t.commit(delta, mode="append")
+    got = sorted(r["doc_id"] for r in
+                 dedup_appended(spark, t, "text", s1).collect())
+    assert got == [11, 13, 14]
+    # steady state: no new files -> empty result, not an error
+    assert dedup_appended(spark, t, "text", t.current_snapshot_id()).count() == 0
