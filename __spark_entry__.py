@@ -561,8 +561,9 @@ def q_semdedup(spark, sf_dir):
     )
     corpus = embs.unionByName(c1).unionByName(c2)
     kept = dedup.semdedup(
-        corpus, "vec_id", "embedding", cosine_threshold=0.99, nlist=8
-    )
+        corpus, "vec_id", "embedding", cosine_threshold=0.99,
+        nlist=32, iters=4,  # smaller cells halve the within-cluster
+    )                       # pair count; copies co-cluster at ANY nlist
     return corpus.join(
         kept.select("vec_id", F.lit(1).alias("kept")), "vec_id", "left"
     ).select("vec_id", F.coalesce("kept", F.lit(0)).alias("kept"))
