@@ -783,6 +783,16 @@ def _bpe_oracle_seg_sql(word_expr: str) -> str:
     return out
 
 
+def q_tfidf_keywords(spark, sf_dir):
+    """Per-document top-3 tf·idf keywords (corpus-aware salience):
+    ranking key rounded 6dp so mathematically-equal score coincidences
+    computed via different ln() sequences cannot reorder the top-k
+    across engines; ties break on token.  Oracle replays tf, df, idf,
+    rounding, and ranking."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.tfidf_keywords(docs, "doc_id", "text", top_k=3)
+
+
 def q_bpe_token_counts(spark, sf_dir):
     """Tokenizer APPLICATION: exact per-document BPE token counts under a
     learned merge table (rank-ordered replace passes over the
@@ -1100,6 +1110,7 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
     "time_rollup": (
         ["grain", "event_type", "bucket_us", "n"], ["vsum", "vmin", "vmax"]
     ),
+    "tfidf_keywords": (["doc_id", "token", "tf", "rank"], ["score"]),
 }
 
 
@@ -1190,6 +1201,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": q_token_budget_sample,
         "bpe_pairs": q_bpe_pairs,
         "bpe_token_counts": q_bpe_token_counts,
+        "tfidf_keywords": q_tfidf_keywords,
         "classifier_scores": q_classifier_scores,
         "url_filter": q_url_filter,
         "lm_perplexity": q_lm_perplexity,
@@ -1829,6 +1841,31 @@ def _oracle_sql_raw() -> dict[str, str]:
             )
             select wc.doc_id, cast(sum(wc.c * vocab.n_tok) as bigint) as n_bpe_tokens
             from wc join vocab using (w) group by 1
+        """,
+        "tfidf_keywords": r"""
+            with w as (
+              select doc_id,
+                     unnest(list_filter(string_split_regex(trim(coalesce(text, '')),
+                                                           '\s+'),
+                                        t -> t <> '')) as t
+              from documents
+            ), tf as (
+              select doc_id, t, count(*) as tf from w group by 1, 2
+            ), dfq as (
+              select t, count(*) as df_t from tf group by 1
+            ), nd as (
+              select count(*) as n_docs from documents
+            ), scored as (
+              select tf.doc_id, tf.t, tf.tf,
+                     round(tf.tf * ln(n_docs::double / df_t), 6) as score
+              from tf join dfq using (t) cross join nd
+            ), ranked as (
+              select *, row_number() over (partition by doc_id
+                                           order by score desc, t asc) as rank
+              from scored
+            )
+            select doc_id, t as token, tf, score, rank
+            from ranked where rank <= 3
         """,
         "classifier_scores": r"""
             with base as (

@@ -285,3 +285,58 @@ def bpe_token_counts(
         .groupBy(id_col)
         .agg(F.sum(F.col("c") * F.col("n_tok")).cast("long").alias("n_bpe_tokens"))
     )
+
+
+# ------------------------------------------------------------------ tf-idf
+
+def tfidf_keywords(
+    df,
+    id_col: str,
+    text_col: str,
+    *,
+    top_k: int = 5,
+    min_df: int = 1,
+    score_round: int = 6,
+):
+    """Per-document top-k keywords by tf·idf — the classic corpus-aware
+    salience score (keyword extraction / topic tagging stage).
+
+    tf = in-document term count; idf = ln(N / df_t) with N = corpus doc
+    count and df_t = docs containing t.  The ranking key is the score
+    ROUNDED to ``score_round`` dp: mathematically-equal coincidences
+    (e.g. 2·ln(125) vs ln(15625)) computed via different ln() call
+    sequences can differ by an ulp per engine, which would reorder the
+    top-k; rounding collapses them into exact ties broken by token asc.
+    Output: (id, token, tf, score, rank).
+
+    Scale shape: two word-count-shaped aggregations (per-doc tf and
+    corpus df — both map-side combined), a 1-row doc count broadcast, a
+    token-keyed join of tf against the (vocabulary-sized) idf table —
+    shuffle on token, AQE-managed — and a per-doc top-k window whose
+    partition is one document's distinct tokens (bounded by doc length,
+    never corpus-wide).
+    """
+    from pyspark.sql.window import Window
+
+    words = df.select(
+        F.col(id_col), F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("t")
+    )
+    tf = words.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df_t")).filter(
+        F.col("df_t") >= min_df
+    )
+    ndocs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    idf = dfreq.join(F.broadcast(ndocs)).select(
+        "t", F.log(F.col("n_docs") / F.col("df_t")).alias("idf")
+    )
+    scored = tf.join(idf, "t").withColumn(
+        "score", F.round(F.col("tf") * F.col("idf"), score_round)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("t").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, F.col("t").alias("token"), "tf", "score", "rank")
+    )

@@ -739,3 +739,40 @@ def test_token_budget_and_temperature_null_stratum(spark):
     # column set unchanged (no leaked temp columns)
     assert set(t.columns) == {"doc_id", "lang", "n_tokens"}
     assert set(kept.columns) == {"doc_id", "lang", "n_tokens"}
+
+
+def test_tfidf_keywords(spark):
+    """tf-idf keyword extraction: Python replay, deterministic ties,
+    min_df filter, corpus-wide tokens score 0 (never keywords over
+    rarer terms)."""
+    import math
+
+    docs = [
+        (1, "spark spark shuffle common"),
+        (2, "duck oracle common"),
+        (3, "spark oracle common common"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in X.tfidf_keywords(df, "doc_id", "text", top_k=2).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["rank"], r["token"], r["tf"], r["score"]))
+    for v in got.values():
+        v.sort()
+
+    def score(tf, dfreq):
+        return round(tf * math.log(3 / dfreq), 6)
+
+    # doc 1: spark tf=2 df=2 -> 2*ln(1.5); shuffle tf=1 df=1 -> ln(3)
+    assert got[1] == [(1, "shuffle", 1, score(1, 1)),
+                      (2, "spark", 2, score(2, 2))]
+    # doc 2: duck ln(3) beats oracle ln(1.5); 'common' df=3 scores 0
+    assert got[2] == [(1, "duck", 1, score(1, 1)),
+                      (2, "oracle", 1, score(1, 2))]
+    # doc 3: spark and oracle tie exactly (tf=1, df=2) -> token asc
+    assert got[3] == [(1, "oracle", 1, score(1, 2)),
+                      (2, "spark", 1, score(1, 2))]
+    # min_df prunes hapaxes
+    only_common = X.tfidf_keywords(df, "doc_id", "text", top_k=5, min_df=2)
+    assert {r["token"] for r in only_common.collect()} == {
+        "spark", "oracle", "common"}
