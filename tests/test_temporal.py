@@ -154,3 +154,34 @@ def test_range_join_rejects_submicrosecond_window(spark):
     with pytest.raises(ValueError, match="microsecond"):
         T.range_join_binned(df, r, ["k"], "ts", "ts2",
                             lower_seconds=0, upper_seconds=4e-7)
+
+
+def test_asof_matches_brute_force_random(spark):
+    """Randomized as-of equivalence: latest right at-or-before each left
+    row, per key — including planted exact-timestamp collisions."""
+    rng = random.Random(17)
+    lrows = [(rng.randrange(5), 1000 + i, rng.randrange(0, 10**7))
+             for i in range(200)]
+    rrows = [(rng.randrange(5), 2000 + i, rng.randrange(0, 10**7))
+             for i in range(60)]
+    # exact left==right timestamp collisions (inclusive match)
+    for j in range(10):
+        k, _, us = lrows[j]
+        rrows.append((k, 3000 + j, us))
+    left = spark.createDataFrame([(k, i, _ts(us)) for k, i, us in lrows],
+                                 "k long, eid long, ts timestamp")
+    right = spark.createDataFrame([(k, _ts(us), i) for k, i, us in rrows],
+                                  "k long, ts timestamp, rid long")
+    got = {r["eid"]: r["rid"]
+           for r in T.asof_join(left, right, ["k"], "ts").collect()}
+
+    def brute(k, lus):
+        cands = [(us, rid) for (rk, rid, us) in rrows if rk == k and us <= lus]
+        if not cands:
+            return None
+        # ties on ts: greatest payload struct (ts, rid) wins -> max rid
+        best_us = max(us for us, _ in cands)
+        return max(rid for us, rid in cands if us == best_us)
+
+    for k, eid, us in lrows:
+        assert got[eid] == brute(k, us), (eid, k, us)
