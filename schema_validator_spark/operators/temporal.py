@@ -12,8 +12,8 @@ brief's preferred tier) — no cartesian products, no Python:
   at all — compare to the naive join+filter+row_number approach, which
   shuffles three times and explodes on wide tolerance.  Hot-key caveat:
   a single key serializes inside its window task, same trade as
-  ``sessions.sessionize`` (and fixable the same chunked way if an
-  entity's update stream is truly pathological).
+  ``sessions.sessionize`` — ``asof_join_chunked`` below is the
+  hot-key-safe tier (identical output, equivalence-tested).
 * ``range_join_binned`` — all (left, right) pairs with equal keys and
   ``lower <= right.ts - left.ts <= upper``.  Naively an inequality
   join, which Spark plans as BroadcastNestedLoopJoin / cartesian —
@@ -163,3 +163,102 @@ def range_join_binned(
         .filter((diff >= lo) & (diff <= hi))
         .drop("_bin", "_lus", "_rus")
     )
+
+
+def asof_join_chunked(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    *,
+    tolerance_seconds: float | None = None,
+    chunk_seconds: int = 86400,
+) -> DataFrame:
+    """Hot-key-safe ``asof_join``: identical output, bounded tasks.
+
+    The plain as-of window serializes a key's full history in one task —
+    the same hot-entity trade as ``sessions.sessionize``, fixed the same
+    way: window by (key, time chunk), then carry the last right payload
+    ACROSS chunks via per-(key, chunk) summary rows.  Unlike chunked
+    sessionization no adjacency constraint exists (a match can be
+    arbitrarily old), so the carry is a running last-non-null over ALL
+    prior chunk summaries — still one row per active chunk per key.
+    Any ``chunk_seconds`` > 0 is valid; it only controls parallelism.
+
+    Same contract as ``asof_join`` (inclusive backward match, greatest
+    payload on right ts ties, NULL ts never matches, tolerance).
+    """
+    if chunk_seconds <= 0:
+        raise ValueError("chunk_seconds must be positive")
+    rpay_names = [c for c in right.columns if c not in set(key_cols)]
+    payload_only = [c for c in rpay_names if c != ts_col]
+    clash = set(payload_only) & set(left.columns)
+    if clash:
+        raise ValueError(f"right payload columns collide with left: {sorted(clash)}")
+
+    lpay_type = StructType(list(left.schema.fields))
+    rpay_type = StructType(
+        [f for f in right.schema.fields if f.name in set(rpay_names)]
+    )
+    l2 = left.select(
+        *key_cols,
+        F.col(ts_col).alias("_ts"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lpay"),
+        F.lit(None).cast(rpay_type).alias("_rpay"),
+        F.lit(1).alias("_side"),
+    )
+    r2 = right.filter(F.col(ts_col).isNotNull()).select(
+        *key_cols,
+        F.col(ts_col).alias("_ts"),
+        F.lit(None).cast(lpay_type).alias("_lpay"),
+        F.struct(*[F.col(f.name) for f in rpay_type.fields]).alias("_rpay"),
+        F.lit(0).alias("_side"),
+    )
+    u = l2.unionByName(r2).withColumn(
+        "_chunk", F.floor(_us(F.col("_ts")) / F.lit(chunk_seconds * 1_000_000))
+    )
+    w = (
+        Window.partitionBy(*key_cols, "_chunk")
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_rpay").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = u.withColumn("_local", F.last("_rpay", ignorenulls=True).over(w))
+
+    # one summary row per active (key, chunk): the chunk's last right
+    # payload (greatest (_ts, _rpay) among right rows — same tie rule as
+    # the window order), then a running carry over PRIOR chunks.
+    summ = local.groupBy(*key_cols, "_chunk").agg(
+        F.max(
+            F.when(F.col("_side") == 0, F.struct("_ts", "_rpay"))
+        ).alias("_last_r")
+    )
+    ws = Window.partitionBy(*key_cols).orderBy(F.col("_chunk").asc())
+    carried = (
+        summ.withColumn(
+            "_carried",
+            F.last("_last_r", ignorenulls=True).over(
+                ws.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .select(*key_cols, "_chunk", F.col("_carried._rpay").alias("_carry"))
+    )
+    for c in [*key_cols, "_chunk"]:
+        carried = carried.withColumnRenamed(c, f"_c_{c}")
+    cond = [
+        local[c].eqNullSafe(carried[f"_c_{c}"]) for c in [*key_cols, "_chunk"]
+    ]
+    matched = (
+        local.join(carried, cond)  # null-safe: NULL keys/ts are groups too
+        .withColumn("_match", F.coalesce(F.col("_local"), F.col("_carry")))
+        .filter(F.col("_side") == 1)
+    )
+    if tolerance_seconds is not None:
+        tol_us = int(round(tolerance_seconds * 1_000_000))
+        in_tol = (
+            _us(F.col("_ts")) - _us(F.col(f"_match.{ts_col}"))
+        ) <= F.lit(tol_us)
+        matched = matched.withColumn("_match", F.when(in_tol, F.col("_match")))
+    out_cols = [F.col(f"_lpay.{c}").alias(c) for c in left.columns]
+    out_cols.append(F.col(f"_match.{ts_col}").alias(f"{ts_col}_right"))
+    out_cols += [F.col(f"_match.{c}").alias(c) for c in payload_only]
+    return matched.select(*out_cols)

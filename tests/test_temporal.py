@@ -185,3 +185,47 @@ def test_asof_matches_brute_force_random(spark):
 
     for k, eid, us in lrows:
         assert got[eid] == brute(k, us), (eid, k, us)
+
+
+def test_asof_chunked_equals_plain(spark):
+    """asof_join_chunked must be row-identical to asof_join on random
+    data with a hot key, matches older than many chunks, ties, NULL ts,
+    and keys with no right rows at all."""
+    rng = random.Random(23)
+    lrows = [(rng.randrange(4), 1000 + i, rng.randrange(0, 30 * 86_400) * 1_000_000)
+             for i in range(300)]
+    # hot key 0 gets a dense stream; key 3 has NO right rows
+    rrows = [(rng.randrange(3), 2000 + i, rng.randrange(0, 30 * 86_400) * 1_000_000)
+             for i in range(80)]
+    rrows += [(0, 2900 + j, j * 7_200 * 1_000_000) for j in range(50)]
+    # right-ts ties for the greatest-payload rule
+    rrows += [(1, 3000, 86_400 * 1_000_000), (1, 3001, 86_400 * 1_000_000)]
+    left = spark.createDataFrame(
+        [(k, i, _ts(us)) for k, i, us in lrows] + [(2, 999, None)],
+        "k long, eid long, ts timestamp")
+    right = spark.createDataFrame([(k, _ts(us), i) for k, i, us in rrows],
+                                  "k long, ts timestamp, rid long")
+
+    plain = {r["eid"]: (r["rid"], r["ts_right"])
+             for r in T.asof_join(left, right, ["k"], "ts").collect()}
+    for chunk in (86_400, 3_600 * 5):
+        chunked = {r["eid"]: (r["rid"], r["ts_right"])
+                   for r in T.asof_join_chunked(
+                       left, right, ["k"], "ts",
+                       chunk_seconds=chunk).collect()}
+        assert chunked == plain, chunk
+    # tolerance path too
+    pt = {r["eid"]: r["rid"]
+          for r in T.asof_join(left, right, ["k"], "ts",
+                               tolerance_seconds=3600).collect()}
+    ct = {r["eid"]: r["rid"]
+          for r in T.asof_join_chunked(left, right, ["k"], "ts",
+                                       tolerance_seconds=3600).collect()}
+    assert ct == pt
+
+    # the raw-row window partitions by (key, chunk)
+    import re
+    from schema_validator_spark.plans import inspect as P
+    plan = P.executed_plan(T.asof_join_chunked(left, right, ["k"], "ts"))
+    assert any("_chunk" in m for m in
+               re.findall(r"windowspecdefinition\(([^)]*)\)", plan)), plan
