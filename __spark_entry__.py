@@ -457,6 +457,29 @@ def q_cross_field(spark, sf_dir):
     )
 
 
+def q_json_validation(spark, sf_dir):
+    """Semi-structured validation: the events ``props`` column is a JSON
+    string; ``from_json`` lifts it into a struct and the SAME rule
+    engine validates the nested field via a dotted path (props.k —
+    compiler.resolve_path), plus a format rule on the raw JSON text.
+    This is the reference's struct-validation core applied to
+    schema-on-read data; the oracle re-derives every violation with
+    DuckDB's JSON functions."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "props_s", F.from_json(F.col("props"), "k int")
+    )
+    eng = ValidationEngine(
+        {
+            "props_s.k": "required|min=5|max=90",
+            "props": "required|json",
+        },
+        key_cols=["event_id"],
+    )
+    return eng.run(ev).violations.groupBy("field", "code").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 # --------------------------------------------------- approximate tier, gated
 # (LSH/ANN/PSI tiers; each deterministic with a DuckDB ground-truth oracle —
 # see the matching oracle_sql() entries for the exact SQL re-derivation)
@@ -1202,6 +1225,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": q_bpe_pairs,
         "bpe_token_counts": q_bpe_token_counts,
         "tfidf_keywords": q_tfidf_keywords,
+        "json_validation": q_json_validation,
         "classifier_scores": q_classifier_scores,
         "url_filter": q_url_filter,
         "lm_perplexity": q_lm_perplexity,
@@ -1841,6 +1865,38 @@ def _oracle_sql_raw() -> dict[str, str]:
             )
             select wc.doc_id, cast(sum(wc.c * vocab.n_tok) as bigint) as n_bpe_tokens
             from wc join vocab using (w) group by 1
+        """,
+        "json_validation": """
+            with k as (
+              select props,
+                     cast(json_extract(props, '$.k') as int) as kv
+              from events
+            )
+            select field, code, n from (
+              select 'props_s.k' as field, 'required' as code,
+                     count(*) filter (where kv is null or kv = 0) as n
+              from k
+              union all
+              select 'props_s.k', 'min',
+                     count(*) filter (where coalesce(kv, 0) < 5)
+              from k
+              union all
+              select 'props_s.k', 'max',
+                     count(*) filter (where coalesce(kv, 0) > 90)
+              from k
+              union all
+              select 'props', 'required',
+                     count(*) filter (where props is null or props = '')
+              from k
+              union all
+              select 'props', 'json',
+                     count(*) filter (where not (
+                       (starts_with(coalesce(props, ''), '{')
+                        and ends_with(coalesce(props, ''), '}'))
+                       or (starts_with(coalesce(props, ''), '[')
+                           and ends_with(coalesce(props, ''), ']'))))
+              from k
+            ) where n > 0
         """,
         "tfidf_keywords": r"""
             with w as (
