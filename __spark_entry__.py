@@ -457,6 +457,38 @@ def q_cross_field(spark, sf_dir):
     )
 
 
+def q_url_dedup(spark, sf_dir):
+    """URL-level dedup via canonicalization: each page (doc_id % 97) is
+    crawled through three messy variants — tracking params + different
+    case, an explicit default port + fragment, a trailing host dot +
+    reordered params.  All three must collapse to ONE canonical string;
+    the oracle derives the expected groups from first principles, so
+    over- OR under-merging canonicalization fails the gate."""
+    from schema_validator_spark.functions import url as U2
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 97).alias("page"),
+        (F.col("doc_id") % 3).alias("v"),
+    )
+    base = F.concat(F.lit("/art/"), F.col("page"))
+    url = (
+        F.when(F.col("v") == 0, F.concat(
+            F.lit("https://news.example.com"), base,
+            F.lit("?id="), F.col("page"), F.lit("&utm_source=x")))
+        .when(F.col("v") == 1, F.concat(
+            F.lit("HTTPS://News.EXAMPLE.com:443"), base,
+            F.lit("?id="), F.col("page"), F.lit("#frag")))
+        .otherwise(F.concat(
+            F.lit("https://news.example.com."), base,
+            F.lit("?utm_medium=m&id="), F.col("page")))
+    )
+    canon = docs.withColumn("canon_url", U2.canonicalize_url(url))
+    return canon.groupBy("canon_url").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
 def q_json_validation(spark, sf_dir):
     """Semi-structured validation: the events ``props`` column is a JSON
     string; ``from_json`` lifts it into a struct and the SAME rule
@@ -1226,6 +1258,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": q_bpe_token_counts,
         "tfidf_keywords": q_tfidf_keywords,
         "json_validation": q_json_validation,
+        "url_dedup": q_url_dedup,
         "classifier_scores": q_classifier_scores,
         "url_filter": q_url_filter,
         "lm_perplexity": q_lm_perplexity,
@@ -1865,6 +1898,14 @@ def _oracle_sql_raw() -> dict[str, str]:
             )
             select wc.doc_id, cast(sum(wc.c * vocab.n_tok) as bigint) as n_bpe_tokens
             from wc join vocab using (w) group by 1
+        """,
+        "url_dedup": """
+            with d as (select doc_id, doc_id % 97 as page from documents)
+            select 'https://news.example.com/art/' || page || '?id=' || page
+                     as canon_url,
+                   count(*) as n_docs,
+                   min(doc_id) as min_doc_id
+            from d group by 1
         """,
         "json_validation": """
             with k as (

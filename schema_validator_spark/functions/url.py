@@ -123,3 +123,51 @@ def filter_blocked_domains(
     if not keep_unknown:
         out = out.filter(F.col(dom_col).isNotNull())
     return out.drop(dom_col, host_col)
+
+
+#: Query parameters stripped by canonicalize_url — the standard tracking
+#: junk that makes one page look like many URLs.
+TRACKING_PARAM_PREFIXES = ("utm_", "gclid", "fbclid", "mc_eid", "ref")
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of a URL for URL-level dedup — pure codegen:
+
+    * fragment dropped; scheme and host lowercased; trailing host dot
+      and default ports (http:80 / https:443) removed;
+    * tracking query params (``TRACKING_PARAM_PREFIXES``) dropped, the
+      rest SORTED (param order never distinguishes pages);
+    * empty path becomes ``/``; empty query drops its ``?``.
+
+    Two crawls of the same page through different tracking links then
+    share one canonical string — group on it (or feed it to
+    ``fingerprint``-style exact dedup) before any content-level pass.
+    """
+    u = F.coalesce(url, F.lit(""))
+    nofrag = F.regexp_replace(u, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(nofrag, r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://", 1))
+    hostport = F.lower(
+        F.regexp_extract(nofrag, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)", 1)
+    )
+    # default port only for its own scheme (https://h:80 is NOT default),
+    # then a trailing host dot (before the port or at the end)
+    noport = (
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport)
+    )
+    host = F.regexp_replace(noport, r"\.(?=:|$)", "")
+    path = F.regexp_extract(nofrag, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]+([^?#]*)", 1)
+    query = F.regexp_extract(nofrag, r"\?([^#]*)", 1)
+    is_tracking = lambda p: F.aggregate(  # noqa: E731 — tiny codegen helper
+        F.array(*[F.lit(x) for x in TRACKING_PARAM_PREFIXES]),
+        F.lit(False),
+        lambda acc, pref: acc | p.startswith(pref),
+    )
+    keep = F.filter(F.split(query, "&"), lambda p: (p != "") & ~is_tracking(p))
+    canon_q = F.array_join(F.array_sort(keep), "&")
+    return F.concat(
+        scheme, F.lit("://"), host,
+        F.when(path == "", F.lit("/")).otherwise(path),
+        F.when(canon_q != "", F.concat(F.lit("?"), canon_q)).otherwise(F.lit("")),
+    )

@@ -103,3 +103,35 @@ def test_filter_plan_is_broadcast_anti_no_corpus_shuffle(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     assert P.n_exchanges(out) == 0, plan  # corpus side never shuffles
     assert not P.uses_python(out)
+
+
+def test_canonicalize_url(spark):
+    cases = {
+        # tracking params dropped, remainder sorted, fragment gone
+        "https://Example.COM:443/a/b?utm_source=x&z=1&a=2#frag":
+            "https://example.com/a/b?a=2&z=1",
+        # http default port + trailing host dot + empty path
+        "HTTP://Host.Example.org.:80?b=2&a=1":
+            "http://host.example.org/?a=1&b=2",
+        # https with port 80 is NOT default -> kept
+        "https://h.example.com:80/x": "https://h.example.com:80/x",
+        # non-default port kept; all-tracking query drops the '?'
+        "https://h.example.com:8080/x?utm_campaign=c&gclid=1&fbclid=2&ref=z":
+            "https://h.example.com:8080/x",
+        # already canonical -> unchanged
+        "https://example.com/": "https://example.com/",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r["url"]: r["c"] for r in df.select(
+        "url", U.canonicalize_url(F.col("url")).alias("c")).collect()}
+    assert got == cases
+    # equal pages through different tracking links share one canonical key
+    variants = [
+        "https://site.org/page?id=7&utm_source=tw",
+        "https://SITE.org:443/page?utm_medium=m&id=7#top",
+        "https://site.org./page?id=7",
+    ]
+    vdf = spark.createDataFrame([(u,) for u in variants], "url string")
+    canon = {r["c"] for r in vdf.select(
+        U.canonicalize_url(F.col("url")).alias("c")).collect()}
+    assert canon == {"https://site.org/page?id=7"}
