@@ -54,8 +54,15 @@ def main(argv: list[str] | None = None) -> int:
     with open(args.spec) as f:
         spec = json.load(f)
 
-    from .engine import ValidationEngine
-    from .session import get_spark
+    if __package__:
+        from .engine import ValidationEngine
+        from .session import get_spark
+    else:
+        # `spark-submit cli.py` runs this file as __main__ with no parent
+        # package; the package itself arrives via --py-files, so absolute
+        # imports resolve.
+        from schema_validator_spark.engine import ValidationEngine
+        from schema_validator_spark.session import get_spark
 
     spark = get_spark("schema-validator-run")
     df = load_input(spark, args)
@@ -75,7 +82,10 @@ def main(argv: list[str] | None = None) -> int:
         if not args.bucket_col:
             print("--checkpoint-dir requires --bucket-col", file=sys.stderr)
             return 2
-        from .checkpoint import CheckpointedValidation
+        if __package__:
+            from .checkpoint import CheckpointedValidation
+        else:
+            from schema_validator_spark.checkpoint import CheckpointedValidation
 
         ckpt = CheckpointedValidation(
             engine, args.checkpoint_dir,

@@ -123,3 +123,34 @@ def test_cli_checkpoint_mode(spark, tmp_path):
     assert cli.main(argv) == 0
     lineage = spark.read.parquet(f"{ck}/lineage")
     assert lineage.select("_bucket").distinct().count() <= 8
+
+
+def test_cli_script_mode_no_package(tmp_path, spark):
+    """`spark-submit cli.py` runs the file as __main__ with no parent
+    package (round-3 fix: relative imports crashed there).  Exercise the
+    same path by executing cli.py as a plain script in a subprocess."""
+    import json
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    data = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, "go"), (2, ""), (3, "zz")], "id long, lang string"
+    ).write.parquet(data)
+    spec = tmp_path / "spec.json"
+    spec.write_text(json.dumps({"lang": "required|oneof=go,py"}))
+    out = str(tmp_path / "out")
+    env = dict(os.environ, PYTHONPATH=str(repo))
+    r = subprocess.run(
+        [sys.executable, str(repo / "schema_validator_spark" / "cli.py"),
+         "--input", data, "--format", "parquet", "--spec", str(spec),
+         "--key-cols", "id", "--output", out],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = json.loads(r.stdout.strip().splitlines()[-1])
+    # row 2 fails required AND oneof; row 3 fails oneof
+    assert got["n_rows"] == 3 and got["n_violations"] == 3
