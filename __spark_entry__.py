@@ -934,6 +934,27 @@ def q_time_rollup(spark, sf_dir):
     )
 
 
+def q_quantile_rollup(spark, sf_dir):
+    """Percentile-grade continuous aggregate: mergeable quantile
+    sketches carried day -> month (coarse grain re-merges the finer
+    grain's KB-sized sketch rows, never raw events).  The oracle checks
+    the EXACT fields (n, vmin, vmax — lossless through every merge),
+    which gates the sketch pipeline's bookkeeping end-to-end; quantile
+    accuracy is pinned separately in tests/test_rollup.py."""
+    from schema_validator_spark.operators import rollup as RU
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    out = RU.rollup_quantiles(
+        ev, "ts", ["event_type"], "value", grains=("day", "month"), qs=(0.5,)
+    )
+    return out.select(
+        "grain", "event_type",
+        F.unix_micros(F.col("bucket_start").cast("timestamp"))
+        .alias("bucket_us"),
+        "n", "vmin", "vmax",
+    )
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style perplexity filter stage: add-alpha bigram LM trained
     on the English slice, every document scored by mean negative
@@ -1166,6 +1187,9 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
         ["grain", "event_type", "bucket_us", "n"], ["vsum", "vmin", "vmax"]
     ),
     "tfidf_keywords": (["doc_id", "token", "tf", "rank"], ["score"]),
+    "quantile_rollup": (
+        ["grain", "event_type", "bucket_us", "n"], ["vmin", "vmax"]
+    ),
 }
 
 
@@ -1259,6 +1283,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": q_tfidf_keywords,
         "json_validation": q_json_validation,
         "url_dedup": q_url_dedup,
+        "quantile_rollup": q_quantile_rollup,
         "classifier_scores": q_classifier_scores,
         "url_filter": q_url_filter,
         "lm_perplexity": q_lm_perplexity,
@@ -1898,6 +1923,20 @@ def _oracle_sql_raw() -> dict[str, str]:
             )
             select wc.doc_id, cast(sum(wc.c * vocab.n_tok) as bigint) as n_bpe_tokens
             from wc join vocab using (w) group by 1
+        """,
+        "quantile_rollup": """
+            with base as (
+              select event_type, ts, value from events where value is not null
+            )
+            select 'day' as grain, event_type,
+                   epoch_us(date_trunc('day', ts)) as bucket_us,
+                   count(*) as n, min(value) as vmin, max(value) as vmax
+            from base group by 2, 3
+            union all
+            select 'month', event_type,
+                   epoch_us(date_trunc('month', ts)),
+                   count(*), min(value), max(value)
+            from base group by 2, 3
         """,
         "url_dedup": """
             with d as (select doc_id, doc_id % 97 as page from documents)

@@ -77,3 +77,82 @@ def rollup_timeseries(
     for lv in levels[1:]:
         out = out.unionByName(lv)
     return out.select("grain", *entity_cols, "bucket_start", "n", "vsum", "vmin", "vmax")
+
+
+def rollup_quantiles(
+    df: DataFrame,
+    ts_col: str,
+    entity_cols: list[str],
+    value_col: str,
+    *,
+    grains: tuple[str, ...] = ("hour", "day", "month"),
+    qs: tuple[float, ...] = (0.5, 0.95),
+    compression: int = 128,
+) -> DataFrame:
+    """Percentile-grade continuous aggregate: the mergeable quantile
+    sketch (operators/sketch.py) carried up the grain hierarchy.
+
+    The finest grain sketches raw values once (mapInPandas partials +
+    one sketch-row shuffle); each coarser grain re-MERGES the previous
+    grain's sketch rows under the truncated bucket — O(buckets) KB-sized
+    rows, the exact reason mergeable sketches exist.  Output per
+    (grain, entity, bucket): exact n/vmin/vmax bookkeeping plus
+    approximate quantiles ``q_<pct>`` reconstructed from the merged
+    centroids.  n/vmin/vmax are exact at every grain (they merge
+    losslessly); quantile error is the sketch's equal-weight compression
+    error, uniform across quantiles.
+    """
+    from . import sketch as SK
+
+    order = [g for g in GRAIN_HIERARCHY if g in grains]
+    if list(grains) != order or len(set(grains)) != len(grains):
+        raise ValueError(
+            f"grains must be distinct and fine-to-coarse from "
+            f"{GRAIN_HIERARCHY}, got {list(grains)}"
+        )
+
+    finest = grains[0]
+    base = df.withColumn(
+        "bucket_start", F.date_trunc(finest, F.col(ts_col))
+    )
+    cur = SK.sketch(
+        base, value_col, [*entity_cols, "bucket_start"], compression=compression
+    )
+    levels = [(finest, cur)]
+    for g in grains[1:]:
+        regrouped = cur.withColumn(
+            "bucket_start", F.date_trunc(g, F.col("bucket_start"))
+        )
+        cur = SK.merge_sketches(
+            regrouped, [*entity_cols, "bucket_start"], compression=compression
+        )
+        levels.append((g, cur))
+
+    qcols = [f"q_{int(round(q * 100))}" for q in qs]
+
+    def add_quantiles(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vals = [
+                SK.quantiles_py(r["means"], r["counts"], list(qs),
+                                r["vmin"], r["vmax"])
+                for _, r in pdf.iterrows()
+            ]
+            out = pdf.drop(columns=["means", "counts"])
+            for i, qc in enumerate(qcols):
+                out[qc] = [v[i] for v in vals]
+            yield out
+
+    out = None
+    for g, lv in levels:
+        tagged = lv.withColumn("grain", F.lit(g))
+        out = tagged if out is None else out.unionByName(tagged)
+    schema = ", ".join(
+        [f"`{c}` {out.schema[c].dataType.simpleString()}"
+         for c in [*entity_cols, "bucket_start", "n", "vmin", "vmax"]]
+        + [f"{qc} double" for qc in qcols] + ["grain string"]
+    )
+    return out.mapInPandas(add_quantiles, schema).select(
+        "grain", *entity_cols, "bucket_start", "n", "vmin", "vmax", *qcols
+    )

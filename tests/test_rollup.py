@@ -66,3 +66,46 @@ def test_rollup_rejects_bad_grains(spark):
     with pytest.raises(ValueError, match="fine-to-coarse"):
         R.rollup_timeseries(df, "ts", ["etype"], "value",
                             grains=("hour", "hour"))
+
+
+def test_rollup_quantiles_sketch_hierarchy(spark):
+    """Sketch-carried percentile rollup: n/vmin/vmax exact at every
+    grain (lossless merge), quantiles within sketch tolerance of exact
+    percentiles, coarse grains consistent with re-merging."""
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    for d in range(4):            # 4 days
+        for h in range(6):        # 6 hours/day
+            for _ in range(200):
+                rows.append((
+                    "a", dt.datetime(2024, 3, 1 + d, h * 2), rng.gauss(50 + d, 10)))
+    df = spark.createDataFrame(rows, "etype string, ts timestamp, value double")
+    out = R.rollup_quantiles(df, "ts", ["etype"], "value",
+                             grains=("hour", "day"), qs=(0.5, 0.95))
+    got = {(r["grain"], r["bucket_start"]): r for r in out.collect()}
+
+    # exact bookkeeping per day vs direct computation
+    import numpy as np
+    by_day = {}
+    for _, ts, v in rows:
+        by_day.setdefault(ts.date(), []).append(v)
+    for day, vals in by_day.items():
+        r = got[("day", dt.datetime(day.year, day.month, day.day))]
+        assert r["n"] == len(vals)
+        assert r["vmin"] == min(vals) and r["vmax"] == max(vals)
+        # sketch quantiles close to exact (1200 values, compression 128)
+        assert abs(r["q_50"] - float(np.quantile(vals, 0.5))) < 1.5
+        assert abs(r["q_95"] - float(np.quantile(vals, 0.95))) < 1.5
+    assert sum(1 for k in got if k[0] == "hour") == 24
+    assert sum(1 for k in got if k[0] == "day") == 4
+
+
+def test_rollup_quantiles_rejects_bad_grains(spark):
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1), 1.0)],
+        "etype string, ts timestamp, value double")
+    with pytest.raises(ValueError, match="fine-to-coarse"):
+        R.rollup_quantiles(df, "ts", ["etype"], "value",
+                           grains=("month", "day"))
