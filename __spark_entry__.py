@@ -975,10 +975,11 @@ def q_lm_perplexity(spark, sf_dir):
 def q_asof_join(spark, sf_dir):
     """As-of join (kdb/pandas/DuckDB semantics, backward-inclusive):
     every purchase event enriched with the latest tier update
-    at-or-before it — union-window plan, ONE shuffle, no join node.
-    Updates synthesized from events (event_id % 10 == 0), deduped per
-    (user, ts) by max update_id on both sides; oracle is DuckDB's native
-    ASOF LEFT JOIN.  Timestamps compared as exact epoch microseconds."""
+    at-or-before it.  Runs the HOT-KEY-SAFE chunked tier (the default
+    scale path, like the sessions query) against DuckDB's native ASOF
+    LEFT JOIN; the plain union-window tier is pinned row-identical to it
+    by tests/test_temporal.py.  Timestamps compared as exact epoch
+    microseconds."""
     from schema_validator_spark.operators import temporal as T
 
     ev = _t(spark, sf_dir, "events")
@@ -991,7 +992,7 @@ def q_asof_join(spark, sf_dir):
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
-    out = T.asof_join(purchases, updates, ["user_id"], "ts")
+    out = T.asof_join_chunked(purchases, updates, ["user_id"], "ts")
     # no-match rows surface as -1, not NULL: nullable BIGINTs decay to
     # float64/NaN through pandas-based comparators
     return out.select(

@@ -55,12 +55,14 @@ def main(argv: list[str] | None = None) -> int:
         spec = json.load(f)
 
     if __package__:
+        from .checkpoint import CheckpointedValidation
         from .engine import ValidationEngine
         from .session import get_spark
     else:
         # `spark-submit cli.py` runs this file as __main__ with no parent
         # package; the package itself arrives via --py-files, so absolute
-        # imports resolve.
+        # imports resolve.  Resolved ONCE here for every module main needs.
+        from schema_validator_spark.checkpoint import CheckpointedValidation
         from schema_validator_spark.engine import ValidationEngine
         from schema_validator_spark.session import get_spark
 
@@ -82,10 +84,6 @@ def main(argv: list[str] | None = None) -> int:
         if not args.bucket_col:
             print("--checkpoint-dir requires --bucket-col", file=sys.stderr)
             return 2
-        if __package__:
-            from .checkpoint import CheckpointedValidation
-        else:
-            from schema_validator_spark.checkpoint import CheckpointedValidation
 
         ckpt = CheckpointedValidation(
             engine, args.checkpoint_dir,

@@ -125,18 +125,24 @@ def filter_blocked_domains(
     return out.drop(dom_col, host_col)
 
 
-#: Query parameters stripped by canonicalize_url — the standard tracking
-#: junk that makes one page look like many URLs.
-TRACKING_PARAM_PREFIXES = ("utm_", "gclid", "fbclid", "mc_eid", "ref")
+#: Query-param NAME PREFIXES stripped by canonicalize_url (families).
+TRACKING_PARAM_PREFIXES = ("utm_",)
+#: Exact query-param NAMES stripped by canonicalize_url.  Exact match on
+#: the name only — a bare "ref" prefix would also eat refid/refresh/
+#: referrer and over-merge distinct pages.
+TRACKING_PARAMS_EXACT = ("gclid", "fbclid", "mc_eid", "ref")
 
 
 def canonicalize_url(url: Column) -> Column:
     """Canonical form of a URL for URL-level dedup — pure codegen:
 
-    * fragment dropped; scheme and host lowercased; trailing host dot
-      and default ports (http:80 / https:443) removed;
-    * tracking query params (``TRACKING_PARAM_PREFIXES``) dropped, the
-      rest SORTED (param order never distinguishes pages);
+    * fragment and userinfo dropped; scheme and host lowercased; a
+      missing scheme defaults to ``http`` (messy crawl URLs like
+      ``www.example.com/page`` keep their real host and path); trailing
+      host dot and default ports (http:80 / https:443) removed;
+    * tracking query params dropped — ``TRACKING_PARAM_PREFIXES``
+      families by name prefix, ``TRACKING_PARAMS_EXACT`` by exact name —
+      the rest SORTED (param order never distinguishes pages);
     * empty path becomes ``/``; empty query drops its ``?``.
 
     Two crawls of the same page through different tracking links then
@@ -145,10 +151,15 @@ def canonicalize_url(url: Column) -> Column:
     """
     u = F.coalesce(url, F.lit(""))
     nofrag = F.regexp_replace(u, r"#.*$", "")
-    scheme = F.lower(F.regexp_extract(nofrag, r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://", 1))
-    hostport = F.lower(
-        F.regexp_extract(nofrag, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)", 1)
+    scheme_raw = F.regexp_extract(nofrag, r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://", 1)
+    scheme = F.when(scheme_raw == "", F.lit("http")).otherwise(F.lower(scheme_raw))
+    # scheme (if any) and userinfo stripped; host parsing then works for
+    # scheme-less crawl URLs too
+    rest = F.regexp_replace(
+        F.regexp_replace(nofrag, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://", ""),
+        r"^[^/?#]*@", "",
     )
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?#]+)", 1))
     # default port only for its own scheme (https://h:80 is NOT default),
     # then a trailing host dot (before the port or at the end)
     noport = (
@@ -157,13 +168,18 @@ def canonicalize_url(url: Column) -> Column:
         .otherwise(hostport)
     )
     host = F.regexp_replace(noport, r"\.(?=:|$)", "")
-    path = F.regexp_extract(nofrag, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]+([^?#]*)", 1)
-    query = F.regexp_extract(nofrag, r"\?([^#]*)", 1)
-    is_tracking = lambda p: F.aggregate(  # noqa: E731 — tiny codegen helper
-        F.array(*[F.lit(x) for x in TRACKING_PARAM_PREFIXES]),
-        F.lit(False),
-        lambda acc, pref: acc | p.startswith(pref),
-    )
+    path = F.regexp_extract(rest, r"^[^/?#]+([^?#]*)", 1)
+    query = F.regexp_extract(rest, r"\?([^#]*)", 1)
+
+    def is_tracking(p):
+        name = F.substring_index(p, "=", 1)
+        by_prefix = F.aggregate(
+            F.array(*[F.lit(x) for x in TRACKING_PARAM_PREFIXES]),
+            F.lit(False),
+            lambda acc, pref: acc | name.startswith(pref),
+        )
+        return by_prefix | name.isin(*TRACKING_PARAMS_EXACT)
+
     keep = F.filter(F.split(query, "&"), lambda p: (p != "") & ~is_tracking(p))
     canon_q = F.array_join(F.array_sort(keep), "&")
     return F.concat(

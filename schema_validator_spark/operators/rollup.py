@@ -21,6 +21,15 @@ from pyspark.sql import functions as F
 GRAIN_HIERARCHY = ["minute", "hour", "day", "month", "year"]
 
 
+def _check_grains(grains: tuple[str, ...]) -> None:
+    order = [g for g in GRAIN_HIERARCHY if g in grains]
+    if list(grains) != order or len(set(grains)) != len(grains):
+        raise ValueError(
+            f"grains must be distinct and fine-to-coarse from "
+            f"{GRAIN_HIERARCHY}, got {list(grains)}"
+        )
+
+
 def rollup_timeseries(
     df: DataFrame,
     ts_col: str,
@@ -38,13 +47,7 @@ def rollup_timeseries(
     Grains must appear in fine-to-coarse hierarchy order so partials
     merge exactly.
     """
-    order = [g for g in GRAIN_HIERARCHY if g in grains]
-    if list(grains) != order or len(set(grains)) != len(grains):
-        raise ValueError(
-            f"grains must be distinct and fine-to-coarse from "
-            f"{GRAIN_HIERARCHY}, got {list(grains)}"
-        )
-
+    _check_grains(grains)
     finest = grains[0]
     cur = (
         df.groupBy(
@@ -101,16 +104,15 @@ def rollup_quantiles(
     centroids.  n/vmin/vmax are exact at every grain (they merge
     losslessly); quantile error is the sketch's equal-weight compression
     error, uniform across quantiles.
+
+    NULL/NaN values: ``n`` here counts SKETCHABLE (non-null numeric)
+    values — the sketch stage drops them before centroiding.  This
+    intentionally differs from ``rollup_timeseries``, whose ``n`` is raw
+    row count; pre-filter or reconcile explicitly when mixing the two.
     """
     from . import sketch as SK
 
-    order = [g for g in GRAIN_HIERARCHY if g in grains]
-    if list(grains) != order or len(set(grains)) != len(grains):
-        raise ValueError(
-            f"grains must be distinct and fine-to-coarse from "
-            f"{GRAIN_HIERARCHY}, got {list(grains)}"
-        )
-
+    _check_grains(grains)
     finest = grains[0]
     base = df.withColumn(
         "bucket_start", F.date_trunc(finest, F.col(ts_col))

@@ -43,6 +43,53 @@ def _us(col):
     return F.unix_micros(col.cast("timestamp"))
 
 
+
+def _asof_prepare(left, right, key_cols, ts_col):
+    """Shared as-of plumbing: payload-column resolution + the tagged
+    union legs (l2, r2).  Both tiers use this, so the row-identical
+    guarantee between them rests on ONE copy of the contract."""
+    rpay_names = [c for c in right.columns if c not in set(key_cols)]
+    payload_only = [c for c in rpay_names if c != ts_col]
+    clash = set(payload_only) & set(left.columns)
+    if clash:
+        raise ValueError(f"right payload columns collide with left: {sorted(clash)}")
+
+    lpay_type = StructType(list(left.schema.fields))
+    rpay_type = StructType(
+        [f for f in right.schema.fields if f.name in set(rpay_names)]
+    )
+    l2 = left.select(
+        *key_cols,
+        F.col(ts_col).alias("_ts"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lpay"),
+        F.lit(None).cast(rpay_type).alias("_rpay"),
+        F.lit(1).alias("_side"),
+    )
+    r2 = right.filter(F.col(ts_col).isNotNull()).select(
+        *key_cols,
+        F.col(ts_col).alias("_ts"),
+        F.lit(None).cast(lpay_type).alias("_lpay"),
+        F.struct(*[F.col(f.name) for f in rpay_type.fields]).alias("_rpay"),
+        F.lit(0).alias("_side"),
+    )
+    return l2, r2, payload_only
+
+
+def _asof_finish(matched, left, ts_col, payload_only, tolerance_seconds):
+    """Shared as-of epilogue: tolerance gate + output projection over the
+    `_match` struct."""
+    if tolerance_seconds is not None:
+        tol_us = int(round(tolerance_seconds * 1_000_000))
+        in_tol = (
+            _us(F.col("_ts")) - _us(F.col(f"_match.{ts_col}"))
+        ) <= F.lit(tol_us)
+        matched = matched.withColumn("_match", F.when(in_tol, F.col("_match")))
+    out_cols = [F.col(f"_lpay.{c}").alias(c) for c in left.columns]
+    out_cols.append(F.col(f"_match.{ts_col}").alias(f"{ts_col}_right"))
+    out_cols += [F.col(f"_match.{c}").alias(c) for c in payload_only]
+    return matched.select(*out_cols)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -61,31 +108,7 @@ def asof_join(
     right (key, ts) rows: the greatest payload struct wins
     (deterministic; dedupe upstream to control it).
     """
-    rpay_names = [c for c in right.columns if c not in set(key_cols)]
-    payload_only = [c for c in rpay_names if c != ts_col]
-    clash = set(payload_only) & set(left.columns)
-    if clash:
-        raise ValueError(f"right payload columns collide with left: {sorted(clash)}")
-
-    lpay_type = StructType(list(left.schema.fields))
-    rpay_type = StructType(
-        [f for f in right.schema.fields if f.name in set(rpay_names)]
-    )
-
-    l2 = left.select(
-        *key_cols,
-        F.col(ts_col).alias("_ts"),
-        F.struct(*[F.col(c) for c in left.columns]).alias("_lpay"),
-        F.lit(None).cast(rpay_type).alias("_rpay"),
-        F.lit(1).alias("_side"),
-    )
-    r2 = right.filter(F.col(ts_col).isNotNull()).select(
-        *key_cols,
-        F.col(ts_col).alias("_ts"),
-        F.lit(None).cast(lpay_type).alias("_lpay"),
-        F.struct(*[F.col(f.name) for f in rpay_type.fields]).alias("_rpay"),
-        F.lit(0).alias("_side"),
-    )
+    l2, r2, payload_only = _asof_prepare(left, right, key_cols, ts_col)
     # right rows sort BEFORE left rows at equal ts -> inclusive match;
     # among equal-ts right rows the greatest payload lands last, so
     # last(ignorenulls) picks it deterministically.
@@ -99,16 +122,7 @@ def asof_join(
         .withColumn("_match", F.last("_rpay", ignorenulls=True).over(w))
         .filter(F.col("_side") == 1)
     )
-    if tolerance_seconds is not None:
-        tol_us = int(round(tolerance_seconds * 1_000_000))
-        in_tol = (
-            _us(F.col("_ts")) - _us(F.col(f"_match.{ts_col}"))
-        ) <= F.lit(tol_us)
-        matched = matched.withColumn("_match", F.when(in_tol, F.col("_match")))
-    out_cols = [F.col(f"_lpay.{c}").alias(c) for c in left.columns]
-    out_cols.append(F.col(f"_match.{ts_col}").alias(f"{ts_col}_right"))
-    out_cols += [F.col(f"_match.{c}").alias(c) for c in payload_only]
-    return matched.select(*out_cols)
+    return _asof_finish(matched, left, ts_col, payload_only, tolerance_seconds)
 
 
 def range_join_binned(
@@ -190,30 +204,7 @@ def asof_join_chunked(
     """
     if chunk_seconds <= 0:
         raise ValueError("chunk_seconds must be positive")
-    rpay_names = [c for c in right.columns if c not in set(key_cols)]
-    payload_only = [c for c in rpay_names if c != ts_col]
-    clash = set(payload_only) & set(left.columns)
-    if clash:
-        raise ValueError(f"right payload columns collide with left: {sorted(clash)}")
-
-    lpay_type = StructType(list(left.schema.fields))
-    rpay_type = StructType(
-        [f for f in right.schema.fields if f.name in set(rpay_names)]
-    )
-    l2 = left.select(
-        *key_cols,
-        F.col(ts_col).alias("_ts"),
-        F.struct(*[F.col(c) for c in left.columns]).alias("_lpay"),
-        F.lit(None).cast(rpay_type).alias("_rpay"),
-        F.lit(1).alias("_side"),
-    )
-    r2 = right.filter(F.col(ts_col).isNotNull()).select(
-        *key_cols,
-        F.col(ts_col).alias("_ts"),
-        F.lit(None).cast(lpay_type).alias("_lpay"),
-        F.struct(*[F.col(f.name) for f in rpay_type.fields]).alias("_rpay"),
-        F.lit(0).alias("_side"),
-    )
+    l2, r2, payload_only = _asof_prepare(left, right, key_cols, ts_col)
     u = l2.unionByName(r2).withColumn(
         "_chunk", F.floor(_us(F.col("_ts")) / F.lit(chunk_seconds * 1_000_000))
     )
@@ -252,13 +243,4 @@ def asof_join_chunked(
         .withColumn("_match", F.coalesce(F.col("_local"), F.col("_carry")))
         .filter(F.col("_side") == 1)
     )
-    if tolerance_seconds is not None:
-        tol_us = int(round(tolerance_seconds * 1_000_000))
-        in_tol = (
-            _us(F.col("_ts")) - _us(F.col(f"_match.{ts_col}"))
-        ) <= F.lit(tol_us)
-        matched = matched.withColumn("_match", F.when(in_tol, F.col("_match")))
-    out_cols = [F.col(f"_lpay.{c}").alias(c) for c in left.columns]
-    out_cols.append(F.col(f"_match.{ts_col}").alias(f"{ts_col}_right"))
-    out_cols += [F.col(f"_match.{c}").alias(c) for c in payload_only]
-    return matched.select(*out_cols)
+    return _asof_finish(matched, left, ts_col, payload_only, tolerance_seconds)

@@ -135,3 +135,29 @@ def test_canonicalize_url(spark):
     canon = {r["c"] for r in vdf.select(
         U.canonicalize_url(F.col("url")).alias("c")).collect()}
     assert canon == {"https://site.org/page?id=7"}
+
+
+def test_canonicalize_url_schemeless_and_ref_params(spark):
+    """Round-3 review fixes: scheme-less crawl URLs keep host+path
+    (defaulting to http), and only the EXACT 'ref' param is tracking —
+    refid/refresh must survive (they distinguish pages)."""
+    cases = {
+        "www.Example.com/page?id=1": "http://www.example.com/page?id=1",
+        "example.com": "http://example.com/",
+        "user:pw@example.com/x": "http://example.com/x",
+        "https://shop.example.com/item?refid=123":
+            "https://shop.example.com/item?refid=123",
+        "https://shop.example.com/item?ref=tw&refid=123":
+            "https://shop.example.com/item?refid=123",
+        "https://shop.example.com/item?refresh=1&utm_source=x":
+            "https://shop.example.com/item?refresh=1",
+    }
+    df = spark.createDataFrame([(us,) for us in cases], "url string")
+    got = {r["url"]: r["c"] for r in df.select(
+        "url", U.canonicalize_url(F.col("url")).alias("c")).collect()}
+    assert got == cases
+    # two pages differing only in refid stay DISTINCT
+    a, b = [U.canonicalize_url(F.lit(x)) for x in
+            ("https://s.com/i?refid=1", "https://s.com/i?refid=2")]
+    row = spark.range(1).select(a.alias("a"), b.alias("b")).first()
+    assert row["a"] != row["b"]
