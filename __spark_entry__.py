@@ -416,6 +416,33 @@ def q_streaming_sessions(spark, sf_dir):
     )
 
 
+def q_streaming_corpus_dedup(spark, sf_dir):
+    """Stream-static LEFT ANTI dedup: a document stream filtered against
+    a static corpus hash index (even docs), drained with availableNow —
+    survivors are exactly the stream rows whose text no even doc has.
+    The dedup authority is the static index, so the stream buffers no
+    state; oracle derives survivors relationally from raw text."""
+    from schema_validator_spark.streaming.validate import (
+        dedup_stream_against_corpus,
+    )
+
+    corpus = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 0
+    ).select("doc_id", "text")
+    stream = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(f"{sf_dir}/documents.parquet*").select("doc_id", "text")
+    out = dedup_stream_against_corpus(stream, corpus, "text")
+    q = (
+        out.writeStream.format("memory").queryName("q_ss_dedup")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table("q_ss_dedup").select(
+        "doc_id", F.md5(F.coalesce("text", F.lit(""))).alias("text_md5")
+    )
+
+
 def q_conditional_rules(spark, sf_dir):
     """Conditional/presence family over events (required_if + max)."""
     ev = _t(spark, sf_dir, "events")
@@ -1285,6 +1312,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_validation": q_json_validation,
         "url_dedup": q_url_dedup,
         "quantile_rollup": q_quantile_rollup,
+        "streaming_corpus_dedup": q_streaming_corpus_dedup,
         "classifier_scores": q_classifier_scores,
         "url_filter": q_url_filter,
         "lm_perplexity": q_lm_perplexity,
@@ -1924,6 +1952,12 @@ def _oracle_sql_raw() -> dict[str, str]:
             )
             select wc.doc_id, cast(sum(wc.c * vocab.n_tok) as bigint) as n_bpe_tokens
             from wc join vocab using (w) group by 1
+        """,
+        "streaming_corpus_dedup": """
+            select doc_id, md5(coalesce(text, '')) as text_md5
+            from documents
+            where coalesce(text, '') not in (
+              select coalesce(text, '') from documents where doc_id % 2 = 0)
         """,
         "quantile_rollup": """
             with base as (

@@ -111,3 +111,28 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_stream_against_corpus(
+    stream: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+) -> DataFrame:
+    """Streaming exact dedup against a STATIC corpus: drop every stream
+    row whose content hash already exists in the corpus — the streaming
+    ingest filter for "don't re-admit documents we already own".
+
+    Uses a stream-static LEFT ANTI join (static side on the right, the
+    supported shape): the corpus reduces to a distinct sha256 index once
+    per micro-batch plan, the stream side never buffers state (unlike
+    dropDuplicates, nothing accumulates — the dedup authority IS the
+    static index).  Pair with ``dedup_stream`` when within-stream
+    duplicates must also collapse.
+    """
+    idx = corpus.select(
+        F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("_h")
+    ).distinct()
+    hashed = stream.withColumn(
+        "_h", F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
+    )
+    return hashed.join(idx, "_h", "left_anti").drop("_h")

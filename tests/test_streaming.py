@@ -179,3 +179,26 @@ def test_session_stream_matches_batch_and_sessionize(spark, tmp_path_factory):
     assert got == got_batch == want
     # user 2's chained 58-minute session survived as ONE session
     assert (2, 2, 29 * 60 * 1_000_000) in got or (2, 3, 58 * 60 * 1_000_000) in got
+
+
+def test_dedup_stream_against_corpus(spark, tmp_path_factory):
+    """Stream-static LEFT ANTI join: stream rows whose content hash is
+    already in the static corpus are dropped; fresh rows pass through."""
+    from schema_validator_spark.streaming.validate import (
+        dedup_stream_against_corpus, run_to_memory,
+    )
+
+    d = str(tmp_path_factory.mktemp("ss_dedup"))
+    spark.createDataFrame(
+        [(10, "alpha"), (11, "fresh one"), (12, None), (13, "beta")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(d)
+    corpus = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id long, text string")
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(d)
+    out = dedup_stream_against_corpus(stream, corpus, "text")
+    assert out.isStreaming
+    run_to_memory(out, "t_ss_dedup", output_mode="append")
+    got = sorted(r["doc_id"] for r in spark.sql("select * from t_ss_dedup").collect())
+    assert got == [11, 12]  # NULL text hashes as '' — absent from corpus
