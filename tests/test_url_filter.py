@@ -161,3 +161,85 @@ def test_canonicalize_url_schemeless_and_ref_params(spark):
             ("https://s.com/i?refid=1", "https://s.com/i?refid=2")]
     row = spark.range(1).select(a.alias("a"), b.alias("b")).first()
     assert row["a"] != row["b"]
+
+
+# ---- property: canonicalize_url == exact Python replay on random URLs ----
+
+def _ref_canon(u: str) -> str:
+    import re
+
+    nofrag = re.sub(r"#.*$", "", u or "")
+    m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://", nofrag)
+    scheme = m.group(1).lower() if m else "http"
+    rest = re.sub(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://", "", nofrag)
+    rest = re.sub(r"^[^/?#]*@", "", rest)
+    hm = re.match(r"^([^/?#]+)", rest)
+    hostport = (hm.group(1) if hm else "").lower()
+    if scheme == "http":
+        hostport = re.sub(r":80$", "", hostport)
+    elif scheme == "https":
+        hostport = re.sub(r":443$", "", hostport)
+    host = re.sub(r"\.(?=:|$)", "", hostport)
+    pm = re.match(r"^[^/?#]+([^?#]*)", rest)
+    path = pm.group(1) if pm else ""
+    qm = re.search(r"\?([^#]*)", rest)
+    query = qm.group(1) if qm else ""
+    keep = []
+    for p in query.split("&"):
+        if not p:
+            continue
+        name = p.split("=", 1)[0]
+        if any(name.startswith(x) for x in U.TRACKING_PARAM_PREFIXES):
+            continue
+        if name in U.TRACKING_PARAMS_EXACT:
+            continue
+        keep.append(p)
+    q = "&".join(sorted(keep))
+    return f"{scheme}://{host}{path or '/'}{'?' + q if q else ''}"
+
+
+def test_canonicalize_url_property(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    label = st.text(alphabet="aBcD19-", min_size=1, max_size=5)
+    param = st.tuples(
+        st.sampled_from(["id", "a", "utm_source", "utm_x", "ref", "refid",
+                         "gclid", "fbclid", "mc_eid", "x9"]),
+        st.text(alphabet="abc123", max_size=3),
+    )
+
+    @st.composite
+    def urls(draw):
+        parts = []
+        scheme = draw(st.sampled_from(
+            [None, "http", "HTTP", "https", "HtTpS", "ftp"]))
+        if scheme:
+            parts.append(scheme + "://")
+        if draw(st.booleans()):
+            parts.append("user:pw@")
+        parts.append(".".join(draw(st.lists(label, min_size=1, max_size=3))))
+        if draw(st.booleans()):
+            parts.append(".")
+        port = draw(st.sampled_from([None, 80, 443, 8080]))
+        if port:
+            parts.append(f":{port}")
+        for seg in draw(st.lists(label, max_size=2)):
+            parts.append("/" + seg)
+        ps = draw(st.lists(param, max_size=4))
+        if ps:
+            parts.append("?" + "&".join(f"{k}={v}" for k, v in ps))
+        if draw(st.booleans()):
+            parts.append("#frag")
+        return "".join(parts)
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(urls(), min_size=1, max_size=30, unique=True))
+    def check(batch):
+        df = spark.createDataFrame([(u,) for u in batch], "url string")
+        got = {r["url"]: r["c"] for r in df.select(
+            "url", U.canonicalize_url(F.col("url")).alias("c")).collect()}
+        for u in batch:
+            assert got[u] == _ref_canon(u), u
+
+    check()
