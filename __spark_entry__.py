@@ -620,6 +620,30 @@ def q_embedding_neardups(spark, sf_dir):
     )
 
 
+def q_fuzzy_match(spark, sf_dir):
+    """Cross-table record linkage: customers fuzzy-matched to suppliers
+    ∪ planted one-char-typo customer names (char-3-gram MinHash blocking
+    across tables, exact Jaccard verify at 0.6).  The oracle is the full
+    exact cross-table Jaccard — precision is exact by construction, and
+    the banding margin (every true pair ≥ 0.6 vs S-curve midpoint 0.18
+    at r=2,b=32; per-pair miss ≤ 6e-7) is asserted by a gate test."""
+    from schema_validator_spark.operators import linkage as LK
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    planted = cust.filter(F.col("c_custkey") % 50 == 0).select(
+        (F.col("c_custkey") + 100000).alias("s_suppkey"),
+        F.concat(
+            F.substring(F.col("c_name"), 1, F.length("c_name") - 1), F.lit("x")
+        ).alias("s_name"),
+    )
+    right = supp.unionByName(planted)
+    return LK.fuzzy_match(
+        cust, right, "c_custkey", "s_suppkey", "c_name", "s_name",
+        n=3, threshold=0.6, num_hashes=64, bands=32,
+    )
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023) over the embeddings corpus with
     planted duplicate GROUPS: a 1.5x-scaled copy for vec_id % 3 == 0
@@ -1218,6 +1242,7 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
     "quantile_rollup": (
         ["grain", "event_type", "bucket_us", "n"], ["vmin", "vmax"]
     ),
+    "fuzzy_match": (["id_a", "id_b"], ["jaccard"]),
 }
 
 
@@ -1313,6 +1338,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "quantile_rollup": q_quantile_rollup,
         "streaming_corpus_dedup": q_streaming_corpus_dedup,
+        "fuzzy_match": q_fuzzy_match,
         "classifier_scores": q_classifier_scores,
         "url_filter": q_url_filter,
         "lm_perplexity": q_lm_perplexity,
@@ -1952,6 +1978,33 @@ def _oracle_sql_raw() -> dict[str, str]:
             )
             select wc.doc_id, cast(sum(wc.c * vocab.n_tok) as bigint) as n_bpe_tokens
             from wc join vocab using (w) group by 1
+        """,
+        "fuzzy_match": """
+            with right_side as (
+              select s_suppkey as id_b, s_name as nm from supplier
+              union all
+              select c_custkey + 100000,
+                     substr(c_name, 1, length(c_name) - 1) || 'x'
+              from customer where c_custkey % 50 = 0
+            ), cg as (
+              select c_custkey as id_a,
+                     list_distinct(list_transform(
+                       range(1, length(lower(c_name)) - 1),
+                       i -> lower(c_name)[i:i+2])) as g
+              from customer
+            ), sg as (
+              select id_b,
+                     list_distinct(list_transform(
+                       range(1, length(lower(nm)) - 1),
+                       i -> lower(nm)[i:i+2])) as g
+              from right_side
+            )
+            select id_a, id_b,
+                   len(list_intersect(cg.g, sg.g))::double
+                     / len(list_distinct(list_concat(cg.g, sg.g))) as jaccard
+            from cg, sg
+            where len(list_intersect(cg.g, sg.g))::double
+                    / len(list_distinct(list_concat(cg.g, sg.g))) >= 0.6
         """,
         "streaming_corpus_dedup": """
             select doc_id, md5(coalesce(text, '')) as text_md5

@@ -139,6 +139,34 @@ def test_jaccard_pairs_banding_margin(duck):
     _assert_banding_margin(duck, sql, r=2, bands=16, what="jaccard_pairs")
 
 
+def test_fuzzy_match_banding_margin(duck):
+    # mirrors q_fuzzy_match: char 3-grams, threshold 0.6, r=2 x 32 bands
+    sql = r"""
+        with right_side as (
+          select s_name as nm from supplier
+          union all
+          select substr(c_name, 1, length(c_name) - 1) || 'x'
+          from customer where c_custkey % 50 = 0
+        ), cg as (
+          select list_distinct(list_transform(
+                   range(1, length(lower(c_name)) - 1),
+                   i -> lower(c_name)[i:i+2])) as g
+          from customer
+        ), sg as (
+          select list_distinct(list_transform(
+                   range(1, length(lower(nm)) - 1),
+                   i -> lower(nm)[i:i+2])) as g
+          from right_side
+        ), j as (
+          select len(list_intersect(cg.g, sg.g))::double
+                   / len(list_distinct(list_concat(cg.g, sg.g))) as jac
+          from cg, sg
+        )
+        select coalesce(min(jac), 1.0), count(*) from j where jac >= 0.6
+    """
+    _assert_banding_margin(duck, sql, r=2, bands=32, what="fuzzy_match")
+
+
 def test_semdedup_cosine_margin(duck):
     """q_semdedup's exactness claim: no NATURAL pair of base embeddings
     reaches the 0.99 threshold (planted groups are then the complete
