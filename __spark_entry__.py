@@ -621,26 +621,41 @@ def q_embedding_neardups(spark, sf_dir):
 
 
 def q_fuzzy_match(spark, sf_dir):
-    """Cross-table record linkage: customers fuzzy-matched to suppliers
-    ∪ planted one-char-typo customer names (char-3-gram MinHash blocking
-    across tables, exact Jaccard verify at 0.6).  The oracle is the full
-    exact cross-table Jaccard — precision is exact by construction, and
-    the banding margin (every true pair ≥ 0.6 vs S-curve midpoint 0.18
-    at r=2,b=32; per-pair miss ≤ 6e-7) is asserted by a gate test."""
+    """Cross-table record linkage: customer entities fuzzy-matched to
+    supplier entities ∪ planted one-char-typo customer entities
+    (char-3-gram MinHash blocking across tables, exact Jaccard verify at
+    0.6).  Entity keys are name + a table-salted md5 tail — TPC-H's
+    zero-heavy names alone are pathologically mutually similar (hundreds
+    of thousands of true ≥0.6 pairs at sf0.1), which is realistic for
+    names but wrong for an entity key; the high-entropy tail makes the
+    planted typos the only true matches.  Oracle = the full exact
+    cross-table Jaccard; banding margin asserted by a gate test."""
     from schema_validator_spark.operators import linkage as LK
 
-    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    ckey = F.concat(
+        F.col("c_name"), F.lit(" "),
+        F.substring(F.md5(F.concat(F.lit("c"), F.col("c_custkey").cast("string"))), 1, 12),
+    )
+    skey = F.concat(
+        F.col("s_name"), F.lit(" "),
+        F.substring(F.md5(F.concat(F.lit("s"), F.col("s_suppkey").cast("string"))), 1, 12),
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", ckey.alias("entity")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", skey.alias("entity")
+    )
     planted = cust.filter(F.col("c_custkey") % 50 == 0).select(
         (F.col("c_custkey") + 100000).alias("s_suppkey"),
         F.concat(
-            F.substring(F.col("c_name"), 1, F.length("c_name") - 1), F.lit("x")
-        ).alias("s_name"),
+            F.substring(F.col("entity"), 1, F.length("entity") - 1), F.lit("x")
+        ).alias("entity"),
     )
     right = supp.unionByName(planted)
     return LK.fuzzy_match(
-        cust, right, "c_custkey", "s_suppkey", "c_name", "s_name",
-        n=3, threshold=0.6, num_hashes=64, bands=32,
+        cust, right, "c_custkey", "s_suppkey", "entity", "entity",
+        n=3, threshold=0.6, num_hashes=64, bands=16,
     )
 
 
@@ -1980,18 +1995,30 @@ def _oracle_sql_raw() -> dict[str, str]:
             from wc join vocab using (w) group by 1
         """,
         "fuzzy_match": """
-            with right_side as (
-              select s_suppkey as id_b, s_name as nm from supplier
+            with ce as (
+              select c_custkey,
+                     c_name || ' ' ||
+                       substr(md5('c' || cast(c_custkey as varchar)), 1, 12)
+                       as entity
+              from customer
+            ), se as (
+              select s_suppkey,
+                     s_name || ' ' ||
+                       substr(md5('s' || cast(s_suppkey as varchar)), 1, 12)
+                       as entity
+              from supplier
+            ), right_side as (
+              select s_suppkey as id_b, entity as nm from se
               union all
               select c_custkey + 100000,
-                     substr(c_name, 1, length(c_name) - 1) || 'x'
-              from customer where c_custkey % 50 = 0
+                     substr(entity, 1, length(entity) - 1) || 'x'
+              from ce where c_custkey % 50 = 0
             ), cg as (
               select c_custkey as id_a,
                      list_distinct(list_transform(
-                       range(1, length(lower(c_name)) - 1),
-                       i -> lower(c_name)[i:i+2])) as g
-              from customer
+                       range(1, length(lower(entity)) - 1),
+                       i -> lower(entity)[i:i+2])) as g
+              from ce
             ), sg as (
               select id_b,
                      list_distinct(list_transform(

@@ -140,18 +140,25 @@ def test_jaccard_pairs_banding_margin(duck):
 
 
 def test_fuzzy_match_banding_margin(duck):
-    # mirrors q_fuzzy_match: char 3-grams, threshold 0.6, r=2 x 32 bands
+    # mirrors q_fuzzy_match: char 3-grams, threshold 0.6, r=4 x 16 bands
     sql = r"""
-        with right_side as (
-          select s_name as nm from supplier
+        with ce as (
+          select c_custkey,
+                 c_name || ' ' ||
+                   substr(md5('c' || cast(c_custkey as varchar)), 1, 12) as entity
+          from customer
+        ), right_side as (
+          select s_name || ' ' ||
+                   substr(md5('s' || cast(s_suppkey as varchar)), 1, 12) as nm
+          from supplier
           union all
-          select substr(c_name, 1, length(c_name) - 1) || 'x'
-          from customer where c_custkey % 50 = 0
+          select substr(entity, 1, length(entity) - 1) || 'x'
+          from ce where c_custkey % 50 = 0
         ), cg as (
           select list_distinct(list_transform(
-                   range(1, length(lower(c_name)) - 1),
-                   i -> lower(c_name)[i:i+2])) as g
-          from customer
+                   range(1, length(lower(entity)) - 1),
+                   i -> lower(entity)[i:i+2])) as g
+          from ce
         ), sg as (
           select list_distinct(list_transform(
                    range(1, length(lower(nm)) - 1),
@@ -164,7 +171,7 @@ def test_fuzzy_match_banding_margin(duck):
         )
         select coalesce(min(jac), 1.0), count(*) from j where jac >= 0.6
     """
-    _assert_banding_margin(duck, sql, r=2, bands=32, what="fuzzy_match")
+    _assert_banding_margin(duck, sql, r=4, bands=16, what="fuzzy_match")
 
 
 def test_semdedup_cosine_margin(duck):
