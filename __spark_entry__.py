@@ -1021,6 +1021,26 @@ def q_quantile_rollup(spark, sf_dir):
     )
 
 
+def q_distinct_rollup(spark, sf_dir):
+    """Distinct-users-per-bucket continuous aggregate via Spark's
+    built-in Datasketches HLL: day sketches union into month sketches
+    (count-distinct doesn't decompose across buckets; its sketch does).
+    At gate cardinalities the HLL coupon list is exact, so the oracle is
+    plain COUNT(DISTINCT) at both grains."""
+    from schema_validator_spark.operators import rollup as RU
+
+    ev = _t(spark, sf_dir, "events")
+    out = RU.rollup_distinct(
+        ev, "ts", ["event_type"], "user_id", grains=("day", "month")
+    )
+    return out.select(
+        "grain", "event_type",
+        F.unix_micros(F.col("bucket_start").cast("timestamp"))
+        .alias("bucket_us"),
+        "n_distinct",
+    )
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style perplexity filter stage: add-alpha bigram LM trained
     on the English slice, every document scored by mean negative
@@ -1354,6 +1374,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_rollup": q_quantile_rollup,
         "streaming_corpus_dedup": q_streaming_corpus_dedup,
         "fuzzy_match": q_fuzzy_match,
+        "distinct_rollup": q_distinct_rollup,
         "classifier_scores": q_classifier_scores,
         "url_filter": q_url_filter,
         "lm_perplexity": q_lm_perplexity,
@@ -1993,6 +2014,17 @@ def _oracle_sql_raw() -> dict[str, str]:
             )
             select wc.doc_id, cast(sum(wc.c * vocab.n_tok) as bigint) as n_bpe_tokens
             from wc join vocab using (w) group by 1
+        """,
+        "distinct_rollup": """
+            select 'day' as grain, event_type,
+                   epoch_us(date_trunc('day', ts)) as bucket_us,
+                   count(distinct user_id) as n_distinct
+            from events group by 2, 3
+            union all
+            select 'month', event_type,
+                   epoch_us(date_trunc('month', ts)),
+                   count(distinct user_id)
+            from events group by 2, 3
         """,
         "fuzzy_match": """
             with ce as (

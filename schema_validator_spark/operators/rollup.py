@@ -158,3 +158,55 @@ def rollup_quantiles(
     return out.mapInPandas(add_quantiles, schema).select(
         "grain", *entity_cols, "bucket_start", "n", "vmin", "vmax", *qcols
     )
+
+
+def rollup_distinct(
+    df: DataFrame,
+    ts_col: str,
+    entity_cols: list[str],
+    key_col: str,
+    *,
+    grains: tuple[str, ...] = ("hour", "day", "month"),
+    lg_config_k: int = 12,
+) -> DataFrame:
+    """Distinct-count continuous aggregate via Spark's BUILT-IN
+    Datasketches HLL (``hll_sketch_agg`` / ``hll_union_agg`` — all JVM,
+    zero Python): the finest grain sketches raw keys once; every coarser
+    grain unions the previous grain's KB-sized sketches.  This is the
+    canonical mergeable-sketch use case — count(distinct) does NOT
+    decompose across buckets, but its sketch does.
+
+    Returns (grain, *entity_cols, bucket_start, n_distinct) where
+    n_distinct is the HLL estimate (EXACT while a bucket's cardinality
+    stays in the sketch's coupon-list range — thousands at lgK=12 —
+    which is how the driver query can hold it to an exact oracle at the
+    gate SFs; at 10^12-row scale the estimate carries the usual ~1.6%
+    HLL error).
+    """
+    _check_grains(grains)
+    finest = grains[0]
+    cur = (
+        df.groupBy(
+            *entity_cols,
+            F.date_trunc(finest, F.col(ts_col)).alias("bucket_start"),
+        )
+        .agg(F.hll_sketch_agg(F.col(key_col), F.lit(lg_config_k)).alias("_sk"))
+    )
+    levels = [(finest, cur)]
+    for g in grains[1:]:
+        cur = (
+            cur.groupBy(
+                *entity_cols,
+                F.date_trunc(g, F.col("bucket_start")).alias("bucket_start"),
+            )
+            .agg(F.hll_union_agg("_sk").alias("_sk"))
+        )
+        levels.append((g, cur))
+    out = None
+    for g, lv in levels:
+        tagged = lv.withColumn("grain", F.lit(g))
+        out = tagged if out is None else out.unionByName(tagged)
+    return out.select(
+        "grain", *entity_cols, "bucket_start",
+        F.hll_sketch_estimate("_sk").alias("n_distinct"),
+    )

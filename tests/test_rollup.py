@@ -109,3 +109,29 @@ def test_rollup_quantiles_rejects_bad_grains(spark):
     with pytest.raises(ValueError, match="fine-to-coarse"):
         R.rollup_quantiles(df, "ts", ["etype"], "value",
                            grains=("month", "day"))
+
+
+def test_rollup_distinct_hll_hierarchy(spark):
+    """HLL distinct rollup: estimates exact at test cardinalities, and
+    the month grain = union of day sketches equals direct distinct."""
+    rows = []
+    for d in range(3):
+        for h in range(4):
+            for u in range(50):
+                # user ids overlap across hours/days -> distinct != sum
+                rows.append(("a", dt.datetime(2024, 5, 1 + d, h * 3),
+                             (d * 20 + h * 5 + u) % 90))
+    df = spark.createDataFrame(rows, "etype string, ts timestamp, uid long")
+    out = {(r["grain"], r["bucket_start"]): r["n_distinct"]
+           for r in R.rollup_distinct(df, "ts", ["etype"], "uid",
+                                      grains=("hour", "day", "month")).collect()}
+    by_hour, by_day, all_u = {}, {}, set()
+    for _, ts, u in rows:
+        by_hour.setdefault(ts, set()).add(u)
+        by_day.setdefault(ts.replace(hour=0), set()).add(u)
+        all_u.add(u)
+    for ts, us in by_hour.items():
+        assert out[("hour", ts)] == len(us), ts
+    for ts, us in by_day.items():
+        assert out[("day", ts)] == len(us), ts
+    assert out[("month", dt.datetime(2024, 5, 1))] == len(all_u) == 90
