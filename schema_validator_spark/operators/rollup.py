@@ -3,11 +3,16 @@ aggregates (the TimescaleDB continuous-aggregate / druid rollup shape).
 
 The scale trick: only the FINEST grain aggregates raw events; every
 coarser grain re-aggregates the previous grain's partial rows, because
-(count, sum, min, max) are all mergeable.  At 10^12 events, the hourly
-pass is the one event-scale shuffle; daily then aggregates O(hours)
-rows and monthly O(days) — effectively free.  avg/stddev derive from
-(sum, count) downstream; percentile-grade rollups would carry the
-mergeable KLL sketch from operators/sketch.py instead.
+the carried state is MERGEABLE.  At 10^12 events, the hourly pass is
+the one event-scale shuffle; daily then aggregates O(hours) rows and
+monthly O(days) — effectively free.  Three tiers by what merges:
+
+* ``rollup_timeseries`` — (count, sum, min, max); avg/stddev derive
+  from (sum, count) downstream.
+* ``rollup_quantiles`` — the mergeable quantile sketch from
+  operators/sketch.py (exact n/vmin/vmax ride along losslessly).
+* ``rollup_distinct`` — Spark's built-in Datasketches HLL
+  (count-distinct doesn't decompose across buckets; its sketch does).
 """
 
 from __future__ import annotations
