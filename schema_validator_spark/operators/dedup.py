@@ -121,27 +121,59 @@ def dedup_exact(df: DataFrame, text_col: str) -> DataFrame:
 
 # ------------------------------------------------------------------- minhash
 
-def minhash_signature(
-    text: Column, *, num_hashes: int = 64, shingle_k: int = 3
-) -> Column:
-    """MinHash signature (array<long>): hash function i is
-    xxhash64(i, shingle) — independent keyed hashes with no multiply,
-    so ANSI-mode safe and fully JVM-side.
+def minhash_signature_from_grams(grams: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature (array<long>) over ANY gram/shingle array:
+    hash function i is xxhash64(i, gram) — independent keyed hashes with
+    no multiply, so ANSI-mode safe and fully JVM-side.
 
-    Single ``aggregate`` pass: the shingle array is referenced ONCE and
-    all num_hashes minima fold simultaneously.  (The naive
-    ``array(array_min(transform(shingles, h_i)) for i ...)`` embeds a
-    fresh copy of the shingle-construction subtree in every element —
-    measured 4x slower end-to-end at 5k docs.)"""
-    shingles = X.word_shingles(text, shingle_k)
+    Single ``aggregate`` pass: the gram array is referenced ONCE and all
+    num_hashes minima fold simultaneously.  (The naive
+    ``array(array_min(transform(grams, h_i)) for i ...)`` embeds a
+    fresh copy of the gram-construction subtree in every element —
+    measured 4x slower end-to-end at 5k docs.)  Shared by the near-dup
+    tiers here (word shingles) and operators/linkage.py (char n-grams)."""
     idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     init = F.array_repeat(F.lit(0x7FFFFFFFFFFFFFFF), num_hashes)
     return F.aggregate(
-        shingles,
+        grams,
         init,
         lambda acc, s: F.zip_with(
             acc, idx, lambda a, i: F.least(a, F.xxhash64(i, s))
         ),
+    )
+
+
+def minhash_signature(
+    text: Column, *, num_hashes: int = 64, shingle_k: int = 3
+) -> Column:
+    """MinHash signature of a text column's word shingles."""
+    return minhash_signature_from_grams(
+        X.word_shingles(text, shingle_k), num_hashes
+    )
+
+
+def band_cols_expr(sig_col: str, num_hashes: int, bands: int) -> Column:
+    """array<struct<band_id,band_hash>> over a signature column — the
+    LSH banding key set (band_hash = xxhash64 of the band's r signature
+    slots).  Shared by minhash_lsh_candidates and linkage._banded."""
+    rows_per_band = num_hashes // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at(sig_col, b * rows_per_band + r + 1)
+                            .cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
     )
 
 
@@ -166,7 +198,6 @@ def minhash_lsh_candidates(
     ``max_bucket_size`` caps degenerate buckets (see _cap_hot_buckets) —
     set it at corpus scale, where one boilerplate bucket is quadratic.
     """
-    rows_per_band = num_hashes // bands
     sig = minhash_signature(F.col(text_col), num_hashes=num_hashes, shingle_k=shingle_k)
 
     # Band with ONLY (id, band_id, band_hash) — 3 narrow columns through the
@@ -175,23 +206,7 @@ def minhash_lsh_candidates(
     # threshold) re-join the shingles below.
     df = _ensure_parallelism(df)
     with_sig = df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.element_at("_sig", b * rows_per_band + r + 1).cast("string")
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                ).alias("band_hash"),
-            )
-            for b in range(bands)
-        ]
-    )
+    band_cols = band_cols_expr("_sig", num_hashes, bands)
     banded = with_sig.select("_id", F.explode(band_cols).alias("b")).select(
         "_id", "b.band_id", "b.band_hash"
     )

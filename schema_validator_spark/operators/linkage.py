@@ -8,57 +8,43 @@ char-n-gram MinHash signatures, band them, and only rows sharing a
 then the exact n-gram Jaccard verifies each candidate, so banding can
 only cost recall (quantified by the S-curve), never precision.
 
-Same machinery as the near-dup tiers (operators/dedup.py), generalized
-to TWO tables: the self-join becomes an equi-join between the tables'
-banded rows, and hot buckets cap per side the same way.
+Literally the same machinery as the near-dup tiers: the MinHash fold
+and banding-key construction are dedup.py's
+``minhash_signature_from_grams`` / ``band_cols_expr``, the degenerate
+buckets cap via dedup's ``_cap_hot_buckets``, and the self-join simply
+becomes an equi-join between the two tables' banded rows.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as X
 from ._util import ensure_parallelism as _ensure_parallelism
+from .dedup import _cap_hot_buckets, band_cols_expr, minhash_signature_from_grams
 
 
-def _minhash_from_grams(grams: Column, num_hashes: int) -> Column:
-    """MinHash signature over an arbitrary gram array (same single-fold
-    shape as dedup.minhash_signature — every minimum folds in one pass)."""
-    idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    init = F.array_repeat(F.lit(0x7FFFFFFFFFFFFFFF), num_hashes)
-    return F.aggregate(
-        grams,
-        init,
-        lambda acc, s: F.zip_with(
-            acc, idx, lambda a, i: F.least(a, F.xxhash64(i, s))
-        ),
-    )
+def _grams(key_col: str, n: int):
+    # char_ngrams lowercases and dedupes already
+    return X.char_ngrams(F.col(key_col), n)
 
 
 def _banded(df: DataFrame, id_col: str, key_col: str, *,
             n: int, num_hashes: int, bands: int, side: str) -> DataFrame:
-    """(id, grams) + exploded (band_id, band_hash) rows — 4 narrow cols."""
-    rows_per_band = num_hashes // bands
-    # char_ngrams lowercases and dedupes already
-    grams = X.char_ngrams(F.coalesce(F.col(key_col), F.lit("")), n)
+    """NARROW banded rows: (id, band_id, band_hash) only — shipping gram
+    arrays through the ``bands``-way explode would multiply the shuffle
+    payload (same note as dedup.minhash_lsh_candidates); the verify
+    stage recomputes grams straight from the input instead."""
     base = _ensure_parallelism(df).select(
-        F.col(id_col).alias(f"id_{side}"), grams.alias(f"_g_{side}"),
-        _minhash_from_grams(grams, num_hashes).alias("_sig"),
+        F.col(id_col).alias(f"id_{side}"),
+        minhash_signature_from_grams(_grams(key_col, n), num_hashes)
+        .alias("_sig"),
     )
-    band_cols = F.array(*[
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.xxhash64(F.concat_ws(",", *[
-                F.element_at("_sig", b * rows_per_band + r + 1).cast("string")
-                for r in range(rows_per_band)
-            ])).alias("band_hash"),
-        )
-        for b in range(bands)
-    ])
     return base.select(
-        f"id_{side}", f"_g_{side}", F.explode(band_cols).alias("_b")
-    ).select(f"id_{side}", f"_g_{side}",
+        f"id_{side}",
+        F.explode(band_cols_expr("_sig", num_hashes, bands)).alias("_b"),
+    ).select(f"id_{side}",
              F.col("_b.band_id").alias("band_id"),
              F.col("_b.band_hash").alias("band_hash"))
 
@@ -75,6 +61,8 @@ def fuzzy_match(
     threshold: float = 0.6,
     num_hashes: int = 64,
     bands: int = 16,
+    max_bucket_size: int | None = None,
+    log_dropped: bool = True,
 ) -> DataFrame:
     """Cross-table fuzzy matches: (id_a from left, id_b from right,
     jaccard) for every pair whose char-n-gram Jaccard ≥ threshold that
@@ -87,21 +75,28 @@ def fuzzy_match(
     a random cross pair at similarity j collides per band with
     probability j^r, so r=2 admits O(n·m·j²) junk candidates on
     low-entropy corpora (measured: 5.6M candidates for 300 true pairs) —
-    r=4 cuts that to j⁴.  Scale shape: banding is an equi-join between
-    two narrow exploded frames — no cross join; distinct pairs deduped
-    before the (id-keyed) verify."""
-    lb = _banded(left, left_id, left_col,
+    r=4 cuts that to j⁴.
+
+    NULL/empty keys never match (they'd otherwise all share the
+    degenerate gram set and form a bipartite clique at jaccard 1.0).
+    ``max_bucket_size`` excludes degenerate buckets per side, drops
+    logged — same contract as the dedup tiers.
+    """
+    lf = left.filter(F.trim(F.coalesce(F.col(left_col), F.lit(""))) != "")
+    rf = right.filter(F.trim(F.coalesce(F.col(right_col), F.lit(""))) != "")
+    lb = _banded(lf, left_id, left_col,
                  n=n, num_hashes=num_hashes, bands=bands, side="a")
-    rb = _banded(right, right_id, right_col,
+    rb = _banded(rf, right_id, right_col,
                  n=n, num_hashes=num_hashes, bands=bands, side="b")
-    cands = (
-        lb.select("id_a", "band_id", "band_hash")
-        .join(rb.select("id_b", "band_id", "band_hash"),
-              ["band_id", "band_hash"])
-        .select("id_a", "id_b").distinct()
-    )
-    grams_a = lb.select("id_a", "_g_a").distinct()
-    grams_b = rb.select("id_b", "_g_b").distinct()
+    lb = _cap_hot_buckets(lb, ["band_id", "band_hash"], max_bucket_size,
+                          what="fuzzy_match left", log_dropped=log_dropped)
+    rb = _cap_hot_buckets(rb, ["band_id", "band_hash"], max_bucket_size,
+                          what="fuzzy_match right", log_dropped=log_dropped)
+    cands = lb.join(rb, ["band_id", "band_hash"]).select("id_a", "id_b").distinct()
+    grams_a = lf.select(
+        F.col(left_id).alias("id_a"), _grams(left_col, n).alias("_g_a"))
+    grams_b = rf.select(
+        F.col(right_id).alias("id_b"), _grams(right_col, n).alias("_g_b"))
     inter = F.size(F.array_intersect("_g_a", "_g_b"))
     union = F.size(F.array_union("_g_a", "_g_b"))
     return (

@@ -63,3 +63,34 @@ def test_fuzzy_match_no_cross_join_in_plan(spark):
     assert out.count() == 50
     assert {(r["id_a"], r["id_b"]) for r in out.collect()} == {
         (i, i) for i in range(50)}
+
+
+def test_fuzzy_match_null_and_empty_keys_never_match(spark):
+    left = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "  "), (4, "real name")],
+        "pid long, name string")
+    right = spark.createDataFrame(
+        [(10, None), (11, ""), (12, "real name")], "cid long, name string")
+    got = {(r["id_a"], r["id_b"])
+           for r in L.fuzzy_match(left, right, "pid", "cid",
+                                  "name", "name", threshold=0.5).collect()}
+    assert got == {(4, 12)}  # no null/empty bipartite clique
+
+
+def test_fuzzy_match_hot_bucket_cap(spark):
+    # one degenerate repeated key on both sides -> capped buckets are
+    # EXCLUDED (same contract as the dedup tiers), real pair survives
+    left = spark.createDataFrame(
+        [(i, "placeholder-key") for i in range(40)] + [(100, "unique entity")],
+        "pid long, name string")
+    right = spark.createDataFrame(
+        [(1000 + i, "placeholder-key") for i in range(40)]
+        + [(2000, "unique entity")],
+        "cid long, name string")
+    capped = L.fuzzy_match(left, right, "pid", "cid", "name", "name",
+                           threshold=0.9, max_bucket_size=10,
+                           log_dropped=False)
+    assert {(r["id_a"], r["id_b"]) for r in capped.collect()} == {(100, 2000)}
+    uncapped = L.fuzzy_match(left, right, "pid", "cid", "name", "name",
+                             threshold=0.9)
+    assert uncapped.count() == 40 * 40 + 1
