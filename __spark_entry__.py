@@ -874,6 +874,27 @@ def q_fd_check(spark, sf_dir):
     )
 
 
+def q_curation(spark, sf_dir):
+    """END-TO-END curation funnel, oracle-checked: validate (required +
+    lang oneof) -> quality gate (>= 0.3) -> exact(fingerprint) +
+    near-dup(MinHash >= 0.5) edges -> connected components -> keep the
+    highest-quality doc per component.  The DuckDB oracle replays every
+    stage, including the components via a recursive-CTE transitive
+    closure over the EXACT pair set (the blocked MinHash plan equals it
+    because every true pair sits at j >= 0.88 on this corpus — the
+    minhash_lsh banding-margin gate asserts that at each SF)."""
+    from schema_validator_spark.operators.curate import curate
+
+    docs = _t(spark, sf_dir, "documents")
+    out = curate(
+        docs,
+        spec={"text": "required", "lang": "required|oneof=en,es,de,fr"},
+        min_quality=0.3,
+        near_dup_threshold=0.5,
+    )
+    return out.select("doc_id")
+
+
 def q_bpe_pairs(spark, sf_dir):
     """First BPE merge-step statistic: corpus-weighted adjacent-character
     pair counts (vocabulary first, so each distinct word's characters are
@@ -1375,6 +1396,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_corpus_dedup": q_streaming_corpus_dedup,
         "fuzzy_match": q_fuzzy_match,
         "distinct_rollup": q_distinct_rollup,
+        "curation": q_curation,
         "classifier_scores": q_classifier_scores,
         "url_filter": q_url_filter,
         "lm_perplexity": q_lm_perplexity,
@@ -2014,6 +2036,82 @@ def _oracle_sql_raw() -> dict[str, str]:
             )
             select wc.doc_id, cast(sum(wc.c * vocab.n_tok) as bigint) as n_bpe_tokens
             from wc join vocab using (w) group by 1
+        """,
+        "curation": r"""
+            with recursive valid as (
+              select doc_id, coalesce(text, '') as s from documents
+              where text is not null and text <> ''
+                and lang is not null and lang <> ''
+                and lang in ('en', 'es', 'de', 'fr')
+            ), m as (
+              select doc_id, s,
+                     length(s) as n_chars,
+                     len(list_filter(string_split_regex(trim(s), '\s+'),
+                                     x -> x <> '')) as n_tokens,
+                     len(list_distinct(list_filter(
+                           string_split_regex(trim(s), '\s+'),
+                           x -> x <> ''))) as distinct_tokens,
+                     length(regexp_replace(s, '[^\p{L}]', '', 'g')) as alpha_chars
+              from valid
+            ), q as (
+              select doc_id, s,
+                     round(
+                       0.25 * least(n_chars / 500.0, 1.0)
+                     + 0.25 * (case when n_chars > 0
+                               then alpha_chars::double / n_chars else 0 end)
+                     + 0.2  * (case when n_tokens > 0 and
+                                    (n_chars + 1.0) / (n_tokens + 1.0)
+                                      between 3 and 12
+                               then 1.0 else 0.4 end)
+                     + 0.3  * (case when n_tokens > 0
+                               then distinct_tokens::double / n_tokens
+                               else 0 end)
+                     , 6) as quality
+              from m
+            ), kept as (
+              select * from q where quality >= 0.3
+            ), fp as (
+              select doc_id,
+                     md5(trim(regexp_replace(regexp_replace(lower(s),
+                       '[^\p{L}\p{Nd}\s]', '', 'g'), '\s+', ' ', 'g'))) as f
+              from kept
+            ), sh as (
+              select doc_id,
+                     case when len(w) >= 3
+                          then list_distinct(list_transform(range(1, len(w) - 1),
+                                 i -> array_to_string(w[i:i+2], ' ')))
+                          else [array_to_string(w, ' ')] end as g
+              from (select doc_id,
+                           list_filter(string_split_regex(trim(s), '\s+'),
+                                       t -> t <> '') as w
+                    from kept)
+            ), e0 as (
+              select a.doc_id as x, b.doc_id as y
+              from fp a join fp b on a.doc_id < b.doc_id and a.f = b.f
+              union
+              select a.doc_id, b.doc_id
+              from sh a join sh b on a.doc_id < b.doc_id
+              where len(list_intersect(a.g, b.g))::double
+                      / len(list_distinct(list_concat(a.g, b.g))) >= 0.5
+            ), e as (
+              select x, y from e0 union select y as x, x as y from e0
+            ), reach(a, b) as (
+              select x, y from e
+              union
+              select r.a, e.y from reach r join e on r.b = e.x
+            ), lbl as (
+              select a, min(b) as mn from reach group by a
+            ), clustered as (
+              select kept.doc_id, kept.quality,
+                     least(coalesce(lbl.mn, kept.doc_id), kept.doc_id) as cl
+              from kept left join lbl on kept.doc_id = lbl.a
+            )
+            select doc_id from (
+              select doc_id,
+                     row_number() over (partition by cl
+                                        order by quality desc, doc_id) as rn
+              from clustered
+            ) where rn = 1
         """,
         "distinct_rollup": """
             select 'day' as grain, event_type,
