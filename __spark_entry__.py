@@ -27,7 +27,14 @@ from schema_validator_spark import ValidationEngine
 from schema_validator_spark.functions import classifier as QC
 from schema_validator_spark.functions import similarity as V
 from schema_validator_spark.functions import text as X
-from schema_validator_spark.operators import ann, dedup, drift, referential, uniqueness
+from schema_validator_spark.operators import (
+    ann,
+    dedup,
+    drift,
+    referential,
+    skew,
+    uniqueness,
+)
 
 # ---------------------------------------------------------------------------
 # shared bits
@@ -1267,6 +1274,30 @@ def q_drift_psi(spark, sf_dir):
     return out.select("baseline", F.col("current").alias("curr"), "psi")
 
 
+def q_skew_join(spark, sf_dir):
+    """Skew-hardened fact<->dim equi-join (operators/skew.skew_join):
+    hot keys take a broadcast hash join (zero bytes through the
+    exchange), cold keys the ordinary shuffle join; the union is
+    row-identical to the plain join, which IS the oracle.  Hot keys are
+    pinned explicitly so both paths are exercised deterministically
+    (click/view hot, the other three event types cold).
+
+    North-rule parity: "handles skewed repos via salted repartitioning
+    and AQE skew-join hints" — this is the explicit-split tier; the
+    salted-replication tier is skew.salted_replicate_join (tested in
+    tests/test_skew_join.py)."""
+    ev = _t(spark, sf_dir, "events")
+    dim = ev.groupBy(F.col("event_type").alias("et")).agg(
+        F.count(F.lit(1)).alias("type_n")
+    )
+    joined = skew.skew_join(
+        ev, dim, "event_type", "et", hot_keys=["click", "view"]
+    )
+    return joined.groupBy("event_type", "type_n").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 # ---------------------------------------------------------------------------
 # 6dp scaled-long hardening (round-2 VERDICT order #6): every double-valued
 # oracle-checked output is compared as cast(round(x*1e6) as bigint) on BOTH
@@ -1407,6 +1438,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_check": q_fd_check,
         "schema_evolution": q_schema_evolution,
         "psi_report": q_psi_report,
+        "skew_join": q_skew_join,
     }
 
 
@@ -2689,5 +2721,14 @@ def _oracle_sql_raw() -> dict[str, str]:
                      * ln(greatest(cc / tc, 1e-6) / greatest(cb / tb, 1e-6))
                    ), 6) as psi
             from pb, t
+        """,
+        "skew_join": """
+            with dim as (
+              select event_type as et, count(*) as type_n
+              from events group by 1
+            )
+            select e.event_type, d.type_n, count(*) as n
+            from events e join dim d on e.event_type = d.et
+            group by 1, 2
         """,
     }

@@ -97,3 +97,144 @@ def repartition_salted(
     if num_partitions:
         return df.repartition(num_partitions, *cols)
     return df.repartition(*cols)
+
+
+def detect_hot_keys(
+    df: DataFrame,
+    key_cols: list[str],
+    *,
+    min_share: float = 0.01,
+    max_keys: int = 1000,
+) -> list[tuple]:
+    """Exact hot-key detection: keys owning >= ``min_share`` of all rows.
+
+    One map-side-combinable count agg (reducer input is bounded by
+    #distinct keys x #map tasks, never by rows), then a bounded collect —
+    at most ``1/min_share`` keys can exceed the share, so the result is
+    metadata-sized by construction (``max_keys`` is a belt-and-braces
+    cap).  NULL keys are reported too (a NULL hot key is the single most
+    common real-world skew bug).
+    """
+    n_total = df.count()
+    if n_total == 0:
+        return []
+    thresh = max(1, int(n_total * min_share))
+    rows = (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= thresh)
+        .orderBy(F.col("_n").desc())
+        .limit(max_keys)
+        .collect()
+    )
+    return [tuple(r[c] for c in key_cols) for r in rows]
+
+
+def skew_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    *,
+    how: str = "inner",
+    hot_keys: list | None = None,
+    min_share: float = 0.01,
+) -> DataFrame:
+    """Differentiated equi-join for a skewed fact key: hot keys take a
+    broadcast hash join (their dim rows are at most ``len(hot_keys)``
+    rows — always broadcastable), cold keys take the normal shuffle
+    join; the union is row-identical to ``fact.join(dim, ...)``.
+
+    Why not just AQE: AQE's skew-join split handles sort-merge joins
+    whose skew shows up at shuffle time, but (a) it never converts the
+    hot portion to a broadcast (the dim side is still shuffled), and
+    (b) it can't help when the downstream op re-uses the fact's hash
+    partitioning.  The explicit split removes the hot keys from the
+    shuffle ENTIRELY: at 10^12 rows a mega-repo owning 20% of the fact
+    table contributes zero bytes to the exchange.
+
+    NULL fact keys never match in an equi-join; they are routed to the
+    cold side unchanged so outer-join semantics are preserved exactly.
+
+    ``how`` supports inner / left / left_outer (the fact-preserving
+    shapes; a right/full join against a *dim* table is a different
+    problem — broadcast the whole dim instead).
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"skew_join supports inner/left joins, got {how!r}")
+    if hot_keys is None:
+        hot_keys = [k for (k,) in detect_hot_keys(
+            fact, [fact_key], min_share=min_share)]
+    else:
+        hot_keys = list(hot_keys)
+    cond = fact[fact_key] == dim[dim_key]
+    if not hot_keys:
+        return fact.join(dim, cond, how)
+    non_null_hot = [k for k in hot_keys if k is not None]
+    is_hot = F.col(fact_key).isin(non_null_hot) if non_null_hot else F.lit(False)
+    # NULL keys: cold path (equi-join never matches them; inner drops,
+    # left preserves — both exactly as the plain join would).
+    fact_hot = fact.filter(is_hot)
+    fact_cold = fact.filter(~is_hot | F.col(fact_key).isNull())
+    dim_hot = dim.filter(
+        F.col(dim_key).isin(non_null_hot) if non_null_hot else F.lit(False)
+    )
+    cold = fact_cold.join(dim, fact_cold[fact_key] == dim[dim_key], how)
+    hot = fact_hot.join(
+        F.broadcast(dim_hot), fact_hot[fact_key] == dim_hot[dim_key], how
+    )
+    return cold.unionByName(hot)
+
+
+def salted_replicate_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    *,
+    how: str = "inner",
+    hot_keys: list | None = None,
+    min_share: float = 0.01,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew join for when even the HOT dim rows are too wide/many to
+    broadcast: replicate each hot dim row across ``n_salts`` salts and
+    give each hot fact row a deterministic salt, turning one hot reducer
+    into ``n_salts`` balanced ones.  Cold keys join with salt 0 on both
+    sides (no replication).  Row-identical to the plain join.
+
+    The fact salt is ``xxhash64(monotonically_increasing_id) % n_salts``
+    — row-unique input, so the hot rows spread uniformly without an RNG
+    (deterministic re-runs, no rand() re-evaluation hazard under
+    shuffle replays).
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            f"salted_replicate_join supports inner/left joins, got {how!r}"
+        )
+    if hot_keys is None:
+        hot_keys = [k for (k,) in detect_hot_keys(
+            fact, [fact_key], min_share=min_share)]
+    non_null_hot = [k for k in hot_keys if k is not None]
+    if not non_null_hot:
+        return fact.join(dim, fact[fact_key] == dim[dim_key], how)
+    fact_hot = F.col(fact_key).isin(non_null_hot)
+    f = fact.withColumn(
+        "_fsalt",
+        F.when(
+            fact_hot,
+            F.pmod(F.xxhash64(F.monotonically_increasing_id()), n_salts),
+        ).otherwise(F.lit(0)).cast("int"),
+    )
+    dim_hot = F.col(dim_key).isin(non_null_hot)
+    d = dim.withColumn(
+        "_dsalts",
+        F.when(dim_hot, F.sequence(F.lit(0), F.lit(n_salts - 1)))
+        .otherwise(F.array(F.lit(0))),
+    ).withColumn("_dsalt", F.explode("_dsalts")).drop("_dsalts")
+    out = f.join(
+        d,
+        (f[fact_key] == d[dim_key]) & (f["_fsalt"] == d["_dsalt"]),
+        how,
+    )
+    return out.drop("_fsalt", "_dsalt")
