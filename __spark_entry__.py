@@ -1274,6 +1274,17 @@ def q_drift_psi(spark, sf_dir):
     return out.select("baseline", F.col("current").alias("curr"), "psi")
 
 
+def q_ks_drift(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov drift statistic
+    (operators/drift.ks_2sample_df): distributed prefix-sum CDF — the
+    value axis splits into quantile ranges, offsets come from a tiny
+    per-range aggregate, each range cumsums in parallel.  Evaluated at
+    every distinct observed value, so it equals the serial definition
+    the oracle expresses with one ordered window."""
+    ev = _t(spark, sf_dir, "events")
+    return drift.ks_2sample_df(ev, "value", "event_type", "click", "purchase")
+
+
 def q_skew_join(spark, sf_dir):
     """Skew-hardened fact<->dim equi-join (operators/skew.skew_join):
     hot keys take a broadcast hash join (zero bytes through the
@@ -1330,6 +1341,7 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
         ["grain", "event_type", "bucket_us", "n"], ["vmin", "vmax"]
     ),
     "fuzzy_match": (["id_a", "id_b"], ["jaccard"]),
+    "ks_drift": (["baseline", "curr", "n_base", "n_curr"], ["ks"]),
 }
 
 
@@ -1439,6 +1451,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution": q_schema_evolution,
         "psi_report": q_psi_report,
         "skew_join": q_skew_join,
+        "ks_drift": q_ks_drift,
     }
 
 
@@ -2730,5 +2743,26 @@ def _oracle_sql_raw() -> dict[str, str]:
             select e.event_type, d.type_n, count(*) as n
             from events e join dim d on e.event_type = d.et
             group by 1, 2
+        """,
+        "ks_drift": """
+            with v as (
+              select value as x,
+                     count(*) filter (where event_type = 'click') as cb,
+                     count(*) filter (where event_type = 'purchase') as cc
+              from events
+              where event_type in ('click','purchase') and value is not null
+              group by 1
+            ), t as (
+              select sum(cb) as nb, sum(cc) as nc from v
+            ), c as (
+              select sum(cb) over (order by x) as cumb,
+                     sum(cc) over (order by x) as cumc
+              from v
+            )
+            select 'click' as baseline, 'purchase' as curr,
+                   round(max(abs(cumb / t.nb - cumc / t.nc)), 6) as ks,
+                   cast(max(t.nb) as bigint) as n_base,
+                   cast(max(t.nc) as bigint) as n_curr
+            from c cross join t
         """,
     }

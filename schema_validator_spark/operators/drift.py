@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_QUANTILES = [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
@@ -338,6 +338,96 @@ def outlier_stats(
         F.count(F.lit(1)).alias("n"),
         F.sum(z_out.cast("long")).alias("n_outliers_z"),
         F.sum(iqr_out.cast("long")).alias("n_outliers_iqr"),
+    )
+
+
+def ks_2sample_df(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    baseline: object,
+    current: object,
+    *,
+    n_ranges: int = 64,
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic between two groups:
+    ``D = max over x of |F_base(x) - F_curr(x)|`` over the empirical
+    CDFs.  Complements PSI: bucket-free, sensitive to any distributional
+    difference, and the classic drift test when no binning is wanted.
+
+    Scale shape — distributed prefix sum, NO global sort:
+
+    1. one map-side-combinable groupBy collapses the rows to per-distinct-
+       value counts ``(v, c_base, c_curr)`` (reducer input bounded by
+       #distinct values, never rows);
+    2. ``n_ranges`` approximate-quantile edges split the value axis into
+       ordered ranges (edge accuracy affects only balance, never the
+       result — any value-ordered split yields the same CDF);
+    3. per-range subtotal offsets come from a window over the tiny
+       #ranges-row aggregate, then each range cumsums locally in
+       parallel — the CDF prefix sum is ``n_ranges`` independent tasks,
+       exactly the sample_token_budget prefix-sum shape;
+    4. one max-aggregate over ``|cdf_base - cdf_curr|``.
+
+    D is evaluated at every distinct observed value, which is where the
+    step-function difference attains its max, so the result is exact
+    (rounded 6dp for engine reproducibility).
+    """
+    v = F.col(value_col)
+    g = F.col(group_col)
+    src = df.filter(g.isin([baseline, current]) & v.isNotNull())
+    per_val = src.groupBy(v.alias("_v")).agg(
+        F.sum(F.when(g == F.lit(baseline), 1).otherwise(0)).alias("_cb"),
+        F.sum(F.when(g == F.lit(current), 1).otherwise(0)).alias("_cc"),
+    )
+
+    qs = [i / n_ranges for i in range(1, n_ranges)]
+    edge_row = per_val.select(
+        F.percentile_approx(F.col("_v"), qs, 1000).alias("_e")
+    ).first()
+    edges = sorted(set(edge_row["_e"] or []))
+    rng = _bucketize(F.col("_v"), [float(e) for e in edges]) if edges else F.lit(0)
+    per_val = per_val.withColumn("_rng", rng)
+
+    w_off = (
+        Window.orderBy(F.col("_rng").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        per_val.groupBy("_rng")
+        .agg(F.sum("_cb").alias("_sb"), F.sum("_cc").alias("_sc"))
+        .select(
+            "_rng",
+            F.coalesce(F.sum("_sb").over(w_off), F.lit(0)).alias("_ob"),
+            F.coalesce(F.sum("_sc").over(w_off), F.lit(0)).alias("_oc"),
+        )
+    )
+    totals = per_val.agg(
+        F.sum("_cb").alias("_nb"), F.sum("_cc").alias("_nc")
+    )
+
+    w_local = Window.partitionBy("_rng").orderBy(F.col("_v").asc())
+    cum = w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cdf = (
+        per_val.join(F.broadcast(offsets.withColumnRenamed("_rng", "_orng")),
+                     F.col("_rng") == F.col("_orng"))
+        .crossJoin(F.broadcast(totals))
+        .withColumn("_cumb", F.sum("_cb").over(cum) + F.col("_ob"))
+        .withColumn("_cumc", F.sum("_cc").over(cum) + F.col("_oc"))
+    )
+    d = F.abs(
+        F.col("_cumb") / F.col("_nb") - F.col("_cumc") / F.col("_nc")
+    )
+    return cdf.agg(
+        F.round(F.max(d), 6).alias("ks"),
+        F.first("_nb").alias("n_base"),
+        F.first("_nc").alias("n_curr"),
+    ).select(
+        F.lit(str(baseline)).alias("baseline"),
+        F.lit(str(current)).alias("curr"),
+        "ks",
+        "n_base",
+        "n_curr",
     )
 
 
