@@ -1274,6 +1274,16 @@ def q_drift_psi(spark, sf_dir):
     return out.select("baseline", F.col("current").alias("curr"), "psi")
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Exact heavy hitters without shuffling the key space
+    (operators/skew.frequent_items_exact): Spark's built-in one-pass
+    frequent-items sketch (no false negatives) bounds the candidate set
+    to 1/support items, then one exact count verifies — the result
+    equals the exact groupBy-having definition, which IS the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    return skew.frequent_items_exact(ev, "event_type", support=0.15)
+
+
 def q_ks_drift(spark, sf_dir):
     """Exact two-sample Kolmogorov-Smirnov drift statistic
     (operators/drift.ks_2sample_df): distributed prefix-sum CDF — the
@@ -1452,6 +1462,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_report": q_psi_report,
         "skew_join": q_skew_join,
         "ks_drift": q_ks_drift,
+        "heavy_hitters": q_heavy_hitters,
     }
 
 
@@ -2764,5 +2775,11 @@ def _oracle_sql_raw() -> dict[str, str]:
                    cast(max(t.nb) as bigint) as n_base,
                    cast(max(t.nc) as bigint) as n_curr
             from c cross join t
+        """,
+        "heavy_hitters": """
+            with t as (select count(*) as n from events)
+            select event_type as item, count(*) as n_item
+            from events group by 1
+            having count(*) >= (select 0.15 * n from t)
         """,
     }

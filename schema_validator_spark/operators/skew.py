@@ -130,6 +130,50 @@ def detect_hot_keys(
     return [tuple(r[c] for c in key_cols) for r in rows]
 
 
+def frequent_items_exact(
+    df: DataFrame,
+    col: str,
+    *,
+    support: float = 0.01,
+) -> DataFrame:
+    """EXACT heavy hitters: every value owning >= ``support`` of the rows,
+    with its exact count — without ever shuffling the full key space.
+
+    Two single-pass scans:
+
+    1. candidate generation via ``df.stat.freqItems`` — Spark's built-in
+       one-pass frequent-items sketch (Karp-Shenker-Papadimitriou /
+       Misra-Gries family): per-partition counter summaries merged in a
+       treeAggregate, NO shuffle, result bounded by ``1/support`` items.
+       The sketch admits false positives but NEVER false negatives, so
+       the candidate set provably contains every true heavy hitter;
+    2. one exact count over the candidate set only (an ``isin`` filter the
+       scan pushes down), so the groupBy shuffles at most ``1/support``
+       distinct keys instead of the full cardinality.
+
+    Contrast :func:`detect_hot_keys`: that one groupBys ALL keys — fine
+    when cardinality is modest, wasteful at 10^9+ distinct keys; this
+    form's shuffle is bounded by the support threshold, independent of
+    cardinality.  NULL is a legitimate heavy hitter and is counted.
+    """
+    cand_row = df.stat.freqItems([col], support).first()
+    cand = list(cand_row[0]) if cand_row[0] is not None else []
+    has_null = any(c is None for c in cand)
+    non_null = [c for c in cand if c is not None]
+    keep = F.col(col).isin(non_null) if non_null else F.lit(False)
+    if has_null:
+        keep = keep | F.col(col).isNull()
+    tot = df.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        df.filter(keep)
+        .groupBy(F.col(col).alias("item"))
+        .agg(F.count(F.lit(1)).alias("n_item"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("n_item") >= F.lit(support) * F.col("_n"))
+        .drop("_n")
+    )
+
+
 def skew_join(
     fact: DataFrame,
     dim: DataFrame,
