@@ -754,7 +754,8 @@ def _gc_stale_snapshot_dirs(max_age_sec: int = 6 * 3600) -> None:
 
     now = _time.time()
     for d in glob.glob(os.path.join(tempfile.gettempdir(), "svs_snapshot_*")) + \
-            glob.glob(os.path.join(tempfile.gettempdir(), "svs_incr_*")):
+            glob.glob(os.path.join(tempfile.gettempdir(), "svs_incr_*")) + \
+            glob.glob(os.path.join(tempfile.gettempdir(), "svs_merge_*")):
         try:
             if now - os.path.getmtime(d) > max_age_sec:
                 shutil.rmtree(d, ignore_errors=True)
@@ -1274,6 +1275,54 @@ def q_drift_psi(spark, sf_dir):
     return out.select("baseline", F.col("current").alias("curr"), "psi")
 
 
+def q_merge_upsert(spark, sf_dir):
+    """Copy-on-write MERGE INTO over the snapshot table stand-in
+    (sources/snapshots.merge_upsert): every doc_id ending in 3 is
+    updated (lang -> 'zz', n_chars + 1000), five new docs are inserted,
+    and ONLY data files containing a matched key are rewritten — the
+    rest carry into the new snapshot by reference.  The read-back
+    aggregate is compared to the oracle's relational replay of the same
+    MERGE over raw documents."""
+    import os
+    import tempfile
+
+    from schema_validator_spark.sources.snapshots import (
+        SnapshotTable, merge_upsert,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    _gc_stale_snapshot_dirs()
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"svs_merge_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    t = SnapshotTable(path)
+    t.drop()
+    t = SnapshotTable(path)
+    t.commit(docs.repartition(8, "doc_id"))
+    source = (
+        docs.filter(F.col("doc_id") % 10 == 3)
+        .select(
+            "doc_id",
+            F.lit("zz").alias("lang"),
+            (F.col("n_chars") + 1000).alias("n_chars"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") < 5).select(
+                (F.col("doc_id") + 10000000).alias("doc_id"),
+                F.lit("new").alias("lang"),
+                F.lit(1).cast("long").alias("n_chars"),
+            )
+        )
+    )
+    sid = merge_upsert(spark, t, source, ["doc_id"])
+    return (
+        t.read(spark, sid)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
 def q_heavy_hitters(spark, sf_dir):
     """Exact heavy hitters without shuffling the key space
     (operators/skew.frequent_items_exact): Spark's built-in one-pass
@@ -1463,6 +1512,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_join": q_skew_join,
         "ks_drift": q_ks_drift,
         "heavy_hitters": q_heavy_hitters,
+        "merge_upsert": q_merge_upsert,
     }
 
 
@@ -2781,5 +2831,24 @@ def _oracle_sql_raw() -> dict[str, str]:
             select event_type as item, count(*) as n_item
             from events group by 1
             having count(*) >= (select 0.15 * n from t)
+        """,
+        "merge_upsert": """
+            with tgt as (select doc_id, lang, n_chars from documents),
+            src as (
+              select doc_id, 'zz' as lang, n_chars + 1000 as n_chars
+              from documents where doc_id % 10 = 3
+              union all
+              select doc_id + 10000000, 'new', cast(1 as bigint)
+              from documents where doc_id < 5
+            ),
+            merged as (
+              select * from tgt
+              where doc_id not in (select doc_id from src)
+              union all
+              select * from src
+            )
+            select lang, count(*) as n,
+                   cast(sum(n_chars) as bigint) as sum_chars
+            from merged group by 1
         """,
     }

@@ -198,6 +198,66 @@ class SnapshotTable:
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)
 
+    # -- maintenance primitives --------------------------------------------
+
+    def _write_data(self, df: DataFrame) -> list[str]:
+        """Write df as a new immutable data-file set, return the paths."""
+        import uuid
+
+        data_dir = os.path.join(self.path, "data", uuid.uuid4().hex[:12])
+        df.write.mode("overwrite").parquet(data_dir)
+        return sorted(
+            os.path.join(data_dir, f)
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet")
+        )
+
+    def _commit_files(
+        self, files: list[str], operation: str, parent: int
+    ) -> int:
+        """Commit an EXPLICIT visible-file set computed against ``parent``
+        (the copy-on-write maintenance commit).  Unlike ``commit``'s
+        append loop, a maintenance rewrite cannot be silently rebased onto
+        a different parent — the rewritten files were derived from
+        parent's data — so a lost CAS race raises instead of retrying;
+        the caller re-runs the whole operation against the new head
+        (Iceberg's serializable copy-on-write semantics)."""
+        import uuid
+
+        sid = parent + 1
+        manifest = {
+            "snapshot_id": sid,
+            "parent_id": parent or None,
+            "operation": operation,
+            "timestamp_ms": int(time.time() * 1000),
+            "files": files,
+        }
+        final = os.path.join(self._meta, f"{sid}.json")
+        tmp = os.path.join(self._meta, f".tmp-{uuid.uuid4().hex[:12]}")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        try:
+            os.link(tmp, final)
+            os.unlink(tmp)
+            return sid
+        except FileExistsError:
+            os.unlink(tmp)
+            raise ValueError(
+                f"concurrent commit beat {operation} at snapshot {sid}; "
+                "re-run the maintenance operation against the new head"
+            ) from None
+        except OSError:
+            try:
+                os.close(os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            except FileExistsError:
+                os.unlink(tmp)
+                raise ValueError(
+                    f"concurrent commit beat {operation} at snapshot {sid}; "
+                    "re-run the maintenance operation against the new head"
+                ) from None
+            os.replace(tmp, final)
+            return sid
+
 
 def validate_appended(
     spark: SparkSession,
@@ -239,6 +299,151 @@ def drift_across_commits(
         a.unionByName(b), value_col, "_commit",
         f"snap{snapshot_a}", f"snap{snapshot_b}", n_buckets=n_buckets,
     )
+
+
+def _local_path(col):
+    """input_file_name() returns a file: URI; manifests store plain paths."""
+    from pyspark.sql import functions as F
+
+    return F.url_decode(F.regexp_replace(col, "^file:(//)?", ""))
+
+
+def _affected_files(
+    spark: SparkSession, files: list[str], touch_filter
+) -> list[str]:
+    """The subset of data files containing at least one row matching
+    ``touch_filter`` (a Column, or a fn(DataFrame)->DataFrame narrowing).
+    This is the file-pruning half of copy-on-write: untouched files are
+    carried into the next snapshot BY REFERENCE — at 10^12 rows a MERGE
+    touching one repo rewrites that repo's files, not the table.  The
+    collect is bounded by #files (manifest-scale metadata)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(*files).withColumn(
+        "_file", _local_path(F.input_file_name())
+    )
+    touched = touch_filter(df) if callable(touch_filter) else df.filter(touch_filter)
+    return sorted(r["_file"] for r in touched.select("_file").distinct().collect())
+
+
+def merge_upsert(
+    spark: SparkSession,
+    table: SnapshotTable,
+    source: DataFrame,
+    key_cols: list[str],
+) -> int:
+    """MERGE INTO with copy-on-write file pruning (Iceberg MERGE
+    semantics over the manifest stand-in): target rows whose key appears
+    in ``source`` are replaced by the source row (matched -> update all
+    columns), source keys absent from the target are inserted, and ONLY
+    the data files that contain a matched key are rewritten — every
+    other file moves into the new snapshot untouched, by reference.
+
+    ``source`` must carry the target's schema and at most one row per
+    key (ambiguous multi-row updates raise, as SQL MERGE does).
+    Historical snapshots still see the pre-merge rows: time travel.
+    """
+    from pyspark.sql import functions as F
+
+    parent = table.current_snapshot_id()
+    files = table._manifest(parent)["files"] if parent else []
+    dup = (
+        source.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1).limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"MERGE source has multiple rows for key {tuple(dup[0][c] for c in key_cols)}"
+        )
+    keys = source.select(*key_cols).distinct()
+
+    def _touched(df):
+        return df.join(F.broadcast(keys), key_cols, "left_semi")
+
+    affected = _affected_files(spark, files, _touched) if files else []
+    untouched = [f for f in files if f not in set(affected)]
+    if affected:
+        kept_old = spark.read.parquet(*affected).join(
+            F.broadcast(keys), key_cols, "left_anti"
+        )
+        rewritten = kept_old.unionByName(source.select(*kept_old.columns))
+    else:
+        rewritten = source
+    new_files = table._write_data(rewritten)
+    return table._commit_files(untouched + new_files, "merge", parent)
+
+
+def delete_where(
+    spark: SparkSession,
+    table: SnapshotTable,
+    predicate,
+) -> int:
+    """Row-level DELETE with copy-on-write file pruning: only files
+    containing at least one matching row are rewritten (without the
+    matched rows); all other files carry over by reference.  NULL
+    predicate results keep the row (SQL DELETE deletes only where the
+    predicate is TRUE)."""
+    from pyspark.sql import functions as F
+
+    parent = table.current_snapshot_id()
+    files = table._manifest(parent)["files"] if parent else []
+    if not files:
+        return parent  # empty table: nothing to delete
+    affected = _affected_files(spark, files, predicate)
+    untouched = [f for f in files if f not in set(affected)]
+    if not affected:
+        return parent  # no-op delete: nothing matched, no new snapshot
+    survivors = spark.read.parquet(*affected).filter(
+        ~F.coalesce(predicate, F.lit(False))
+    )
+    new_files = table._write_data(survivors)
+    return table._commit_files(untouched + new_files, "delete", parent)
+
+
+def compact_table(
+    spark: SparkSession,
+    table: SnapshotTable,
+    *,
+    target_files: int,
+) -> int:
+    """Bin-pack compaction (Iceberg rewrite_data_files): rewrite the
+    current snapshot's many small files as ``target_files`` files,
+    committing a row-identical 'replace' snapshot.  Historical snapshots
+    keep reading the old files — compaction never breaks time travel
+    (old files are reclaimed only by expire_snapshots)."""
+    parent = table.current_snapshot_id()
+    df = table.read(spark, parent).repartition(target_files)
+    new_files = table._write_data(df)
+    return table._commit_files(new_files, "replace", parent)
+
+
+def expire_snapshots(table: SnapshotTable, *, keep_last: int) -> list[str]:
+    """Expire all but the newest ``keep_last`` snapshots and delete every
+    data file no surviving snapshot references (the GC half of
+    compaction).  Returns the deleted file paths.  Metadata-scale only:
+    set arithmetic over manifests, no Spark job."""
+    ids = table.snapshot_ids()
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    drop_ids = ids[:-keep_last]
+    if not drop_ids:
+        return []
+    keep_ids = ids[-keep_last:]
+    referenced: set[str] = set()
+    for sid in keep_ids:
+        referenced.update(table._manifest(sid)["files"])
+    doomed: set[str] = set()
+    for sid in drop_ids:
+        doomed.update(table._manifest(sid)["files"])
+    removed = sorted(doomed - referenced)
+    for f in removed:
+        try:
+            os.unlink(f)
+        except FileNotFoundError:
+            pass
+    for sid in drop_ids:
+        os.unlink(os.path.join(table._meta, f"{sid}.json"))
+    return removed
 
 
 def dedup_appended(
