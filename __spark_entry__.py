@@ -1213,6 +1213,21 @@ def q_token_budget_sample(spark, sf_dir):
     return out.select("doc_id", "lang", "n_tokens")
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing (GPT-style concat-and-chunk): documents laid
+    end-to-end in deterministic md5-rank order, cut into 256-token
+    training sequences.  Output = the packing manifest — one row per
+    (sequence, doc-slice) with in-doc and in-sequence token ranges.
+    Distributed prefix sum (256 md5-rank ranges), no global sort."""
+    from schema_validator_spark.operators import packing
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", X.token_count(F.col("text")).alias("n_tokens")
+    )
+    out = packing.pack_sequences(docs, "doc_id", "n_tokens", 256)
+    return out.select("seq_id", "doc_id", "begin_tok", "end_tok", "seq_off")
+
+
 def q_temperature_sample(spark, sf_dir):
     """Temperature mixture reweighting (mT5/XLM-R alpha sampling,
     alpha = 1/T): per-language keep probabilities ∝ n^(1/T), rounded
@@ -1489,6 +1504,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_global": q_line_dedup_global,
         "span_dedup": q_span_dedup,
         "token_budget_sample": q_token_budget_sample,
+        "pack_sequences": q_pack_sequences,
         "bpe_pairs": q_bpe_pairs,
         "bpe_token_counts": q_bpe_token_counts,
         "tfidf_keywords": q_tfidf_keywords,
@@ -2660,6 +2676,33 @@ def _oracle_sql_raw() -> dict[str, str]:
                                            t -> t <> '')) as n_tokens
                     from documents)
             ) where cum <= 2000
+        """,
+        "pack_sequences": r"""
+            with d as (
+              select doc_id,
+                     cast(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                          t -> t <> '')) as bigint) as n,
+                     md5(cast(doc_id as varchar) || 'v1') as h
+              from documents
+            ), k as (select * from d where n > 0),
+            cum as (
+              select doc_id, n,
+                     cast(coalesce(sum(n) over (
+                       order by h, doc_id
+                       rows between unbounded preceding and 1 preceding), 0)
+                       as bigint) as g
+              from k
+            ), spans as (
+              select doc_id, n, g,
+                     unnest(range(cast(g // 256 as bigint),
+                                  cast((g + n - 1) // 256 + 1 as bigint))) as seq_id
+              from cum
+            )
+            select cast(seq_id as bigint) as seq_id, doc_id,
+                   greatest(g, seq_id * 256) - g as begin_tok,
+                   least(g + n, (seq_id + 1) * 256) - g as end_tok,
+                   greatest(g, seq_id * 256) - seq_id * 256 as seq_off
+            from spans
         """,
         "incremental_validation": """
             select field, code, n from (

@@ -1,0 +1,136 @@
+"""Sequence packing for LLM pretraining batches.
+
+``pack_sequences`` implements the standard concat-and-chunk packing used
+by GPT/LLaMA-style pretraining: documents are laid end-to-end in a
+deterministic order and the resulting token stream is cut into
+fixed-length training sequences of ``seq_len`` tokens.  The output is
+the *packing manifest*: one row per (sequence, document-slice), telling
+a downstream tokenizer exactly which token range of which document lands
+where in which training sequence.  A document longer than ``seq_len``
+spans several sequences; a short document shares its sequence with
+neighbours — that is the whole point of packing (near-zero padding).
+
+Reference scope: the reference library (weilence/schema-validator) stops
+at struct validation; packing is part of this repo's LLM-curation
+extension suite (SURVEY.md §2.9), downstream of token-budget sampling.
+
+Determinism: document order is the md5(id || salt) rank used by every
+sampling operator here — no RNG state, so any engine (the DuckDB oracle
+included) reproduces the identical packing.
+
+Scale shape — distributed prefix sum, NO global sort: the md5 rank's
+first byte splits the corpus into 256 ordered ranges (the byte is a
+prefix of the rank, so (range, rank) order == rank order).  Pass 1
+aggregates per-range token sums (map-side combinable, 256 output rows)
+and turns them into running offsets with one tiny window; pass 2
+broadcast-joins the offsets back and cumsums WITHIN each range — a
+10^10-document corpus cumsums as 256 parallel tasks, not one.  The
+explode that maps a document onto its sequences emits at most
+n_tokens/seq_len + 1 rows per document, so output size is bounded by
+corpus_tokens/seq_len + n_docs regardless of skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .sampling import _hash_key
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    seq_len: int,
+    *,
+    salt: str = "v1",
+    drop_partial_tail: bool = False,
+) -> DataFrame:
+    """Pack documents into fixed-length training sequences.
+
+    Returns one row per (sequence, document-slice):
+
+    * ``seq_id``    — 0-based training-sequence index
+    * ``<id_col>``  — the document supplying this slice
+    * ``begin_tok`` — first token of the slice, 0-based WITHIN the doc
+    * ``end_tok``   — exclusive end token of the slice within the doc
+    * ``seq_off``   — where the slice starts WITHIN the sequence
+
+    Every kept document's tokens are covered exactly once
+    (sum(end_tok - begin_tok) over the doc == its token count) and every
+    sequence is exactly ``seq_len`` tokens except possibly the last.
+    Documents with a non-positive/NULL token count are excluded (they
+    contribute nothing to the stream).
+
+    ``drop_partial_tail=True`` drops the final partial sequence (the
+    usual choice for training, where ragged batches are useless).
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+
+    h = _hash_key(id_col, salt)
+    rng = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    docs = (
+        df.select(
+            F.col(id_col),
+            F.coalesce(F.col(token_col), F.lit(0)).cast("long").alias("_n"),
+        )
+        .filter(F.col("_n") > 0)
+        .withColumn("_h", h)
+        .withColumn("_rng", rng)
+    )
+
+    # Pass 1: per-range token totals -> exclusive running offsets.
+    bucket_sums = docs.groupBy("_rng").agg(F.sum("_n").alias("_bsum"))
+    w_off = (
+        Window.orderBy(F.col("_rng").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bucket_sums.select(
+        "_rng", F.coalesce(F.sum("_bsum").over(w_off), F.lit(0)).alias("_roff")
+    )
+
+    # Pass 2: local cumsum within each range + broadcast range offset
+    # gives each doc its global stream offset _g (exclusive prefix).
+    w_local = Window.partitionBy("_rng").orderBy(
+        F.col("_h").asc(), F.col(id_col).asc()
+    )
+    cum_incl = F.sum("_n").over(
+        w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = (
+        docs.join(F.broadcast(offsets), "_rng")
+        .withColumn("_g", F.col("_roff") + cum_incl - F.col("_n"))
+    )
+
+    # A doc occupying global tokens [_g, _g + _n) touches sequences
+    # _g div L .. (_g + _n - 1) div L; slice arithmetic is exact long
+    # `div`, never floating point.
+    L = int(seq_len)
+    placed = placed.withColumn(
+        "seq_id",
+        F.explode(
+            F.sequence(
+                F.expr(f"_g div {L}"), F.expr(f"(_g + _n - 1) div {L}")
+            )
+        ),
+    )
+    slice_begin = F.greatest(F.col("_g"), F.col("seq_id") * L)
+    slice_end = F.least(F.col("_g") + F.col("_n"), (F.col("seq_id") + 1) * L)
+    out = placed.select(
+        F.col("seq_id"),
+        F.col(id_col),
+        (slice_begin - F.col("_g")).alias("begin_tok"),
+        (slice_end - F.col("_g")).alias("end_tok"),
+        (slice_begin - F.col("seq_id") * L).alias("seq_off"),
+    )
+    if drop_partial_tail:
+        total = docs.agg(F.sum("_n").alias("t"))
+        out = out.join(
+            F.broadcast(total),
+            out["seq_id"] < F.expr(f"t div {L}"),
+            "left_semi",
+        )
+    return out
