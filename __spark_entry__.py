@@ -755,7 +755,8 @@ def _gc_stale_snapshot_dirs(max_age_sec: int = 6 * 3600) -> None:
     now = _time.time()
     for d in glob.glob(os.path.join(tempfile.gettempdir(), "svs_snapshot_*")) + \
             glob.glob(os.path.join(tempfile.gettempdir(), "svs_incr_*")) + \
-            glob.glob(os.path.join(tempfile.gettempdir(), "svs_merge_*")):
+            glob.glob(os.path.join(tempfile.gettempdir(), "svs_merge_*")) + \
+            glob.glob(os.path.join(tempfile.gettempdir(), "svs_pruned_*")):
         try:
             if now - os.path.getmtime(d) > max_age_sec:
                 shutil.rmtree(d, ignore_errors=True)
@@ -799,6 +800,53 @@ def q_incremental_dedup(spark, sf_dir):
     t.commit(delta, mode="append")
     out = dedup_appended(spark, t, "text", s1)
     return out.select("doc_id", F.md5(F.coalesce("text", F.lit(""))).alias("text_md5"))
+
+
+def q_stats_pruned_scan(spark, sf_dir):
+    """File-level data skipping over a snapshot table: events committed
+    CLUSTERED on `value` (range-partitioned + sorted -> tight per-file
+    min/max in the manifest, read from parquet footers), then a range
+    scan that opens ONLY the files whose stats intersect [50, 100].
+    Pruning is pinned in tests (candidate_files < total); here the
+    oracle checks the scan is row-identical to a plain filter."""
+    import os
+    import tempfile
+
+    from schema_validator_spark.sources.snapshots import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    _gc_stale_snapshot_dirs()
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"svs_pruned_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    t = SnapshotTable(path)
+    t.drop()
+    t = SnapshotTable(path)
+    t.commit_clustered(ev, ["value"], 8)
+    pruned = t.read_range(spark, "value", 50.0, 100.0)
+    assert len(t.candidate_files("value", 50.0, 100.0)) < 8
+    return (
+        pruned.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+    )
+
+
+def q_zorder_key(spark, sf_dir):
+    """Z-order (Morton) clustering key over two event dimensions —
+    the multi-dimensional write layout for file skipping (cluster on z,
+    keep stats on x and y; pruning on BOTH dims pinned in tests).  Pure
+    bit-interleave codegen; the oracle replays the identical shifts."""
+    from schema_validator_spark.functions.zorder import zorder_key
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % 32).cast("int").alias("x"),
+        F.least(F.floor(F.col("value") / 16.0), F.lit(31)).cast("int").alias("y"),
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    return ev.withColumn("z", zorder_key(["x", "y"], bits=5)).select(
+        "event_id", "x", "y", "z"
+    )
 
 
 def q_snapshot_drift(spark, sf_dir):
@@ -1416,6 +1464,7 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
     ),
     "fuzzy_match": (["id_a", "id_b"], ["jaccard"]),
     "ks_drift": (["baseline", "curr", "n_base", "n_curr"], ["ks"]),
+    "stats_pruned_scan": (["event_type", "n"], ["sum_value"]),
 }
 
 
@@ -1498,6 +1547,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "drift_psi": q_drift_psi,
         "snapshot_drift": q_snapshot_drift,
+        "stats_pruned_scan": q_stats_pruned_scan,
+        "zorder_key": q_zorder_key,
         "clean_docs": q_clean_docs,
         "gopher_quality": q_gopher_quality,
         "incremental_validation": q_incremental_validation,
@@ -1593,6 +1644,24 @@ def oracle_sql() -> dict[str, str]:
     for name, (keep, dbls) in _E6_COLS.items():
         base[name] = _wrap_e6_sql(base[name], keep, dbls)
     return base
+
+
+def _zorder_oracle_sql() -> str:
+    """Replay q_zorder_key's Morton interleave with the SAME generated
+    shift expression the Spark side uses (single source of truth)."""
+    from schema_validator_spark.functions.zorder import zorder_key_sql
+
+    z = zorder_key_sql(["x", "y"], bits=5)
+    return f"""
+        with b as (
+          select event_id,
+                 cast(user_id % 32 as int) as x,
+                 cast(least(floor(value / 16.0), 31) as int) as y
+          from events
+          where user_id is not null and value is not null
+        )
+        select event_id, x, y, cast({z} as bigint) as z from b
+    """
 
 
 def _oracle_sql_raw() -> dict[str, str]:
@@ -2810,6 +2879,12 @@ def _oracle_sql_raw() -> dict[str, str]:
                    md5(clean) as clean_md5
             from fin
         """,
+        "stats_pruned_scan": """
+            select event_type, count(*) as n, sum(value) as sum_value
+            from events where value between 50.0 and 100.0
+            group by event_type
+        """,
+        "zorder_key": _zorder_oracle_sql(),
         "snapshot_drift": """
             with e as (
               select list_transform(quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),

@@ -32,6 +32,28 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _stats_friendly_timestamps(spark: SparkSession):
+    """Spark's default parquet timestamp encoding is INT96, which carries
+    NO min/max statistics in the footer — an INT96 column can never be
+    pruned.  Snapshot-table data files are written as TIMESTAMP_MICROS
+    (the modern encoding Iceberg mandates) so footer stats exist for
+    :func:`collect_file_stats`; values read back identically."""
+    key = "spark.sql.parquet.outputTimestampType"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 class SnapshotTable:
     """A parquet table with Iceberg-style snapshot manifests."""
 
@@ -42,7 +64,13 @@ class SnapshotTable:
 
     # -- commit ------------------------------------------------------------
 
-    def commit(self, df: DataFrame, *, mode: str = "append") -> int:
+    def commit(
+        self,
+        df: DataFrame,
+        *,
+        mode: str = "append",
+        stats_cols: list[str] | None = None,
+    ) -> int:
         """Write df's rows as new immutable data files and commit a new
         snapshot.  ``append`` layers onto the parent snapshot's files;
         ``overwrite`` starts the visible set fresh (old files stay on
@@ -54,26 +82,36 @@ class SnapshotTable:
         a concurrent winner's manifest, losing its commit).  On conflict
         the manifest is rebuilt against the new parent and retried; the
         data files, written once under a unique directory, are reused.
+
+        ``stats_cols`` attaches per-file column min/max/null-count stats
+        to the manifest (read from the parquet FOOTERS the writer already
+        produced — no extra Spark job, exactly how Iceberg gets them),
+        enabling file-level data skipping via :meth:`read_range`.
         """
         import uuid
 
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         data_dir = os.path.join(self.path, "data", uuid.uuid4().hex[:12])
-        df.write.mode("overwrite").parquet(data_dir)
+        with _stats_friendly_timestamps(df.sparkSession):
+            df.write.mode("overwrite").parquet(data_dir)
         files = sorted(
             os.path.join(data_dir, f)
             for f in os.listdir(data_dir)
             if f.endswith(".parquet")
         )
+        new_stats = collect_file_stats(files, stats_cols) if stats_cols else {}
         while True:
             parent = self.current_snapshot_id()
             sid = parent + 1
             if mode == "overwrite" or parent == 0:
                 visible = files
+                parent_stats = {}
             else:
                 try:
-                    visible = self._manifest(parent)["files"] + files
+                    pm = self._manifest(parent)
+                    visible = pm["files"] + files
+                    parent_stats = pm.get("stats", {})
                 except ValueError:
                     # parent was an abandoned commit claim that _manifest
                     # just reclaimed — recompute against the real head
@@ -84,6 +122,7 @@ class SnapshotTable:
                 "operation": mode,
                 "timestamp_ms": int(time.time() * 1000),
                 "files": visible,
+                "stats": {**parent_stats, **new_stats},
             }
             final = os.path.join(self._meta, f"{sid}.json")
             tmp = os.path.join(self._meta, f".tmp-{uuid.uuid4().hex[:12]}")
@@ -195,6 +234,94 @@ class SnapshotTable:
             return self.read(spark, since_snapshot).limit(0)
         return spark.read.parquet(*new_files)
 
+    def commit_clustered(
+        self,
+        df: DataFrame,
+        cluster_cols: list[str],
+        n_files: int,
+        *,
+        stats_cols: list[str] | None = None,
+        mode: str = "append",
+    ) -> int:
+        """Commit with data files CLUSTERED on ``cluster_cols``:
+        range-partition into ``n_files`` files and sort within each, so
+        per-file min/max ranges are tight and near-disjoint — the write
+        layout that makes :meth:`read_range`'s file skipping effective
+        (Iceberg's sorted write / rewrite_data_files sort strategy).
+
+        For multi-dimensional skipping, cluster on a Z-order key
+        (:func:`schema_validator_spark.functions.zorder.zorder_key`) and
+        keep stats on the raw dimensions.  Stats default to the cluster
+        columns.  One range-exchange over the delta being committed —
+        never the whole table.
+        """
+        clustered = df.repartitionByRange(
+            n_files, *cluster_cols
+        ).sortWithinPartitions(*cluster_cols)
+        return self.commit(
+            clustered, mode=mode, stats_cols=stats_cols or list(cluster_cols)
+        )
+
+    def candidate_files(
+        self,
+        col: str,
+        lo=None,
+        hi=None,
+        snapshot_id: int | None = None,
+    ) -> list[str]:
+        """The data files that MIGHT hold rows with ``lo <= col <= hi``,
+        judged purely from manifest stats (metadata-scale — no Spark job,
+        no file opens).  Files without stats for ``col`` are kept (never
+        prune on missing information); all-null files are skipped (a
+        range predicate can't match NULL)."""
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        m = self._manifest(sid)
+        stats = m.get("stats", {})
+        lo_c, hi_c = _stat_val(lo), _stat_val(hi)
+        out = []
+        for f in m["files"]:
+            cs = stats.get(f, {}).get("cols", {}).get(col)
+            if cs is None:
+                out.append(f)
+                continue
+            if cs.get("all_null"):
+                continue
+            if lo_c is not None and cs["max"] < lo_c:
+                continue
+            if hi_c is not None and cs["min"] > hi_c:
+                continue
+            out.append(f)
+        return out
+
+    def read_range(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo=None,
+        hi=None,
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Range scan with file-level data skipping: read ONLY the files
+        whose manifest stats intersect [lo, hi], then apply the exact row
+        predicate (which Spark additionally pushes into the parquet
+        row-group reader).  Result is row-identical to filtering a full
+        snapshot read; cost scales with the matching files.  On a
+        :meth:`commit_clustered` layout a narrow range touches
+        O(1) files out of however many the table holds."""
+        from pyspark.sql import functions as F
+
+        files = self.candidate_files(col, lo, hi, snapshot_id=snapshot_id)
+        if not files:
+            base = self.read(spark, snapshot_id).limit(0)
+        else:
+            base = spark.read.parquet(*files)
+        c = F.col(col)
+        if lo is not None:
+            base = base.filter(c >= F.lit(lo))
+        if hi is not None:
+            base = base.filter(c <= F.lit(hi))
+        return base
+
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)
 
@@ -205,7 +332,8 @@ class SnapshotTable:
         import uuid
 
         data_dir = os.path.join(self.path, "data", uuid.uuid4().hex[:12])
-        df.write.mode("overwrite").parquet(data_dir)
+        with _stats_friendly_timestamps(df.sparkSession):
+            df.write.mode("overwrite").parquet(data_dir)
         return sorted(
             os.path.join(data_dir, f)
             for f in os.listdir(data_dir)
@@ -213,7 +341,11 @@ class SnapshotTable:
         )
 
     def _commit_files(
-        self, files: list[str], operation: str, parent: int
+        self,
+        files: list[str],
+        operation: str,
+        parent: int,
+        new_stats: dict | None = None,
     ) -> int:
         """Commit an EXPLICIT visible-file set computed against ``parent``
         (the copy-on-write maintenance commit).  Unlike ``commit``'s
@@ -225,12 +357,19 @@ class SnapshotTable:
         import uuid
 
         sid = parent + 1
+        # stats for files carried by reference survive the rewrite; stats
+        # for rewritten (dropped) files fall away with them
+        parent_stats = self._manifest(parent).get("stats", {}) if parent else {}
+        kept = set(files)
+        stats = {f: s for f, s in parent_stats.items() if f in kept}
+        stats.update(new_stats or {})
         manifest = {
             "snapshot_id": sid,
             "parent_id": parent or None,
             "operation": operation,
             "timestamp_ms": int(time.time() * 1000),
             "files": files,
+            "stats": stats,
         }
         final = os.path.join(self._meta, f"{sid}.json")
         tmp = os.path.join(self._meta, f".tmp-{uuid.uuid4().hex[:12]}")
@@ -257,6 +396,82 @@ class SnapshotTable:
                 ) from None
             os.replace(tmp, final)
             return sid
+
+
+def _stat_val(v):
+    """Normalize a stats / predicate value into a JSON-comparable scalar:
+    numbers and strings pass through; datetimes become epoch seconds
+    (tz-aware first converted to UTC).  Returns None for None and for
+    types we don't know how to compare (callers must then keep the file:
+    never prune on information we can't interpret)."""
+    import datetime as dt
+
+    if v is None or isinstance(v, bool):
+        return None if v is None else int(v)
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        return (v - dt.datetime(1970, 1, 1)).total_seconds()
+    if isinstance(v, dt.date):
+        return (v - dt.date(1970, 1, 1)).days * 86400.0
+    return None
+
+
+def collect_file_stats(files: list[str], cols: list[str]) -> dict:
+    """Per-file column stats from the parquet FOOTERS (pyarrow metadata
+    read — bytes per file, no data scan, no Spark job; this is where
+    Iceberg's manifests get their bounds too).  Returns
+    ``{file: {"rows": n, "cols": {col: {"min", "max", "nulls"} |
+    {"all_null": True}}}}``; a column is omitted for a file whose footer
+    carries no usable statistics (readers must treat that as
+    unprunable)."""
+    import pyarrow.parquet as pq
+
+    out = {}
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = {
+            md.schema.column(i).path: i
+            for i in range(md.num_columns)
+        }
+        fstats: dict = {"rows": md.num_rows, "cols": {}}
+        for c in cols:
+            i = idx.get(c)
+            if i is None:
+                continue
+            mins, maxs, nulls, usable = [], [], 0, True
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                s = g.column(i).statistics
+                if s is None:
+                    usable = False
+                    break
+                nulls += s.null_count or 0
+                if not s.has_min_max:
+                    # an all-null row group legitimately has no min/max;
+                    # anything else means unknown -> unusable
+                    if (s.null_count or 0) != g.num_rows:
+                        usable = False
+                        break
+                    continue
+                mn, mx = _stat_val(s.min), _stat_val(s.max)
+                if mn is None or mx is None:
+                    usable = False
+                    break
+                mins.append(mn)
+                maxs.append(mx)
+            if not usable:
+                continue
+            if not mins:
+                fstats["cols"][c] = {"all_null": True, "nulls": nulls}
+            else:
+                fstats["cols"][c] = {
+                    "min": min(mins), "max": max(maxs), "nulls": nulls,
+                }
+        out[f] = fstats
+    return out
 
 
 def validate_appended(
