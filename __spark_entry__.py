@@ -832,6 +832,32 @@ def q_stats_pruned_scan(spark, sf_dir):
     )
 
 
+def q_suggest_constraints(spark, sf_dir):
+    """Deequ-style constraint suggestion: profile `customer` in two
+    bounded passes (one stats agg; enum values fetched ONLY for
+    proven-low-cardinality strings) and emit the spec the table already
+    satisfies — required (zero-value semantics), unique, oneof, min/max
+    (value bounds for numerics, octet-length bounds for strings),
+    omitempty where empties are accepted.  The suggested spec compiles
+    into the engine and re-validates the table clean (pinned in tests);
+    the oracle re-derives every suggestion from first principles."""
+    from schema_validator_spark.operators.suggest import suggestions_df
+
+    cust = _t(spark, sf_dir, "customer")
+    out = suggestions_df(cust)
+    # numeric bounds as 6dp-scaled-integer STRINGS (nullable bigints turn
+    # into float/NaN in the oracle harness's pandas frame; scaled-long
+    # text is the established cross-engine-stable form)
+    return out.select(
+        "column",
+        "rule",
+        F.when(
+            F.col("num_param").isNotNull(),
+            F.round(F.col("num_param") * 1e6).cast("long").cast("string"),
+        ).otherwise(F.col("param")).alias("param"),
+    )
+
+
 def q_zorder_key(spark, sf_dir):
     """Z-order (Morton) clustering key over two event dimensions —
     the multi-dimensional write layout for file skipping (cluster on z,
@@ -1549,6 +1575,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_drift": q_snapshot_drift,
         "stats_pruned_scan": q_stats_pruned_scan,
         "zorder_key": q_zorder_key,
+        "suggest_constraints": q_suggest_constraints,
         "clean_docs": q_clean_docs,
         "gopher_quality": q_gopher_quality,
         "incremental_validation": q_incremental_validation,
@@ -1661,6 +1688,58 @@ def _zorder_oracle_sql() -> str:
           where user_id is not null and value is not null
         )
         select event_id, x, y, cast({z} as bigint) as z from b
+    """
+
+
+def _suggest_oracle_sql() -> str:
+    """Replay q_suggest_constraints over `customer` from first
+    principles: per-column stats (zero-value emptiness, exact distinct,
+    value/length bounds, low-cardinality value lists) -> rule rows,
+    mirroring operators/suggest.py's decision table exactly."""
+    num_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+    str_cols = ["c_name", "c_mktsegment"]
+    parts = []
+    for c in num_cols + str_cols:
+        isnum = c in num_cols
+        empty = f"{c} is null or {c} = 0" if isnum else f"{c} is null or {c} = ''"
+        # strlen = BYTE length in DuckDB (octet_length is BLOB-only
+        # there), matching Spark's octet_length on strings
+        mn = f"min({c})" if isnum else f"min(strlen({c}))"
+        mx = f"max({c})" if isnum else f"max(strlen({c}))"
+        oneof = (
+            "cast(null as varchar)" if isnum else
+            f"case when count(distinct {c}) between 1 and 10 then "
+            f"array_to_string(list_sort(list(distinct {c}) "
+            f"filter (where {c} is not null)), '|') end"
+        )
+        parts.append(f"""
+          select '{c}' as col, count(*) as r,
+                 count(*) filter (where {c} is null) as nu,
+                 count(*) filter (where {empty}) as em,
+                 count(distinct {c}) as d,
+                 cast({mn} as double) as mn, cast({mx} as double) as mx,
+                 {oneof} as vals
+          from customer""")
+    stats = " union all ".join(parts)
+    return f"""
+      with s as ({stats})
+      select col as "column", 'required' as rule, '' as param
+        from s where r > 0 and em = 0
+      union all
+      select col, 'omitempty', '' from s
+        where em > 0 and r - nu > 0
+      union all
+      select col, 'unique', '' from s
+        where r - nu > 0 and d = r - nu
+      union all
+      select col, 'oneof', vals from s
+        where vals is not null
+      union all
+      select col, 'min', cast(cast(round(mn * 1e6) as bigint) as varchar)
+        from s where r - nu > 0
+      union all
+      select col, 'max', cast(cast(round(mx * 1e6) as bigint) as varchar)
+        from s where r - nu > 0
     """
 
 
@@ -2885,6 +2964,7 @@ def _oracle_sql_raw() -> dict[str, str]:
             group by event_type
         """,
         "zorder_key": _zorder_oracle_sql(),
+        "suggest_constraints": _suggest_oracle_sql(),
         "snapshot_drift": """
             with e as (
               select list_transform(quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
