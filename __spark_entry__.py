@@ -756,7 +756,8 @@ def _gc_stale_snapshot_dirs(max_age_sec: int = 6 * 3600) -> None:
     for d in glob.glob(os.path.join(tempfile.gettempdir(), "svs_snapshot_*")) + \
             glob.glob(os.path.join(tempfile.gettempdir(), "svs_incr_*")) + \
             glob.glob(os.path.join(tempfile.gettempdir(), "svs_merge_*")) + \
-            glob.glob(os.path.join(tempfile.gettempdir(), "svs_pruned_*")):
+            glob.glob(os.path.join(tempfile.gettempdir(), "svs_pruned_*")) + \
+            glob.glob(os.path.join(tempfile.gettempdir(), "svs_anom_*")):
         try:
             if now - os.path.getmtime(d) > max_age_sec:
                 shutil.rmtree(d, ignore_errors=True)
@@ -829,6 +830,47 @@ def q_stats_pruned_scan(spark, sf_dir):
     return (
         pruned.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+    )
+
+
+def q_metric_anomaly(spark, sf_dir):
+    """Deequ-style anomaly detection over a snapshot table's metric
+    history: four cumulative commits (click / +view / +purchase /
+    +signup), per-commit row count and null fraction, then
+    relative-rate-of-change flagging (threshold 0.5) — the "did this
+    commit move a quality metric suspiciously" check.  First points
+    carry sentinel -1 (no baseline).  Oracle replays every commit's
+    metrics and the window arithmetic relationally."""
+    import os
+    import tempfile
+
+    from schema_validator_spark.operators.anomaly import (
+        detect_anomalies, metric_history,
+    )
+    from schema_validator_spark.sources.snapshots import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    _gc_stale_snapshot_dirs()
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"svs_anom_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    t = SnapshotTable(path)
+    t.drop()
+    t = SnapshotTable(path)
+    for et in ["click", "view", "purchase", "signup"]:
+        t.commit(ev.filter(F.col("event_type") == et))
+    hist = metric_history(
+        spark, t,
+        {"n_rows": F.count(F.lit(1)),
+         "null_frac": F.avg(F.col("value").isNull().cast("int"))},
+    )
+    out = detect_anomalies(hist, max_rel_change=0.5)
+    return out.select(
+        "snapshot_id", "metric", "value",
+        F.coalesce(F.col("prev"), F.lit(-1.0)).alias("prev"),
+        F.coalesce(F.col("rel_change"), F.lit(-1.0)).alias("rel_change"),
+        "anomalous",
     )
 
 
@@ -1491,6 +1533,8 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
     "fuzzy_match": (["id_a", "id_b"], ["jaccard"]),
     "ks_drift": (["baseline", "curr", "n_base", "n_curr"], ["ks"]),
     "stats_pruned_scan": (["event_type", "n"], ["sum_value"]),
+    "metric_anomaly": (["snapshot_id", "metric", "anomalous"],
+                       ["value", "prev", "rel_change"]),
 }
 
 
@@ -1576,6 +1620,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_pruned_scan": q_stats_pruned_scan,
         "zorder_key": q_zorder_key,
         "suggest_constraints": q_suggest_constraints,
+        "metric_anomaly": q_metric_anomaly,
         "clean_docs": q_clean_docs,
         "gopher_quality": q_gopher_quality,
         "incremental_validation": q_incremental_validation,
@@ -2965,6 +3010,40 @@ def _oracle_sql_raw() -> dict[str, str]:
         """,
         "zorder_key": _zorder_oracle_sql(),
         "suggest_constraints": _suggest_oracle_sql(),
+        "metric_anomaly": """
+            with slices(sid, ets) as (
+              values (1, ['click']),
+                     (2, ['click','view']),
+                     (3, ['click','view','purchase']),
+                     (4, ['click','view','purchase','signup'])
+            ), m as (
+              select s.sid as snapshot_id, u.metric, u.value
+              from slices s
+              cross join lateral (
+                select 'n_rows' as metric, cast(count(*) as double) as value
+                from events where list_contains(s.ets, event_type)
+                union all
+                select 'null_frac',
+                       cast(avg(cast(value is null as int)) as double)
+                from events where list_contains(s.ets, event_type)
+              ) u
+            ), w as (
+              select snapshot_id, metric, value,
+                     lag(value) over (
+                       partition by metric order by snapshot_id) as prev
+              from m
+            )
+            select snapshot_id, metric, value,
+                   coalesce(prev, -1.0) as prev,
+                   coalesce(case when prev is not null and prev <> 0
+                                 then round(abs(value / prev - 1), 6) end,
+                            -1.0) as rel_change,
+                   coalesce(case when prev is not null and prev <> 0
+                                 then round(abs(value / prev - 1), 6) > 0.5
+                                 when prev = 0 then value <> 0
+                            end, false) as anomalous
+            from w
+        """,
         "snapshot_drift": """
             with e as (
               select list_transform(quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
