@@ -833,6 +833,23 @@ def q_stats_pruned_scan(spark, sf_dir):
     )
 
 
+def q_pagerank(spark, sf_dir):
+    """Domain-ranking PageRank (the web-curation frontier score) over a
+    deterministic 60-node link graph derived from documents
+    (src = doc_id mod 60, dst = (doc_id div 7) mod 60): 5 iterations,
+    damping 0.85, dangling mass redistributed, ranks rounded 6dp at
+    every iteration boundary so the recurrence is engine-reproducible.
+    The oracle unrolls the same 5 iterations relationally."""
+    from schema_validator_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.select(
+        (F.col("doc_id") % 60).alias("src"),
+        F.expr("(doc_id div 7) % 60").alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return pagerank(edges, iterations=5).select("node", "rank")
+
+
 def q_metric_anomaly(spark, sf_dir):
     """Deequ-style anomaly detection over a snapshot table's metric
     history: four cumulative commits (click / +view / +purchase /
@@ -1535,6 +1552,7 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
     "stats_pruned_scan": (["event_type", "n"], ["sum_value"]),
     "metric_anomaly": (["snapshot_id", "metric", "anomalous"],
                        ["value", "prev", "rel_change"]),
+    "pagerank": (["node"], ["rank"]),
 }
 
 
@@ -1621,6 +1639,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "suggest_constraints": q_suggest_constraints,
         "metric_anomaly": q_metric_anomaly,
+        "pagerank": q_pagerank,
         "clean_docs": q_clean_docs,
         "gopher_quality": q_gopher_quality,
         "incremental_validation": q_incremental_validation,
@@ -1786,6 +1805,40 @@ def _suggest_oracle_sql() -> str:
       select col, 'max', cast(cast(round(mx * 1e6) as bigint) as varchar)
         from s where r - nu > 0
     """
+
+
+def _pagerank_oracle_sql(iters: int = 5) -> str:
+    """Unroll q_pagerank's recurrence: same edge derivation, same
+    per-iteration 6dp rounding, same float op order for the base term."""
+    parts = ["""
+      with e as (
+        select distinct (doc_id % 60) as src, ((doc_id // 7) % 60) as dst
+        from documents
+        where (doc_id % 60) <> ((doc_id // 7) % 60)
+      ),
+      nodes as (select src as node from e union select dst from e),
+      nd as (
+        select n.node, coalesce(d.deg, 0) as deg
+        from nodes n
+        left join (select src, count(*) as deg from e group by src) d
+          on n.node = d.src
+      ),
+      c as (select count(*) as n from nd),
+      r0 as (select node, deg, round(1.0 / c.n, 6) as rank from nd, c)"""]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(f"""
+      d{k} as (select coalesce(sum(rank), 0.0) as dang
+               from r{p} where deg = 0),
+      i{k} as (select e.dst as node, sum(r.rank / r.deg) as inc
+               from r{p} r join e on r.node = e.src
+               where r.deg > 0 group by e.dst),
+      r{k} as (select nd.node, nd.deg,
+                      round((((1.0 - 0.85) / c.n) + ((0.85 * d{k}.dang) / c.n))
+                            + (0.85 * coalesce(i{k}.inc, 0.0)), 6) as rank
+               from nd cross join c cross join d{k}
+               left join i{k} on nd.node = i{k}.node)""")
+    return ",".join(parts) + f"\n      select node, rank from r{iters}"
 
 
 def _oracle_sql_raw() -> dict[str, str]:
@@ -3010,6 +3063,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         """,
         "zorder_key": _zorder_oracle_sql(),
         "suggest_constraints": _suggest_oracle_sql(),
+        "pagerank": _pagerank_oracle_sql(),
         "metric_anomaly": """
             with slices(sid, ets) as (
               values (1, ['click']),
