@@ -833,6 +833,19 @@ def q_stats_pruned_scan(spark, sf_dir):
     )
 
 
+def q_pii_scan(spark, sf_dir):
+    """PII governance scan: which documents columns hold emails / IPs /
+    SSN-shaped / long-digit spans, how many rows and spans — the
+    discovery pass that decides what clean.redact_pii must touch.
+    ONE codegen aggregation pass; patterns shared with the redactor
+    (single source of truth).  Oracle replays every (column, pattern)
+    count with the same regexes."""
+    from schema_validator_spark.operators.pii import pii_scan
+
+    docs = _t(spark, sf_dir, "documents")
+    return pii_scan(docs, ["text", "lang", "source"])
+
+
 def q_pagerank(spark, sf_dir):
     """Domain-ranking PageRank (the web-curation frontier score) over a
     deterministic 60-node link graph derived from documents
@@ -1553,6 +1566,8 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
     "metric_anomaly": (["snapshot_id", "metric", "anomalous"],
                        ["value", "prev", "rel_change"]),
     "pagerank": (["node"], ["rank"]),
+    "pii_scan": (['"column"', "pii_type", "n_rows", "n_matched", "n_spans"],
+                 ["match_rate"]),
 }
 
 
@@ -1640,6 +1655,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_constraints": q_suggest_constraints,
         "metric_anomaly": q_metric_anomaly,
         "pagerank": q_pagerank,
+        "pii_scan": q_pii_scan,
         "clean_docs": q_clean_docs,
         "gopher_quality": q_gopher_quality,
         "incremental_validation": q_incremental_validation,
@@ -1805,6 +1821,29 @@ def _suggest_oracle_sql() -> str:
       select col, 'max', cast(cast(round(mx * 1e6) as bigint) as varchar)
         from s where r - nu > 0
     """
+
+
+def _pii_oracle_sql() -> str:
+    """Replay q_pii_scan per (column, pattern) with the SAME regexes
+    (imported from the redactor — single source of truth)."""
+    from schema_validator_spark.operators.pii import pii_types
+
+    parts = []
+    for c in ["text", "lang", "source"]:
+        for name, pat in pii_types():
+            p = pat.replace("'", "''")
+            parts.append(f"""
+              select '{c}' as "column", '{name}' as pii_type,
+                     count(*) as n_rows,
+                     count(*) filter (
+                       where regexp_matches(coalesce({c}, ''), '{p}')) as n_matched,
+                     cast(coalesce(sum(len(regexp_extract_all(
+                       coalesce({c}, ''), '{p}'))), 0) as bigint) as n_spans,
+                     round(cast(count(*) filter (
+                       where regexp_matches(coalesce({c}, ''), '{p}')) as double)
+                       / count(*), 6) as match_rate
+              from documents""")
+    return " union all ".join(parts)
 
 
 def _pagerank_oracle_sql(iters: int = 5) -> str:
@@ -3064,6 +3103,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "zorder_key": _zorder_oracle_sql(),
         "suggest_constraints": _suggest_oracle_sql(),
         "pagerank": _pagerank_oracle_sql(),
+        "pii_scan": _pii_oracle_sql(),
         "metric_anomaly": """
             with slices(sid, ets) as (
               values (1, ['click']),
