@@ -160,6 +160,27 @@ def q_orphan_stats(spark, sf_dir):
     ).select("n_rows", "n_orphans")
 
 
+def q_bloom_referential(spark, sf_dir):
+    """Bloom-accelerated EXACT referential check — the scale tier for a
+    dim whose key set is too big to broadcast but whose ~1-byte/key
+    Bloom fits every executor.  Bloom misses are definite orphans with
+    zero joins; Bloom false positives are weeded by an exact anti-join
+    over DISTINCT survivor keys only.  num_bits deliberately small so
+    BOTH paths (codegen classify + FP verify) carry traffic at the gate
+    SFs; the result is exact for any parameters, so the oracle is the
+    plain anti-join."""
+    from schema_validator_spark.operators.bloom import (
+        bloom_referential_violations,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    dim = _t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") % 7 != 2)
+    out = bloom_referential_violations(
+        li, ["l_suppkey"], dim, ["s_suppkey"], num_bits=1024, num_hashes=3
+    )
+    return out.select("l_orderkey", "l_linenumber", "l_suppkey")
+
+
 def q_drift_stats(spark, sf_dir):
     """Per-group distribution stats (drift check input)."""
     out = drift.column_stats(
@@ -1615,6 +1636,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_keys": q_duplicate_keys,
         "referential_orphans": q_referential_orphans,
         "orphan_stats": q_orphan_stats,
+        "bloom_referential": q_bloom_referential,
         "drift_stats": q_drift_stats,
         "drift_buckets": q_drift_buckets,
         "column_profile": q_column_profile,
@@ -1935,6 +1957,11 @@ def _oracle_sql_raw() -> dict[str, str]:
             select o_orderkey, o_custkey from orders
             where o_custkey not in (
               select c_custkey from customer where c_custkey % 10 <> 3)
+        """,
+        "bloom_referential": """
+            select l_orderkey, l_linenumber, l_suppkey from lineitem
+            where l_suppkey not in (
+              select s_suppkey from supplier where s_suppkey % 7 <> 2)
         """,
         "orphan_stats": """
             select count(*) as n_rows,
