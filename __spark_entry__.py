@@ -181,6 +181,18 @@ def q_bloom_referential(spark, sf_dir):
     return out.select("l_orderkey", "l_linenumber", "l_suppkey")
 
 
+def q_categorical_drift(spark, sf_dir):
+    """Two-sample categorical drift (chi-square + JSD + TVD) on
+    event_type between the even- and odd-user halves of events — ONE
+    data shuffle; oracle replays the identical float op sequence."""
+    from schema_validator_spark.operators.drift import categorical_drift_df
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.filter(F.col("user_id") % 2 == 0)
+    cur = ev.filter(F.col("user_id") % 2 == 1)
+    return categorical_drift_df(base, cur, "event_type")
+
+
 def q_drift_stats(spark, sf_dir):
     """Per-group distribution stats (drift check input)."""
     out = drift.column_stats(
@@ -1589,6 +1601,8 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
     "pagerank": (["node"], ["rank"]),
     "pii_scan": (['"column"', "pii_type", "n_rows", "n_matched", "n_spans"],
                  ["match_rate"]),
+    "categorical_drift": (["n_base", "n_cur", "n_categories", "dof"],
+                          ["chi2", "jsd", "tvd"]),
 }
 
 
@@ -1637,6 +1651,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_orphans": q_referential_orphans,
         "orphan_stats": q_orphan_stats,
         "bloom_referential": q_bloom_referential,
+        "categorical_drift": q_categorical_drift,
         "drift_stats": q_drift_stats,
         "drift_buckets": q_drift_buckets,
         "column_profile": q_column_profile,
@@ -1957,6 +1972,40 @@ def _oracle_sql_raw() -> dict[str, str]:
             select o_orderkey, o_custkey from orders
             where o_custkey not in (
               select c_custkey from customer where c_custkey % 10 <> 3)
+        """,
+        "categorical_drift": """
+            with tagged as (
+              select event_type as v, 1 as b, 0 as c from events
+              where user_id % 2 = 0
+              union all
+              select event_type as v, 0 as b, 1 as c from events
+              where user_id % 2 = 1
+            ), counts as (
+              select v, sum(b) as b, sum(c) as c from tagged group by 1
+            ), per as (
+              select b, c, sum(b) over () as n_b, sum(c) over () as n_c
+              from counts
+            ), terms as (
+              select n_b, n_c,
+                     b / n_b as p, c / n_c as q,
+                     (b / n_b + c / n_c) / 2 as m,
+                     n_b * ((b + c) / (n_b + n_c)) as e_b,
+                     n_c * ((b + c) / (n_b + n_c)) as e_c,
+                     b, c
+              from per
+            )
+            select cast(max(n_b) as bigint) as n_base,
+                   cast(max(n_c) as bigint) as n_cur,
+                   count(*) as n_categories,
+                   count(*) - 1 as dof,
+                   round(sum((b - e_b) * (b - e_b) / e_b
+                           + (c - e_c) * (c - e_c) / e_c), 6) as chi2,
+                   round(sum(
+                     (case when p > 0 then p * ln(p / m) / 2 else 0 end)
+                   + (case when q > 0 then q * ln(q / m) / 2 else 0 end)), 6)
+                     as jsd,
+                   round(sum(abs(p - q) / 2), 6) as tvd
+            from terms
         """,
         "bloom_referential": """
             select l_orderkey, l_linenumber, l_suppkey from lineitem

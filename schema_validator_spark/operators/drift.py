@@ -458,3 +458,91 @@ def drift_report(
             df, value_col, group_col, baseline, n_buckets=n_buckets
         ).orderBy("current").collect()
     ]
+
+
+def categorical_drift_df(
+    base: DataFrame,
+    cur: DataFrame,
+    col: str,
+) -> DataFrame:
+    """Two-sample categorical drift in ONE data shuffle: chi-square
+    homogeneity statistic, Jensen-Shannon divergence (natural log) and
+    total variation distance between the category distributions of
+    ``base`` and ``cur``.
+
+    Complements the numeric drift family (PSI tiers, exact KS): PSI
+    needs bucket edges and a baseline convention; for a *categorical*
+    column the canonical tests are chi-square (significance), JSD
+    (bounded symmetric divergence, <= ln 2) and TVD (L1/2).
+
+    Plan shape: tag each side with a literal, union, ONE groupBy on the
+    category (map-side combined — shuffle volume is bounded by
+    #tasks x #categories, never rows), then totals + per-category terms
+    over the tiny counts frame via an all-rows window (serial, but over
+    #categories rows — metadata scale).  NULL is its own category, like
+    every groupBy in this engine.
+
+    Returns one row:
+    ``(n_base, n_cur, n_categories, dof, chi2, jsd, tvd)`` — floats
+    rounded 6dp.  Zero-count conventions: a category absent from one
+    side contributes ``p*ln(2)`` to that side's JSD half (0*ln0 = 0
+    terms dropped), and its expected counts stay > 0 because it is
+    present in the other side.
+    """
+    tagged = base.select(
+        F.col(col).alias("_v"), F.lit(1).alias("_b"), F.lit(0).alias("_c")
+    ).unionByName(
+        cur.select(
+            F.col(col).alias("_v"), F.lit(0).alias("_b"), F.lit(1).alias("_c")
+        )
+    )
+    counts = tagged.groupBy("_v").agg(
+        F.sum("_b").alias("b"), F.sum("_c").alias("c")
+    )
+    w = Window.partitionBy()
+    per = (
+        counts.withColumn("n_b", F.sum("b").over(w))
+        .withColumn("n_c", F.sum("c").over(w))
+        .withColumn("p", F.col("b") / F.col("n_b"))
+        .withColumn("q", F.col("c") / F.col("n_c"))
+        .withColumn("m", (F.col("p") + F.col("q")) / 2)
+        # divide BEFORE multiplying: n_b * (b + c) as long x long would
+        # overflow ANSI arithmetic at 10^12-row scale; the double ratio
+        # first keeps every term in range (oracle replays this order)
+        .withColumn(
+            "e_b",
+            F.col("n_b") * ((F.col("b") + F.col("c")) / (F.col("n_b") + F.col("n_c"))),
+        )
+        .withColumn(
+            "e_c",
+            F.col("n_c") * ((F.col("b") + F.col("c")) / (F.col("n_b") + F.col("n_c"))),
+        )
+        .withColumn(
+            "chi2_term",
+            # explicit products, not pow(x, 2): keeps the float op
+            # sequence replayable verbatim in the SQL oracle
+            (F.col("b") - F.col("e_b")) * (F.col("b") - F.col("e_b")) / F.col("e_b")
+            + (F.col("c") - F.col("e_c")) * (F.col("c") - F.col("e_c")) / F.col("e_c"),
+        )
+        .withColumn(
+            "jsd_term",
+            F.when(
+                F.col("p") > 0,
+                F.col("p") * F.log(F.col("p") / F.col("m")) / 2,
+            ).otherwise(F.lit(0.0))
+            + F.when(
+                F.col("q") > 0,
+                F.col("q") * F.log(F.col("q") / F.col("m")) / 2,
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("tvd_term", F.abs(F.col("p") - F.col("q")) / 2)
+    )
+    return per.agg(
+        F.max("n_b").alias("n_base"),
+        F.max("n_c").alias("n_cur"),
+        F.count(F.lit(1)).alias("n_categories"),
+        (F.count(F.lit(1)) - 1).alias("dof"),
+        F.round(F.sum("chi2_term"), 6).alias("chi2"),
+        F.round(F.sum("jsd_term"), 6).alias("jsd"),
+        F.round(F.sum("tvd_term"), 6).alias("tvd"),
+    )
