@@ -879,6 +879,38 @@ def q_pii_scan(spark, sf_dir):
     return pii_scan(docs, ["text", "lang", "source"])
 
 
+def q_html_extract(spark, sf_dir):
+    """HTML -> text extraction over documents wrapped in synthetic
+    markup (title/script/style/comment blocks, paragraph tags, an
+    anchor): title + link count + md5 of the extracted text make the
+    whole regex pipeline byte-checkable; the oracle rebuilds its
+    regexp_replace chain from html.pipeline_spec() — single source of
+    truth."""
+    from schema_validator_spark.functions import html as H
+
+    docs = _t(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</title><script>var t='</p>';</script></head><body><h1>"),
+            F.col("source"),
+            F.lit("</h1><p>"),
+            F.replace(F.col("text"), F.lit("\n"), F.lit("</p><p>")),
+            F.lit('</p><a href="https://ex.org/'),
+            F.col("doc_id").cast("string"),
+            F.lit('">l</a><!-- c --></body></html>'),
+        ).alias("h"),
+    )
+    return synth.select(
+        "doc_id",
+        H.html_title(F.col("h")).alias("title"),
+        H.html_link_count(F.col("h")).alias("n_links"),
+        F.md5(H.html_to_text(F.col("h"))).alias("text_md5"),
+    )
+
+
 def q_pagerank(spark, sf_dir):
     """Domain-ranking PageRank (the web-curation frontier score) over a
     deterministic 60-node link graph derived from documents
@@ -1652,6 +1684,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orphan_stats": q_orphan_stats,
         "bloom_referential": q_bloom_referential,
         "categorical_drift": q_categorical_drift,
+        "html_extract": q_html_extract,
         "drift_stats": q_drift_stats,
         "drift_buckets": q_drift_buckets,
         "column_profile": q_column_profile,
@@ -1881,6 +1914,43 @@ def _pii_oracle_sql() -> str:
                        / count(*), 6) as match_rate
               from documents""")
     return " union all ".join(parts)
+
+
+def _html_oracle_sql() -> str:
+    """Replay q_html_extract: rebuild html_to_text's exact ordered
+    regexp_replace/replace chain from html.pipeline_spec()."""
+    from schema_validator_spark.functions.html import pipeline_spec
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    expr = "h"
+    for kind, pat, rep in pipeline_spec():
+        r = "chr(10)" if rep == "\n" else f"'{q(rep)}'"
+        if kind == "re":
+            expr = f"regexp_replace({expr}, '{q(pat)}', {r}, 'g')"
+        else:
+            expr = f"replace({expr}, '{q(pat)}', {r})"
+    return f"""
+        with synth as (
+          select doc_id,
+                 '<html><head><title>Doc ' || cast(doc_id as varchar)
+                 || '</title><script>var t=''</p>'';</script></head><body><h1>'
+                 || source || '</h1><p>'
+                 || replace(text, chr(10), '</p><p>')
+                 || '</p><a href="https://ex.org/' || cast(doc_id as varchar)
+                 || '">l</a><!-- c --></body></html>' as h
+          from documents
+        )
+        select doc_id,
+               trim(regexp_replace(
+                 regexp_extract(h, '(?is)<title\\b[^>]*>(.*?)</title\\s*>', 1),
+                 '\\s+', ' ', 'g')) as title,
+               cast(len(regexp_extract_all(
+                 h, '(?is)<a\\b[^>]*\\bhref\\s*=')) as int) as n_links,
+               md5({expr}) as text_md5
+        from synth
+    """
 
 
 def _pagerank_oracle_sql(iters: int = 5) -> str:
@@ -3180,6 +3250,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "suggest_constraints": _suggest_oracle_sql(),
         "pagerank": _pagerank_oracle_sql(),
         "pii_scan": _pii_oracle_sql(),
+        "html_extract": _html_oracle_sql(),
         "metric_anomaly": """
             with slices(sid, ets) as (
               values (1, ['click']),
