@@ -879,6 +879,30 @@ def q_pii_scan(spark, sf_dir):
     return pii_scan(docs, ["text", "lang", "source"])
 
 
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_correlation_matrix(spark, sf_dir):
+    """Pairwise Pearson correlations over lineitem's numeric measures —
+    all 6 pairs in ONE mergeable-moment aggregation pass (Deequ
+    Correlation analyzer); oracle replays the covar/stddev form."""
+    from schema_validator_spark.operators.correlate import correlation_matrix
+
+    return correlation_matrix(_t(spark, sf_dir, "lineitem"), _CORR_COLS)
+
+
+def q_mutual_info(spark, sf_dir):
+    """Mutual information between orders' status and priority (Deequ
+    MutualInformation): one groupBy on the pair, marginals as windows
+    over the tiny joint frame; identical float op order in the
+    oracle."""
+    from schema_validator_spark.operators.correlate import mutual_information
+
+    return mutual_information(
+        _t(spark, sf_dir, "orders"), "o_orderstatus", "o_orderpriority"
+    )
+
+
 def q_html_extract(spark, sf_dir):
     """HTML -> text extraction over documents wrapped in synthetic
     markup (title/script/style/comment blocks, paragraph tags, an
@@ -1635,6 +1659,9 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
                  ["match_rate"]),
     "categorical_drift": (["n_base", "n_cur", "n_categories", "dof"],
                           ["chi2", "jsd", "tvd"]),
+    "correlation_matrix": (["col_a", "col_b", "n_rows"], ["corr"]),
+    "mutual_info": (["n_rows", "card_a", "card_b"],
+                    ["h_a", "h_b", "mi", "nmi"]),
 }
 
 
@@ -1685,6 +1712,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_referential": q_bloom_referential,
         "categorical_drift": q_categorical_drift,
         "html_extract": q_html_extract,
+        "correlation_matrix": q_correlation_matrix,
+        "mutual_info": q_mutual_info,
         "drift_stats": q_drift_stats,
         "drift_buckets": q_drift_buckets,
         "column_profile": q_column_profile,
@@ -1913,6 +1942,23 @@ def _pii_oracle_sql() -> str:
                        where regexp_matches(coalesce({c}, ''), '{p}')) as double)
                        / count(*), 6) as match_rate
               from documents""")
+    return " union all ".join(parts)
+
+
+def _corr_oracle_sql() -> str:
+    """Replay q_correlation_matrix pair-by-pair with the same
+    covar_samp / (stddev * stddev) form (NULL for constant columns)."""
+    from itertools import combinations
+
+    parts = []
+    for a, b in combinations(_CORR_COLS, 2):
+        parts.append(f"""
+          select '{a}' as col_a, '{b}' as col_b,
+                 count(*) as n_rows,
+                 round(covar_samp({a}, {b})
+                       / nullif(stddev_samp({a}) * stddev_samp({b}), 0), 6)
+                   as corr
+          from lineitem""")
     return " union all ".join(parts)
 
 
@@ -3251,6 +3297,40 @@ def _oracle_sql_raw() -> dict[str, str]:
         "pagerank": _pagerank_oracle_sql(),
         "pii_scan": _pii_oracle_sql(),
         "html_extract": _html_oracle_sql(),
+        "correlation_matrix": _corr_oracle_sql(),
+        "mutual_info": """
+            with joint as (
+              select o_orderstatus as a, o_orderpriority as b,
+                     count(*) as c_ab
+              from orders group by 1, 2
+            ), per as (
+              select a, b, c_ab,
+                     sum(c_ab) over () as n,
+                     sum(c_ab) over (partition by a) as c_a,
+                     sum(c_ab) over (partition by b) as c_b
+              from joint
+            ), terms as (
+              select a, b, n,
+                     c_ab / n as p_ab, c_a / n as p_a, c_b / n as p_b
+              from per
+            ), agg as (
+              select cast(max(n) as bigint) as n_rows,
+                     cast(count(distinct a)
+                       + max(case when a is null then 1 else 0 end)
+                       as bigint) as card_a,
+                     cast(count(distinct b)
+                       + max(case when b is null then 1 else 0 end)
+                       as bigint) as card_b,
+                     round(-sum(p_ab * ln(p_a)), 6) as h_a,
+                     round(-sum(p_ab * ln(p_b)), 6) as h_b,
+                     round(sum(p_ab * ln(p_ab / (p_a * p_b))), 6) as mi
+              from terms
+            )
+            select n_rows, card_a, card_b, h_a, h_b, mi,
+                   round(case when least(h_a, h_b) > 0
+                              then mi / least(h_a, h_b) end, 6) as nmi
+            from agg
+        """,
         "metric_anomaly": """
             with slices(sid, ets) as (
               values (1, ['click']),
