@@ -790,7 +790,8 @@ def _gc_stale_snapshot_dirs(max_age_sec: int = 6 * 3600) -> None:
             glob.glob(os.path.join(tempfile.gettempdir(), "svs_incr_*")) + \
             glob.glob(os.path.join(tempfile.gettempdir(), "svs_merge_*")) + \
             glob.glob(os.path.join(tempfile.gettempdir(), "svs_pruned_*")) + \
-            glob.glob(os.path.join(tempfile.gettempdir(), "svs_anom_*")):
+            glob.glob(os.path.join(tempfile.gettempdir(), "svs_anom_*")) + \
+            glob.glob(os.path.join(tempfile.gettempdir(), "svs_ingest_*")):
         try:
             if now - os.path.getmtime(d) > max_age_sec:
                 shutil.rmtree(d, ignore_errors=True)
@@ -880,6 +881,51 @@ def q_pii_scan(spark, sf_dir):
 
 
 _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_ingest_quarantine(spark, sf_dir):
+    """Malformed-record quarantine on JSONL ingest: documents rows are
+    serialized to JSON lines with every doc_id % 10 == 3 line truncated
+    mid-string (a torn write), round-tripped through the PERMISSIVE
+    reader, split, and audited.  The md5 of the sorted quarantined raw
+    lines proves the dead letters are byte-exact; the oracle derives
+    everything from documents relationally (it never reads the file)."""
+    import os
+    import tempfile
+
+    from schema_validator_spark.sources.ingest import (
+        ingest_report, read_jsonl_quarantined, split_quarantine,
+    )
+
+    _gc_stale_snapshot_dirs()
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"svs_ingest_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    docs = _t(spark, sf_dir, "documents")
+    good_line = F.concat(
+        F.lit('{"doc_id": '), F.col("doc_id").cast("string"),
+        F.lit(', "lang": "'), F.col("lang"), F.lit('"}'),
+    )
+    torn_line = F.concat(
+        F.lit('{"doc_id": '), F.col("doc_id").cast("string"),
+        F.lit(', "lang": "'), F.col("lang"),
+    )
+    docs.select(
+        F.when(F.col("doc_id") % 10 == 3, torn_line)
+        .otherwise(good_line)
+        .alias("value")
+    ).write.mode("overwrite").text(path)
+
+    df = read_jsonl_quarantined(spark, path, "doc_id long, lang string")
+    rep = ingest_report(df)
+    good, bad = split_quarantine(df)
+    md5df = bad.agg(
+        F.md5(F.concat_ws("\n", F.array_sort(F.collect_list("raw"))))
+        .alias("corrupt_md5")
+    )
+    sumdf = good.agg(F.sum("doc_id").alias("good_docid_sum"))
+    return rep.crossJoin(md5df).crossJoin(sumdf)
 
 
 def q_correlation_matrix(spark, sf_dir):
@@ -1713,6 +1759,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "categorical_drift": q_categorical_drift,
         "html_extract": q_html_extract,
         "correlation_matrix": q_correlation_matrix,
+        "ingest_quarantine": q_ingest_quarantine,
         "mutual_info": q_mutual_info,
         "drift_stats": q_drift_stats,
         "drift_buckets": q_drift_buckets,
@@ -3298,6 +3345,28 @@ def _oracle_sql_raw() -> dict[str, str]:
         "pii_scan": _pii_oracle_sql(),
         "html_extract": _html_oracle_sql(),
         "correlation_matrix": _corr_oracle_sql(),
+        "ingest_quarantine": """
+            with lines as (
+              select doc_id, lang, (doc_id % 10 = 3) as bad,
+                     case when doc_id % 10 = 3
+                          then '{"doc_id": ' || doc_id || ', "lang": "' || lang
+                          else '{"doc_id": ' || doc_id || ', "lang": "' || lang
+                               || '"}' end as raw
+              from documents
+            )
+            select count(*) as n_rows,
+                   count(*) filter (where not bad) as n_good,
+                   count(*) filter (where bad) as n_corrupt,
+                   count(*) filter (where not bad and doc_id is null)
+                     as n_null_doc_id,
+                   count(*) filter (where not bad and lang is null)
+                     as n_null_lang,
+                   md5(string_agg(raw, chr(10) order by raw)
+                       filter (where bad)) as corrupt_md5,
+                   cast(sum(doc_id) filter (where not bad) as bigint)
+                     as good_docid_sum
+            from lines
+        """,
         "mutual_info": """
             with joint as (
               select o_orderstatus as a, o_orderpriority as b,
