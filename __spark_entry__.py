@@ -928,6 +928,16 @@ def q_ingest_quarantine(spark, sf_dir):
     return rep.crossJoin(md5df).crossJoin(sumdf)
 
 
+def q_emd_drift(spark, sf_dir):
+    """Exact 1-D Wasserstein-1 between click and purchase value
+    distributions — the transport-cost drift tier beside PSI and KS
+    (same distributed prefix-sum CDF, plus successor gap terms)."""
+    from schema_validator_spark.operators import drift
+
+    ev = _t(spark, sf_dir, "events")
+    return drift.emd_2sample_df(ev, "value", "event_type", "click", "purchase")
+
+
 def q_correlation_matrix(spark, sf_dir):
     """Pairwise Pearson correlations over lineitem's numeric measures —
     all 6 pairs in ONE mergeable-moment aggregation pass (Deequ
@@ -1697,6 +1707,7 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
     ),
     "fuzzy_match": (["id_a", "id_b"], ["jaccard"]),
     "ks_drift": (["baseline", "curr", "n_base", "n_curr"], ["ks"]),
+    "emd_drift": (["baseline", "curr", "n_base", "n_curr"], ["w1"]),
     "stats_pruned_scan": (["event_type", "n"], ["sum_value"]),
     "metric_anomaly": (["snapshot_id", "metric", "anomalous"],
                        ["value", "prev", "rel_change"]),
@@ -1760,6 +1771,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "correlation_matrix": q_correlation_matrix,
         "ingest_quarantine": q_ingest_quarantine,
+        "emd_drift": q_emd_drift,
         "mutual_info": q_mutual_info,
         "drift_stats": q_drift_stats,
         "drift_buckets": q_drift_buckets,
@@ -3489,6 +3501,30 @@ def _oracle_sql_raw() -> dict[str, str]:
             )
             select 'click' as baseline, 'purchase' as curr,
                    round(max(abs(cumb / t.nb - cumc / t.nc)), 6) as ks,
+                   cast(max(t.nb) as bigint) as n_base,
+                   cast(max(t.nc) as bigint) as n_curr
+            from c cross join t
+        """,
+        "emd_drift": """
+            with v as (
+              select cast(value as double) as x,
+                     count(*) filter (where event_type = 'click') as cb,
+                     count(*) filter (where event_type = 'purchase') as cc
+              from events
+              where event_type in ('click','purchase') and value is not null
+              group by 1
+            ), t as (
+              select sum(cb) as nb, sum(cc) as nc from v
+            ), c as (
+              select x,
+                     sum(cb) over (order by x) as cumb,
+                     sum(cc) over (order by x) as cumc,
+                     lead(x) over (order by x) as nx
+              from v
+            )
+            select 'click' as baseline, 'purchase' as curr,
+                   round(sum(abs(cumb / t.nb - cumc / t.nc) * (nx - x)), 6)
+                     as w1,
                    cast(max(t.nb) as bigint) as n_base,
                    cast(max(t.nc) as bigint) as n_curr
             from c cross join t

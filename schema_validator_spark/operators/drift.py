@@ -546,3 +546,100 @@ def categorical_drift_df(
         F.round(F.sum("jsd_term"), 6).alias("jsd"),
         F.round(F.sum("tvd_term"), 6).alias("tvd"),
     )
+
+
+def emd_2sample_df(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    baseline: object,
+    current: object,
+    *,
+    n_ranges: int = 64,
+) -> DataFrame:
+    """EXACT 1-D Wasserstein-1 (earth mover's) distance between two
+    groups: ``W1 = integral of |F_base(x) - F_curr(x)| dx``, evaluated
+    as ``sum over consecutive distinct values v_i of
+    |F_base(v_i) - F_curr(v_i)| * (v_{i+1} - v_i)`` — the empirical
+    CDFs are step functions, so the piecewise sum IS the integral.
+
+    Completes the numeric drift triad: PSI (bucketed, baseline-relative),
+    KS (worst-case CDF gap, unit-free), W1 (total transport cost in the
+    COLUMN'S OWN UNITS — "the price distribution moved $4.20 of mass",
+    which PSI/KS cannot express).
+
+    Same distributed prefix-sum shape as :func:`ks_2sample_df` (one
+    map-side-combinable per-distinct-value collapse, range-split local
+    cumsums, NO global sort).  The extra piece W1 needs is each value's
+    SUCCESSOR: ``lead`` inside each range, plus each range's first value
+    shipped to the previous range via a lead over the tiny #ranges-row
+    offsets frame — so the gap terms also never serialize.  The global
+    maximum's term is 0 (both CDFs are 1 past it) and is dropped by the
+    NULL successor.
+    """
+    v = F.col(value_col)
+    g = F.col(group_col)
+    src = df.filter(g.isin([baseline, current]) & v.isNotNull())
+    per_val = src.groupBy(v.cast("double").alias("_v")).agg(
+        F.sum(F.when(g == F.lit(baseline), 1).otherwise(0)).alias("_cb"),
+        F.sum(F.when(g == F.lit(current), 1).otherwise(0)).alias("_cc"),
+    )
+
+    qs = [i / n_ranges for i in range(1, n_ranges)]
+    edge_row = per_val.select(
+        F.percentile_approx(F.col("_v"), qs, 1000).alias("_e")
+    ).first()
+    edges = sorted(set(edge_row["_e"] or []))
+    rng = _bucketize(F.col("_v"), [float(e) for e in edges]) if edges else F.lit(0)
+    per_val = per_val.withColumn("_rng", rng)
+
+    w_off = (
+        Window.orderBy(F.col("_rng").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = Window.orderBy(F.col("_rng").asc())
+    offsets = (
+        per_val.groupBy("_rng")
+        .agg(
+            F.sum("_cb").alias("_sb"),
+            F.sum("_cc").alias("_sc"),
+            F.min("_v").alias("_minv"),
+        )
+        .select(
+            "_rng",
+            F.coalesce(F.sum("_sb").over(w_off), F.lit(0)).alias("_ob"),
+            F.coalesce(F.sum("_sc").over(w_off), F.lit(0)).alias("_oc"),
+            F.lead("_minv").over(w_next).alias("_nextmin"),
+        )
+    )
+    totals = per_val.agg(
+        F.sum("_cb").alias("_nb"), F.sum("_cc").alias("_nc")
+    )
+
+    w_local = Window.partitionBy("_rng").orderBy(F.col("_v").asc())
+    cum = w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cdf = (
+        per_val.join(F.broadcast(offsets.withColumnRenamed("_rng", "_orng")),
+                     F.col("_rng") == F.col("_orng"))
+        .crossJoin(F.broadcast(totals))
+        .withColumn("_cumb", F.sum("_cb").over(cum) + F.col("_ob"))
+        .withColumn("_cumc", F.sum("_cc").over(cum) + F.col("_oc"))
+        .withColumn(
+            "_nextv", F.coalesce(F.lead("_v").over(w_local), F.col("_nextmin"))
+        )
+    )
+    term = (
+        F.abs(F.col("_cumb") / F.col("_nb") - F.col("_cumc") / F.col("_nc"))
+        * (F.col("_nextv") - F.col("_v"))
+    )
+    return cdf.agg(
+        F.round(F.sum(term), 6).alias("w1"),
+        F.first("_nb").alias("n_base"),
+        F.first("_nc").alias("n_curr"),
+    ).select(
+        F.lit(str(baseline)).alias("baseline"),
+        F.lit(str(current)).alias("curr"),
+        "w1",
+        "n_base",
+        "n_curr",
+    )
