@@ -928,6 +928,15 @@ def q_ingest_quarantine(spark, sf_dir):
     return rep.crossJoin(md5df).crossJoin(sumdf)
 
 
+def q_benford(spark, sf_dir):
+    """Benford first-digit conformity report over extended prices —
+    audit-grade fabricated-data check; arithmetic digit extraction so
+    the oracle replays it without string formatting."""
+    from schema_validator_spark.operators.profile import benford_report
+
+    return benford_report(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
 def q_emd_drift(spark, sf_dir):
     """Exact 1-D Wasserstein-1 between click and purchase value
     distributions — the transport-cost drift tier beside PSI and KS
@@ -1708,6 +1717,7 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
     "fuzzy_match": (["id_a", "id_b"], ["jaccard"]),
     "ks_drift": (["baseline", "curr", "n_base", "n_curr"], ["ks"]),
     "emd_drift": (["baseline", "curr", "n_base", "n_curr"], ["w1"]),
+    "benford": (["digit", "n_digit"], ["obs_p", "exp_p", "abs_dev"]),
     "stats_pruned_scan": (["event_type", "n"], ["sum_value"]),
     "metric_anomaly": (["snapshot_id", "metric", "anomalous"],
                        ["value", "prev", "rel_change"]),
@@ -1772,6 +1782,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correlation_matrix": q_correlation_matrix,
         "ingest_quarantine": q_ingest_quarantine,
         "emd_drift": q_emd_drift,
+        "benford": q_benford,
         "mutual_info": q_mutual_info,
         "drift_stats": q_drift_stats,
         "drift_buckets": q_drift_buckets,
@@ -3504,6 +3515,30 @@ def _oracle_sql_raw() -> dict[str, str]:
                    cast(max(t.nb) as bigint) as n_base,
                    cast(max(t.nc) as bigint) as n_curr
             from c cross join t
+        """,
+        "benford": """
+            with src as (
+              select abs(cast(l_extendedprice as double)) as a
+              from lineitem
+              where l_extendedprice is not null
+                and abs(cast(l_extendedprice as double)) > 0
+            ), obs as (
+              select cast(floor(a * power(10.0, -floor(log10(a)))) as int)
+                       as d,
+                     count(*) as c
+              from src group by 1
+            ), grid as (
+              select cast(range as int) as digit from range(1, 10)
+            ), counts as (
+              select digit, cast(coalesce(c, 0) as bigint) as n_digit
+              from grid left join obs on digit = d
+            )
+            select digit, n_digit,
+                   round(n_digit / (sum(n_digit) over ()), 6) as obs_p,
+                   round(log10(1.0 + 1.0 / digit), 6) as exp_p,
+                   round(abs(n_digit / (sum(n_digit) over ())
+                             - log10(1.0 + 1.0 / digit)), 6) as abs_dev
+            from counts
         """,
         "emd_drift": """
             with v as (

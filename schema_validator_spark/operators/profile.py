@@ -14,7 +14,7 @@ distincts per column would be one shuffle *per column* — wrong at scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -97,3 +97,68 @@ def profile_exact(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         f"stack({len(columns)}, {stack_args}) as "
         "(column, n_nulls, n_distinct, min, max)",
     ).select("column", "n_rows", "n_nulls", "n_distinct", "min", "max")
+
+
+def _benford_digit_counts(df: DataFrame, col: str) -> DataFrame:
+    """Observed first-significant-digit counts joined onto the full 1-9
+    grid (absent digits = 0 — they still deviate from Benford).  The
+    first digit of ``abs(v)`` is computed arithmetically
+    (``floor(a * 10^-floor(log10 a))``) so any SQL engine reproduces it
+    — never via string formatting, which differs across engines.
+    NULLs and zeros are excluded.  ONE map-side-combinable groupBy on a
+    9-value key; everything after runs over the 9-row frame."""
+    a = F.abs(F.col(col).cast("double"))
+    digit = F.floor(a * F.pow(F.lit(10.0), -F.floor(F.log10(a)))).cast("int")
+    observed = (
+        df.filter(F.col(col).isNotNull() & (a > 0))
+        .groupBy(digit.alias("_d"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    grid = df.sparkSession.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    return grid.join(
+        F.broadcast(observed), grid["digit"] == observed["_d"], "left"
+    ).select("digit", F.coalesce(F.col("_c"), F.lit(0)).alias("n_digit"))
+
+
+def benford_report(df: DataFrame, col: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic audit-grade anomaly check for naturally-occurring numeric
+    columns (amounts, populations, file sizes): fabricated or truncated
+    data deviates from ``P(d) = log10(1 + 1/d)``.
+
+    Always 9 rows: ``(digit, n_digit, obs_p, exp_p, abs_dev)``, floats
+    rounded 6dp."""
+    counts = _benford_digit_counts(df, col)
+    w = Window.partitionBy()
+    obs = F.col("n_digit") / F.sum("n_digit").over(w)
+    exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return counts.select(
+        "digit",
+        "n_digit",
+        F.round(obs, 6).alias("obs_p"),
+        F.round(exp, 6).alias("exp_p"),
+        F.round(F.abs(obs - exp), 6).alias("abs_dev"),
+    )
+
+
+def benford_summary(df: DataFrame, col: str) -> DataFrame:
+    """One-row Benford conformity verdict: ``(n, mad, chi2)``.
+    MAD = mean absolute deviation over all 9 digits (Nigrini bands:
+    <0.006 close, <0.012 acceptable, <0.015 marginal conformity for
+    large n); chi2 = n * sum((obs - exp)^2 / exp).  Unrounded
+    deviations feed the sums; only outputs are rounded 6dp."""
+    counts = _benford_digit_counts(df, col)
+    w = Window.partitionBy()
+    n = F.sum("n_digit").over(w)
+    obs = F.col("n_digit") / n
+    exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    per = counts.select(
+        n.alias("_n"),
+        F.abs(obs - exp).alias("_dev"),
+        ((obs - exp) * (obs - exp) / exp).alias("_chi"),
+    )
+    return per.agg(
+        F.max("_n").alias("n"),
+        F.round(F.sum("_dev") / 9, 6).alias("mad"),
+        F.round(F.max("_n") * F.sum("_chi"), 6).alias("chi2"),
+    )
