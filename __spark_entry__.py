@@ -928,6 +928,51 @@ def q_ingest_quarantine(spark, sf_dir):
     return rep.crossJoin(md5df).crossJoin(sumdf)
 
 
+def q_sequence_gaps(spark, sf_dir):
+    """Per-order line-number sequence integrity with planted holes
+    (drop linenumber 2 of every 5th order): holes surface as 'gap' rows
+    with the missing count — one window pass, no self-join."""
+    from schema_validator_spark.operators.sequence import sequence_gaps
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        ~((F.col("l_orderkey") % 5 == 0) & (F.col("l_linenumber") == 2))
+    )
+    return sequence_gaps(li, ["l_orderkey"], "l_linenumber")
+
+
+def q_interval_overlaps(spark, sf_dir):
+    """SCD2 'one valid record at a time' check over synthetic validity
+    intervals derived from events (pure integer arithmetic so the
+    oracle replays it): running-max-of-previous-ends window catches
+    containment chains a neighbor-only check misses."""
+    from schema_validator_spark.operators.sequence import interval_overlaps
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        F.col("user_id").alias("k"),
+        (F.col("event_id") % 1000).alias("s"),
+        (
+            (F.col("event_id") % 1000)
+            + 1
+            + F.floor(F.abs(F.col("value")))
+        ).alias("e"),
+    ).filter(
+        F.col("k").isNotNull() & F.col("s").isNotNull() & F.col("e").isNotNull()
+    )
+    return interval_overlaps(iv, ["k"], "s", "e")
+
+
+def q_monotonic(spark, sf_dir):
+    """Counter-integrity check: extended price along the line-number
+    order within every 20th order — decreases are violations."""
+    from schema_validator_spark.operators.sequence import monotonic_violations
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 20 == 0)
+    return monotonic_violations(
+        li, ["l_orderkey"], "l_linenumber", "l_extendedprice"
+    )
+
+
 def q_benford(spark, sf_dir):
     """Benford first-digit conformity report over extended prices —
     audit-grade fabricated-data check; arithmetic digit extraction so
@@ -1718,6 +1763,7 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
     "ks_drift": (["baseline", "curr", "n_base", "n_curr"], ["ks"]),
     "emd_drift": (["baseline", "curr", "n_base", "n_curr"], ["w1"]),
     "benford": (["digit", "n_digit"], ["obs_p", "exp_p", "abs_dev"]),
+    "monotonic": (["l_orderkey", "l_linenumber"], ["prev_value", "value"]),
     "stats_pruned_scan": (["event_type", "n"], ["sum_value"]),
     "metric_anomaly": (["snapshot_id", "metric", "anomalous"],
                        ["value", "prev", "rel_change"]),
@@ -1783,6 +1829,9 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_quarantine": q_ingest_quarantine,
         "emd_drift": q_emd_drift,
         "benford": q_benford,
+        "sequence_gaps": q_sequence_gaps,
+        "interval_overlaps": q_interval_overlaps,
+        "monotonic": q_monotonic,
         "mutual_info": q_mutual_info,
         "drift_stats": q_drift_stats,
         "drift_buckets": q_drift_buckets,
@@ -3515,6 +3564,58 @@ def _oracle_sql_raw() -> dict[str, str]:
                    cast(max(t.nb) as bigint) as n_base,
                    cast(max(t.nc) as bigint) as n_curr
             from c cross join t
+        """,
+        "sequence_gaps": """
+            with src as (
+              select l_orderkey as k, l_linenumber as seq from lineitem
+              where not (l_orderkey % 5 = 0 and l_linenumber = 2)
+            ), w as (
+              select k, seq,
+                     lag(seq) over (partition by k order by seq) as prev_seq
+              from src
+            )
+            select k as l_orderkey, prev_seq, seq,
+                   case when seq = prev_seq then 'dup'
+                        when seq > prev_seq + 1 then 'gap' end as kind,
+                   cast(case when seq > prev_seq + 1 then seq - prev_seq - 1
+                             else 0 end as bigint) as missing
+            from w
+            where seq = prev_seq or seq > prev_seq + 1
+        """,
+        "interval_overlaps": """
+            with iv as (
+              select user_id as k,
+                     event_id % 1000 as s,
+                     event_id % 1000 + 1
+                       + cast(floor(abs(value)) as bigint) as e
+              from events
+              where user_id is not null and event_id is not null
+                and value is not null
+            ), w as (
+              select k, s, e,
+                     max(e) over (partition by k order by s, e
+                                  rows between unbounded preceding
+                                  and 1 preceding) as pme
+              from iv
+            )
+            select k, s as start, e as "end", pme as prev_max_end
+            from w where s < pme
+        """,
+        "monotonic": """
+            with src as (
+              select l_orderkey, l_linenumber, l_extendedprice
+              from lineitem where l_orderkey % 20 = 0
+            ), w as (
+              select l_orderkey, l_linenumber,
+                     lag(l_extendedprice) over (
+                       partition by l_orderkey
+                       order by l_linenumber, l_extendedprice) as prev_value,
+                     l_extendedprice as value
+              from src
+            )
+            select l_orderkey, l_linenumber, prev_value, value
+            from w
+            where prev_value is not null and value < prev_value
         """,
         "benford": """
             with src as (
