@@ -928,6 +928,22 @@ def q_ingest_quarantine(spark, sf_dir):
     return rep.crossJoin(md5df).crossJoin(sumdf)
 
 
+def q_freshness(spark, sf_dir):
+    """Partition completeness grid over events with planted holes
+    (every day-of-month % 7 == 3 dropped): one bucketed count at row
+    scale, then a calendar-scale grid join; missing days surface as
+    explicit zero rows a row-level rule could never produce."""
+    from schema_validator_spark.operators.freshness import partition_freshness
+
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.dayofmonth(F.col("ts").cast("date")) % 7) != 3
+    )
+    out = partition_freshness(ev, "ts", grain="day")
+    return out.select(
+        F.unix_micros(F.col("bucket")).alias("day_us"), "n_rows", "is_missing"
+    )
+
+
 def q_sequence_gaps(spark, sf_dir):
     """Per-order line-number sequence integrity with planted holes
     (drop linenumber 2 of every 5th order): holes surface as 'gap' rows
@@ -1830,6 +1846,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emd_drift": q_emd_drift,
         "benford": q_benford,
         "sequence_gaps": q_sequence_gaps,
+        "freshness": q_freshness,
         "interval_overlaps": q_interval_overlaps,
         "monotonic": q_monotonic,
         "mutual_info": q_mutual_info,
@@ -3564,6 +3581,25 @@ def _oracle_sql_raw() -> dict[str, str]:
                    cast(max(t.nb) as bigint) as n_base,
                    cast(max(t.nc) as bigint) as n_curr
             from c cross join t
+        """,
+        "freshness": """
+            with src as (
+              select ts from events
+              where ts is not null
+                and day(cast(ts as date)) % 7 <> 3
+            ), obs as (
+              select date_trunc('day', ts) as b, count(*) as c
+              from src group by 1
+            ), sp as (
+              select min(b) as lo, max(b) as hi from obs
+            ), grid as (
+              select unnest(generate_series(lo, hi, interval 1 day)) as b
+              from sp
+            )
+            select epoch_us(grid.b) as day_us,
+                   cast(coalesce(c, 0) as bigint) as n_rows,
+                   (c is null) as is_missing
+            from grid left join obs on grid.b = obs.b
         """,
         "sequence_gaps": """
             with src as (

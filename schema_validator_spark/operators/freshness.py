@@ -1,0 +1,106 @@
+"""Partition freshness / completeness: is every time bucket present,
+and how stale is the newest one?
+
+The "did yesterday's load happen" check that row-level rules cannot
+express — a MISSING day produces no rows to validate, so only a
+grid-vs-observed comparison can see it.  Classic warehouse audit
+alongside the sequence-integrity family (operators/sequence.py), but
+over TIME buckets rather than per-key sequences.
+
+Scale shape: ONE map-side-combinable groupBy collapses the table to
+per-bucket counts (reducer input = #buckets, never rows); the expected
+grid is generated from the observed [min, max] span with ``sequence``
+(#buckets rows, metadata scale) and left-joined broadcast.  At 10^12
+rows the only row-scale work is the bucketed count — everything after
+runs on a frame the size of the calendar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_GRAIN_INTERVAL = {
+    "hour": "interval 1 hour",
+    "day": "interval 1 day",
+    "week": "interval 1 week",
+    "month": "interval 1 month",
+}
+
+
+def partition_freshness(
+    df: DataFrame, ts_col: str, *, grain: str = "day"
+) -> DataFrame:
+    """Complete bucket grid over the observed span:
+    ``(bucket, n_rows, is_missing)`` — one row per expected ``grain``
+    bucket between the table's min and max timestamp, ``n_rows = 0`` /
+    ``is_missing = true`` for buckets with no data.  NULL timestamps are
+    excluded (a `required` rule owns those)."""
+    if grain not in _GRAIN_INTERVAL:
+        raise ValueError(f"grain must be one of {sorted(_GRAIN_INTERVAL)}")
+    b = F.date_trunc(grain, F.col(ts_col))
+    obs = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(b.alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    span = obs.agg(F.min("_b").alias("_lo"), F.max("_b").alias("_hi"))
+    grid = span.select(
+        F.explode(
+            F.sequence(
+                F.col("_lo"), F.col("_hi"), F.expr(_GRAIN_INTERVAL[grain])
+            )
+        ).alias("bucket")
+    )
+    return (
+        grid.join(F.broadcast(obs), grid["bucket"] == obs["_b"], "left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("_c"), F.lit(0)).alias("n_rows"),
+            F.col("_c").isNull().alias("is_missing"),
+        )
+    )
+
+
+def freshness_summary(
+    df: DataFrame, ts_col: str, *, grain: str = "day", as_of=None
+) -> DataFrame:
+    """One-row completeness verdict over the grid:
+    ``(n_buckets, n_missing, max_gap, newest_us, staleness_buckets)`` —
+    ``max_gap`` is the longest run of consecutive missing buckets and
+    ``staleness_buckets`` how many whole buckets lie between the newest
+    data and ``as_of`` (NULL when ``as_of`` is not given; pass it
+    explicitly — an implicit now() would make runs unreproducible)."""
+    g = partition_freshness(df, ts_col, grain=grain)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bucket")
+    runs = (
+        g.withColumn(
+            "_grp",
+            F.sum(F.when(F.col("is_missing"), 0).otherwise(1)).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .filter(F.col("is_missing"))
+        .groupBy("_grp")
+        .agg(F.count(F.lit(1)).alias("_run"))
+    )
+    base = g.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.col("is_missing").cast("long")).alias("n_missing"),
+        F.unix_micros(F.max("bucket")).alias("newest_us"),
+    )
+    gaps = runs.agg(F.coalesce(F.max("_run"), F.lit(0)).alias("max_gap"))
+    out = base.crossJoin(F.broadcast(gaps))
+    if as_of is None:
+        stale = F.lit(None).cast("long")
+    else:
+        stale = (
+            F.unix_micros(F.date_trunc(grain, F.lit(as_of).cast("timestamp")))
+            - F.col("newest_us")
+        )
+    return out.select(
+        "n_buckets", "n_missing", "max_gap", "newest_us",
+        stale.alias("staleness_us"),
+    )
