@@ -928,6 +928,18 @@ def q_ingest_quarantine(spark, sf_dir):
     return rep.crossJoin(md5df).crossJoin(sumdf)
 
 
+def q_category_churn(spark, sf_dir):
+    """Enum-membership drift between two halves of documents with
+    planted churn ('de' absent from base, 'fr' absent from cur): new /
+    gone / common categories with both counts, one data shuffle."""
+    from schema_validator_spark.operators.drift import category_churn_df
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter((F.col("doc_id") % 2 == 0) & (F.col("lang") != "de"))
+    cur = docs.filter((F.col("doc_id") % 2 == 1) & (F.col("lang") != "fr"))
+    return category_churn_df(base, cur, "lang")
+
+
 def q_freshness(spark, sf_dir):
     """Partition completeness grid over events with planted holes
     (every day-of-month % 7 == 3 dropped): one bucketed count at row
@@ -1847,6 +1859,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford": q_benford,
         "sequence_gaps": q_sequence_gaps,
         "freshness": q_freshness,
+        "category_churn": q_category_churn,
         "interval_overlaps": q_interval_overlaps,
         "monotonic": q_monotonic,
         "mutual_info": q_mutual_info,
@@ -3581,6 +3594,24 @@ def _oracle_sql_raw() -> dict[str, str]:
                    cast(max(t.nb) as bigint) as n_base,
                    cast(max(t.nc) as bigint) as n_curr
             from c cross join t
+        """,
+        "category_churn": """
+            with tagged as (
+              select lang as category, 1 as b, 0 as c from documents
+              where doc_id % 2 = 0 and lang <> 'de'
+              union all
+              select lang, 0, 1 from documents
+              where doc_id % 2 = 1 and lang <> 'fr'
+            ), counts as (
+              select category, cast(sum(b) as bigint) as n_base,
+                     cast(sum(c) as bigint) as n_cur
+              from tagged group by 1
+            )
+            select category, n_base, n_cur,
+                   case when n_base = 0 then 'new'
+                        when n_cur = 0 then 'gone'
+                        else 'common' end as kind
+            from counts
         """,
         "freshness": """
             with src as (

@@ -643,3 +643,35 @@ def emd_2sample_df(
         "n_base",
         "n_curr",
     )
+
+
+def category_churn_df(
+    base: DataFrame, cur: DataFrame, col: str
+) -> DataFrame:
+    """Value-set drift for a categorical column: which categories are
+    NEW in ``cur``, which DISAPPEARED since ``base``, which persist —
+    the enum-membership complement of :func:`categorical_drift_df`
+    (which scores distribution shift over the shared support, but a
+    brand-new category is a schema event, not a frequency event).
+
+    One row per category: ``(category, n_base, n_cur, kind)`` with kind
+    in ('new', 'gone', 'common').  ONE data shuffle (tagged union,
+    map-side-combined groupBy on the category); NULL is its own
+    category, like every groupBy in this engine.
+    """
+    tagged = base.select(
+        F.col(col).alias("category"), F.lit(1).alias("_b"), F.lit(0).alias("_c")
+    ).unionByName(
+        cur.select(
+            F.col(col).alias("category"), F.lit(0).alias("_b"), F.lit(1).alias("_c")
+        )
+    )
+    counts = tagged.groupBy("category").agg(
+        F.sum("_b").alias("n_base"), F.sum("_c").alias("n_cur")
+    )
+    kind = (
+        F.when(F.col("n_base") == 0, F.lit("new"))
+        .when(F.col("n_cur") == 0, F.lit("gone"))
+        .otherwise(F.lit("common"))
+    )
+    return counts.select("category", "n_base", "n_cur", kind.alias("kind"))
