@@ -928,6 +928,18 @@ def q_ingest_quarantine(spark, sf_dir):
     return rep.crossJoin(md5df).crossJoin(sumdf)
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sample (k=100, weight = n_chars —
+    'prefer longer docs') through the two-level global top-k plan; the
+    6dp-rounded key + md5 tie-break make the exact row set replayable
+    in any engine."""
+    from schema_validator_spark.operators.sampling import sample_weighted
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sample_weighted(docs, "doc_id", "n_chars", 100)
+    return out.select("doc_id", "n_chars")
+
+
 def q_category_churn(spark, sf_dir):
     """Enum-membership drift between two halves of documents with
     planted churn ('de' absent from base, 'fr' absent from cur): new /
@@ -1860,6 +1872,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_gaps": q_sequence_gaps,
         "freshness": q_freshness,
         "category_churn": q_category_churn,
+        "weighted_sample": q_weighted_sample,
         "interval_overlaps": q_interval_overlaps,
         "monotonic": q_monotonic,
         "mutual_info": q_mutual_info,
@@ -3594,6 +3607,25 @@ def _oracle_sql_raw() -> dict[str, str]:
                    cast(max(t.nb) as bigint) as n_base,
                    cast(max(t.nc) as bigint) as n_curr
             from c cross join t
+        """,
+        "weighted_sample": """
+            with src as (
+              select doc_id, n_chars, cast(n_chars as double) as w
+              from documents
+              where n_chars is not null and n_chars > 0
+            ), keyed as (
+              select doc_id, n_chars,
+                     round(pow(
+                       (('0x' || substr(md5(cast(doc_id as varchar) || 'v1'),
+                                        1, 8))::bigint::double + 1.0)
+                       / 4294967297.0,
+                       1.0 / w), 6) as akey,
+                     md5(cast(doc_id as varchar) || 'v1') as tie
+              from src
+            )
+            select doc_id, n_chars from keyed
+            order by akey desc, tie asc
+            limit 100
         """,
         "category_churn": """
             with tagged as (

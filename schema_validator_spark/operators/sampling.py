@@ -241,3 +241,64 @@ def temperature_sample(
         .filter(u < F.col("_ps"))
         .drop("_ps", *[f"_p_{c}" for c in strata_cols])
     )
+
+
+def sample_weighted(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    strata_cols: list[str] | None = None,
+    salt: str = "v1",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES):
+    keep the top-``k`` rows by key ``u^(1/w)`` where ``u`` is the
+    md5-uniform of the id — each row's inclusion probability is
+    proportional to its weight, with no RNG state, so reruns and other
+    engines reproduce the exact row set.  The standard one-pass scheme
+    for "sample 10k docs preferring high quality scores".
+
+    Cross-engine determinism: the key is rounded to 6dp and ties broken
+    by the md5 rank itself, so the selection boundary never depends on
+    pow() libm ulps.  Rows with NULL or non-positive weight are
+    excluded (they have zero inclusion probability in A-ES).
+
+    With ``strata_cols``, k rows per stratum (one rank window per
+    stratum — the same shuffle shape as stratified_sample_exact).
+    Without, a global top-k via the two-level trick: per-partition
+    heads cap the window input, then one tiny global sort.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    w = F.col(weight_col).cast("double")
+    u = (
+        F.conv(F.substring(_hash_key(id_col, salt), 1, 8), 16, 10)
+        .cast("double") + F.lit(1.0)
+    ) / F.lit(4294967297.0)  # (hash+1)/(2^32+1): u in (0,1), never 0 or 1
+    key = F.round(F.pow(u, F.lit(1.0) / w), 6)
+    src = (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("_akey", key)
+        .withColumn("_tie", _hash_key(id_col, salt))
+    )
+    order = [F.col("_akey").desc(), F.col("_tie").asc()]
+    if strata_cols:
+        win = Window.partitionBy(*strata_cols).orderBy(*order)
+        out = (
+            src.withColumn("_rn", F.row_number().over(win))
+            .filter(F.col("_rn") <= k)
+        )
+    else:
+        # two-level: each input partition can contribute at most k rows,
+        # so the global window sorts <= k * n_partitions rows, not |df|
+        part_win = Window.partitionBy(F.spark_partition_id()).orderBy(*order)
+        heads = src.withColumn("_prn", F.row_number().over(part_win)).filter(
+            F.col("_prn") <= k
+        )
+        win = Window.partitionBy().orderBy(*order)
+        out = (
+            heads.withColumn("_rn", F.row_number().over(win))
+            .filter(F.col("_rn") <= k)
+        )
+    return out.drop("_akey", "_tie", "_rn", "_prn")
