@@ -333,6 +333,22 @@ def q_jaccard_pairs(spark, sf_dir):
     )
 
 
+def q_setsim_exact(spark, sf_dir):
+    """EXACT set-similarity self-join (PPJoin prefix filter) over the
+    same 'fr' corpus as q_jaccard_pairs — no-false-negative tier above
+    MinHash banding: prefixes hold each doc's RAREST tokens, so hot
+    tokens structurally cannot form a degenerate bucket.  Output equals
+    the exact all-pairs set (same oracle as jaccard_pairs)."""
+    from schema_validator_spark.operators.setsim import setsim_join_exact
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "fr")
+        .select("doc_id", "text")
+    )
+    return setsim_join_exact(docs, "doc_id", "text", threshold=0.8)
+
+
 def q_ann_topk(spark, sf_dir):
     """Exact brute-force cosine top-k (ANN baseline); ids+rank only."""
     embs = _t(spark, sf_dir, "embeddings").select(
@@ -1781,6 +1797,7 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
     "sketch_stats": (["event_type", "n"], ["vmin", "vmax"]),
     "drift_psi_width": (["baseline", "curr"], ["psi"]),
     "jaccard_pairs": (["id_a", "id_b"], ["jaccard"]),
+    "setsim_exact": (["id_a", "id_b"], ["jaccard"]),
     "quality_scores": (["doc_id"], ["quality"]),
     "minhash_lsh": (["id_a", "id_b"], ["jaccard"]),
     "embedding_neardups": (["id_a", "id_b"], ["cosine"]),
@@ -1888,6 +1905,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "dedup_pipeline": q_dedup_pipeline,
         "jaccard_pairs": q_jaccard_pairs,
+        "setsim_exact": q_setsim_exact,
         "ann_topk": q_ann_topk,
         "text_profile": q_text_profile,
         "lang_id_counts": q_lang_id_counts,
@@ -2196,7 +2214,7 @@ def _pagerank_oracle_sql(iters: int = 5) -> str:
 
 
 def _oracle_sql_raw() -> dict[str, str]:
-    return {
+    d = {
         "rule_violations": _DOC_VIOLATIONS_SQL,
         "partition_summary": f"""
             with v as ({_DOC_VIOLATIONS_SQL})
@@ -3790,3 +3808,7 @@ def _oracle_sql_raw() -> dict[str, str]:
             from merged group by 1
         """,
     }
+    # setsim_exact must equal the exact all-pairs set — the SAME ground
+    # truth the LSH-blocked jaccard_pairs plan is checked against
+    d["setsim_exact"] = d["jaccard_pairs"]
+    return d
