@@ -944,6 +944,23 @@ def q_ingest_quarantine(spark, sf_dir):
     return rep.crossJoin(md5df).crossJoin(sumdf)
 
 
+def q_embedding_drift(spark, sf_dir):
+    """Embedding-space drift between the even-id half and the odd-id
+    half shifted by +0.1 per dimension (a planted encoder change):
+    centroid cosine/shift + mean norms, all distributed — shuffle
+    volume is #tasks x dims, never rows x dims."""
+    from schema_validator_spark.operators.embdrift import embedding_drift
+
+    embs = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    base = embs.filter(F.col("vec_id") % 2 == 0)
+    cur = embs.filter(F.col("vec_id") % 2 == 1).select(
+        "vec_id", F.transform(F.col("v"), lambda x: x + F.lit(0.1)).alias("v")
+    )
+    return embedding_drift(base, cur, "v")
+
+
 def q_weighted_sample(spark, sf_dir):
     """Efraimidis-Spirakis weighted sample (k=100, weight = n_chars —
     'prefer longer docs') through the two-level global top-k plan; the
@@ -1829,6 +1846,9 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
                  ["match_rate"]),
     "categorical_drift": (["n_base", "n_cur", "n_categories", "dof"],
                           ["chi2", "jsd", "tvd"]),
+    "embedding_drift": (["n_base", "n_cur", "dims"],
+                        ["centroid_cosine", "centroid_shift",
+                         "norm_base", "norm_cur"]),
     "correlation_matrix": (["col_a", "col_b", "n_rows"], ["corr"]),
     "mutual_info": (["n_rows", "card_a", "card_b"],
                     ["h_a", "h_b", "mi", "nmi"]),
@@ -1890,6 +1910,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freshness": q_freshness,
         "category_churn": q_category_churn,
         "weighted_sample": q_weighted_sample,
+        "embedding_drift": q_embedding_drift,
         "interval_overlaps": q_interval_overlaps,
         "monotonic": q_monotonic,
         "mutual_info": q_mutual_info,
@@ -3625,6 +3646,50 @@ def _oracle_sql_raw() -> dict[str, str]:
                    cast(max(t.nb) as bigint) as n_base,
                    cast(max(t.nc) as bigint) as n_curr
             from c cross join t
+        """,
+        "embedding_drift": """
+            with b as (
+              select embedding::DOUBLE[] as v from embeddings
+              where vec_id % 2 = 0 and embedding is not null
+                and len(embedding) > 0
+            ), c as (
+              select list_transform(embedding::DOUBLE[], x -> x + 0.1) as v
+              from embeddings
+              where vec_id % 2 = 1 and embedding is not null
+                and len(embedding) > 0
+            ), mb as (
+              select generate_subscripts(v, 1) as dim, unnest(v) as x from b
+            ), mc as (
+              select generate_subscripts(v, 1) as dim, unnest(v) as x from c
+            ), ab as (
+              select dim, avg(x) as a from mb group by 1
+            ), ac as (
+              select dim, avg(x) as bm from mc group by 1
+            ), dims as (
+              select coalesce(ab.a, 0) as a, coalesce(ac.bm, 0) as bm
+              from ab full outer join ac using (dim)
+            ), agg as (
+              select count(*) as dims, sum(a * bm) as dot,
+                     sum(a * a) as na, sum(bm * bm) as nb,
+                     sum((a - bm) * (a - bm)) as d2
+              from dims
+            ), sb as (
+              select count(*) as n_base,
+                     avg(sqrt(list_sum(list_transform(v, x -> x * x))))
+                       as norm_base
+              from b
+            ), sc as (
+              select count(*) as n_cur,
+                     avg(sqrt(list_sum(list_transform(v, x -> x * x))))
+                       as norm_cur
+              from c
+            )
+            select n_base, n_cur, cast(dims as bigint) as dims,
+                   round(dot / (sqrt(na) * sqrt(nb)), 6) as centroid_cosine,
+                   round(sqrt(d2), 6) as centroid_shift,
+                   round(norm_base, 6) as norm_base,
+                   round(norm_cur, 6) as norm_cur
+            from agg, sb, sc
         """,
         "weighted_sample": """
             with src as (
