@@ -262,7 +262,11 @@ def sample_weighted(
     Cross-engine determinism: the key is rounded to 6dp and ties broken
     by the md5 rank itself, so the selection boundary never depends on
     pow() libm ulps.  Rows with NULL or non-positive weight are
-    excluded (they have zero inclusion probability in A-ES).
+    excluded (they have zero inclusion probability in A-ES).  Rounding
+    caveat: at extreme weight ratios (w below ~1e-3 of the max) keys
+    collapse toward 0.0 at 6dp and the md5 tie-break makes selection
+    among those rows effectively unweighted — normalize weights into a
+    sane range if the tail matters.
 
     With ``strata_cols``, k rows per stratum (one rank window per
     stratum — the same shuffle shape as stratified_sample_exact).
