@@ -944,6 +944,17 @@ def q_ingest_quarantine(spark, sf_dir):
     return rep.crossJoin(md5df).crossJoin(sumdf)
 
 
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over customer quasi-identifiers
+    (nation, market segment): re-identification risk summary in one
+    map-side-combinable groupBy — the governance sibling of pii_scan."""
+    from schema_validator_spark.operators.privacy import k_anonymity_report
+
+    return k_anonymity_report(
+        _t(spark, sf_dir, "customer"), ["c_nationkey", "c_mktsegment"], k=5
+    )
+
+
 def q_embedding_drift(spark, sf_dir):
     """Embedding-space drift between the even-id half and the odd-id
     half shifted by +0.1 per dimension (a planted encoder change):
@@ -1844,6 +1855,8 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
     "pagerank": (["node"], ["rank"]),
     "pii_scan": (['"column"', "pii_type", "n_rows", "n_matched", "n_spans"],
                  ["match_rate"]),
+    "k_anonymity": (["n_rows", "n_groups", "min_group_size",
+                     "n_risky_groups", "n_risky_rows"], ["risky_row_rate"]),
     "categorical_drift": (["n_base", "n_cur", "n_categories", "dof"],
                           ["chi2", "jsd", "tvd"]),
     "embedding_drift": (["n_base", "n_cur", "dims"],
@@ -1911,6 +1924,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "category_churn": q_category_churn,
         "weighted_sample": q_weighted_sample,
         "embedding_drift": q_embedding_drift,
+        "k_anonymity": q_k_anonymity,
         "interval_overlaps": q_interval_overlaps,
         "monotonic": q_monotonic,
         "mutual_info": q_mutual_info,
@@ -3646,6 +3660,21 @@ def _oracle_sql_raw() -> dict[str, str]:
                    cast(max(t.nb) as bigint) as n_base,
                    cast(max(t.nc) as bigint) as n_curr
             from c cross join t
+        """,
+        "k_anonymity": """
+            with g as (
+              select c_nationkey, c_mktsegment, count(*) as gs
+              from customer group by 1, 2
+            )
+            select cast(sum(gs) as bigint) as n_rows,
+                   count(*) as n_groups,
+                   cast(min(gs) as bigint) as min_group_size,
+                   count(*) filter (where gs < 5) as n_risky_groups,
+                   cast(coalesce(sum(gs) filter (where gs < 5), 0) as bigint)
+                     as n_risky_rows,
+                   round(coalesce(sum(gs) filter (where gs < 5), 0)
+                         / sum(gs), 6) as risky_row_rate
+            from g
         """,
         "embedding_drift": """
             with b as (
