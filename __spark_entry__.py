@@ -944,6 +944,23 @@ def q_ingest_quarantine(spark, sf_dir):
     return rep.crossJoin(md5df).crossJoin(sumdf)
 
 
+def q_semantic_types(spark, sf_dir):
+    """Semantic-type detection over typed columns derived from
+    documents (md5 hash, integer string, language tag, source label):
+    ONE codegen aggregation pass over every (column x detector) pair;
+    the oracle replays each count with the same regexes (shared with
+    rules/formats.py — single source of truth)."""
+    from schema_validator_spark.operators.semantic import detect_semantic_types
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.md5(F.coalesce("text", F.lit(""))).alias("hash"),
+        F.col("n_chars").cast("string").alias("num"),
+    )
+    return detect_semantic_types(docs, ["lang", "source", "hash", "num"])
+
+
 def q_k_anonymity(spark, sf_dir):
     """k-anonymity audit over customer quasi-identifiers
     (nation, market segment): re-identification risk summary in one
@@ -1857,6 +1874,8 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
                  ["match_rate"]),
     "k_anonymity": (["n_rows", "n_groups", "min_group_size",
                      "n_risky_groups", "n_risky_rows"], ["risky_row_rate"]),
+    "semantic_types": (['"column"', "sem_type", "n_nonnull", "n_match"],
+                       ["match_rate"]),
     "categorical_drift": (["n_base", "n_cur", "n_categories", "dof"],
                           ["chi2", "jsd", "tvd"]),
     "embedding_drift": (["n_base", "n_cur", "dims"],
@@ -1925,6 +1944,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "embedding_drift": q_embedding_drift,
         "k_anonymity": q_k_anonymity,
+        "semantic_types": q_semantic_types,
         "interval_overlaps": q_interval_overlaps,
         "monotonic": q_monotonic,
         "mutual_info": q_mutual_info,
@@ -2156,6 +2176,33 @@ def _pii_oracle_sql() -> str:
                      round(cast(count(*) filter (
                        where regexp_matches(coalesce({c}, ''), '{p}')) as double)
                        / count(*), 6) as match_rate
+              from documents""")
+    return " union all ".join(parts)
+
+
+def _semantic_oracle_sql() -> str:
+    """Replay q_semantic_types per (column, detector) with the SAME
+    regexes (imported from operators/semantic.py)."""
+    from schema_validator_spark.operators.semantic import DETECTORS
+
+    cols = {
+        "lang": "lang",
+        "source": "source",
+        "hash": "md5(coalesce(text, ''))",
+        "num": "cast(n_chars as varchar)",
+    }
+    parts = []
+    for alias, expr in cols.items():
+        for name, pat in DETECTORS:
+            p = pat.replace("'", "''")
+            parts.append(f"""
+              select '{alias}' as "column", '{name}' as sem_type,
+                     count({expr}) as n_nonnull,
+                     count(*) filter (
+                       where regexp_matches({expr}, '{p}')) as n_match,
+                     round(cast(count(*) filter (
+                       where regexp_matches({expr}, '{p}')) as double)
+                       / count({expr}), 6) as match_rate
               from documents""")
     return " union all ".join(parts)
 
@@ -3513,6 +3560,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "pii_scan": _pii_oracle_sql(),
         "html_extract": _html_oracle_sql(),
         "correlation_matrix": _corr_oracle_sql(),
+        "semantic_types": _semantic_oracle_sql(),
         "ingest_quarantine": """
             with lines as (
               select doc_id, lang, (doc_id % 10 = 3) as bad,
