@@ -944,6 +944,19 @@ def q_ingest_quarantine(spark, sf_dir):
     return rep.crossJoin(md5df).crossJoin(sumdf)
 
 
+def q_column_entropy(spark, sf_dir):
+    """Deequ information analyzers (Entropy / Distinctness /
+    UniqueValueRatio) over three orders columns in ONE unpivoted pass;
+    entropy via the map-side-combinable ln(N) - sum(c ln c)/N form the
+    oracle replays exactly."""
+    from schema_validator_spark.operators.profile import column_entropy
+
+    return column_entropy(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderstatus", "o_orderpriority", "o_orderdate"],
+    )
+
+
 def q_semantic_types(spark, sf_dir):
     """Semantic-type detection over typed columns derived from
     documents (md5 hash, integer string, language tag, source label):
@@ -1876,6 +1889,9 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
                      "n_risky_groups", "n_risky_rows"], ["risky_row_rate"]),
     "semantic_types": (['"column"', "sem_type", "n_nonnull", "n_match"],
                        ["match_rate"]),
+    "column_entropy": (['"column"', "n_rows", "n_nonnull", "n_distinct"],
+                       ["entropy", "norm_entropy", "distinctness",
+                        "unique_value_ratio"]),
     "categorical_drift": (["n_base", "n_cur", "n_categories", "dof"],
                           ["chi2", "jsd", "tvd"]),
     "embedding_drift": (["n_base", "n_cur", "dims"],
@@ -1945,6 +1961,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": q_embedding_drift,
         "k_anonymity": q_k_anonymity,
         "semantic_types": q_semantic_types,
+        "column_entropy": q_column_entropy,
         "interval_overlaps": q_interval_overlaps,
         "monotonic": q_monotonic,
         "mutual_info": q_mutual_info,
@@ -3561,6 +3578,40 @@ def _oracle_sql_raw() -> dict[str, str]:
         "html_extract": _html_oracle_sql(),
         "correlation_matrix": _corr_oracle_sql(),
         "semantic_types": _semantic_oracle_sql(),
+        "column_entropy": """
+            with un as (
+              select 'o_orderstatus' as col,
+                     cast(o_orderstatus as varchar) as val from orders
+              union all
+              select 'o_orderpriority',
+                     cast(o_orderpriority as varchar) from orders
+              union all
+              select 'o_orderdate',
+                     cast(o_orderdate as varchar) from orders
+            ), counts as (
+              select col, val, count(*) as c from un
+              where val is not null group by 1, 2
+            ), per as (
+              select col,
+                     cast(sum(c) as bigint) as nn,
+                     count(*) as nd,
+                     cast(sum(case when c = 1 then 1 else 0 end) as bigint)
+                       as uq,
+                     sum(c * ln(c)) as clogc
+              from counts group by 1
+            ), t as (
+              select count(*) as n_rows from orders
+            )
+            select col as "column", n_rows,
+                   nn as n_nonnull, nd as n_distinct,
+                   round(ln(nn) - clogc / nn, 6) as entropy,
+                   round(case when nd > 1
+                              then (ln(nn) - clogc / nn) / ln(nd) end, 6)
+                     as norm_entropy,
+                   round(nd / nn, 6) as distinctness,
+                   round(uq / nd, 6) as unique_value_ratio
+            from per, t
+        """,
         "ingest_quarantine": """
             with lines as (
               select doc_id, lang, (doc_id % 10 = 3) as bad,

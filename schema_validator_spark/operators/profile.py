@@ -162,3 +162,59 @@ def benford_summary(df: DataFrame, col: str) -> DataFrame:
         F.round(F.sum("_dev") / 9, 6).alias("mad"),
         F.round(F.max("_n") * F.sum("_chi"), 6).alias("chi2"),
     )
+
+
+def column_entropy(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Deequ-parity information analyzers for categorical columns —
+    Entropy, Distinctness, UniqueValueRatio — for ALL requested columns
+    in ONE unpivoted pass (two shuffles total, not per column):
+
+    ``(column, n_rows, n_nonnull, n_distinct, entropy, norm_entropy,
+    distinctness, unique_value_ratio)`` where entropy is Shannon (nats)
+    over the non-null value distribution, norm_entropy = entropy /
+    ln(n_distinct) (NULL when 0/1 distinct values), distinctness =
+    n_distinct / n_nonnull, and unique_value_ratio = #values occurring
+    exactly once / n_distinct (Deequ's definitions).
+
+    Plan: stack-unpivot to (column, value) rows, ONE map-side-combined
+    groupBy on the pair (bounded by total distinct values across
+    columns), then per-column aggregation over the counts frame.  NULLs
+    are excluded from the distribution (completeness is the n_nulls
+    story in :func:`profile`); floats rounded 6dp.
+    """
+    if cols is None:
+        cols = [
+            f.name for f in df.schema.fields
+            if isinstance(f.dataType, _PROFILABLE)
+        ]
+    n_rows = df.count()
+    stack_expr = "stack({}, {}) as (col, val)".format(
+        len(cols),
+        ", ".join(f"'{c}', cast(`{c}` as string)" for c in cols),
+    )
+    counts = (
+        df.selectExpr(stack_expr)
+        .filter(F.col("val").isNotNull())
+        .groupBy("col", "val")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_col = counts.groupBy("col").agg(
+        F.sum("c").alias("_nn"),
+        F.count(F.lit(1)).alias("_nd"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("_uniq"),
+        # H = ln(N) - sum(c * ln c)/N  (exact, map-side-combinable)
+        F.sum(F.col("c") * F.log(F.col("c"))).alias("_clogc"),
+    )
+    h = F.log(F.col("_nn")) - F.col("_clogc") / F.col("_nn")
+    return per_col.select(
+        F.col("col").alias("column"),
+        F.lit(n_rows).alias("n_rows"),
+        F.col("_nn").alias("n_nonnull"),
+        F.col("_nd").alias("n_distinct"),
+        F.round(h, 6).alias("entropy"),
+        F.round(
+            F.when(F.col("_nd") > 1, h / F.log(F.col("_nd"))), 6
+        ).alias("norm_entropy"),
+        F.round(F.col("_nd") / F.col("_nn"), 6).alias("distinctness"),
+        F.round(F.col("_uniq") / F.col("_nd"), 6).alias("unique_value_ratio"),
+    )
