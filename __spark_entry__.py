@@ -944,6 +944,23 @@ def q_ingest_quarantine(spark, sf_dir):
     return rep.crossJoin(md5df).crossJoin(sumdf)
 
 
+def q_volume_anomaly(spark, sf_dir):
+    """Robust per-day volume check over events with a planted 90% load
+    drop on every day-of-month % 7 == 2 (only user_id % 10 == 0 kept):
+    median/MAD band over the freshness grid flags the starved days."""
+    from schema_validator_spark.operators.freshness import volume_anomalies
+
+    ev = _t(spark, sf_dir, "events").filter(
+        ((F.dayofmonth(F.col("ts").cast("date")) % 7) != 2)
+        | (F.col("user_id") % 10 == 0)
+    )
+    out = volume_anomalies(ev, "ts", grain="day", n_mads=3.0)
+    return out.select(
+        F.unix_micros(F.col("bucket")).alias("day_us"),
+        "n_rows", "deviation", "anomalous",
+    )
+
+
 def q_column_entropy(spark, sf_dir):
     """Deequ information analyzers (Entropy / Distinctness /
     UniqueValueRatio) over three orders columns in ONE unpivoted pass;
@@ -1892,6 +1909,7 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
     "column_entropy": (['"column"', "n_rows", "n_nonnull", "n_distinct"],
                        ["entropy", "norm_entropy", "distinctness",
                         "unique_value_ratio"]),
+    "volume_anomaly": (["day_us", "n_rows", "anomalous"], ["deviation"]),
     "categorical_drift": (["n_base", "n_cur", "n_categories", "dof"],
                           ["chi2", "jsd", "tvd"]),
     "embedding_drift": (["n_base", "n_cur", "dims"],
@@ -1962,6 +1980,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "semantic_types": q_semantic_types,
         "column_entropy": q_column_entropy,
+        "volume_anomaly": q_volume_anomaly,
         "interval_overlaps": q_interval_overlaps,
         "monotonic": q_monotonic,
         "mutual_info": q_mutual_info,
@@ -3578,6 +3597,37 @@ def _oracle_sql_raw() -> dict[str, str]:
         "html_extract": _html_oracle_sql(),
         "correlation_matrix": _corr_oracle_sql(),
         "semantic_types": _semantic_oracle_sql(),
+        "volume_anomaly": """
+            with src as (
+              select ts from events
+              where ts is not null
+                and (day(cast(ts as date)) % 7 <> 2 or user_id % 10 = 0)
+            ), obs as (
+              select date_trunc('day', ts) as b, count(*) as c
+              from src group by 1
+            ), sp as (
+              select min(b) as lo, max(b) as hi from obs
+            ), grid as (
+              select unnest(generate_series(lo, hi, interval 1 day)) as b
+              from sp
+            ), g as (
+              select grid.b, cast(coalesce(c, 0) as bigint) as n_rows
+              from grid left join obs on grid.b = obs.b
+            ), med as (
+              select quantile_cont(n_rows, 0.5) as m from g
+            ), dev as (
+              select b, n_rows, abs(n_rows - med.m) as absdev
+              from g, med
+            ), mad as (
+              select quantile_cont(absdev, 0.5) as md from dev
+            )
+            select epoch_us(b) as day_us, n_rows,
+                   round(case when md > 0
+                              then absdev / (1.4826 * md) end, 6) as deviation,
+                   case when md > 0 then absdev / (1.4826 * md) > 3.0
+                        else absdev > 0 end as anomalous
+            from dev, mad
+        """,
         "column_entropy": """
             with un as (
               select 'o_orderstatus' as col,

@@ -104,3 +104,53 @@ def freshness_summary(
         "n_buckets", "n_missing", "max_gap", "newest_us",
         stale.alias("staleness_us"),
     )
+
+
+def volume_anomalies(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    grain: str = "day",
+    n_mads: float = 3.0,
+) -> DataFrame:
+    """Robust per-bucket volume check: flag buckets whose row count sits
+    more than ``n_mads`` scaled MADs from the median — "today's load is
+    half of normal" caught without assuming normality (median/MAD shrug
+    off the very outliers being hunted, unlike mean/stddev).
+
+    Grid from :func:`partition_freshness`, so silently MISSING buckets
+    participate as zero counts — a vanished day is the most anomalous
+    volume of all.  Median and MAD are exact ``percentile`` over the
+    calendar-scale grid (#buckets rows, metadata scale; the row-scale
+    work remains the one bucketed count).  MAD is scaled by 1.4826
+    (consistency constant for the normal case, the standard convention);
+    a zero MAD (over half the buckets identical) falls back to flagging
+    only counts different from the median.
+
+    Returns the full grid: ``(bucket, n_rows, deviation, anomalous)``
+    with deviation = |n - median| / (1.4826 * MAD) rounded 6dp (NULL
+    when MAD = 0).
+    """
+    g = partition_freshness(df, ts_col, grain=grain)
+    med = g.agg(
+        F.percentile(F.col("n_rows"), F.lit(0.5)).alias("_med")
+    )
+    dev = g.crossJoin(F.broadcast(med)).withColumn(
+        "_absdev", F.abs(F.col("n_rows") - F.col("_med"))
+    )
+    mad = dev.agg(
+        F.percentile(F.col("_absdev"), F.lit(0.5)).alias("_mad")
+    )
+    scaled = F.lit(1.4826) * F.col("_mad")
+    score = F.col("_absdev") / scaled
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .select(
+            "bucket",
+            "n_rows",
+            F.round(F.when(F.col("_mad") > 0, score), 6).alias("deviation"),
+            F.when(F.col("_mad") > 0, score > F.lit(n_mads))
+            .otherwise(F.col("_absdev") > 0)
+            .alias("anomalous"),
+        )
+    )
