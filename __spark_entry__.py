@@ -944,6 +944,24 @@ def q_ingest_quarantine(spark, sf_dir):
     return rep.crossJoin(md5df).crossJoin(sumdf)
 
 
+def q_fd_discovery(spark, sf_dir):
+    """FD discovery over derived documents columns (lang <-> upper(lang)
+    is the planted bijection; source and doc_id%7 are independent):
+    approximate candidates in ONE sketch pass, exact verify per
+    candidate.  Only the exact outputs (determinant, dependent, holds)
+    are compared — the HLL counts are engine-specific by design."""
+    from schema_validator_spark.operators.uniqueness import discover_fds
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.upper(F.col("lang")).alias("up"),
+        "source",
+        (F.col("doc_id") % 7).alias("bucket"),
+    )
+    out = discover_fds(docs, ["lang", "up", "source", "bucket"])
+    return out.select("determinant", "dependent", "holds")
+
+
 def q_volume_anomaly(spark, sf_dir):
     """Robust per-day volume check over events with a planted 90% load
     drop on every day-of-month % 7 == 2 (only user_id % 10 == 0 kept):
@@ -1981,6 +1999,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_types": q_semantic_types,
         "column_entropy": q_column_entropy,
         "volume_anomaly": q_volume_anomaly,
+        "fd_discovery": q_fd_discovery,
         "interval_overlaps": q_interval_overlaps,
         "monotonic": q_monotonic,
         "mutual_info": q_mutual_info,
@@ -2213,6 +2232,24 @@ def _pii_oracle_sql() -> str:
                        where regexp_matches(coalesce({c}, ''), '{p}')) as double)
                        / count(*), 6) as match_rate
               from documents""")
+    return " union all ".join(parts)
+
+
+def _fd_discovery_oracle_sql() -> str:
+    """Replay q_fd_discovery's exact verdicts: a -> b holds iff
+    |distinct(a)| = |distinct(a, b)| over the same derived frame."""
+    from itertools import permutations
+
+    cols = ["lang", "up", "source", "bucket"]
+    parts = []
+    for a, b in permutations(cols, 2):
+        parts.append(f"""
+          select '{a}' as determinant, '{b}' as dependent,
+                 (count(distinct ({a})) = count(distinct ({a}, {b})))
+                   as holds
+          from (select lang, upper(lang) as up, source,
+                       doc_id % 7 as bucket
+                from documents)""")
     return " union all ".join(parts)
 
 
@@ -3597,6 +3634,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "html_extract": _html_oracle_sql(),
         "correlation_matrix": _corr_oracle_sql(),
         "semantic_types": _semantic_oracle_sql(),
+        "fd_discovery": _fd_discovery_oracle_sql(),
         "volume_anomaly": """
             with src as (
               select ts from events

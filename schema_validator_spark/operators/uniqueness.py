@@ -109,3 +109,75 @@ def functional_dependency_stats(
         "n_violating",
         F.round(F.col("n_violating") / F.col("n_determinants"), 6).alias("violation_rate"),
     )
+
+
+def discover_fds(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    exact_verify: bool = True,
+    relative_sd: float = 0.02,
+) -> DataFrame:
+    """Functional-dependency DISCOVERY over column pairs — which
+    ``a -> b`` does the table already satisfy?  The mining complement of
+    :func:`functional_dependency_violations` (which checks one KNOWN
+    dependency), feeding constraint suggestion like the profile feeds
+    value bounds.
+
+    ``a -> b`` holds iff ``|distinct(a)| == |distinct(a, b)|``.  Two
+    phases, the engine's standard candidate -> verify shape:
+
+    1. candidates: ONE single-pass aggregation of approximate distinct
+       counts (HLL++, mergeable — no EXPAND blow-up from k(k-1)+k exact
+       countDistincts, no per-pair scans) marks pairs whose counts agree
+       within the sketch error;
+    2. verify (default on): each candidate pair gets one exact groupBy
+       check (map-side combined); false candidates from sketch error are
+       culled, so the result is EXACT while non-candidates never pay an
+       exact pass.
+
+    NULL is a value on both sides (``struct`` wrapping — two rows with
+    NULL region still agree on region), matching groupBy semantics.
+    Returns one row per ordered pair: ``(determinant, dependent,
+    n_det_approx, n_pair_approx, candidate, holds)`` — ``holds`` NULL
+    when verification is off.
+    """
+    from itertools import permutations
+
+    if len(cols) < 2:
+        raise ValueError("discover_fds needs at least two columns")
+    aggs = []
+    for c in cols:
+        aggs.append(
+            F.approx_count_distinct(F.struct(F.col(c)), relative_sd)
+            .alias(f"d\x00{c}")
+        )
+    for a, b in permutations(cols, 2):
+        if a < b:  # |distinct(a,b)| is symmetric; compute once
+            aggs.append(
+                F.approx_count_distinct(
+                    F.struct(F.col(a), F.col(b)), relative_sd
+                ).alias(f"p\x00{a}\x00{b}")
+            )
+    row = df.agg(*aggs).collect()[0].asDict()
+
+    margin = 1.0 + 3.0 * relative_sd
+    out = []
+    for a, b in permutations(cols, 2):
+        key = f"p\x00{a}\x00{b}" if a < b else f"p\x00{b}\x00{a}"
+        nd, np_ = row[f"d\x00{a}"], row[key]
+        candidate = np_ <= nd * margin
+        holds = None
+        if candidate and exact_verify:
+            agree = df.groupBy(F.struct(F.col(a)).alias("_k")).agg(
+                F.countDistinct(F.struct(F.col(b))).alias("_nd")
+            )
+            holds = agree.filter(F.col("_nd") > 1).limit(1).count() == 0
+        elif not candidate:
+            holds = False if exact_verify else None
+        out.append((a, b, nd, np_, candidate, holds))
+    return df.sparkSession.createDataFrame(
+        out,
+        "determinant string, dependent string, n_det_approx long, "
+        "n_pair_approx long, candidate boolean, holds boolean",
+    )
