@@ -138,6 +138,11 @@ def discover_fds(
 
     NULL is a value on both sides (``struct`` wrapping — two rows with
     NULL region still agree on region), matching groupBy semantics.
+    Pruning caveat: a TRUE dependency is skipped only if its two
+    sketches disagree by more than 3·relative_sd (≈0.2%/pair chance a
+    priori, but DETERMINISTIC per dataset — the sketch hash is fixed);
+    widen the margin via ``relative_sd`` or verify all pairs with
+    ``functional_dependency_stats`` when false negatives matter.
     Returns one row per ordered pair: ``(determinant, dependent,
     n_det_approx, n_pair_approx, candidate, holds)`` — ``holds`` NULL
     when verification is off.
