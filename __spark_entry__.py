@@ -944,6 +944,35 @@ def q_ingest_quarantine(spark, sf_dir):
     return rep.crossJoin(md5df).crossJoin(sumdf)
 
 
+def q_table_diff(spark, sf_dir):
+    """Row-level diff between documents and a rebuilt version (every
+    11th row dropped, every 7th lang rewritten, 5 rows added): one
+    keyed full-outer join, change-volume-sized output with per-column
+    change attribution."""
+    from schema_validator_spark.operators.diff import table_diff
+
+    old = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    base = _t(spark, sf_dir, "documents")
+    new = base.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit("zz"))
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+        "n_chars",
+    ).unionByName(
+        base.filter(F.col("doc_id") < 5).select(
+            (F.col("doc_id") + 10000000).alias("doc_id"),
+            F.lit("new").alias("lang"),
+            "n_chars",
+        )
+    )
+    out = table_diff(old, new, ["doc_id"])
+    return out.select(
+        "doc_id", "status",
+        F.array_join(F.col("changed_cols"), ",").alias("changed"),
+    )
+
+
 def q_fd_discovery(spark, sf_dir):
     """FD discovery over derived documents columns (lang <-> upper(lang)
     is the planted bijection; source and doc_id%7 are independent):
@@ -2000,6 +2029,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_entropy": q_column_entropy,
         "volume_anomaly": q_volume_anomaly,
         "fd_discovery": q_fd_discovery,
+        "table_diff": q_table_diff,
         "interval_overlaps": q_interval_overlaps,
         "monotonic": q_monotonic,
         "mutual_info": q_mutual_info,
@@ -3635,6 +3665,36 @@ def _oracle_sql_raw() -> dict[str, str]:
         "correlation_matrix": _corr_oracle_sql(),
         "semantic_types": _semantic_oracle_sql(),
         "fd_discovery": _fd_discovery_oracle_sql(),
+        "table_diff": """
+            with old as (
+              select doc_id, lang, n_chars from documents
+            ), new as (
+              select doc_id,
+                     case when doc_id % 7 = 0 then 'zz' else lang end as lang,
+                     n_chars
+              from documents where doc_id % 11 <> 0
+              union all
+              select doc_id + 10000000, 'new', n_chars
+              from documents where doc_id < 5
+            ), j as (
+              select coalesce(o.doc_id, n.doc_id) as doc_id,
+                     (o.doc_id is null) as added,
+                     (n.doc_id is null) as removed,
+                     (o.lang is distinct from n.lang) as lang_ch,
+                     (o.n_chars is distinct from n.n_chars) as nch_ch
+              from old o full outer join new n on o.doc_id = n.doc_id
+            )
+            select doc_id,
+                   case when added then 'added'
+                        when removed then 'removed'
+                        else 'changed' end as status,
+                   case when added or removed then ''
+                        else concat_ws(',',
+                          case when lang_ch then 'lang' end,
+                          case when nch_ch then 'n_chars' end) end as changed
+            from j
+            where added or removed or lang_ch or nch_ch
+        """,
         "volume_anomaly": """
             with src as (
               select ts from events
