@@ -944,6 +944,17 @@ def q_ingest_quarantine(spark, sf_dir):
     return rep.crossJoin(md5df).crossJoin(sumdf)
 
 
+def q_join_profile(spark, sf_dir):
+    """Join-health audit of lineitem x (2/3 of orders): coverage, key
+    multiplicity, and the EXACT would-be join output size — computed
+    from two word-count aggs without joining data rows."""
+    from schema_validator_spark.operators.diff import join_profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 != 1)
+    return join_profile(li, orders, ["l_orderkey"], ["o_orderkey"])
+
+
 def q_table_diff(spark, sf_dir):
     """Row-level diff between documents and a rebuilt version (every
     11th row dropped, every 7th lang rewritten, 5 rows added): one
@@ -1957,6 +1968,10 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
                        ["entropy", "norm_entropy", "distinctness",
                         "unique_value_ratio"]),
     "volume_anomaly": (["day_us", "n_rows", "anomalous"], ["deviation"]),
+    "join_profile": (["n_left", "n_right", "n_left_keys", "n_right_keys",
+                      "n_shared_keys", "max_mult_left", "max_mult_right",
+                      "join_rows"],
+                     ["left_match_rate", "right_match_rate"]),
     "categorical_drift": (["n_base", "n_cur", "n_categories", "dof"],
                           ["chi2", "jsd", "tvd"]),
     "embedding_drift": (["n_base", "n_cur", "dims"],
@@ -2030,6 +2045,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_anomaly": q_volume_anomaly,
         "fd_discovery": q_fd_discovery,
         "table_diff": q_table_diff,
+        "join_profile": q_join_profile,
         "interval_overlaps": q_interval_overlaps,
         "monotonic": q_monotonic,
         "mutual_info": q_mutual_info,
@@ -3665,6 +3681,34 @@ def _oracle_sql_raw() -> dict[str, str]:
         "correlation_matrix": _corr_oracle_sql(),
         "semantic_types": _semantic_oracle_sql(),
         "fd_discovery": _fd_discovery_oracle_sql(),
+        "join_profile": """
+            with lk as (
+              select l_orderkey as k, count(*) as cl from lineitem
+              where l_orderkey is not null group by 1
+            ), rk as (
+              select o_orderkey as k, count(*) as cr from orders
+              where o_orderkey % 3 <> 1 and o_orderkey is not null
+              group by 1
+            ), j as (
+              select cl, cr from lk full outer join rk on lk.k = rk.k
+            )
+            select cast(sum(cl) as bigint) as n_left,
+                   cast(sum(cr) as bigint) as n_right,
+                   count(cl) as n_left_keys,
+                   count(cr) as n_right_keys,
+                   count(*) filter (where cl is not null and cr is not null)
+                     as n_shared_keys,
+                   round(coalesce(sum(cl) filter (where cr is not null), 0)
+                         / sum(cl), 6) as left_match_rate,
+                   round(coalesce(sum(cr) filter (where cl is not null), 0)
+                         / sum(cr), 6) as right_match_rate,
+                   cast(max(cl) as bigint) as max_mult_left,
+                   cast(max(cr) as bigint) as max_mult_right,
+                   cast(coalesce(sum(cl * cr) filter (
+                     where cl is not null and cr is not null), 0) as bigint)
+                     as join_rows
+            from j
+        """,
         "table_diff": """
             with old as (
               select doc_id, lang, n_chars from documents

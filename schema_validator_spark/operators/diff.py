@@ -122,3 +122,70 @@ def table_diff_summary(
         F.round((added + removed + changed) / F.col("n_new"), 6)
         .alias("change_rate"),
     )
+
+
+def join_profile(
+    left: DataFrame,
+    right: DataFrame,
+    left_keys: list[str],
+    right_keys: list[str] | None = None,
+) -> DataFrame:
+    """Join-health audit BEFORE running the join: key overlap and
+    multiplicity between two tables.  Answers the three questions that
+    decide whether a join is safe: how many rows will actually match
+    (coverage), is either side's key non-unique (fan-out), and what is
+    the EXACT output row count (``sum over shared keys of
+    count_l * count_r``) — a blown-up join is caught here for the cost
+    of two word-count aggregations instead of discovered as an executor
+    OOM three hours in.
+
+    One row: ``(n_left, n_right, n_left_keys, n_right_keys,
+    n_shared_keys, left_match_rate, right_match_rate, max_mult_left,
+    max_mult_right, join_rows)`` — match rates are the fraction of ROWS
+    whose key exists on the other side; NULL keys never match (SQL
+    semantics) and are excluded from key counts.
+
+    Scale shape: one map-side-combinable groupBy per side collapses to
+    (key, count) frames (distinct-key scale), then a full-outer join of
+    those frames and one aggregate — data rows are never joined.
+    """
+    right_keys = right_keys or left_keys
+    lk = (
+        left.select(*[F.col(k).alias(f"_k{i}") for i, k in enumerate(left_keys)])
+        .filter(reduce(
+            lambda a, b: a & b,
+            [F.col(f"_k{i}").isNotNull() for i in range(len(left_keys))],
+        ))
+        .groupBy(*[f"_k{i}" for i in range(len(left_keys))])
+        .agg(F.count(F.lit(1)).alias("_cl"))
+    )
+    rk = (
+        right.select(*[F.col(k).alias(f"_k{i}") for i, k in enumerate(right_keys)])
+        .filter(reduce(
+            lambda a, b: a & b,
+            [F.col(f"_k{i}").isNotNull() for i in range(len(right_keys))],
+        ))
+        .groupBy(*[f"_k{i}" for i in range(len(right_keys))])
+        .agg(F.count(F.lit(1)).alias("_cr"))
+    )
+    j = lk.join(rk, on=[f"_k{i}" for i in range(len(left_keys))], how="full_outer")
+    both = F.col("_cl").isNotNull() & F.col("_cr").isNotNull()
+    agg = j.agg(
+        F.sum("_cl").alias("n_left"),
+        F.sum("_cr").alias("n_right"),
+        F.count("_cl").alias("n_left_keys"),
+        F.count("_cr").alias("n_right_keys"),
+        F.sum(both.cast("long")).alias("n_shared_keys"),
+        F.sum(F.when(both, F.col("_cl")).otherwise(0)).alias("_ml"),
+        F.sum(F.when(both, F.col("_cr")).otherwise(0)).alias("_mr"),
+        F.max("_cl").alias("max_mult_left"),
+        F.max("_cr").alias("max_mult_right"),
+        F.sum(F.when(both, F.col("_cl") * F.col("_cr")).otherwise(0))
+        .alias("join_rows"),
+    )
+    return agg.select(
+        "n_left", "n_right", "n_left_keys", "n_right_keys", "n_shared_keys",
+        F.round(F.col("_ml") / F.col("n_left"), 6).alias("left_match_rate"),
+        F.round(F.col("_mr") / F.col("n_right"), 6).alias("right_match_rate"),
+        "max_mult_left", "max_mult_right", "join_rows",
+    )
