@@ -944,6 +944,15 @@ def q_ingest_quarantine(spark, sf_dir):
     return rep.crossJoin(md5df).crossJoin(sumdf)
 
 
+def q_category_coverage(spark, sf_dir):
+    """Top-20 users by event volume with cumulative share — the
+    concentration view behind skew mitigation; deterministic tie-break
+    so the boundary rank is engine-stable."""
+    from schema_validator_spark.operators.profile import category_coverage
+
+    return category_coverage(_t(spark, sf_dir, "events"), "user_id", k=20)
+
+
 def q_join_profile(spark, sf_dir):
     """Join-health audit of lineitem x (2/3 of orders): coverage, key
     multiplicity, and the EXACT would-be join output size — computed
@@ -1968,6 +1977,7 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
                        ["entropy", "norm_entropy", "distinctness",
                         "unique_value_ratio"]),
     "volume_anomaly": (["day_us", "n_rows", "anomalous"], ["deviation"]),
+    "category_coverage": (["rank", "value", "n"], ["share", "cum_share"]),
     "join_profile": (["n_left", "n_right", "n_left_keys", "n_right_keys",
                       "n_shared_keys", "max_mult_left", "max_mult_right",
                       "join_rows"],
@@ -2046,6 +2056,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_discovery": q_fd_discovery,
         "table_diff": q_table_diff,
         "join_profile": q_join_profile,
+        "category_coverage": q_category_coverage,
         "interval_overlaps": q_interval_overlaps,
         "monotonic": q_monotonic,
         "mutual_info": q_mutual_info,
@@ -3681,6 +3692,26 @@ def _oracle_sql_raw() -> dict[str, str]:
         "correlation_matrix": _corr_oracle_sql(),
         "semantic_types": _semantic_oracle_sql(),
         "fd_discovery": _fd_discovery_oracle_sql(),
+        "category_coverage": """
+            with c as (
+              select user_id as value, count(*) as n from events group by 1
+            ), t as (
+              select sum(n) as tot from c
+            ), r as (
+              select value, n,
+                     row_number() over (
+                       order by n desc, value asc nulls last) as rank,
+                     sum(n) over (
+                       order by n desc, value asc nulls last
+                       rows between unbounded preceding and current row)
+                       as cum
+              from c
+            )
+            select rank, value, cast(n as bigint) as n,
+                   round(n / t.tot, 6) as share,
+                   round(cum / t.tot, 6) as cum_share
+            from r, t where rank <= 20
+        """,
         "join_profile": """
             with lk as (
               select l_orderkey as k, count(*) as cl from lineitem

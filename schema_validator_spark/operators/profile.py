@@ -218,3 +218,37 @@ def column_entropy(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         F.round(F.col("_nd") / F.col("_nn"), 6).alias("distinctness"),
         F.round(F.col("_uniq") / F.col("_nd"), 6).alias("unique_value_ratio"),
     )
+
+
+def category_coverage(df: DataFrame, col: str, k: int = 10) -> DataFrame:
+    """Top-``k`` category report: ``(rank, value, n, share, cum_share)``
+    — "the top 10 domains cover 87% of the corpus", the concentration
+    view that decides blocklists, stratification keys and skew
+    mitigation.  Deterministic tie-break (count desc, value asc);
+    NULL is its own category; shares are over ALL rows, so
+    ``cum_share`` of the last row tells how much tail the top-k miss.
+
+    ONE map-side-combinable groupBy on the value; ranking windows run
+    over the distinct-value frame (never rows).  Floats rounded 6dp."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    counts = df.groupBy(F.col(col).alias("value")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_all = Window.partitionBy()
+    order = [F.col("n").desc(), F.col("value").asc_nulls_last()]
+    w_rank = Window.orderBy(*order)
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        counts.withColumn("_tot", F.sum("n").over(w_all))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .withColumn("_cum", F.sum("n").over(w_cum))
+        .filter(F.col("rank") <= k)
+        .select(
+            "rank",
+            "value",
+            "n",
+            F.round(F.col("n") / F.col("_tot"), 6).alias("share"),
+            F.round(F.col("_cum") / F.col("_tot"), 6).alias("cum_share"),
+        )
+    )
