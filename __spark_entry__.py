@@ -944,6 +944,26 @@ def q_ingest_quarantine(spark, sf_dir):
     return rep.crossJoin(md5df).crossJoin(sumdf)
 
 
+def q_cusum_shift(spark, sf_dir):
+    """CUSUM level-shift detection over daily event volumes with a
+    planted sustained ~50% drop after day 22 (only even users kept —
+    late enough that the median/MAD baseline stays anchored on the
+    normal level instead of straddling the two regimes):
+    the reset-at-zero recursion as prefix-sum minus running-min
+    windows; point-band checks never see this, CUSUM accumulates it."""
+    from schema_validator_spark.operators.freshness import cusum_changepoints
+
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.dayofmonth(F.col("ts").cast("date")) <= 22)
+        | (F.col("user_id") % 2 == 0)
+    )
+    out = cusum_changepoints(ev, "ts", grain="day")
+    return out.select(
+        F.unix_micros(F.col("bucket")).alias("day_us"),
+        "n_rows", "cusum_up", "cusum_down", "alarm",
+    )
+
+
 def q_category_coverage(spark, sf_dir):
     """Top-20 users by event volume with cumulative share — the
     concentration view behind skew mitigation; deterministic tie-break
@@ -1978,6 +1998,8 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
                         "unique_value_ratio"]),
     "volume_anomaly": (["day_us", "n_rows", "anomalous"], ["deviation"]),
     "category_coverage": (["rank", "value", "n"], ["share", "cum_share"]),
+    "cusum_shift": (["day_us", "n_rows", "alarm"],
+                    ["cusum_up", "cusum_down"]),
     "join_profile": (["n_left", "n_right", "n_left_keys", "n_right_keys",
                       "n_shared_keys", "max_mult_left", "max_mult_right",
                       "join_rows"],
@@ -2057,6 +2079,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": q_table_diff,
         "join_profile": q_join_profile,
         "category_coverage": q_category_coverage,
+        "cusum_shift": q_cusum_shift,
         "interval_overlaps": q_interval_overlaps,
         "monotonic": q_monotonic,
         "mutual_info": q_mutual_info,
@@ -3692,6 +3715,49 @@ def _oracle_sql_raw() -> dict[str, str]:
         "correlation_matrix": _corr_oracle_sql(),
         "semantic_types": _semantic_oracle_sql(),
         "fd_discovery": _fd_discovery_oracle_sql(),
+        "cusum_shift": """
+            with src as (
+              select ts from events
+              where ts is not null
+                and (day(cast(ts as date)) <= 22 or user_id % 2 = 0)
+            ), obs as (
+              select date_trunc('day', ts) as b, count(*) as c
+              from src group by 1
+            ), sp as (
+              select min(b) as lo, max(b) as hi from obs
+            ), grid as (
+              select unnest(generate_series(lo, hi, interval 1 day)) as b
+              from sp
+            ), g as (
+              select grid.b, cast(coalesce(c, 0) as bigint) as n_rows
+              from grid left join obs on grid.b = obs.b
+            ), med as (
+              select quantile_cont(n_rows, 0.5) as m from g
+            ), mad as (
+              select quantile_cont(abs(n_rows - m), 0.5) as md from g, med
+            ), s as (
+              select b, n_rows,
+                     sum((n_rows - m - 0.5 * (1.4826 * md))
+                         / (1.4826 * md)) over (order by b) as pu,
+                     sum((m - n_rows - 0.5 * (1.4826 * md))
+                         / (1.4826 * md)) over (order by b) as pd
+              from g, med, mad
+            ), r as (
+              select b, n_rows, pu, pd,
+                     least(min(pu) over (
+                       order by b rows between unbounded preceding
+                       and current row), 0) as mu,
+                     least(min(pd) over (
+                       order by b rows between unbounded preceding
+                       and current row), 0) as md2
+              from s
+            )
+            select epoch_us(b) as day_us, n_rows,
+                   round(pu - mu, 6) as cusum_up,
+                   round(pd - md2, 6) as cusum_down,
+                   (pu - mu > 5.0 or pd - md2 > 5.0) as alarm
+            from r
+        """,
         "category_coverage": """
             with c as (
               select user_id as value, count(*) as n from events group by 1

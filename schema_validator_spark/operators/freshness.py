@@ -17,7 +17,7 @@ runs on a frame the size of the calendar.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _GRAIN_INTERVAL = {
@@ -72,7 +72,6 @@ def freshness_summary(
     data and ``as_of`` (NULL when ``as_of`` is not given; pass it
     explicitly — an implicit now() would make runs unreproducible)."""
     g = partition_freshness(df, ts_col, grain=grain)
-    from pyspark.sql import Window
 
     w = Window.orderBy("bucket")
     runs = (
@@ -153,4 +152,74 @@ def volume_anomalies(
             .otherwise(F.col("_absdev") > 0)
             .alias("anomalous"),
         )
+    )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    grain: str = "day",
+    slack_mads: float = 0.5,
+    threshold_mads: float = 5.0,
+) -> DataFrame:
+    """CUSUM level-shift detection over per-bucket volumes — the
+    complement of :func:`volume_anomalies`: MAD flags POINT outliers,
+    CUSUM accumulates small persistent drifts ("volume has been 10%
+    low for two weeks") that never individually cross a point band.
+
+    Two one-sided CUSUMs (upward / downward) against the median with
+    slack ``k = slack_mads * scaled_MAD`` and alarm threshold
+    ``h = threshold_mads * scaled_MAD``.  The reset-at-zero recursion
+    ``S_t = max(0, S_{t-1} + y_t)`` is NOT a plain window aggregate, but
+    it equals ``P_t - min(P_0..P_t)`` over the prefix sums ``P`` — so
+    the whole detector is cumsum + running-min windows over the
+    calendar-scale grid (the row-scale work stays the one bucketed
+    count from the freshness grid, which also makes MISSING buckets
+    count as zero volume — a sustained outage trips the downward arm).
+
+    Returns the grid: ``(bucket, n_rows, cusum_up, cusum_down, alarm)``
+    with cusum columns in scaled-MAD units (6dp; NULL when MAD = 0,
+    where no scale exists and no alarm fires).
+    """
+    g = partition_freshness(df, ts_col, grain=grain)
+    stats = g.agg(
+        F.percentile(F.col("n_rows"), F.lit(0.5)).alias("_med")
+    )
+    dev = g.crossJoin(F.broadcast(stats))
+    mad = dev.agg(
+        F.percentile(
+            F.abs(F.col("n_rows") - F.col("_med")), F.lit(0.5)
+        ).alias("_mad")
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    scaled = F.lit(1.4826) * F.col("_mad")
+    ks = F.lit(slack_mads) * scaled
+    # prefix sums of (x - med - k) and (med - x - k); S = P - min(P, 0-anchored)
+    # try_divide: a zero MAD must yield NULL terms, not an ANSI
+    # DIVIDE_BY_ZERO — the when(_mad > 0) gates below null out the rest
+    up_y = F.try_divide(F.col("n_rows") - F.col("_med") - ks, scaled)
+    dn_y = F.try_divide(F.col("_med") - F.col("n_rows") - ks, scaled)
+    out = (
+        dev.crossJoin(F.broadcast(mad))
+        .withColumn("_pu", F.sum(up_y).over(w_cum))
+        .withColumn("_pd", F.sum(dn_y).over(w_cum))
+        .withColumn("_mu", F.least(F.min("_pu").over(w_cum), F.lit(0.0)))
+        .withColumn("_md2", F.least(F.min("_pd").over(w_cum), F.lit(0.0)))
+    )
+    su = F.col("_pu") - F.col("_mu")
+    sd = F.col("_pd") - F.col("_md2")
+    return out.select(
+        "bucket",
+        "n_rows",
+        F.round(F.when(F.col("_mad") > 0, su), 6).alias("cusum_up"),
+        F.round(F.when(F.col("_mad") > 0, sd), 6).alias("cusum_down"),
+        F.when(
+            F.col("_mad") > 0,
+            (su > F.lit(threshold_mads)) | (sd > F.lit(threshold_mads)),
+        )
+        .otherwise(F.lit(False))
+        .alias("alarm"),
     )
