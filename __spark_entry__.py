@@ -944,6 +944,18 @@ def q_ingest_quarantine(spark, sf_dir):
     return rep.crossJoin(md5df).crossJoin(sumdf)
 
 
+def q_segment_completeness(spark, sf_dir):
+    """Per-event-type completeness of user_id/value/ts — the
+    where-scoped Completeness view that catches a field broken in one
+    segment while the global null rate looks healthy; ONE groupBy, all
+    null counts in the same pass."""
+    from schema_validator_spark.operators.profile import completeness_by_group
+
+    return completeness_by_group(
+        _t(spark, sf_dir, "events"), ["event_type"], ["user_id", "value", "ts"]
+    )
+
+
 def q_cusum_shift(spark, sf_dir):
     """CUSUM level-shift detection over daily event volumes with a
     planted sustained ~50% drop after day 22 (only even users kept —
@@ -2000,6 +2012,8 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
     "category_coverage": (["rank", "value", "n"], ["share", "cum_share"]),
     "cusum_shift": (["day_us", "n_rows", "alarm"],
                     ["cusum_up", "cusum_down"]),
+    "segment_completeness": (["event_type", '"column"', "n_rows", "n_nulls"],
+                             ["null_rate"]),
     "join_profile": (["n_left", "n_right", "n_left_keys", "n_right_keys",
                       "n_shared_keys", "max_mult_left", "max_mult_right",
                       "join_rows"],
@@ -2080,6 +2094,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_profile": q_join_profile,
         "category_coverage": q_category_coverage,
         "cusum_shift": q_cusum_shift,
+        "segment_completeness": q_segment_completeness,
         "interval_overlaps": q_interval_overlaps,
         "monotonic": q_monotonic,
         "mutual_info": q_mutual_info,
@@ -3715,6 +3730,25 @@ def _oracle_sql_raw() -> dict[str, str]:
         "correlation_matrix": _corr_oracle_sql(),
         "semantic_types": _semantic_oracle_sql(),
         "fd_discovery": _fd_discovery_oracle_sql(),
+        "segment_completeness": """
+            with g as (
+              select event_type, count(*) as n,
+                     sum(case when user_id is null then 1 else 0 end) as n0,
+                     sum(case when value is null then 1 else 0 end) as n1,
+                     sum(case when ts is null then 1 else 0 end) as n2
+              from events group by 1
+            )
+            select event_type, 'user_id' as "column",
+                   n as n_rows, cast(n0 as bigint) as n_nulls,
+                   round(n0 / n, 6) as null_rate
+            from g
+            union all
+            select event_type, 'value', n, cast(n1 as bigint),
+                   round(n1 / n, 6) from g
+            union all
+            select event_type, 'ts', n, cast(n2 as bigint),
+                   round(n2 / n, 6) from g
+        """,
         "cusum_shift": """
             with src as (
               select ts from events

@@ -252,3 +252,44 @@ def category_coverage(df: DataFrame, col: str, k: int = 10) -> DataFrame:
             F.round(F.col("_cum") / F.col("_tot"), 6).alias("cum_share"),
         )
     )
+
+
+def completeness_by_group(
+    df: DataFrame, group_cols: list[str], cols: list[str] | None = None
+) -> DataFrame:
+    """Per-segment completeness: null rates of every requested column
+    WITHIN each group — Deequ's where-scoped Completeness, vectorized
+    over all (group x column) cells at once.  The global profile hides
+    exactly this failure mode: a field that stopped arriving from ONE
+    source sits at 2% overall nulls while being 100% null in the broken
+    segment.
+
+    ``(group..., column, n_rows, n_nulls, null_rate)`` — one row per
+    group per column; ONE map-side-combinable groupBy (all null counts
+    ride the same pass), stack-unpivot after, so the shuffle is
+    #groups-bounded regardless of column count.  Floats rounded 6dp.
+    """
+    if cols is None:
+        cols = [
+            f.name for f in df.schema.fields
+            if isinstance(f.dataType, _PROFILABLE)
+            and f.name not in set(group_cols)
+        ]
+    if not cols:
+        raise ValueError("no columns to profile")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{i}"))
+    wide = df.groupBy(*group_cols).agg(*aggs)
+    stack_args = ", ".join(f"'{c}', _null_{i}" for i, c in enumerate(cols))
+    return wide.selectExpr(
+        *[f"`{g}`" for g in group_cols],
+        "_n as n_rows",
+        f"stack({len(cols)}, {stack_args}) as (column, n_nulls)",
+    ).select(
+        *group_cols,
+        "column",
+        "n_rows",
+        "n_nulls",
+        F.round(F.col("n_nulls") / F.col("n_rows"), 6).alias("null_rate"),
+    )
