@@ -167,19 +167,49 @@ def discover_fds(
     row = df.agg(*aggs).collect()[0].asDict()
 
     margin = 1.0 + 3.0 * relative_sd
-    out = []
+    cands = []
+    pre = {}
     for a, b in permutations(cols, 2):
         key = f"p\x00{a}\x00{b}" if a < b else f"p\x00{b}\x00{a}"
         nd, np_ = row[f"d\x00{a}"], row[key]
         candidate = np_ <= nd * margin
-        holds = None
+        pre[(a, b)] = (nd, np_, candidate)
         if candidate and exact_verify:
-            agree = df.groupBy(F.struct(F.col(a)).alias("_k")).agg(
-                F.countDistinct(F.struct(F.col(b))).alias("_nd")
+            cands.append((a, b))
+
+    # verify ALL candidates in ONE exact aggregation: a -> b holds iff
+    # |distinct(a)| == |distinct(a, b)| (struct-wrapped so NULL counts).
+    # Exact count_distincts EXPAND the input map-side by #aggregates,
+    # but only the (few) candidates pay it — one job instead of one
+    # groupBy job per pair.
+    verdicts: dict[tuple[str, str], bool] = {}
+    if cands:
+        vaggs = []
+        need = sorted({a for a, _ in cands})
+        for a in need:
+            vaggs.append(
+                F.countDistinct(F.struct(F.col(a))).alias(f"va\x00{a}")
             )
-            holds = agree.filter(F.col("_nd") > 1).limit(1).count() == 0
-        elif not candidate:
-            holds = False if exact_verify else None
+        for a, b in cands:
+            vaggs.append(
+                F.countDistinct(F.struct(F.col(a), F.col(b)))
+                .alias(f"vp\x00{a}\x00{b}")
+            )
+        vrow = df.agg(*vaggs).collect()[0].asDict()
+        for a, b in cands:
+            verdicts[(a, b)] = (
+                vrow[f"va\x00{a}"] == vrow[f"vp\x00{a}\x00{b}"]
+            )
+
+    out = []
+    for a, b in permutations(cols, 2):
+        nd, np_, candidate = pre[(a, b)]
+        if candidate and exact_verify:
+            holds = verdicts[(a, b)]
+        elif not candidate and exact_verify:
+            holds = False
+        else:
+            holds = None
         out.append((a, b, nd, np_, candidate, holds))
     return df.sparkSession.createDataFrame(
         out,
