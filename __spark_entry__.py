@@ -944,6 +944,40 @@ def q_ingest_quarantine(spark, sf_dir):
     return rep.crossJoin(md5df).crossJoin(sumdf)
 
 
+def q_reconcile(spark, sf_dir):
+    """Control-total reconciliation of per-order quantity sums between
+    lineitem and a perturbed rebuild (first line dropped for every 13th
+    order, quantities doubled for every 17th): only the planted
+    discrepancies surface, balanced keys stay silent."""
+    from schema_validator_spark.operators.diff import reconcile_aggregates
+
+    li = _t(spark, sf_dir, "lineitem")
+    right = li.filter(
+        ~((F.col("l_orderkey") % 13 == 0) & (F.col("l_linenumber") == 1))
+    ).select(
+        "l_orderkey",
+        F.when(
+            F.col("l_orderkey") % 17 == 0, F.col("l_quantity") * 2
+        ).otherwise(F.col("l_quantity")).alias("l_quantity"),
+    )
+    out = reconcile_aggregates(
+        li, right, ["l_orderkey"],
+        left_measure="l_quantity", right_measure="l_quantity",
+    )
+    # coalesce the compared outputs: `kind` already encodes absence, and
+    # NULL-bearing numeric columns decay to float64 in the pandas compare
+    sl = F.coalesce(F.col("sum_left"), F.lit(0)).alias("sum_left")
+    sr = F.coalesce(F.col("sum_right"), F.lit(0)).alias("sum_right")
+    return out.select(
+        "l_orderkey", sl, sr,
+        F.round(
+            F.coalesce(F.col("sum_right"), F.lit(0))
+            - F.coalesce(F.col("sum_left"), F.lit(0)), 6
+        ).alias("diff"),
+        "kind",
+    )
+
+
 def q_segment_completeness(spark, sf_dir):
     """Per-event-type completeness of user_id/value/ts — the
     where-scoped Completeness view that catches a field broken in one
@@ -2014,6 +2048,7 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
                     ["cusum_up", "cusum_down"]),
     "segment_completeness": (["event_type", '"column"', "n_rows", "n_nulls"],
                              ["null_rate"]),
+    "reconcile": (["l_orderkey", "kind"], ["sum_left", "sum_right", "diff"]),
     "join_profile": (["n_left", "n_right", "n_left_keys", "n_right_keys",
                       "n_shared_keys", "max_mult_left", "max_mult_right",
                       "join_rows"],
@@ -2095,6 +2130,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "category_coverage": q_category_coverage,
         "cusum_shift": q_cusum_shift,
         "segment_completeness": q_segment_completeness,
+        "reconcile": q_reconcile,
         "interval_overlaps": q_interval_overlaps,
         "monotonic": q_monotonic,
         "mutual_info": q_mutual_info,
@@ -3730,6 +3766,36 @@ def _oracle_sql_raw() -> dict[str, str]:
         "correlation_matrix": _corr_oracle_sql(),
         "semantic_types": _semantic_oracle_sql(),
         "fd_discovery": _fd_discovery_oracle_sql(),
+        "reconcile": """
+            with l as (
+              select l_orderkey as k, sum(l_quantity) as sum_left
+              from lineitem where l_orderkey is not null group by 1
+            ), r as (
+              select l_orderkey as k,
+                     sum(case when l_orderkey % 17 = 0
+                              then l_quantity * 2
+                              else l_quantity end) as sum_right
+              from lineitem
+              where not (l_orderkey % 13 = 0 and l_linenumber = 1)
+                and l_orderkey is not null
+              group by 1
+            ), j as (
+              select coalesce(l.k, r.k) as l_orderkey, sum_left, sum_right
+              from l full outer join r on l.k = r.k
+            )
+            select l_orderkey,
+                   cast(coalesce(sum_left, 0) as bigint) as sum_left,
+                   cast(coalesce(sum_right, 0) as bigint) as sum_right,
+                   round(coalesce(sum_right, 0) - coalesce(sum_left, 0), 6)
+                     as diff,
+                   case when sum_left is null then 'missing_left'
+                        when sum_right is null then 'missing_right'
+                        when abs(sum_right - sum_left) > 0.0
+                          then 'mismatch' end as kind
+            from j
+            where sum_left is null or sum_right is null
+               or abs(sum_right - sum_left) > 0.0
+        """,
         "segment_completeness": """
             with g as (
               select event_type, count(*) as n,

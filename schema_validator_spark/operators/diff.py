@@ -189,3 +189,69 @@ def join_profile(
         F.round(F.col("_mr") / F.col("n_right"), 6).alias("right_match_rate"),
         "max_mult_left", "max_mult_right", "join_rows",
     )
+
+
+def reconcile_aggregates(
+    left: DataFrame,
+    right: DataFrame,
+    left_keys: list[str],
+    right_keys: list[str] | None = None,
+    *,
+    left_measure: str,
+    right_measure: str,
+    tolerance: float = 0.0,
+) -> DataFrame:
+    """Control-total reconciliation: per-key sums of a measure on both
+    sides, discrepancies only — the "fact rows must add up to the
+    ledger" audit (settlement vs transactions, rollup vs detail, sink
+    vs source after a migration).
+
+    Output rows only where the books DON'T balance:
+    ``(key..., sum_left, sum_right, diff, kind)`` with kind in
+    ('missing_left', 'missing_right', 'mismatch') and
+    ``|diff| > tolerance`` required for 'mismatch' (float pipelines
+    reconcile to a tolerance, not to the ulp).  NULL keys are excluded
+    (they can never pair); NULL measures sum as 0 via the per-key agg.
+
+    Scale shape: one map-side-combinable groupBy per side (reducer
+    input = distinct keys, never rows), then a key-scale full-outer
+    join — the same two-word-count shape as :func:`join_profile`.
+    """
+    right_keys = right_keys or left_keys
+    kcols = [f"_k{i}" for i in range(len(left_keys))]
+    ls = (
+        left.select(
+            *[F.col(k).alias(f"_k{i}") for i, k in enumerate(left_keys)],
+            F.col(left_measure).alias("_m"),
+        )
+        .filter(reduce(lambda a, b: a & b, [F.col(c).isNotNull() for c in kcols]))
+        .groupBy(*kcols)
+        .agg(F.sum("_m").alias("sum_left"))
+    )
+    rs = (
+        right.select(
+            *[F.col(k).alias(f"_k{i}") for i, k in enumerate(right_keys)],
+            F.col(right_measure).alias("_m"),
+        )
+        .filter(reduce(lambda a, b: a & b, [F.col(c).isNotNull() for c in kcols]))
+        .groupBy(*kcols)
+        .agg(F.sum("_m").alias("sum_right"))
+    )
+    j = ls.join(rs, on=kcols, how="full_outer")
+    diff = F.col("sum_right") - F.col("sum_left")
+    kind = (
+        F.when(F.col("sum_left").isNull(), F.lit("missing_left"))
+        .when(F.col("sum_right").isNull(), F.lit("missing_right"))
+        .when(F.abs(diff) > F.lit(tolerance), F.lit("mismatch"))
+    )
+    out_keys = [F.col(f"_k{i}").alias(k) for i, k in enumerate(left_keys)]
+    return (
+        j.select(
+            *out_keys,
+            "sum_left",
+            "sum_right",
+            F.round(diff, 6).alias("diff"),
+            kind.alias("kind"),
+        )
+        .filter(F.col("kind").isNotNull())
+    )
