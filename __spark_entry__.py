@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (49/49), including the approximate tiers
+EVERY query has an oracle (108/108), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -663,6 +663,24 @@ def q_ivf_ann(spark, sf_dir):
     return ann.ivf_topk(queries, corpus, k=2, nlist=16, nprobe=4).select(
         "query_id", "vec_id", "rank"
     )
+
+
+def q_ivf_pq_ann(spark, sf_dir):
+    """IVF-PQ (product-quantized) top-k over the augmented corpus — the
+    memory tier: the probed index holds only m=8 bytes of code per
+    vector; raw vectors are fetched by id ONLY for the 64-deep shortlist
+    re-rank, whose EXACT cosines produce the final ranking.  The planted
+    copy normalizes to the identical vector, hence identical list AND
+    identical PQ code: its quantized (ADC) score ties the query's own
+    maximal self-score, so both provably survive any shortlist ≥ 2 and
+    the exact re-rank returns the true top-2 (= the oracle)."""
+    corpus = _augmented_embeddings(spark, sf_dir)
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann.ivf_pq_topk(
+        queries, corpus, k=2, nlist=16, nprobe=4, m=8, shortlist=64
+    ).select("query_id", "vec_id", "rank")
 
 
 def q_embedding_neardups(spark, sf_dir):
@@ -2098,7 +2116,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver correctness gate checks ~50 queries per
+    # round IN DICT ORDER.  Tier 1 = the 31 queries no driver round has
+    # ever checked (r03 took the first 50, r02 a different 49) + queries
+    # new this round; tier 2 = the 26 checked only in r02; tier 3 = the
+    # 50 green in CORRECTNESS_r03.  See VERDICT.md round 3, order #1.
     return {
+        # --- tier 1: never driver-checked before round 4 ---------------
+        "semdedup": q_semdedup,
+        "temperature_sample": q_temperature_sample,
+        "time_rollup": q_time_rollup,
+        "streaming_sessions": q_streaming_sessions,
+        "incremental_dedup": q_incremental_dedup,
+        "stats_pruned_scan": q_stats_pruned_scan,
+        "zorder_key": q_zorder_key,
+        "suggest_constraints": q_suggest_constraints,
+        "metric_anomaly": q_metric_anomaly,
+        "pagerank": q_pagerank,
+        "pii_scan": q_pii_scan,
+        "span_dedup": q_span_dedup,
+        "pack_sequences": q_pack_sequences,
+        "bpe_token_counts": q_bpe_token_counts,
+        "tfidf_keywords": q_tfidf_keywords,
+        "json_validation": q_json_validation,
+        "url_dedup": q_url_dedup,
+        "quantile_rollup": q_quantile_rollup,
+        "streaming_corpus_dedup": q_streaming_corpus_dedup,
+        "fuzzy_match": q_fuzzy_match,
+        "distinct_rollup": q_distinct_rollup,
+        "curation": q_curation,
+        "classifier_scores": q_classifier_scores,
+        "url_filter": q_url_filter,
+        "lm_perplexity": q_lm_perplexity,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "skew_join": q_skew_join,
+        "ks_drift": q_ks_drift,
+        "heavy_hitters": q_heavy_hitters,
+        "merge_upsert": q_merge_upsert,
+        # --- tier 1b: new in round 4 ------------------------------------
+        "ivf_pq_ann": q_ivf_pq_ann,
+        # --- tier 2: checked only in CORRECTNESS_r02 --------------------
+        "lang_id_counts": q_lang_id_counts,
+        "quality_scores": q_quality_scores,
+        "violation_messages": q_violation_messages,
+        "multimodal_magic": q_multimodal_magic,
+        "streaming_summary": q_streaming_summary,
+        "conditional_rules": q_conditional_rules,
+        "compare_polymorphism": q_compare_polymorphism,
+        "cross_field": q_cross_field,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_candidates": q_simhash_candidates,
+        "srp_ann": q_srp_ann,
+        "ivf_ann": q_ivf_ann,
+        "embedding_neardups": q_embedding_neardups,
+        "drift_psi": q_drift_psi,
+        "snapshot_drift": q_snapshot_drift,
+        "clean_docs": q_clean_docs,
+        "gopher_quality": q_gopher_quality,
+        "incremental_validation": q_incremental_validation,
+        "line_dedup_global": q_line_dedup_global,
+        "token_budget_sample": q_token_budget_sample,
+        "bpe_pairs": q_bpe_pairs,
+        "outlier_stats": q_outlier_stats,
+        "sessions": q_sessions,
+        "fd_check": q_fd_check,
+        "schema_evolution": q_schema_evolution,
+        "psi_report": q_psi_report,
+        # --- tier 3: green in CORRECTNESS_r03 ---------------------------
         "rule_violations": q_rule_violations,
         "partition_summary": q_partition_summary,
         "sha256_invariant": q_sha256_invariant,
@@ -2149,64 +2234,6 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setsim_exact": q_setsim_exact,
         "ann_topk": q_ann_topk,
         "text_profile": q_text_profile,
-        "lang_id_counts": q_lang_id_counts,
-        "quality_scores": q_quality_scores,
-        "violation_messages": q_violation_messages,
-        "multimodal_magic": q_multimodal_magic,
-        "streaming_summary": q_streaming_summary,
-        "conditional_rules": q_conditional_rules,
-        "compare_polymorphism": q_compare_polymorphism,
-        "cross_field": q_cross_field,
-        # approximate tier — deterministic, each gated by a ground-truth oracle
-        "minhash_lsh": q_minhash_lsh,
-        "simhash_candidates": q_simhash_candidates,
-        "srp_ann": q_srp_ann,
-        "ivf_ann": q_ivf_ann,
-        "embedding_neardups": q_embedding_neardups,
-        "semdedup": q_semdedup,
-        "temperature_sample": q_temperature_sample,
-        "time_rollup": q_time_rollup,
-        "streaming_sessions": q_streaming_sessions,
-        "incremental_dedup": q_incremental_dedup,
-        "drift_psi": q_drift_psi,
-        "snapshot_drift": q_snapshot_drift,
-        "stats_pruned_scan": q_stats_pruned_scan,
-        "zorder_key": q_zorder_key,
-        "suggest_constraints": q_suggest_constraints,
-        "metric_anomaly": q_metric_anomaly,
-        "pagerank": q_pagerank,
-        "pii_scan": q_pii_scan,
-        "clean_docs": q_clean_docs,
-        "gopher_quality": q_gopher_quality,
-        "incremental_validation": q_incremental_validation,
-        "line_dedup_global": q_line_dedup_global,
-        "span_dedup": q_span_dedup,
-        "token_budget_sample": q_token_budget_sample,
-        "pack_sequences": q_pack_sequences,
-        "bpe_pairs": q_bpe_pairs,
-        "bpe_token_counts": q_bpe_token_counts,
-        "tfidf_keywords": q_tfidf_keywords,
-        "json_validation": q_json_validation,
-        "url_dedup": q_url_dedup,
-        "quantile_rollup": q_quantile_rollup,
-        "streaming_corpus_dedup": q_streaming_corpus_dedup,
-        "fuzzy_match": q_fuzzy_match,
-        "distinct_rollup": q_distinct_rollup,
-        "curation": q_curation,
-        "classifier_scores": q_classifier_scores,
-        "url_filter": q_url_filter,
-        "lm_perplexity": q_lm_perplexity,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "outlier_stats": q_outlier_stats,
-        "sessions": q_sessions,
-        "fd_check": q_fd_check,
-        "schema_evolution": q_schema_evolution,
-        "psi_report": q_psi_report,
-        "skew_join": q_skew_join,
-        "ks_drift": q_ks_drift,
-        "heavy_hitters": q_heavy_hitters,
-        "merge_upsert": q_merge_upsert,
     }
 
 
@@ -2931,6 +2958,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         """,
         "srp_ann": _ANN_TOP2_AUGMENTED_SQL,
         "ivf_ann": _ANN_TOP2_AUGMENTED_SQL,
+        "ivf_pq_ann": _ANN_TOP2_AUGMENTED_SQL,
         "embedding_neardups": """
             with aug as (
               select vec_id, embedding::DOUBLE[] as v from embeddings

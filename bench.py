@@ -141,16 +141,29 @@ def main() -> None:
         print(f"  code_files_full_suite: {t_suite:.3f}s", file=sys.stderr)
 
         total = round(sum(timings.values()), 3)
+        # Per-query map: sidecar file + stderr.  The driver captures only
+        # the TAIL of stdout, so a 100+-entry map on the final line gets
+        # truncated mid-JSON ("parsed": null in BENCH_r03).  The last
+        # stdout line must stay compact and self-contained.
+        per_query = {"queries": timings, "sf": sf, "cpus": cpus}
+        sidecar = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES.json"
+        )
+        with open(sidecar, "w") as f:
+            json.dump(per_query, f, indent=1, sort_keys=True)
+        print(json.dumps(per_query), file=sys.stderr)
         out = {
             "metric": f"total wall sec: {len(timings) - 1} headline queries "
                       "@ sf + full constraint suite over generated code_files",
             "value": total,
             "unit": "sec",
-            "queries": timings,
             "sf": sf,
             "cpus": cpus,
+            "n_queries": len(timings) - 1,
             "code_files_rows": n_code_files,
             "files_per_sec": round(n_code_files / t_suite, 1),
+            "suite_sec": round(t_suite, 3),
+            "queries_detail": "BENCH_QUERIES.json",
         }
         print(json.dumps(out))
     finally:

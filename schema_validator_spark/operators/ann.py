@@ -254,6 +254,240 @@ def ivf_query(
     return _topk_two_level(scored, k)
 
 
+def _pq_train(Xn, m: int, ksub: int, iters: int, seed: int):
+    """Train product-quantization codebooks on a (sampled, normalized)
+    matrix: split the d dims into m contiguous subspaces and run plain
+    Lloyd k-means (ksub centroids, hash-seeded init, fixed iterations —
+    deterministic) independently per subspace.  Returns an (m, ksub,
+    d//m) ndarray.  PQ here quantizes the NORMALIZED vector directly
+    (IVF-flat list assignment + PQ codes), not the FAISS residual form —
+    simpler, and the exact re-rank step absorbs the quantization error."""
+    import numpy as np
+
+    d = Xn.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    dsub = d // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, ksub, dsub))
+    for s in range(m):
+        sub = Xn[:, s * dsub : (s + 1) * dsub]
+        k = min(ksub, len(sub))
+        cent = sub[rng.choice(len(sub), size=k, replace=False)]
+        for _ in range(iters):
+            # squared L2 via the expansion trick — one matmul per iter
+            d2 = (sub * sub).sum(1)[:, None] - 2.0 * (sub @ cent.T) + (cent * cent).sum(1)[None, :]
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        if k < ksub:  # tiny training set: pad by repeating (stable codes)
+            cent = np.vstack([cent, np.repeat(cent[:1], ksub - k, axis=0)])
+        books[s] = cent
+    return books
+
+
+def _pq_encode(Cn, books):
+    """Assign each subvector to its nearest codeword → (n, m) uint8."""
+    import numpy as np
+
+    m, ksub, dsub = books.shape
+    codes = np.empty((len(Cn), m), dtype=np.int64)
+    for s in range(m):
+        sub = Cn[:, s * dsub : (s + 1) * dsub]
+        d2 = (sub * sub).sum(1)[:, None] - 2.0 * (sub @ books[s].T) + (books[s] * books[s]).sum(1)[None, :]
+        codes[:, s] = d2.argmin(axis=1)
+    return codes
+
+
+def ivf_pq_build(
+    corpus: DataFrame,
+    *,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    nlist: int = 16,
+    m: int = 8,
+    ksub: int = 256,
+    train_sample: int = 100_000,
+    iters: int = 10,
+    seed: int = 42,
+):
+    """Build a product-quantized IVF index: (encoded_df, centroids, books).
+
+    This is the MEMORY tier beyond ivf_build: the encoded index stores
+    only (vec_id, _list, _code[m]) — m bytes of code per vector instead
+    of 8·d bytes of raw floats (768-d float64 → 6144 B vs m=8 B, a 768×
+    shrink), so 10⁹ vectors fit a modest cluster where IVF-flat's raw
+    executor-resident vectors would need TBs.  Raw vectors stay in the
+    source table and are fetched by id ONLY for the shortlist re-rank.
+    Training (IVF centroids + m sub-codebooks) runs driver-side on a
+    bounded sample; encoding is one Arrow mapInPandas pass."""
+    import numpy as np
+
+    frac = min(1.0, train_sample / max(corpus.count(), 1))
+    sample = corpus.select(corpus_vec).sample(frac, seed=seed).collect()
+    X = np.asarray([list(map(float, r[0])) for r in sample])
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    cent = _spherical_kmeans(X, nlist, iters, seed)
+    books = _pq_train(Xn, m, ksub, iters, seed)
+
+    def encode(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = _stack(pdf[corpus_vec])
+            Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+            out = pdf.rename(columns={corpus_id: "vec_id"})[["vec_id"]].copy()
+            out["_list"] = (Cn @ cent.T).argmax(axis=1).astype("int32")
+            out["_code"] = list(_pq_encode(Cn, books))
+            yield out
+
+    encoded = corpus.select(corpus_id, corpus_vec).mapInPandas(
+        encode, "vec_id long, _list int, _code array<smallint>"
+    )
+    return encoded, cent, books
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 256,
+    shortlist: int = 64,
+    train_sample: int = 100_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """One-shot IVF-PQ search (build + query).  Output schema matches
+    cosine_topk: (query_id, vec_id, cosine, rank) with EXACT cosines —
+    the quantized scores only pick the shortlist; the final ranking is an
+    exact re-rank over raw vectors fetched by id.  For repeated batches,
+    build once (ivf_pq_build) and reuse the persisted encoded index."""
+    encoded, cent, books = ivf_pq_build(
+        corpus, corpus_id=corpus_id, corpus_vec=corpus_vec, nlist=nlist,
+        m=m, ksub=ksub, train_sample=train_sample, iters=iters, seed=seed,
+    )
+    return ivf_pq_query(
+        queries, encoded, cent, books, corpus,
+        query_id=query_id, corpus_id=corpus_id, query_vec=query_vec,
+        corpus_vec=corpus_vec, k=k, nprobe=nprobe, shortlist=shortlist,
+    )
+
+
+def ivf_pq_query(
+    queries: DataFrame,
+    encoded: DataFrame,
+    cent,
+    books,
+    corpus: DataFrame,
+    *,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 64,
+    max_query_rows: int = _MAX_DRIVER_QUERY_ROWS,
+) -> DataFrame:
+    """Query a prebuilt IVF-PQ index.
+
+    Scale shape (the 100 TB path):
+      1. probe — broadcast (query_id, _list) pairs equi-join the encoded
+         index: each query touches ~nprobe/nlist of the CODES, never a
+         raw vector;
+      2. ADC — asymmetric distance via per-query lookup tables
+         (m × ksub inner products precomputed driver-side, shipped once
+         in the task closure): scoring a candidate is m table lookups,
+         no float vector in sight;
+      3. shortlist — salted two-level top-``shortlist`` per query bounds
+         what leaves the codes stage to |Q|·shortlist rows;
+      4. exact re-rank — ONLY the shortlist joins raw vectors back by id
+         (|Q|·shortlist-row shuffle against the source table) and gets
+         exact cosine + final top-k.
+    """
+    import numpy as np
+    import pandas as pd
+
+    m, ksub, dsub = books.shape
+    qrows = _collect_query_rows(queries, [query_id, query_vec], max_query_rows)
+    luts = {}
+    probe_rows = []
+    for r in qrows:
+        q = np.asarray(list(map(float, r[1])))
+        qn = q / max(np.linalg.norm(q), 1e-12)
+        # LUT[s][c] = <q_s, codeword_c>; ADC(code) = Σ_s LUT[s][code[s]]
+        luts[r[0]] = np.stack(
+            [books[s] @ qn[s * dsub : (s + 1) * dsub] for s in range(m)]
+        )
+        for li in np.argsort(-(cent @ qn))[:nprobe]:
+            probe_rows.append((r[0], int(li)))
+    probes = queries.sparkSession.createDataFrame(
+        probe_rows, "query_id long, _list int"
+    )
+
+    cand = F.broadcast(probes).join(encoded, on="_list").select(
+        "query_id", "vec_id", "_code"
+    )
+
+    def adc(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.stack(pdf["_code"].to_numpy()).astype(np.int64)
+            score = np.zeros(len(pdf))
+            cols = np.arange(m)
+            for qid, idx in pdf.groupby("query_id").indices.items():
+                score[idx] = luts[qid][cols, codes[idx]].sum(axis=1)
+            yield pd.DataFrame({
+                "query_id": pdf["query_id"],
+                "vec_id": pdf["vec_id"],
+                "cosine": np.round(score, 6),  # quantized score, shortlist only
+            })
+
+    scored = cand.mapInPandas(adc, "query_id long, vec_id long, cosine double")
+    short = _topk_two_level(scored, shortlist).select("query_id", "vec_id")
+
+    raw = corpus.select(
+        F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("_cv")
+    )
+    rerank_in = short.join(raw, on="vec_id").select("query_id", "vec_id", "_cv")
+
+    qns = {}
+    for r in qrows:
+        q = np.asarray(list(map(float, r[1])))
+        qns[r[0]] = q / max(np.linalg.norm(q), 1e-12)
+
+    def rerank(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = _stack(pdf["_cv"])
+            Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+            cos = np.empty(len(pdf))
+            for qid, idx in pdf.groupby("query_id").indices.items():
+                cos[idx] = Cn[idx] @ qns[qid]
+            yield pd.DataFrame({
+                "query_id": pdf["query_id"],
+                "vec_id": pdf["vec_id"],
+                "cosine": np.round(cos, 6),
+            })
+
+    exact = rerank_in.mapInPandas(
+        rerank, "query_id long, vec_id long, cosine double"
+    )
+    return _topk_two_level(exact, k)
+
+
 def cosine_topk_arrow(
     queries: DataFrame,
     corpus: DataFrame,

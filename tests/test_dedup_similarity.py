@@ -220,6 +220,81 @@ def test_ivf_topk_recall(spark):
     assert recall >= 0.7, recall
 
 
+def test_ivf_pq_topk_recall_and_exact_rerank(spark):
+    """IVF-PQ (quantized shortlist + exact re-rank): recall@5 vs exact
+    must be high on the 64-dim corpus; the FINAL cosines must be exact
+    (identical to brute force for shared (query, vec) pairs — the PQ
+    approximation only picks the shortlist, never the reported score);
+    the encoded index carries only m int codes per vector, no raw floats."""
+    from pyspark.sql import functions as F
+    from schema_validator_spark.operators import ann
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = embs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = ann.cosine_topk(queries, embs, k=5).collect()
+    approx = ann.ivf_pq_topk(
+        queries, embs, k=5, nlist=16, nprobe=6, m=8, shortlist=64
+    ).collect()
+    assert {c for c in approx[0].asDict()} == {"query_id", "vec_id", "cosine", "rank"}
+
+    e_sets, e_cos = {}, {}
+    for r in exact:
+        e_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+        e_cos[(r["query_id"], r["vec_id"])] = r["cosine"]
+    a_sets = {}
+    for r in approx:
+        a_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+        if (r["query_id"], r["vec_id"]) in e_cos:
+            # re-rank scores are exact, bit-identical to brute force
+            assert r["cosine"] == pytest.approx(
+                e_cos[(r["query_id"], r["vec_id"])], abs=1e-6
+            )
+    recall = sum(len(e_sets[q] & a_sets.get(q, set())) for q in e_sets) / sum(
+        len(v) for v in e_sets.values()
+    )
+    # bounded by IVF probing, same gate as test_ivf_topk_recall: with
+    # shortlist=64 >= all probed candidates here, PQ drops nothing extra
+    assert recall >= 0.7, recall
+
+    encoded, cent, books = ann.ivf_pq_build(embs, nlist=16, m=8)
+    assert set(encoded.columns) == {"vec_id", "_list", "_code"}
+    row = encoded.first()
+    assert len(row["_code"]) == 8  # m bytes/vector vs 64*8 raw bytes
+    assert all(0 <= c < 256 for c in row["_code"])
+    assert books.shape == (8, 256, 8)
+
+
+def test_ivf_pq_planted_copy_exact_top2(spark):
+    """The oracle-gate property: plant an exact scaled copy of each query
+    (cosine 1.0, identical normalized vector => identical list + code);
+    IVF-PQ top-2 must equal the exact top-2."""
+    from pyspark.sql import functions as F
+    from schema_validator_spark.operators import ann
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    aug = embs.unionByName(
+        embs.select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * 1.5).alias("embedding"),
+        )
+    )
+    queries = aug.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r["query_id"], r["rank"]): r["vec_id"]
+             for r in ann.cosine_topk(queries, aug, k=2).collect()}
+    pq = {(r["query_id"], r["rank"]): r["vec_id"]
+          for r in ann.ivf_pq_topk(queries, aug, k=2, nlist=16, nprobe=4,
+                                   m=8, shortlist=64).collect()}
+    assert pq == exact
+
+
 def test_cluster_pairs_connected_components(spark):
     """Pairs -> components: chain 1-2-3, clique 10-11-12, isolated pair 20-21."""
     from schema_validator_spark.operators import dedup
