@@ -44,27 +44,76 @@ from pyspark.sql import functions as F
 _SEED = 0x9E3779B9  # second-hash salt (Kirsch-Mitzenmacher double hashing)
 
 
-def _hash_pair(cols: list[str], num_bits: int) -> tuple:
+def _hash_pair(cols: list, num_bits: int) -> tuple:
     """(h1, h2) both pre-reduced into [0, num_bits) so the k position
     expressions ``h1 + i*h2`` stay far from long overflow (ANSI mode
-    would raise on wraparound)."""
-    h1 = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(num_bits))
-    h2 = F.pmod(
-        F.xxhash64(F.lit(_SEED), *[F.col(c) for c in cols]), F.lit(num_bits)
-    )
+    would raise on wraparound).  ``cols`` may be names or Columns (the
+    referential path passes type-aligned cast expressions)."""
+    exprs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    h1 = F.pmod(F.xxhash64(*exprs), F.lit(num_bits))
+    h2 = F.pmod(F.xxhash64(F.lit(_SEED), *exprs), F.lit(num_bits))
     return h1, h2
 
 
+_INT_WIDTH = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+
+
+def _aligned_key_types(
+    fact: DataFrame, fk_cols: list[str], dim: DataFrame, pk_cols: list[str]
+) -> list[str | None]:
+    """Per key pair, the common type BOTH sides must be cast to before
+    hashing (None = already identical).  xxhash64 is type-sensitive:
+    int 7 and bigint 7 hash to different values, so an unaligned
+    fact-vs-dim dtype pair would make every dim key Bloom-negative and
+    emit matched fact rows as 'definite orphans' with no verify join.
+    Integral pairs widen to the larger type (lossless); any other
+    mismatch raises — silently wrong results are worse than an error."""
+    f_types = dict(fact.dtypes)
+    d_types = dict(dim.dtypes)
+    out: list[str | None] = []
+    for fk, pk in zip(fk_cols, pk_cols):
+        ft, dt = f_types[fk], d_types[pk]
+        if ft == dt:
+            out.append(None)
+        elif ft in _INT_WIDTH and dt in _INT_WIDTH:
+            out.append(ft if _INT_WIDTH[ft] >= _INT_WIDTH[dt] else dt)
+        else:
+            raise ValueError(
+                f"bloom_referential_violations: key dtype mismatch "
+                f"{fk}:{ft} vs {pk}:{dt} — cast one side to a common "
+                f"type first (xxhash64 is type-sensitive)"
+            )
+    return out
+
+
+def _cast_exprs(cols: list[str], types: list | None) -> list:
+    """Column expressions with the per-key common-type casts applied
+    (``types[i] is None`` = no cast needed)."""
+    if types is None:
+        return list(cols)
+    return [
+        F.col(c).cast(t) if t is not None else F.col(c)
+        for c, t in zip(cols, types)
+    ]
+
+
 def bloom_bitmap(
-    dim: DataFrame, pk_cols: list[str], *, num_bits: int, num_hashes: int
+    dim: DataFrame,
+    pk_cols: list[str],
+    *,
+    num_bits: int,
+    num_hashes: int,
+    cast_types: list | None = None,
 ) -> list[int]:
     """Build the dim-key Bloom as ``num_bits/64`` longs with ONE
     map-side-combinable ``bit_or`` aggregation (partial state per task
     is at most the word count, independent of |dim|).  NULL-keyed dim
-    rows are excluded — they can never satisfy an equi-lookup."""
+    rows are excluded — they can never satisfy an equi-lookup.
+    ``cast_types`` (from _aligned_key_types) pre-casts each key so the
+    probe side can hash the identical logical value to the same bits."""
     if num_bits % 64 != 0 or num_bits <= 0:
         raise ValueError("num_bits must be a positive multiple of 64")
-    h1, h2 = _hash_pair(pk_cols, num_bits)
+    h1, h2 = _hash_pair(_cast_exprs(pk_cols, cast_types), num_bits)
     nonnull = dim.filter(
         reduce(lambda a, b: a & b, [F.col(c).isNotNull() for c in pk_cols])
     )
@@ -119,7 +168,14 @@ def bloom_referential_violations(
     """
     pk_cols = pk_cols or fk_cols
     spark = fact.sparkSession
-    bits = bloom_bitmap(dim, pk_cols, num_bits=num_bits, num_hashes=num_hashes)
+    # xxhash64 is type-sensitive (int 7 != bigint 7): hash BOTH sides at
+    # a per-key common type or every matched fact row with a narrower FK
+    # dtype would be Bloom-negative => a silent "definite orphan".
+    key_types = _aligned_key_types(fact, fk_cols, dim, pk_cols)
+    bits = bloom_bitmap(
+        dim, pk_cols, num_bits=num_bits, num_hashes=num_hashes,
+        cast_types=key_types,
+    )
     bloom_df = spark.createDataFrame([(bits,)], "_bloom array<bigint>")
 
     null_pred = reduce(
@@ -128,7 +184,7 @@ def bloom_referential_violations(
     null_rows = fact.filter(null_pred)
     nonnull = fact.filter(~null_pred)
 
-    h1, h2 = _hash_pair(fk_cols, num_bits)
+    h1, h2 = _hash_pair(_cast_exprs(fk_cols, key_types), num_bits)
     probed = (
         nonnull.join(F.broadcast(bloom_df), how="cross")
         .withColumn("_h1", h1)

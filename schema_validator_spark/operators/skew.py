@@ -227,7 +227,12 @@ def skew_join(
     hot = fact_hot.join(
         F.broadcast(dim_hot), fact_hot[fact_key] == dim_hot[dim_key], how
     )
-    return cold.unionByName(hot)
+    # positional union: both branches are fact-subset JOIN dim-subset, so
+    # their layouts are identical (fact.columns ++ dim.columns) BY
+    # CONSTRUCTION.  unionByName would raise on the duplicate column the
+    # output legitimately has when fact_key == dim_key share a name —
+    # the very case the plain join (our row-identity contract) tolerates.
+    return cold.union(hot)
 
 
 def salted_replicate_join(

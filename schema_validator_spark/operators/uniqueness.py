@@ -131,18 +131,18 @@ def discover_fds(
        counts (HLL++, mergeable — no EXPAND blow-up from k(k-1)+k exact
        countDistincts, no per-pair scans) marks pairs whose counts agree
        within the sketch error;
-    2. verify (default on): each candidate pair gets one exact groupBy
-       check (map-side combined); false candidates from sketch error are
-       culled, so the result is EXACT while non-candidates never pay an
-       exact pass.
+    2. verify (default on): ALL pairs get an exact check batched into
+       ONE aggregation job (map-side combined), so ``holds`` is exact
+       for every pair — a true FD whose sketches happen to disagree by
+       >3·relative_sd is never misreported as False.  The ``candidate``
+       column still records the sketch verdict: at scales where the
+       exact k(k-1) countDistinct EXPAND is too hot, run with
+       ``exact_verify=False`` and feed only ``candidate`` pairs to
+       :func:`functional_dependency_stats` — that is the 10^12-row
+       shape; the batched verify here is the exact-answer shape.
 
     NULL is a value on both sides (``struct`` wrapping — two rows with
     NULL region still agree on region), matching groupBy semantics.
-    Pruning caveat: a TRUE dependency is skipped only if its two
-    sketches disagree by more than 3·relative_sd (≈0.2%/pair chance a
-    priori, but DETERMINISTIC per dataset — the sketch hash is fixed);
-    widen the margin via ``relative_sd`` or verify all pairs with
-    ``functional_dependency_stats`` when false negatives matter.
     Returns one row per ordered pair: ``(determinant, dependent,
     n_det_approx, n_pair_approx, candidate, holds)`` — ``holds`` NULL
     when verification is off.
@@ -174,14 +174,17 @@ def discover_fds(
         nd, np_ = row[f"d\x00{a}"], row[key]
         candidate = np_ <= nd * margin
         pre[(a, b)] = (nd, np_, candidate)
-        if candidate and exact_verify:
+        if exact_verify:
+            # verify EVERY pair, not just sketch candidates: sketch
+            # pruning must never turn a true FD into a hard False
             cands.append((a, b))
 
-    # verify ALL candidates in ONE exact aggregation: a -> b holds iff
+    # verify in ONE exact aggregation: a -> b holds iff
     # |distinct(a)| == |distinct(a, b)| (struct-wrapped so NULL counts).
-    # Exact count_distincts EXPAND the input map-side by #aggregates,
-    # but only the (few) candidates pay it — one job instead of one
-    # groupBy job per pair.
+    # Exact count_distincts EXPAND the input map-side by #aggregates —
+    # one batched job instead of one groupBy job per pair; at scales
+    # where even that is too hot, use exact_verify=False + candidate
+    # pruning (see docstring).
     verdicts: dict[tuple[str, str], bool] = {}
     if cands:
         vaggs = []
@@ -204,12 +207,7 @@ def discover_fds(
     out = []
     for a, b in permutations(cols, 2):
         nd, np_, candidate = pre[(a, b)]
-        if candidate and exact_verify:
-            holds = verdicts[(a, b)]
-        elif not candidate and exact_verify:
-            holds = False
-        else:
-            holds = None
+        holds = verdicts[(a, b)] if exact_verify else None
         out.append((a, b, nd, np_, candidate, holds))
     return df.sparkSession.createDataFrame(
         out,

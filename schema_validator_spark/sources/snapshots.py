@@ -58,8 +58,13 @@ class SnapshotTable:
     """A parquet table with Iceberg-style snapshot manifests."""
 
     def __init__(self, path: str):
-        self.path = path
-        self._meta = os.path.join(path, "snapshots")
+        # Absolute from the start: manifest entries are compared against
+        # the ABSOLUTE decoded paths input_file_name() yields (see
+        # _affected_files); a relative table path would store relative
+        # manifest paths and make every "which files did this MERGE /
+        # DELETE touch?" set-difference silently miss all of them.
+        self.path = os.path.abspath(path)
+        self._meta = os.path.join(self.path, "snapshots")
         os.makedirs(self._meta, exist_ok=True)
 
     # -- commit ------------------------------------------------------------
@@ -541,6 +546,16 @@ def _affected_files(
     return sorted(r["_file"] for r in touched.select("_file").distinct().collect())
 
 
+def _untouched_files(files: list[str], affected: list[str]) -> list[str]:
+    """``files`` minus ``affected``, compared as ABSOLUTE paths:
+    _affected_files yields absolute decoded paths (input_file_name), but
+    a manifest written by a pre-normalization table (or hand-built)
+    may hold relative entries — naive set-difference would then keep
+    every affected file and duplicate its rows into the new snapshot."""
+    hit = {os.path.abspath(f) for f in affected}
+    return [f for f in files if os.path.abspath(f) not in hit]
+
+
 def merge_upsert(
     spark: SparkSession,
     table: SnapshotTable,
@@ -576,7 +591,7 @@ def merge_upsert(
         return df.join(F.broadcast(keys), key_cols, "left_semi")
 
     affected = _affected_files(spark, files, _touched) if files else []
-    untouched = [f for f in files if f not in set(affected)]
+    untouched = _untouched_files(files, affected)
     if affected:
         kept_old = spark.read.parquet(*affected).join(
             F.broadcast(keys), key_cols, "left_anti"
@@ -605,7 +620,7 @@ def delete_where(
     if not files:
         return parent  # empty table: nothing to delete
     affected = _affected_files(spark, files, predicate)
-    untouched = [f for f in files if f not in set(affected)]
+    untouched = _untouched_files(files, affected)
     if not affected:
         return parent  # no-op delete: nothing matched, no new snapshot
     survivors = spark.read.parquet(*affected).filter(

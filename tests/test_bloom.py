@@ -82,6 +82,39 @@ def test_multicol_keys(spark):
     assert {r["id"] for r in got.collect()} == {2, 3, 4}
 
 
+def test_mismatched_int_widths_hash_identically(spark):
+    # xxhash64 is type-sensitive: int 7 and bigint 7 hash differently.
+    # With fact FK = int and dim PK = bigint, every matched row used to
+    # come out Bloom-NEGATIVE (a "definite orphan" that skips the verify
+    # join).  The aligned-cast fix must make this byte-equal to the
+    # plain anti-join (which type-coerces the equi-keys).
+    dim = spark.createDataFrame(
+        [(k, f"name-{k}") for k in range(0, 20, 2)], "pk long, name string"
+    )
+    fact = spark.createDataFrame(
+        [(i, i % 22) for i in range(100)], "id long, fk int"
+    )
+    assert dict(fact.dtypes)["fk"] != dict(dim.dtypes)["pk"]
+    got = bloom_referential_violations(
+        fact, ["fk"], dim, ["pk"], num_bits=4096, num_hashes=5
+    )
+    want = referential_violations(fact, ["fk"], dim, ["pk"])
+    assert _sorted_rows(got) == _sorted_rows(want)
+    # sanity: matched even-key rows below 20 are NOT reported as orphans
+    assert not {r["fk"] for r in got.collect()} & set(range(0, 20, 2))
+
+
+def test_incompatible_key_dtypes_raise(spark):
+    # non-integral mismatch (string fk vs long pk) cannot be silently
+    # aligned -- must raise instead of emitting wrong "definite orphans"
+    dim = spark.createDataFrame([(1,), (2,)], "pk long")
+    fact = spark.createDataFrame([("1",), ("3",)], "fk string")
+    with pytest.raises(ValueError, match="dtype mismatch"):
+        bloom_referential_violations(
+            fact, ["fk"], dim, ["pk"], num_bits=512, num_hashes=3
+        )
+
+
 def test_bitmap_shape_and_validation(spark, tables):
     _, dim = tables
     bits = bloom_bitmap(dim, ["pk"], num_bits=256, num_hashes=4)

@@ -40,6 +40,17 @@ def test_null_determinant_breaks_fd(spark):
     assert got[("v", "k")] is False  # x maps to both NULL and 'a'
 
 
+def test_exact_verify_covers_non_candidates(spark, frame):
+    # holds must be an EXACT verdict for every pair, including ones the
+    # sketch pass marked non-candidate: a true FD whose two HLL sketches
+    # drift apart by >3*relative_sd must never be misreported as False.
+    got = discover_fds(frame, ["id", "lang", "up", "src"]).collect()
+    assert all(r["holds"] is not None for r in got)
+    # non-candidate pairs still carry the (exact) False verdict
+    non_cand = [r for r in got if not r["candidate"]]
+    assert non_cand and all(r["holds"] is False for r in non_cand)
+
+
 def test_candidate_only_mode(spark, frame):
     got = discover_fds(frame, ["id", "lang"], exact_verify=False).collect()
     assert all(r["holds"] is None for r in got)

@@ -60,6 +60,21 @@ def test_skew_join_left_preserves_unmatched_and_nulls(spark):
     assert any(r[1] == 3 for r in nulls)
 
 
+def test_skew_join_same_named_keys(spark):
+    # fact key and dim key share the name "k": the plain expression join
+    # tolerates the duplicate output column, so the split join must too
+    # (the old unionByName raised an ambiguous-column AnalysisException).
+    fact, dim = _frames(spark)
+    dim_k = dim.select(F.col("dk").alias("k"), "name")
+    for how in ("inner", "left"):
+        plain = fact.join(dim_k, fact["k"] == dim_k["k"], how)
+        out = skew.skew_join(fact, dim_k, "k", "k", how=how, hot_keys=[7])
+        key = lambda df: sorted(
+            (r["fid"], r["name"]) for r in df.select("fid", "name").collect()
+        )
+        assert key(out) == key(plain)
+
+
 def test_skew_join_detects_hot_keys_when_not_given(spark):
     fact, dim = _frames(spark)
     hot = skew.detect_hot_keys(fact, ["k"], min_share=0.2)

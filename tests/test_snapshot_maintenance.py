@@ -91,6 +91,31 @@ def test_merge_upsert_into_empty_table_inserts_all(spark, table):
     assert _rows(table.read(spark, sid)) == _rows(src)
 
 
+def test_relative_table_path_merge_and_delete(spark):
+    # SnapshotTable created with a RELATIVE path: manifests must still
+    # line up with the absolute decoded paths input_file_name() yields,
+    # or `untouched = files - affected` keeps every affected file and the
+    # merge duplicates rows / the delete is silently undone.
+    path = tempfile.mkdtemp(prefix="svs_rel_")
+    rel = os.path.relpath(path, os.getcwd())
+    t = SnapshotTable(rel)
+    try:
+        assert os.path.isabs(t.path)
+        t.commit(_base(spark, 20).repartition(4, "id"))
+        source = spark.createDataFrame(
+            [(3, "UPDATED-3", 333.0)], "id long, name string, score double"
+        )
+        s2 = merge_upsert(spark, t, source, ["id"])
+        got = _rows(t.read(spark, s2))
+        assert len(got) == 20  # no duplicated rows from kept-and-rewritten files
+        assert (3, "UPDATED-3", 333.0) in got
+        assert (3, "name-3", 3.0) not in got  # stale matched row really gone
+        s3 = delete_where(spark, t, F.col("id") >= 15)
+        assert len(_rows(t.read(spark, s3))) == 15  # delete not undone
+    finally:
+        t.drop()
+
+
 def test_delete_where_removes_matches_keeps_null_predicate_rows(spark, table):
     df = spark.createDataFrame(
         [(1, 10.0), (2, None), (3, 30.0), (4, 40.0)], "id long, v double"
