@@ -502,8 +502,9 @@ def remove_repeated_spans(
        no pairwise stage anywhere, hence no hot-bucket cap needed);
     4. non-first occurrences expand to covered token indices
        (``sequence(pos, pos+k-1)``, distinct per doc);
-    5. rebuild with an index-aware ``filter`` over the original token
-       array — order preserved for free, one groupBy per doc.
+    5. rebuild via ``array_except(all indices, covered)`` + ``get`` —
+       hash-set membership, O(tokens + covered) per doc (never
+       tokens × covered), order preserved for free, one groupBy per doc.
 
     Tokens are single-space splits so removal is byte-reversible and any
     engine (the DuckDB oracle replays 1-5 verbatim) produces the
@@ -557,12 +558,20 @@ def remove_repeated_spans(
         .agg(F.collect_set("_ti").alias("_cov"))
     )
 
-    # (5) rebuild: drop covered indices, order preserved by the array form
+    # (5) rebuild: drop covered indices, order preserved by the array form.
+    # array_except builds a hash set over _cov then scans the index range
+    # once => O(tokens + covered) per doc.  (A per-token
+    # array_contains(_cov, i) membership filter is O(tokens × covered):
+    # a 100k-token boilerplate doc that is 90% covered would do ~10^10
+    # comparisons in ONE row — a per-row CPU bomb at scale.)
     joined = base.join(covered, "_id", "left")
     cov = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
-    kept = F.filter(
-        F.col("_toks"), lambda t, i: ~F.array_contains(cov, i.cast("int"))
-    )
+    n_out = F.size(F.col("_toks"))
+    all_idx = F.when(
+        n_out > 0, F.sequence(F.lit(0), n_out - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    kept_idx = F.array_except(all_idx, cov)  # keeps all_idx's order
+    kept = F.transform(kept_idx, lambda i: F.get(F.col("_toks"), i))
     rebuilt = joined.select(
         F.col("_id"),
         F.concat_ws(" ", kept).alias(out_col),

@@ -68,6 +68,29 @@ def test_min_count_three_requires_three_occurrences(spark):
     assert got[1][1] == 0 and got[2][1] == 8 and got[3][1] == 8
 
 
+def test_pathological_long_mostly_covered_doc(spark):
+    # scale guard for the rebuild step: one 100k-token doc that is ~90%
+    # covered.  The old per-token array_contains membership filter is
+    # O(tokens x covered) ~ 9*10^9 comparisons in ONE row; the
+    # array_except rebuild is O(tokens + covered) and must finish fast.
+    import time
+
+    unit = " ".join(f"w{i}" for i in range(10))  # 10-token boilerplate
+    boiler = " ".join([unit] * 9000)             # 90k tokens, all repeats
+    uniq = " ".join(f"u{i}" for i in range(10_000))
+    t0 = time.monotonic()
+    got = _run(spark, [(1, unit), (2, f"{boiler} {uniq}")], k=8)
+    wall = time.monotonic() - t0
+    assert got[1][1] == 0                       # first occurrence survives
+    despan, removed = got[2]
+    assert removed >= 89_000                    # boilerplate stripped
+    assert despan.split(" ")[-1] == "u9999"     # unique tail intact, ordered
+    assert "u0" in despan
+    # generous bound: linear rebuild lands in seconds even on the shared
+    # VM; the quadratic one would run for minutes
+    assert wall < 120, f"rebuild took {wall:.0f}s — quadratic regression?"
+
+
 def test_original_columns_preserved(spark):
     df = spark.createDataFrame(
         [(1, "a b c d e f g h x", "en"), (2, "a b c d e f g h y", "fr")],
