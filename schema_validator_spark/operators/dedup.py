@@ -757,13 +757,23 @@ def embedding_near_duplicates(
 
 # ---------------------------------------------------------------- SemDeDup
 
+def _auto_nlist(df: DataFrame) -> int:
+    """Corpus-derived cluster count: ~1 cluster per 1000 docs (min 16).
+    Keeps E[Σ c_i²] ≈ 1000·n, i.e. the within-cluster pair work scales
+    LINEARLY with the corpus instead of quadratically — the SemDeDup
+    paper's regime (~10^5 clusters at 10^8-10^9 docs is the same ratio
+    order).  A fixed small default would be a footgun: 10^9 docs over
+    16 clusters is ~4×10^15 pairs."""
+    return max(16, df.count() // 1000)
+
+
 def semdedup_pairs(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     *,
     cosine_threshold: float = 0.95,
-    nlist: int = 16,
+    nlist: int | None = None,
     train_sample: int = 100_000,
     iters: int = 10,
     seed: int = 42,
@@ -782,12 +792,18 @@ def semdedup_pairs(
     boundary are missed by construction, exactly as in the paper.
 
     Scale: cost is Σ c_i² over cluster sizes — ``nlist`` must grow with
-    the corpus (the paper uses ~10^5 clusters for 10^9 docs) and
-    ``max_cluster_size`` caps degenerate clusters the same way the LSH
-    tiers cap hot buckets (drops logged, never silent).
+    the corpus (the paper uses ~10^5 clusters for 10^9 docs), so the
+    default (``nlist=None``) derives it from a corpus count:
+    ``max(16, n_docs // 1000)`` keeps the within-cluster pair work
+    linear in n (E[Σ c_i²] ≈ 1000·n).  Pass an explicit ``nlist`` to
+    skip the count job.  ``max_cluster_size`` caps degenerate clusters
+    the same way the LSH tiers cap hot buckets (drops logged, never
+    silent).
     """
     from . import ann as A
 
+    if nlist is None:
+        nlist = _auto_nlist(df)
     listed, _cent = A.ivf_build(
         df, corpus_id=id_col, corpus_vec=vec_col, nlist=nlist,
         train_sample=train_sample, iters=iters, seed=seed,
@@ -819,7 +835,7 @@ def semdedup(
     vec_col: str,
     *,
     cosine_threshold: float = 0.95,
-    nlist: int = 16,
+    nlist: int | None = None,
     train_sample: int = 100_000,
     iters: int = 10,
     seed: int = 42,
@@ -830,7 +846,9 @@ def semdedup(
     components -> ONE survivor per component (lowest id — deterministic;
     the paper keeps the lowest-centroid-similarity member instead, a
     policy swap via ``dedup_keep_best(score_col=...)`` if desired).
-    Returns the surviving rows of ``df`` unchanged."""
+    ``nlist=None`` auto-derives the cluster count from corpus size (see
+    :func:`semdedup_pairs`).  Returns the surviving rows of ``df``
+    unchanged."""
     pairs = semdedup_pairs(
         df, id_col, vec_col, cosine_threshold=cosine_threshold, nlist=nlist,
         train_sample=train_sample, iters=iters, seed=seed,

@@ -721,6 +721,47 @@ def test_semdedup_planted_groups(spark):
     assert got_pairs == true_pairs
 
 
+def test_semdedup_auto_nlist(spark):
+    """nlist=None derives the cluster count from corpus size so the
+    Σc² pair work stays linear in n — and the planted-duplicate result
+    is unchanged versus an explicit nlist (copies share a cluster by
+    construction: identical direction -> identical argmax centroid)."""
+    import numpy as np
+
+    from schema_validator_spark.operators import dedup as D
+
+    # formula: max(16, n // 1000)
+    assert D._auto_nlist(spark.range(300)) == 16
+    assert D._auto_nlist(spark.range(20_000)) == 20
+    assert D._auto_nlist(spark.range(50_000)) == 50
+
+    rng = np.random.RandomState(3)
+    centers = rng.randn(4, 8)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(80):
+        v = centers[i % 4] + 0.05 * rng.randn(8)
+        rows.append((i, [float(x) for x in v]))
+    for i in range(0, 80, 8):  # planted exact-direction copies
+        rows.append((100 + i, [float(x * 2.0) for x in rows[i][1]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    auto = sorted(r["vec_id"] for r in
+                  D.semdedup(df, "vec_id", "embedding",
+                             cosine_threshold=0.9999, seed=7).collect())
+    assert auto == sorted(i for i, _ in rows if i < 100)
+
+    # cluster-size distribution at the auto-chosen nlist: every vector
+    # assigned, no cluster degenerate (bounded well below n)
+    from schema_validator_spark.operators import ann as A
+    listed, _ = A.ivf_build(df, corpus_id="vec_id", corpus_vec="embedding",
+                            nlist=D._auto_nlist(df), seed=7)
+    sizes = {r["_list"]: r["c"] for r in
+             listed.groupBy("_list").agg(F.count("*").alias("c")).collect()}
+    assert sum(sizes.values()) == len(rows)
+    assert max(sizes.values()) < len(rows)  # not one degenerate cluster
+
+
 def test_semdedup_cluster_cap_logs_drops(spark):
     from schema_validator_spark.operators import dedup as D
 
