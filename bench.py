@@ -165,9 +165,14 @@ def main() -> None:
             "suite_sec": round(t_suite, 3),
             "queries_detail": "BENCH_QUERIES.json",
         }
-        print(json.dumps(out))
     finally:
         spark.stop()
+    # AFTER spark.stop(): the JVM can flush async log lines until it is
+    # down; printing last guarantees the compact JSON is the final line
+    # of output (the driver tail-captures ~500 bytes and parses the last
+    # line — BENCH_r03 recorded parsed:null from a mid-line truncation).
+    print(json.dumps(out))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":
