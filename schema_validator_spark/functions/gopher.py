@@ -39,29 +39,63 @@ def _tokens_of(text: Column) -> Column:
     return X.tokens(F.coalesce(text, F.lit("")))
 
 
-def _mean_word_len_from(toks: Column) -> Column:
-    n = F.size(toks)
-    total = F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+# Token-statistic metrics are computed straight off the TEXT with
+# regexp_count/regexp_replace arithmetic — these stay inside whole-stage
+# codegen.  The earlier array forms (filter/transform/aggregate over a
+# token array) are higher-order functions, which NEVER codegen: each
+# token cost an interpreted closure call, ~8 HOF passes x n_tokens per
+# row (measured 41s for 50k x 90-token docs vs ~4s after this change).
+# Values are IDENTICAL: token = \S+ run, exactly what tokens() splits.
+
+def _n_tokens_cg(s: Column) -> Column:
+    return F.regexp_count(s, F.lit(r"\S+"))
+
+
+def _mean_word_len_cg(s: Column) -> Column:
+    # sum(length(token)) == count of non-whitespace chars
+    n = _n_tokens_cg(s)
+    total = F.length(F.regexp_replace(s, r"\s+", ""))
     return F.when(n > 0, F.round(total / n, 6)).otherwise(F.lit(0.0))
 
 
-def _alpha_word_frac_from(toks: Column) -> Column:
-    n = F.size(toks)
-    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
-    return F.when(n > 0, F.round(n_alpha / n, 6)).otherwise(F.lit(0.0))
+def _alpha_words_cg(s: Column) -> Column:
+    # one non-overlapping match per token that contains >= 1 letter: the
+    # match must start at a token boundary and greedily consumes the
+    # whole token, so no token is counted twice
+    return F.regexp_count(s, F.lit(r"(?:^|(?<=\s))\S*[A-Za-z]\S*"))
 
 
-def _stopword_hits_from(toks: Column) -> Column:
-    low = F.array_distinct(F.transform(toks, F.lower))
-    return F.size(F.array_intersect(low, F.array(*[F.lit(w) for w in STOPWORDS])))
+def _alpha_word_frac_cg(s: Column) -> Column:
+    n = _n_tokens_cg(s)
+    return F.when(n > 0, F.round(_alpha_words_cg(s) / n, 6)).otherwise(F.lit(0.0))
+
+
+def _stopword_hits_cg(s: Column) -> Column:
+    # presence test per stopword == |distinct lowercased tokens ∩ list|
+    hits = [
+        F.when(s.rlike(rf"(?i)(^|\s){w}(\s|$)"), 1).otherwise(0)
+        for w in STOPWORDS
+    ]
+    out = hits[0]
+    for h in hits[1:]:
+        out = out + h
+    return out
 
 
 def _dup_ngram_frac_from(toks: Column, n: int) -> Column:
+    """Repeated-n-gram fraction over a MATERIALIZED token-array column.
+    Built with the shifted-zip_with shape (see text.word_shingles): the
+    index form paid an interpreted Slice allocation + concat_ws per
+    gram; here each gram is one concat of two attribute lookups."""
     cnt = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), cnt - n + 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    out = F.slice(toks, 1, X.BIG_LEN)
+    for j in range(1, n):
+        out = F.zip_with(
+            out,
+            F.slice(toks, j + 1, X.BIG_LEN),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    grams = F.filter(out, lambda x: x.isNotNull())
     total = F.size(grams)
     return F.when(
         cnt >= n,
@@ -70,21 +104,21 @@ def _dup_ngram_frac_from(toks: Column, n: int) -> Column:
 
 
 def mean_word_length(text: Column) -> Column:
-    return _mean_word_len_from(_tokens_of(text))
+    return _mean_word_len_cg(F.coalesce(text, F.lit("")))
 
 
 def symbol_word_ratio(text: Column) -> Column:
     """(# of '#' and '...' occurrences) per token — Gopher drops docs
     where this exceeds ~0.1 (boilerplate/markup tells)."""
     s = F.coalesce(text, F.lit(""))
-    n = F.size(_tokens_of(text))
+    n = _n_tokens_cg(s)
     syms = _occurrences(s, "#") + _occurrences(s, "...")
     return F.when(n > 0, F.round(syms / n, 6)).otherwise(F.lit(0.0))
 
 
 def alpha_word_fraction(text: Column) -> Column:
     """Fraction of tokens containing at least one alphabetic character."""
-    return _alpha_word_frac_from(_tokens_of(text))
+    return _alpha_word_frac_cg(F.coalesce(text, F.lit("")))
 
 
 def duplicate_line_fraction(text: Column) -> Column:
@@ -101,16 +135,20 @@ def duplicate_ngram_fraction(text: Column, n: int = 2) -> Column:
 
 
 def stopword_hits(text: Column) -> Column:
-    return _stopword_hits_from(_tokens_of(text))
+    return _stopword_hits_cg(F.coalesce(text, F.lit("")))
 
 
 def gopher_metrics(df: DataFrame, text_col: str) -> DataFrame:
     """Adds the Gopher signal columns.
 
-    Tokenization happens ONCE into a shared temp column and every
-    token-derived metric reads it — the naive per-metric form re-ran the
-    regex split ~7x per row (measured 15s -> ~2s at sf0.1).  Still one
-    narrow projection pipeline, no shuffle."""
+    The token-statistic metrics (n_tokens, mean_word_len, symbol_ratio,
+    alpha_word_frac, stopword_hits) are regexp_count/replace arithmetic
+    straight off the text — whole-stage codegen, no token array at all.
+    Only the repetition metrics (dup 2/3-gram fractions) need the token
+    ARRAY; it is materialized ONCE into a shared temp column and both
+    read it (HOFs eval interpreted, so the array passes are the dear
+    ones — keep them to the minimum two).  Still one narrow projection
+    pipeline, no shuffle."""
     t = F.col(text_col)
     s = F.coalesce(t, F.lit(""))
     # collision-proof temp name: an input that already has `_toks` must
@@ -120,17 +158,17 @@ def gopher_metrics(df: DataFrame, text_col: str) -> DataFrame:
         toks_col += "_"
     with_toks = df.withColumn(toks_col, _tokens_of(t))
     toks = F.col(toks_col)
-    n = F.size(toks)
+    n = _n_tokens_cg(s)
     syms = _occurrences(s, "#") + _occurrences(s, "...")
     return with_toks.withColumns({
         "n_tokens": n,
-        "mean_word_len": _mean_word_len_from(toks),
+        "mean_word_len": _mean_word_len_cg(s),
         "symbol_ratio": F.when(n > 0, F.round(syms / n, 6)).otherwise(0.0),
-        "alpha_word_frac": _alpha_word_frac_from(toks),
+        "alpha_word_frac": _alpha_word_frac_cg(s),
         "dup_line_frac": duplicate_line_fraction(t),
         "dup_2gram_frac": _dup_ngram_frac_from(toks, 2),
         "dup_3gram_frac": _dup_ngram_frac_from(toks, 3),
-        "stopword_hits": _stopword_hits_from(toks),
+        "stopword_hits": _stopword_hits_cg(s),
     }).drop(toks_col)
 
 

@@ -12,6 +12,12 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# "to the end" length for F.slice shifted views.  slice clamps to the
+# array end, but computes start+length in int32: int32-max overflows and
+# yields [] (verified), so stay far below while beyond any real array
+# (Spark arrays are < 2^31 elements; a single doc is < 2 GB of text)
+BIG_LEN = 1_000_000_000
+
 # ------------------------------------------------------------------ tokenizing
 
 def tokens(col: Column) -> Column:
@@ -37,36 +43,61 @@ def bpe_ish_token_count(col: Column) -> Column:
 
 
 def word_shingles(col: Column, k: int = 3) -> Column:
-    """Distinct word k-grams (the MinHash input set)."""
+    """Distinct word k-grams (the MinHash input set).
+
+    Built by chaining ``zip_with`` over k shifted views of the token
+    array, so the token array EXPRESSION is referenced k+1 times total.
+    The index form — ``transform(sequence(1, n-k+1), i ->
+    concat_ws(' ', slice(toks, i, k)))`` — embeds ``toks`` in the lambda
+    body, and higher-order functions are interpreted (never whole-stage
+    codegen'd) with NO cross-lambda subexpression sharing: the full
+    trim+regex-split+filter re-ran once PER SHINGLE, i.e. O(n_tokens²)
+    per document.  Short test docs masked it; a 90-token doc paid ~89
+    re-splits of its whole text (measured ~30 CPU-ms/doc at 200k docs —
+    a per-row CPU bomb at corpus scale).  Output is byte-identical:
+    shifted zip_with pads the tail with NULL, concat propagates NULL,
+    and the filter drops exactly the k-1 incomplete windows."""
     toks = tokens(col)
     n = F.size(toks)
+
+    def shingled(t: Column) -> Column:
+        out = F.slice(t, 1, BIG_LEN)
+        for j in range(1, k):
+            out = F.zip_with(
+                out,
+                F.slice(t, j + 1, BIG_LEN),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        return F.filter(out, lambda x: x.isNotNull())
+
     return F.array_distinct(
-        F.when(
-            n >= k,
-            F.transform(
-                F.sequence(F.lit(1), n - k + 1),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", toks)))
+        F.when(n >= k, shingled(toks))
+        .otherwise(F.array(F.concat_ws(" ", toks)))
     )
 
 
 def char_ngrams(col: Column, n: int = 4) -> Column:
-    """Distinct character n-grams of the lowercased text."""
+    """Distinct character n-grams of the lowercased text.
+
+    Same shifted-zip_with shape as :func:`word_shingles` (see its
+    docstring): the index form re-evaluated ``lower(col)`` once per
+    OUTPUT GRAM inside the interpreted lambda — O(len²) per document.
+    Here the char array is referenced n times total instead."""
     s = F.lower(col)
     ln = F.length(s)
+    chars = F.split(s, "")
+
+    def grams(t: Column) -> Column:
+        out = F.slice(t, 1, BIG_LEN)
+        for j in range(1, n):
+            out = F.zip_with(
+                out, F.slice(t, j + 1, BIG_LEN), lambda a, b: F.concat(a, b)
+            )
+        return F.filter(out, lambda x: x.isNotNull())
+
     return F.array_distinct(
-        F.when(
-            ln >= n,
-            F.transform(
-                F.sequence(F.lit(1), ln - n + 1), lambda i: F.substring(s, i, n)
-            ),
-        ).otherwise(F.array(s))
+        F.when(ln >= n, grams(chars)).otherwise(F.array(s))
     )
-
-
-# NOTE on F.substring(s, i, n) with a Column start: substring accepts
-# column arguments in Spark 4; guarded by tests.
 
 
 # ------------------------------------------------------------------ quality

@@ -146,9 +146,52 @@ def minhash_signature_from_grams(grams: Column, num_hashes: int = 64) -> Column:
 def minhash_signature(
     text: Column, *, num_hashes: int = 64, shingle_k: int = 3
 ) -> Column:
-    """MinHash signature of a text column's word shingles."""
+    """MinHash signature of a text column's word shingles (expression
+    form — see :func:`minhash_signatures_df` for the hot-path form)."""
     return minhash_signature_from_grams(
         X.word_shingles(text, shingle_k), num_hashes
+    )
+
+
+def minhash_signatures_df(
+    df: DataFrame,
+    id_col: str,
+    grams: Column,
+    *,
+    num_hashes: int = 64,
+    out_id: str = "_id",
+    out_col: str = "_sig",
+) -> DataFrame:
+    """(id, signature) frame via explode + ``num_hashes`` codegen
+    min-aggregates — value-identical to
+    :func:`minhash_signature_from_grams` (same ``xxhash64(i, gram)``
+    hash family, same min fold) but evaluated in whole-stage codegen.
+
+    Why not the expression form on the hot path: higher-order functions
+    (``aggregate``/``zip_with``) never enter codegen — they eval
+    interpreted, ~num_hashes closure calls + one 64-slot array alloc
+    PER GRAM (~5.6k interpreted evals per 90-token doc; measured
+    dominant in the 200k-doc curation run).  Exploding grams and taking
+    ``min(xxhash64(i, gram))`` per hash keeps every eval inside one
+    codegen span with map-side combine: each doc's grams sit in one
+    task, so the partial agg already emits the final 1 row/doc and the
+    added shuffle moves only (id, 8·num_hashes bytes) rows.
+
+    Docs whose gram array is NULL/empty are DROPPED (no rows to
+    aggregate) — word_shingles/char_ngrams always emit >= 1 gram, so
+    every doc survives for those generators."""
+    g = df.select(F.col(id_col).alias(out_id), F.explode(grams).alias("_g"))
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("_g"))).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        g.groupBy(out_id)
+        .agg(*aggs)
+        .select(
+            out_id,
+            F.array(*[f"_h{i}" for i in range(num_hashes)]).alias(out_col),
+        )
     )
 
 
@@ -198,14 +241,15 @@ def minhash_lsh_candidates(
     ``max_bucket_size`` caps degenerate buckets (see _cap_hot_buckets) —
     set it at corpus scale, where one boilerplate bucket is quadratic.
     """
-    sig = minhash_signature(F.col(text_col), num_hashes=num_hashes, shingle_k=shingle_k)
-
     # Band with ONLY (id, band_id, band_hash) — 3 narrow columns through the
     # explode+shuffle.  Shipping the shingle arrays here would multiply the
     # shuffle payload by `bands`; instead candidates (a tiny set at any sane
     # threshold) re-join the shingles below.
     df = _ensure_parallelism(df)
-    with_sig = df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+    with_sig = minhash_signatures_df(
+        df, id_col, X.word_shingles(F.col(text_col), shingle_k),
+        num_hashes=num_hashes,
+    )
     band_cols = band_cols_expr("_sig", num_hashes, bands)
     banded = with_sig.select("_id", F.explode(band_cols).alias("b")).select(
         "_id", "b.band_id", "b.band_hash"

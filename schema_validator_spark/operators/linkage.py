@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as X
 from ._util import ensure_parallelism as _ensure_parallelism
-from .dedup import _cap_hot_buckets, band_cols_expr, minhash_signature_from_grams
+from .dedup import _cap_hot_buckets, band_cols_expr, minhash_signatures_df
 
 
 def _grams(key_col: str, n: int):
@@ -36,10 +36,9 @@ def _banded(df: DataFrame, id_col: str, key_col: str, *,
     arrays through the ``bands``-way explode would multiply the shuffle
     payload (same note as dedup.minhash_lsh_candidates); the verify
     stage recomputes grams straight from the input instead."""
-    base = _ensure_parallelism(df).select(
-        F.col(id_col).alias(f"id_{side}"),
-        minhash_signature_from_grams(_grams(key_col, n), num_hashes)
-        .alias("_sig"),
+    base = minhash_signatures_df(
+        _ensure_parallelism(df), id_col, _grams(key_col, n),
+        num_hashes=num_hashes, out_id=f"id_{side}",
     )
     return base.select(
         f"id_{side}",

@@ -158,6 +158,54 @@ def test_shingles_and_ngrams(spark):
     assert "a b" in row["ng"]
 
 
+def test_shingles_linear_form_equals_index_form(spark):
+    """word_shingles/char_ngrams are built with chained zip_with over
+    shifted slices (the token/char array referenced k times TOTAL) —
+    the index form re-evaluated the embedded split/lower once per
+    OUTPUT element in interpreted HOF eval, O(len²) per doc.  Pin the
+    rewritten form byte-identical to the index form on edge cases."""
+    rows = [
+        ("a b c d e f g h i j",),
+        ("single",),
+        ("two words",),
+        ("exactly three tokens",),
+        ("",), (None,),
+        ("  padded   whitespace\ttabs  and\nnewlines here ok",),
+        ("ünïcødé tökens über ångström μικρό 中文 分词 测试 again",),
+        ("dup dup dup dup dup",),  # array_distinct path
+    ]
+    df = spark.createDataFrame(rows, "text string")
+
+    def idx_shingles(col, k):
+        toks = X.tokens(col)
+        n = F.size(toks)
+        return F.array_distinct(
+            F.when(n >= k, F.transform(
+                F.sequence(F.lit(1), n - k + 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            )).otherwise(F.array(F.concat_ws(" ", toks))))
+
+    def idx_ngrams(col, n):
+        s = F.lower(col)
+        ln = F.length(s)
+        return F.array_distinct(
+            F.when(ln >= n, F.transform(
+                F.sequence(F.lit(1), ln - n + 1),
+                lambda i: F.substring(s, i, n),
+            )).otherwise(F.array(s)))
+
+    for k in (1, 2, 3, 5):
+        got = df.select(
+            X.word_shingles(F.col("text"), k).alias("new"),
+            idx_shingles(F.col("text"), k).alias("old"),
+            X.char_ngrams(F.col("text"), k).alias("new_ng"),
+            idx_ngrams(F.col("text"), k).alias("old_ng"),
+        ).collect()
+        for r in got:
+            assert r["new"] == r["old"], (k, r)
+            assert r["new_ng"] == r["old_ng"], (k, r)
+
+
 def test_docs_table_text_pipeline(docs):
     """Run the text-analysis suite over the driver documents table."""
     out = docs.select(
