@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (108/108), including the approximate tiers
+EVERY query has an oracle (112/112), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -2010,6 +2010,75 @@ def q_skew_join(spark, sf_dir):
     )
 
 
+def q_edit_join(spark, sf_dir):
+    """EXACT edit-distance similarity self-join
+    (operators/editjoin.edit_join_exact): deletion-neighborhood blocking
+    (FastSS/SymSpell — if levenshtein(a,b) <= d the depth-d deletion
+    sets intersect, so the variant equi-join has zero false negatives)
+    + JVM levenshtein verify once per DISTINCT candidate pair.  The
+    typo-tolerant record-matching tier next to setsim_exact; zero-padded
+    customer names give a dense distance-1 neighborhood (one-digit
+    substitutions)."""
+    from schema_validator_spark.operators.editjoin import edit_join_exact
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return edit_join_exact(cust, "c_custkey", "c_name", max_dist=1)
+
+
+def q_check_suite(spark, sf_dir):
+    """Declarative check suite with thresholds
+    (operators/checks.run_checks — the Deequ VerificationSuite shape):
+    size / completeness / compliance / uniqueness / distinctness /
+    mean / max assertions over documents in ONE scalar agg pass plus one
+    word-count-shaped groupBy per frequency column; report rows carry
+    the 6dp metric value and a pass/fail/error status computed from the
+    rounded value, so the oracle replays the identical arithmetic."""
+    from schema_validator_spark.operators.checks import run_checks
+
+    return run_checks(_t(spark, sf_dir, "documents"), _check_suite_def())
+
+
+def q_doc_chunks(spark, sf_dir):
+    """RAG-style document chunking (operators/chunking.chunk_documents):
+    fixed 32-token windows with 8-token overlap and full provenance
+    (doc_id, chunk_id, token offsets).  Pure per-row codegen — tokenize
+    once, sequence over starts, slice windows, one posexplode; zero
+    shuffles (plan-pinned in tests)."""
+    from schema_validator_spark.operators.chunking import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text",
+                           chunk_tokens=32, overlap=8)
+
+
+def q_embedding_quality(spark, sf_dir):
+    """Embedding-column quality audit
+    (operators/embquality.embedding_quality): dim conformance, NULL/NaN
+    element and zero-vector counts, and the L2-norm band over valid
+    vectors — ONE map-side-combinable agg pass, one summary row; the
+    gate the ANN / SemDeDup / embedding-drift operators assume ran."""
+    from schema_validator_spark.operators.embquality import embedding_quality
+
+    embs = _t(spark, sf_dir, "embeddings")
+    return embedding_quality(embs, "vec_id", "embedding", expected_dim=64)
+
+
+def _check_suite_def():
+    from schema_validator_spark.operators.checks import Check
+
+    return [
+        Check("has rows", "size", ">=", 100),
+        Check("text filled", "completeness", ">=", 0.99, column="text"),
+        Check("lang filled", "completeness", ">=", 0.999, column="lang"),
+        Check("doc ids unique", "uniqueness", "==", 1.0, column="doc_id"),
+        Check("langs are few", "distinctness", "<=", 0.01, column="lang"),
+        Check("n_chars in range", "compliance", ">=", 0.95,
+              predicate="n_chars between 1 and 100000"),
+        Check("mean doc length", "mean", ">=", 50.0, column="n_chars"),
+        Check("max doc length", "max", "<=", 100000.0, column="n_chars"),
+    ]
+
+
 # ---------------------------------------------------------------------------
 # 6dp scaled-long hardening (round-2 VERDICT order #6): every double-valued
 # oracle-checked output is compared as cast(round(x*1e6) as bigint) on BOTH
@@ -2079,6 +2148,13 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
     "correlation_matrix": (["col_a", "col_b", "n_rows"], ["corr"]),
     "mutual_info": (["n_rows", "card_a", "card_b"],
                     ["h_a", "h_b", "mi", "nmi"]),
+    "check_suite": (['"check"', "metric", "subject", '"constraint"',
+                     "status"], ["value"]),
+    "embedding_quality": (
+        ["n_rows", "n_null_vecs", "n_wrong_dim", "n_with_null_elem",
+         "n_with_nan", "n_valid", "n_zero_vecs"],
+        ["norm_min", "norm_mean", "norm_max"],
+    ),
 }
 
 
@@ -2156,6 +2232,10 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         # --- tier 1b: new in round 4 ------------------------------------
         "ivf_pq_ann": q_ivf_pq_ann,
+        "edit_join": q_edit_join,
+        "check_suite": q_check_suite,
+        "doc_chunks": q_doc_chunks,
+        "embedding_quality": q_embedding_quality,
         # --- tier 2: checked only in CORRECTNESS_r02 --------------------
         "lang_id_counts": q_lang_id_counts,
         "quality_scores": q_quality_scores,
@@ -2959,6 +3039,159 @@ def _oracle_sql_raw() -> dict[str, str]:
         "srp_ann": _ANN_TOP2_AUGMENTED_SQL,
         "ivf_ann": _ANN_TOP2_AUGMENTED_SQL,
         "ivf_pq_ann": _ANN_TOP2_AUGMENTED_SQL,
+        "edit_join": """
+            select a.c_custkey as id_a, b.c_custkey as id_b,
+                   cast(levenshtein(a.c_name, b.c_name) as int) as dist
+            from customer a join customer b
+              on a.c_custkey < b.c_custkey
+             and abs(length(a.c_name) - length(b.c_name)) <= 1
+            where levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "check_suite": """
+            with m as (
+              select
+                (select cast(count(*) as double) from documents) as size_v,
+                (select count(text) / cast(count(*) as double)
+                   from documents) as comp_text,
+                (select count(lang) / cast(count(*) as double)
+                   from documents) as comp_lang,
+                (select sum(case when coalesce(
+                        n_chars between 1 and 100000, false)
+                        then 1 else 0 end) / cast(count(*) as double)
+                   from documents) as compl_nchars,
+                (select avg(cast(n_chars as double)) from documents)
+                   as mean_nchars,
+                (select cast(max(n_chars) as double) from documents)
+                   as max_nchars,
+                (select count(*) from (
+                   select doc_id from documents
+                   group by doc_id having count(*) = 1)) as u_doc,
+                (select count(*) from (
+                   select lang from documents group by lang)) as g_lang,
+                (select cast(count(*) as double) from documents) as nn
+            )
+            select 'has rows' as "check", 'size' as metric, '*' as subject,
+                   round(size_v, 6) as value, '>= 100' as "constraint",
+                   case when round(size_v, 6) is null then 'error'
+                        when round(size_v, 6) >= 100.0 then 'pass'
+                        else 'fail' end as status
+            from m
+            union all
+            select 'text filled', 'completeness', 'text',
+                   round(comp_text, 6), '>= 0.99',
+                   case when round(comp_text, 6) is null then 'error'
+                        when round(comp_text, 6) >= 0.99 then 'pass'
+                        else 'fail' end
+            from m
+            union all
+            select 'lang filled', 'completeness', 'lang',
+                   round(comp_lang, 6), '>= 0.999',
+                   case when round(comp_lang, 6) is null then 'error'
+                        when round(comp_lang, 6) >= 0.999 then 'pass'
+                        else 'fail' end
+            from m
+            union all
+            select 'doc ids unique', 'uniqueness', 'doc_id',
+                   round(u_doc / nn, 6), '== 1',
+                   case when round(u_doc / nn, 6) is null then 'error'
+                        when round(u_doc / nn, 6) = 1.0 then 'pass'
+                        else 'fail' end
+            from m
+            union all
+            select 'langs are few', 'distinctness', 'lang',
+                   round(g_lang / nn, 6), '<= 0.01',
+                   case when round(g_lang / nn, 6) is null then 'error'
+                        when round(g_lang / nn, 6) <= 0.01 then 'pass'
+                        else 'fail' end
+            from m
+            union all
+            select 'n_chars in range', 'compliance',
+                   'n_chars between 1 and 100000',
+                   round(compl_nchars, 6), '>= 0.95',
+                   case when round(compl_nchars, 6) is null then 'error'
+                        when round(compl_nchars, 6) >= 0.95 then 'pass'
+                        else 'fail' end
+            from m
+            union all
+            select 'mean doc length', 'mean', 'n_chars',
+                   round(mean_nchars, 6), '>= 50',
+                   case when round(mean_nchars, 6) is null then 'error'
+                        when round(mean_nchars, 6) >= 50.0 then 'pass'
+                        else 'fail' end
+            from m
+            union all
+            select 'max doc length', 'max', 'n_chars',
+                   round(max_nchars, 6), '<= 100000',
+                   case when round(max_nchars, 6) is null then 'error'
+                        when round(max_nchars, 6) <= 100000.0 then 'pass'
+                        else 'fail' end
+            from m
+        """,
+        "doc_chunks": """
+            with toks as (
+              select doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 t -> t <> '') as tk
+              from documents
+            ), sized as (
+              select doc_id, tk, len(tk) as n from toks where len(tk) > 0
+            ), counted as (
+              select doc_id, tk,
+                     cast(ceil(greatest(n - 8, 1) / 24.0) as bigint) as k
+              from sized
+            ), expanded as (
+              select doc_id, tk, cast(i as bigint) as chunk_id,
+                     cast(i * 24 as bigint) as start_tok
+              from counted, unnest(range(k)) as t(i)
+            )
+            select doc_id, chunk_id, start_tok,
+                   cast(len(list_slice(tk, start_tok + 1, start_tok + 32))
+                        as bigint) as n_tokens,
+                   array_to_string(
+                     list_slice(tk, start_tok + 1, start_tok + 32),
+                     ' ') as chunk_text
+            from expanded
+        """,
+        "embedding_quality": """
+            with p as (
+              select embedding as v,
+                (embedding is null) as isnull_v,
+                (embedding is not null and len(embedding) <> 64) as wrong,
+                (embedding is not null and len(list_filter(embedding,
+                    x -> x is null)) > 0) as nullel,
+                (embedding is not null and len(list_filter(embedding,
+                    x -> x is null)) = 0
+                 and len(list_filter(embedding,
+                    x -> isnan(x::DOUBLE))) > 0) as nan_v,
+                (embedding is not null and len(embedding) = 64
+                 and len(list_filter(embedding, x -> x is null)) = 0
+                 and len(list_filter(embedding,
+                    x -> isnan(x::DOUBLE))) = 0) as valid
+              from embeddings
+            ), q as (
+              select *,
+                case when valid then sqrt(list_sum(list_transform(
+                    v, x -> x::DOUBLE * x::DOUBLE))) end as norm
+              from p
+            )
+            select cast(count(*) as bigint) as n_rows,
+                   cast(sum(case when isnull_v then 1 else 0 end)
+                        as bigint) as n_null_vecs,
+                   cast(sum(case when wrong then 1 else 0 end)
+                        as bigint) as n_wrong_dim,
+                   cast(sum(case when nullel then 1 else 0 end)
+                        as bigint) as n_with_null_elem,
+                   cast(sum(case when nan_v then 1 else 0 end)
+                        as bigint) as n_with_nan,
+                   cast(sum(case when valid then 1 else 0 end)
+                        as bigint) as n_valid,
+                   cast(sum(case when valid and norm = 0 then 1 else 0 end)
+                        as bigint) as n_zero_vecs,
+                   round(min(norm), 6) as norm_min,
+                   round(avg(norm), 6) as norm_mean,
+                   round(max(norm), 6) as norm_max
+            from q
+        """,
         "embedding_neardups": """
             with aug as (
               select vec_id, embedding::DOUBLE[] as v from embeddings

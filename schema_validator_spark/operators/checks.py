@@ -1,0 +1,163 @@
+"""Declarative check suite with thresholds — the Deequ
+``VerificationSuite`` shape the row-level rule engine doesn't cover:
+"this TABLE is acceptable when completeness(text) >= 0.99 and
+uniqueness(doc_id) == 1.0", evaluated as ONE report with a per-check
+pass/fail status.  The reference analog is the whole-struct Validate
+verdict (validator.go:32-44); this is its dataset-level counterpart
+mandated by the north rule's per-partition pass/fail summaries.
+
+Metrics (Deequ names):
+
+- ``size``                       — row count (no column)
+- ``completeness(c)``            — non-null fraction
+- ``compliance(predicate)``      — fraction of rows satisfying a SQL
+                                   boolean expression (NULL -> false)
+- ``uniqueness(c)``              — values occurring exactly once / rows
+- ``distinctness(c)``            — distinct values / rows
+- ``min/max/mean/sum/stddev(c)`` — the usual aggregates
+- ``approx_distinct(c)``         — HLL++ distinct estimate
+
+NULL is a value for the frequency metrics (a column of all NULLs has
+distinctness 1/n, not 0) — consistent with k_anonymity / discover_fds.
+
+Scale shape: every scalar metric rides ONE map-side-combinable
+aggregation pass over the table; each distinct frequency column adds
+one (column)-keyed word-count-shaped groupBy whose output is
+distinct-value scale.  The tiny 1-row metric frames cross-join
+(broadcast, no shuffle) and the report is built by ``inline`` over a
+literal struct array — assertion arithmetic never touches data rows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SCALAR_METRICS = {
+    "size", "completeness", "compliance",
+    "min", "max", "mean", "sum", "stddev", "approx_distinct",
+}
+_FREQ_METRICS = {"uniqueness", "distinctness"}
+_OPS = {
+    ">=": lambda v, t: v >= t,
+    "<=": lambda v, t: v <= t,
+    ">": lambda v, t: v > t,
+    "<": lambda v, t: v < t,
+    "==": lambda v, t: v == t,
+}
+
+
+@dataclass(frozen=True)
+class Check:
+    """One assertion: ``metric(column|predicate) op value``."""
+
+    name: str
+    metric: str
+    op: str
+    value: float
+    column: str | None = None
+    predicate: str | None = None
+
+    def __post_init__(self):
+        if self.metric not in _SCALAR_METRICS | _FREQ_METRICS:
+            raise ValueError(f"unknown metric {self.metric!r}")
+        if self.op not in _OPS:
+            raise ValueError(f"unknown op {self.op!r}")
+        if self.metric == "compliance" and not self.predicate:
+            raise ValueError("compliance needs a predicate")
+        if self.metric not in ("size", "compliance") and not self.column:
+            raise ValueError(f"{self.metric} needs a column")
+
+    @property
+    def subject(self) -> str:
+        return self.predicate if self.metric == "compliance" else (
+            self.column or "*"
+        )
+
+
+def _scalar_expr(c: Check):
+    col = F.col(c.column) if c.column else None
+    n = F.count(F.lit(1))
+    if c.metric == "size":
+        return n.cast("double")
+    if c.metric == "completeness":
+        return F.count(col) / n
+    if c.metric == "compliance":
+        return (
+            F.sum(F.coalesce(F.expr(c.predicate), F.lit(False)).cast("long"))
+            / n
+        )
+    if c.metric == "approx_distinct":
+        return F.approx_count_distinct(col).cast("double")
+    fn = {"min": F.min, "max": F.max, "mean": F.mean,
+          "sum": F.sum, "stddev": F.stddev_samp}[c.metric]
+    return fn(col).cast("double")
+
+
+def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """Evaluate every check; returns
+    ``(check, metric, subject, value, constraint, status)`` in the
+    input order (``ord`` column dropped; value rounded 6dp).  status is
+    'pass' / 'fail' / 'error' (error = the metric itself is NULL, e.g.
+    mean of an all-NULL column)."""
+    if not checks:
+        raise ValueError("no checks given")
+    scalars = [c for c in checks if c.metric in _SCALAR_METRICS]
+    freq_cols = sorted({c.column for c in checks if c.metric in _FREQ_METRICS})
+
+    metrics = df.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[_scalar_expr(c).alias(f"_m{i}") for i, c in enumerate(checks)
+          if c.metric in _SCALAR_METRICS],
+    )
+    for col in freq_cols:
+        freq = df.groupBy(F.col(col).alias("_v")).agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        one = freq.agg(
+            F.count(F.lit(1)).alias(f"_g_{col}"),
+            F.sum((F.col("_c") == 1).cast("long")).alias(f"_u_{col}"),
+        )
+        metrics = metrics.crossJoin(F.broadcast(one))
+
+    rows = []
+    for i, c in enumerate(checks):
+        if c.metric in _SCALAR_METRICS:
+            val = F.col(f"_m{i}")
+        elif c.metric == "uniqueness":
+            val = F.col(f"_u_{c.column}") / F.col("_n")
+        else:  # distinctness
+            val = F.col(f"_g_{c.column}") / F.col("_n")
+        val = F.round(val.cast("double"), 6)
+        cmp_ok = _OPS[c.op](val, F.lit(float(c.value)))
+        status = (
+            F.when(val.isNull(), F.lit("error"))
+            .when(cmp_ok, F.lit("pass"))
+            .otherwise(F.lit("fail"))
+        )
+        rows.append(
+            F.struct(
+                F.lit(i).alias("ord"),
+                F.lit(c.name).alias("check"),
+                F.lit(c.metric).alias("metric"),
+                F.lit(c.subject).alias("subject"),
+                val.alias("value"),
+                F.lit(f"{c.op} {float(c.value):g}").alias("constraint"),
+                status.alias("status"),
+            )
+        )
+    return (
+        metrics.select(F.inline(F.array(*rows)))
+        .orderBy("ord")
+        .drop("ord")
+    )
+
+
+def suite_passes(report: DataFrame) -> bool:
+    """Driver-side verdict: True iff every check passed (1-row agg)."""
+    row = report.agg(
+        F.sum((F.col("status") != "pass").cast("long")).alias("bad")
+    ).collect()[0]
+    return (row["bad"] or 0) == 0
