@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (112/112), including the approximate tiers
+EVERY query has an oracle (113/113), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -2063,6 +2063,28 @@ def q_embedding_quality(spark, sf_dir):
     return embedding_quality(embs, "vec_id", "embedding", expected_dim=64)
 
 
+def q_shared_content(spark, sf_dir):
+    """Cross-repo shared-content audit
+    (operators/crossrepo.shared_content_pairs): which repo pairs share
+    how many identical files — fork / vendored-code detection over the
+    north rule's code table, keyed on the same content sha256 as the
+    row invariant.  The synthetic corpus has no natural cross-source
+    duplicates, so (like the planted-copy ANN queries) the corpus is
+    deterministically augmented with a fork_<source> copy of every
+    third doc; pairs then re-derive exactly."""
+    from schema_validator_spark.operators.crossrepo import shared_content_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(F.col("source").alias("repo"), F.col("text"))
+    fork = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.concat(F.lit("fork_"), F.col("source")).alias("repo"),
+        F.col("text"),
+    )
+    return shared_content_pairs(
+        base.unionByName(fork), "repo", "text", min_shared=2
+    )
+
+
 def _check_suite_def():
     from schema_validator_spark.operators.checks import Check
 
@@ -2236,6 +2258,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "check_suite": q_check_suite,
         "doc_chunks": q_doc_chunks,
         "embedding_quality": q_embedding_quality,
+        "shared_content": q_shared_content,
         # --- tier 2: checked only in CORRECTNESS_r02 --------------------
         "lang_id_counts": q_lang_id_counts,
         "quality_scores": q_quality_scores,
@@ -3151,6 +3174,22 @@ def _oracle_sql_raw() -> dict[str, str]:
                      list_slice(tk, start_tok + 1, start_tok + 32),
                      ' ') as chunk_text
             from expanded
+        """,
+        "shared_content": """
+            with all_rc as (
+              select source as repo, text from documents
+              union all
+              select 'fork_' || source, text from documents
+              where doc_id % 3 = 0
+            ), rc as (
+              select distinct repo, text from all_rc
+              where text is not null and text <> ''
+            )
+            select a.repo as repo_a, b.repo as repo_b,
+                   cast(count(*) as bigint) as shared_files
+            from rc a join rc b on a.text = b.text and a.repo < b.repo
+            group by 1, 2
+            having count(*) >= 2
         """,
         "embedding_quality": """
             with p as (
