@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (113/113), including the approximate tiers
+EVERY query has an oracle (114/114), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -2085,6 +2085,21 @@ def q_shared_content(spark, sf_dir):
     )
 
 
+def q_winnow_pairs(spark, sf_dir):
+    """Winnowing fingerprint pairs (operators/winnow.winnow_pairs —
+    Schleimer et al. 2003, the MOSS code-clone algorithm): documents
+    sharing >= 2 distinct winnowed k-gram fingerprints (k=12, window=10
+    — any common normalized substring >= 21 chars GUARANTEES a shared
+    fingerprint, a positional promise MinHash cannot make).  The oracle
+    replays normalization, md5-prefix gram hashing, and leftmost-min
+    window selection exactly."""
+    from schema_validator_spark.operators.winnow import winnow_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_pairs(docs, "doc_id", "text",
+                        k=12, window=10, min_shared=2)
+
+
 def _check_suite_def():
     from schema_validator_spark.operators.checks import Check
 
@@ -2259,6 +2274,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "embedding_quality": q_embedding_quality,
         "shared_content": q_shared_content,
+        "winnow_pairs": q_winnow_pairs,
         # --- tier 2: checked only in CORRECTNESS_r02 --------------------
         "lang_id_counts": q_lang_id_counts,
         "quality_scores": q_quality_scores,
@@ -3188,6 +3204,30 @@ def _oracle_sql_raw() -> dict[str, str]:
             select a.repo as repo_a, b.repo as repo_b,
                    cast(count(*) as bigint) as shared_files
             from rc a join rc b on a.text = b.text and a.repo < b.repo
+            group by 1, 2
+            having count(*) >= 2
+        """,
+        "winnow_pairs": """
+            with norm as (
+              select doc_id, regexp_replace(lower(coalesce(text, '')),
+                                            '\\s+', '', 'g') as nrm
+              from documents
+            ), grams as (
+              select doc_id,
+                     list_transform(range(1, length(nrm) - 12 + 2),
+                       i -> ('0x' || substr(md5(substr(nrm, i, 12)), 1, 12))
+                            ::bigint) as gh
+              from norm where length(nrm) >= 12
+            ), fps as (
+              select doc_id,
+                     unnest(list_distinct(list_transform(
+                       range(1, greatest(len(gh) - 10 + 1, 1) + 1),
+                       j -> list_min(gh[j:j+9])))) as fp
+              from grams
+            )
+            select a.doc_id as id_a, b.doc_id as id_b,
+                   cast(count(*) as bigint) as shared_fps
+            from fps a join fps b on a.fp = b.fp and a.doc_id < b.doc_id
             group by 1, 2
             having count(*) >= 2
         """,
