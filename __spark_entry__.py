@@ -2113,6 +2113,10 @@ def _check_suite_def():
               predicate="n_chars between 1 and 100000"),
         Check("mean doc length", "mean", ">=", 50.0, column="n_chars"),
         Check("max doc length", "max", "<=", 100000.0, column="n_chars"),
+        Check("median doc length", "quantile", ">=", 50.0,
+              column="n_chars", q=0.5),
+        Check("doc keyed by id+source", "uniqueness", "==", 1.0,
+              column=("doc_id", "source")),
     ]
 
 
@@ -3107,6 +3111,11 @@ def _oracle_sql_raw() -> dict[str, str]:
                    group by doc_id having count(*) = 1)) as u_doc,
                 (select count(*) from (
                    select lang from documents group by lang)) as g_lang,
+                (select quantile_cont(cast(n_chars as double), 0.5)
+                   from documents) as med_nchars,
+                (select count(*) from (
+                   select doc_id, source from documents
+                   group by 1, 2 having count(*) = 1)) as u_ds,
                 (select cast(count(*) as double) from documents) as nn
             )
             select 'has rows' as "check", 'size' as metric, '*' as subject,
@@ -3163,6 +3172,21 @@ def _oracle_sql_raw() -> dict[str, str]:
                    round(max_nchars, 6), '<= 100000',
                    case when round(max_nchars, 6) is null then 'error'
                         when round(max_nchars, 6) <= 100000.0 then 'pass'
+                        else 'fail' end
+            from m
+            union all
+            select 'median doc length', 'quantile', 'n_chars q=0.5',
+                   round(med_nchars, 6), '>= 50',
+                   case when round(med_nchars, 6) is null then 'error'
+                        when round(med_nchars, 6) >= 50.0 then 'pass'
+                        else 'fail' end
+            from m
+            union all
+            select 'doc keyed by id+source', 'uniqueness',
+                   'doc_id,source',
+                   round(u_ds / nn, 6), '== 1',
+                   case when round(u_ds / nn, 6) is null then 'error'
+                        when round(u_ds / nn, 6) = 1.0 then 'pass'
                         else 'fail' end
             from m
         """,

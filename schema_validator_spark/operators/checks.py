@@ -12,20 +12,26 @@ Metrics (Deequ names):
 - ``completeness(c)``            — non-null fraction
 - ``compliance(predicate)``      — fraction of rows satisfying a SQL
                                    boolean expression (NULL -> false)
-- ``uniqueness(c)``              — values occurring exactly once / rows
-- ``distinctness(c)``            — distinct values / rows
+- ``uniqueness(c | (c1,c2,…))``  — values occurring exactly once / rows
+- ``distinctness(c | (…))``      — distinct values / rows
 - ``min/max/mean/sum/stddev(c)`` — the usual aggregates
+- ``quantile(c, q)``             — EXACT interpolated percentile
+                                   (Deequ's ApproxQuantile, exact form)
 - ``approx_distinct(c)``         — HLL++ distinct estimate
 
 NULL is a value for the frequency metrics (a column of all NULLs has
 distinctness 1/n, not 0) — consistent with k_anonymity / discover_fds.
+``uniqueness``/``distinctness`` accept a tuple of columns for composite
+keys.
 
 Scale shape: every scalar metric rides ONE map-side-combinable
-aggregation pass over the table; each distinct frequency column adds
-one (column)-keyed word-count-shaped groupBy whose output is
-distinct-value scale.  The tiny 1-row metric frames cross-join
-(broadcast, no shuffle) and the report is built by ``inline`` over a
-literal struct array — assertion arithmetic never touches data rows.
+aggregation pass over the table (``quantile`` uses the exact
+percentile aggregate — swap in approx_percentile at 10^12 rows if the
+value axis is huge); each distinct frequency column-set adds one
+word-count-shaped groupBy whose output is distinct-value scale.  The
+tiny 1-row metric frames cross-join (broadcast, no shuffle) and the
+report is built by ``inline`` over a literal struct array — assertion
+arithmetic never touches data rows.
 """
 
 from __future__ import annotations
@@ -37,7 +43,7 @@ from pyspark.sql import functions as F
 
 _SCALAR_METRICS = {
     "size", "completeness", "compliance",
-    "min", "max", "mean", "sum", "stddev", "approx_distinct",
+    "min", "max", "mean", "sum", "stddev", "approx_distinct", "quantile",
 }
 _FREQ_METRICS = {"uniqueness", "distinctness"}
 _OPS = {
@@ -57,8 +63,9 @@ class Check:
     metric: str
     op: str
     value: float
-    column: str | None = None
+    column: str | tuple[str, ...] | None = None
     predicate: str | None = None
+    q: float | None = None
 
     def __post_init__(self):
         if self.metric not in _SCALAR_METRICS | _FREQ_METRICS:
@@ -69,12 +76,34 @@ class Check:
             raise ValueError("compliance needs a predicate")
         if self.metric not in ("size", "compliance") and not self.column:
             raise ValueError(f"{self.metric} needs a column")
+        if self.metric == "quantile":
+            if self.q is None or not 0.0 <= self.q <= 1.0:
+                raise ValueError("quantile needs q in [0, 1]")
+        if (
+            isinstance(self.column, tuple)
+            and self.metric not in _FREQ_METRICS
+        ):
+            raise ValueError(
+                f"{self.metric} takes a single column, not a tuple"
+            )
+
+    @property
+    def columns(self) -> tuple[str, ...]:
+        if self.column is None:
+            return ()
+        if isinstance(self.column, tuple):
+            return self.column
+        return (self.column,)
 
     @property
     def subject(self) -> str:
-        return self.predicate if self.metric == "compliance" else (
-            self.column or "*"
-        )
+        if self.metric == "compliance":
+            return self.predicate
+        if self.metric == "quantile":
+            return f"{self.column} q={self.q:g}"
+        if self.column is None:
+            return "*"
+        return ",".join(self.columns)
 
 
 def _scalar_expr(c: Check):
@@ -91,6 +120,10 @@ def _scalar_expr(c: Check):
         )
     if c.metric == "approx_distinct":
         return F.approx_count_distinct(col).cast("double")
+    if c.metric == "quantile":
+        return F.expr(
+            f"percentile({c.column}, cast({c.q!r} as double))"
+        ).cast("double")
     fn = {"min": F.min, "max": F.max, "mean": F.mean,
           "sum": F.sum, "stddev": F.stddev_samp}[c.metric]
     return fn(col).cast("double")
@@ -104,21 +137,23 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
     mean of an all-NULL column)."""
     if not checks:
         raise ValueError("no checks given")
-    scalars = [c for c in checks if c.metric in _SCALAR_METRICS]
-    freq_cols = sorted({c.column for c in checks if c.metric in _FREQ_METRICS})
+    freq_groups = sorted(
+        {c.columns for c in checks if c.metric in _FREQ_METRICS}
+    )
+    group_idx = {g: i for i, g in enumerate(freq_groups)}
 
     metrics = df.agg(
         F.count(F.lit(1)).alias("_n"),
         *[_scalar_expr(c).alias(f"_m{i}") for i, c in enumerate(checks)
           if c.metric in _SCALAR_METRICS],
     )
-    for col in freq_cols:
-        freq = df.groupBy(F.col(col).alias("_v")).agg(
-            F.count(F.lit(1)).alias("_c")
-        )
+    for g, gi in group_idx.items():
+        freq = df.groupBy(
+            *[F.col(col).alias(f"_k{j}") for j, col in enumerate(g)]
+        ).agg(F.count(F.lit(1)).alias("_c"))
         one = freq.agg(
-            F.count(F.lit(1)).alias(f"_g_{col}"),
-            F.sum((F.col("_c") == 1).cast("long")).alias(f"_u_{col}"),
+            F.count(F.lit(1)).alias(f"_g{gi}"),
+            F.sum((F.col("_c") == 1).cast("long")).alias(f"_u{gi}"),
         )
         metrics = metrics.crossJoin(F.broadcast(one))
 
@@ -127,9 +162,9 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
         if c.metric in _SCALAR_METRICS:
             val = F.col(f"_m{i}")
         elif c.metric == "uniqueness":
-            val = F.col(f"_u_{c.column}") / F.col("_n")
+            val = F.col(f"_u{group_idx[c.columns]}") / F.col("_n")
         else:  # distinctness
-            val = F.col(f"_g_{c.column}") / F.col("_n")
+            val = F.col(f"_g{group_idx[c.columns]}") / F.col("_n")
         val = F.round(val.cast("double"), 6)
         cmp_ok = _OPS[c.op](val, F.lit(float(c.value)))
         status = (

@@ -70,6 +70,42 @@ def test_error_status_on_null_metric(spark):
     assert got["m"]["status"] == "error" and got["m"]["value"] is None
 
 
+def test_quantile_exact_interpolated(df):
+    got = _report(df, [
+        Check("v median", "quantile", ">=", 20.0, column="v", q=0.5),
+        Check("v p75", "quantile", "<=", 100.0, column="v", q=0.75),
+    ])
+    # exact interpolated percentile over [10, 20, 40, 50]
+    assert got["v median"]["value"] == 30.0
+    assert got["v median"]["status"] == "pass"
+    assert got["v p75"]["value"] == 42.5
+
+
+def test_composite_uniqueness(spark):
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "a")]
+    df = spark.createDataFrame(rows, "x long, y string")
+    got = _report(df, [
+        Check("xy unique", "uniqueness", "==", 1.0, column=("x", "y")),
+        Check("xy distinct", "distinctness", ">=", 0.5, column=("x", "y")),
+        Check("x unique", "uniqueness", ">=", 0.0, column="x"),
+    ])
+    # groups: (1,a) (1,b) (2,a)x2 -> 2 of 4 unique, 3 of 4 distinct
+    assert got["xy unique"]["value"] == 0.5
+    assert got["xy unique"]["status"] == "fail"
+    assert got["xy distinct"]["value"] == 0.75
+    assert got["xy unique"]["subject"] == "x,y"
+    assert got["x unique"]["value"] == 0.0
+
+
+def test_quantile_validation(df):
+    with pytest.raises(ValueError):
+        Check("bad", "quantile", ">=", 1.0, column="v")  # no q
+    with pytest.raises(ValueError):
+        Check("bad", "quantile", ">=", 1.0, column="v", q=1.5)
+    with pytest.raises(ValueError):
+        Check("bad", "mean", ">=", 1.0, column=("a", "b"))  # tuple
+
+
 def test_suite_passes_verdict(df):
     ok = run_checks(df, [Check("rows", "size", ">=", 1)])
     bad = run_checks(df, [Check("rows", "size", ">=", 100)])
