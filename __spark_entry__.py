@@ -2060,7 +2060,7 @@ def q_embedding_quality(spark, sf_dir):
     from schema_validator_spark.operators.embquality import embedding_quality
 
     embs = _t(spark, sf_dir, "embeddings")
-    return embedding_quality(embs, "vec_id", "embedding", expected_dim=64)
+    return embedding_quality(embs, "embedding", expected_dim=64)
 
 
 def q_shared_content(spark, sf_dir):

@@ -77,16 +77,18 @@ def run_shared_content(spark, n=4_000_000, repos=20_000):
         shared_content_pairs,
     )
 
-    # ~200 files/repo; every 50th file is cross-repo vendored within a
-    # 10-repo band; file 0 of every repo is identical boilerplate
+    # ~200 files/repo; every 50th file is vendored content shared by ~10
+    # DIFFERENT repos (prime modulus 7919 keeps copies off the repo
+    # cycle); every 197th row is identical boilerplate spread over
+    # thousands of repos — the hot bucket the cap must absorb
     df = spark.range(n).select(
         F.concat(F.lit("r"), (F.col("id") % repos).cast("string"))
         .alias("repo"),
-        F.when(F.col("id") % repos == 0, F.lit("boilerplate-license"))
+        F.when(F.col("id") % 197 == 0, F.lit("boilerplate-license"))
         .when(
             F.col("id") % 50 == 0,
             F.concat(F.lit("vendored-"),
-                     ((F.col("id") / 50).cast("long") % 8000).cast("string")),
+                     ((F.col("id") / 50).cast("long") % 7919).cast("string")),
         )
         .otherwise(F.md5(F.col("id").cast("string")))
         .alias("content"),
@@ -139,10 +141,14 @@ def run_check_suite(spark, n=64_000_000):
 
 def main():
     cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    only = set(sys.argv[2:])  # optional op-name filter
     spark = bench.build_session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    for fn in (run_edit_join, run_winnow, run_shared_content,
-               run_doc_chunks, run_check_suite):
+    all_fns = (run_edit_join, run_winnow, run_shared_content,
+               run_doc_chunks, run_check_suite)
+    for fn in all_fns:
+        if only and fn.__name__.removeprefix("run_") not in only:
+            continue
         try:
             out = fn(spark)
         except Exception as exc:  # keep later points running

@@ -406,9 +406,10 @@ def ivf_pq_query(
          index: each query touches ~nprobe/nlist of the CODES, never a
          raw vector;
       2. ADC — asymmetric distance via per-query lookup tables
-         (m × ksub inner products precomputed driver-side, shipped once
-         in the task closure): scoring a candidate is m table lookups,
-         no float vector in sight;
+         (m × ksub inner products rebuilt executor-side from the small
+         codebooks + the query vector, cached per task — only |Q| x d
+         query floats ship in the closure): scoring a candidate is m
+         table lookups, no float vector in sight;
       3. shortlist — salted two-level top-``shortlist`` per query bounds
          what leaves the codes stage to |Q|·shortlist rows;
       4. exact re-rank — ONLY the shortlist joins raw vectors back by id
@@ -420,15 +421,16 @@ def ivf_pq_query(
 
     m, ksub, dsub = books.shape
     qrows = _collect_query_rows(queries, [query_id, query_vec], max_query_rows)
-    luts = {}
+    # ship only the normalized query vectors (|Q| x d floats, same
+    # footprint as ivf_query) — each executor rebuilds a query's
+    # m x ksub ADC lookup table from `books` in ~m*ksub*dsub flops,
+    # instead of pickling |Q| 16 KB LUTs into every task closure
+    qns = {}
     probe_rows = []
     for r in qrows:
         q = np.asarray(list(map(float, r[1])))
         qn = q / max(np.linalg.norm(q), 1e-12)
-        # LUT[s][c] = <q_s, codeword_c>; ADC(code) = Σ_s LUT[s][code[s]]
-        luts[r[0]] = np.stack(
-            [books[s] @ qn[s * dsub : (s + 1) * dsub] for s in range(m)]
-        )
+        qns[r[0]] = qn
         for li in np.argsort(-(cent @ qn))[:nprobe]:
             probe_rows.append((r[0], int(li)))
     probes = queries.sparkSession.createDataFrame(
@@ -440,14 +442,24 @@ def ivf_pq_query(
     )
 
     def adc(batches):
+        # LUT[s][c] = <q_s, codeword_c>; ADC(code) = Σ_s LUT[s][code[s]]
+        lut_cache = {}
+        cols = np.arange(m)
         for pdf in batches:
             if pdf.empty:
                 continue
             codes = np.stack(pdf["_code"].to_numpy()).astype(np.int64)
             score = np.zeros(len(pdf))
-            cols = np.arange(m)
             for qid, idx in pdf.groupby("query_id").indices.items():
-                score[idx] = luts[qid][cols, codes[idx]].sum(axis=1)
+                lut = lut_cache.get(qid)
+                if lut is None:
+                    qn = qns[qid]
+                    lut = np.stack(
+                        [books[s] @ qn[s * dsub : (s + 1) * dsub]
+                         for s in range(m)]
+                    )
+                    lut_cache[qid] = lut
+                score[idx] = lut[cols, codes[idx]].sum(axis=1)
             yield pd.DataFrame({
                 "query_id": pdf["query_id"],
                 "vec_id": pdf["vec_id"],
@@ -461,11 +473,6 @@ def ivf_pq_query(
         F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("_cv")
     )
     rerank_in = short.join(raw, on="vec_id").select("query_id", "vec_id", "_cv")
-
-    qns = {}
-    for r in qrows:
-        q = np.asarray(list(map(float, r[1])))
-        qns[r[0]] = q / max(np.linalg.norm(q), 1e-12)
 
     def rerank(batches):
         for pdf in batches:

@@ -121,9 +121,9 @@ def _scalar_expr(c: Check):
     if c.metric == "approx_distinct":
         return F.approx_count_distinct(col).cast("double")
     if c.metric == "quantile":
-        return F.expr(
-            f"percentile({c.column}, cast({c.q!r} as double))"
-        ).cast("double")
+        # F.percentile keeps the column a quoted identifier (a column
+        # named "a-b" must not parse as the expression a minus b)
+        return F.percentile(col, F.lit(float(c.q))).cast("double")
     fn = {"min": F.min, "max": F.max, "mean": F.mean,
           "sum": F.sum, "stddev": F.stddev_samp}[c.metric]
     return fn(col).cast("double")

@@ -19,7 +19,6 @@ from pyspark.sql import functions as F
 
 def embedding_quality(
     df: DataFrame,
-    id_col: str,
     vec_col: str,
     *,
     expected_dim: int,

@@ -43,6 +43,8 @@ def _fingerprint_frame(
     """(_id, fp, pos): selected winnowing fingerprints per document.
     Documents whose normalized text is shorter than ``k`` are excluded
     (no k-grams to fingerprint)."""
+    if k < 2 or window < 1:
+        raise ValueError("need k >= 2 and window >= 1")
     norm = F.regexp_replace(
         F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", ""
     )
@@ -62,14 +64,24 @@ def _fingerprint_frame(
         )
     )
     # window starts 1..max(n-w+1, 1); slice truncates at the tail, so a
-    # doc shorter than one window still yields its global-min fingerprint
+    # doc shorter than one window still yields its global-min fingerprint.
+    # Slice and min are each computed ONCE per window (CSE never reaches
+    # into lambda bodies): materialize the window arrays, then their
+    # mins, then zip the two with the start index.
+    base = base.withColumn(
+        "_wins",
+        F.expr(
+            "transform(sequence(1, greatest(size(_gh) - {w} + 1, 1)),"
+            " j -> slice(_gh, j, {w}))".format(w=window)
+        ),
+    )
     picks = F.expr(
-        "array_distinct(transform("
-        "  sequence(1, greatest(size(_gh) - {w} + 1, 1)),"
-        "  j -> named_struct("
-        "    'pos', j - 1 + array_position(slice(_gh, j, {w}),"
-        "                                  array_min(slice(_gh, j, {w}))),"
-        "    'fp', array_min(slice(_gh, j, {w})))))".format(w=window)
+        "array_distinct(zip_with("
+        "  transform(_wins, w -> array_min(w)),"
+        "  sequence(1, size(_wins)),"
+        "  (m, j) -> named_struct("
+        "    'pos', j - 1 + array_position(element_at(_wins, j), m),"
+        "    'fp', m)))"
     )
     return base.select("_id", F.explode(picks).alias("_p")).select(
         "_id",
@@ -88,8 +100,6 @@ def winnow_fingerprints(
 ) -> DataFrame:
     """``(doc_id, fp, pos)`` — the selected fingerprints with their
     1-based k-gram positions in the normalized text."""
-    if k < 2 or window < 1:
-        raise ValueError("need k >= 2 and window >= 1")
     out = _fingerprint_frame(df, id_col, text_col, k=k, window=window)
     return out.withColumnRenamed("_id", "doc_id")
 

@@ -19,7 +19,7 @@ ROWS = [
 
 def test_summary_counts_and_norms(spark):
     df = spark.createDataFrame(ROWS, "id long, v array<float>")
-    row = embedding_quality(df, "id", "v", expected_dim=2).collect()[0]
+    row = embedding_quality(df, "v", expected_dim=2).collect()[0]
     assert row["n_rows"] == 7
     assert row["n_null_vecs"] == 1
     assert row["n_wrong_dim"] == 1
@@ -37,7 +37,7 @@ def test_all_clean_corpus(spark):
         [(i, [float(i), 0.0, 0.0]) for i in range(1, 5)],
         "id long, v array<float>",
     )
-    row = embedding_quality(df, "id", "v", expected_dim=3).collect()[0]
+    row = embedding_quality(df, "v", expected_dim=3).collect()[0]
     assert row["n_valid"] == 4 and row["n_zero_vecs"] == 0
     assert (row["n_null_vecs"], row["n_wrong_dim"], row["n_with_nan"],
             row["n_with_null_elem"]) == (0, 0, 0, 0)
@@ -49,7 +49,7 @@ def test_single_agg_pass_plan(spark):
         [(1, [1.0, 2.0])], "id long, v array<float>"
     )
     plan = (
-        embedding_quality(df, "id", "v", expected_dim=2)
+        embedding_quality(df, "v", expected_dim=2)
         ._jdf.queryExecution().executedPlan().toString()
     )
     # one partial + one final agg exchange, nothing else
@@ -59,4 +59,4 @@ def test_single_agg_pass_plan(spark):
 def test_validation(spark):
     df = spark.createDataFrame([(1, [1.0])], "id long, v array<float>")
     with pytest.raises(ValueError):
-        embedding_quality(df, "id", "v", expected_dim=0)
+        embedding_quality(df, "v", expected_dim=0)
