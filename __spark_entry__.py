@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (114/114), including the approximate tiers
+EVERY query has an oracle (115/115), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -2100,6 +2100,48 @@ def q_winnow_pairs(spark, sf_dir):
                         k=12, window=10, min_shared=2)
 
 
+def q_json_spec(spark, sf_dir):
+    """JSON spec inference (operators/jsonspec.infer_json_spec — the
+    semi-structured suggest_constraints): per-key exact types via Spark
+    VARIANT (try_parse_json + variant_explode + schema_of_variant — a
+    JSON string "1" stays a string), presence rates, dominant-type
+    verdicts, corrupt rows counted never dropped.  The JSON column is
+    synthesized deterministically from events with int-only dynamic
+    parts (both engines build byte-identical strings): four shapes +
+    a corrupt stripe exercise int/float/string/bool/object/array/null
+    and a type drift on k (purchase rows carry k as a STRING)."""
+    from schema_validator_spark.operators.jsonspec import infer_json_spec
+
+    ev = _t(spark, sf_dir, "events")
+    i = F.col("event_id") % 100
+    u3 = (F.col("user_id") % 3).cast("string")
+    uc = (F.col("user_id") % 1000).cast("string")
+    js = (
+        F.when(F.col("event_id") % 97 == 0, F.lit("not json"))
+        .when(
+            F.col("event_type") == "click",
+            F.concat(F.lit('{"k": '), i.cast("string"),
+                     F.lit(', "device": "m'), u3,
+                     F.lit('", "active": true}')),
+        )
+        .when(
+            F.col("event_type") == "view",
+            F.concat(F.lit('{"k": '), i.cast("string"),
+                     F.lit(', "score": '),
+                     (F.col("event_id") % 9).cast("string"),
+                     F.lit('.5, "tags": ["t1","t2"]}')),
+        )
+        .when(
+            F.col("event_type") == "purchase",
+            F.concat(F.lit('{"k": "'), i.cast("string"),
+                     F.lit('", "amount": {"cents": '), uc,
+                     F.lit(', "cur": null}}')),
+        )
+        .otherwise(F.concat(F.lit('{"k": '), i.cast("string"), F.lit("}")))
+    )
+    return infer_json_spec(ev.select(js.alias("js")), "js", dominance=0.9)
+
+
 def _check_suite_def():
     from schema_validator_spark.operators.checks import Check
 
@@ -2196,6 +2238,11 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
          "n_with_nan", "n_valid", "n_zero_vecs"],
         ["norm_min", "norm_mean", "norm_max"],
     ),
+    "json_spec": (
+        ['"key"', "vtype", "n_type", "n_key", "dominant", "n_obj",
+         "n_corrupt"],
+        ["presence_rate", "type_share"],
+    ),
 }
 
 
@@ -2279,6 +2326,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quality": q_embedding_quality,
         "shared_content": q_shared_content,
         "winnow_pairs": q_winnow_pairs,
+        "json_spec": q_json_spec,
         # --- tier 2: checked only in CORRECTNESS_r02 --------------------
         "lang_id_counts": q_lang_id_counts,
         "quality_scores": q_quality_scores,
@@ -3254,6 +3302,67 @@ def _oracle_sql_raw() -> dict[str, str]:
             from fps a join fps b on a.fp = b.fp and a.doc_id < b.doc_id
             group by 1, 2
             having count(*) >= 2
+        """,
+        "json_spec": """
+            with j as (
+              select case
+                when event_id % 97 = 0 then 'not json'
+                when event_type = 'click' then
+                  '{"k": ' || (event_id % 100) || ', "device": "m'
+                  || (user_id % 3) || '", "active": true}'
+                when event_type = 'view' then
+                  '{"k": ' || (event_id % 100) || ', "score": '
+                  || (event_id % 9) || '.5, "tags": ["t1","t2"]}'
+                when event_type = 'purchase' then
+                  '{"k": "' || (event_id % 100) || '", "amount": {"cents": '
+                  || (user_id % 1000) || ', "cur": null}}'
+                else '{"k": ' || (event_id % 100) || '}'
+              end as js from events
+            ), p as (
+              select js, try_cast(js as json) as v from j
+            ), tot as (
+              select cast(count(*) filter (where json_type(v) = 'OBJECT')
+                          as bigint) as n_obj,
+                     cast(count(*) filter (where js is not null
+                                           and v is null)
+                          as bigint) as n_corrupt
+              from p
+            ), kv as (
+              select unnest(json_keys(v)) as key, v
+              from p where json_type(v) = 'OBJECT'
+            ), typed as (
+              select key,
+                case json_type(v, '$.' || key)
+                  when 'OBJECT' then 'object'
+                  when 'ARRAY' then 'array'
+                  when 'VARCHAR' then 'string'
+                  when 'BOOLEAN' then 'bool'
+                  when 'NULL' then 'null'
+                  when 'DOUBLE' then 'float'
+                  when 'BIGINT' then 'int'
+                  when 'UBIGINT' then 'int'
+                  else lower(json_type(v, '$.' || key))
+                end as vtype
+              from kv
+            ), counts as (
+              select key, vtype, cast(count(*) as bigint) as n_type
+              from typed group by 1, 2
+            ), wk as (
+              select key, vtype, n_type,
+                     cast(sum(n_type) over (partition by key) as bigint)
+                       as n_key,
+                     cast(max(n_type) over (partition by key) as bigint)
+                       as max_type
+              from counts
+            )
+            select key as "key", vtype, n_type, n_key,
+                   round(cast(n_key as double) / n_obj, 6)
+                     as presence_rate,
+                   round(cast(n_type as double) / n_key, 6) as type_share,
+                   (n_type = max_type
+                    and cast(n_type as double) >= 0.9 * n_key) as dominant,
+                   n_obj, n_corrupt
+            from wk cross join tot
         """,
         "embedding_quality": """
             with p as (
