@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (115/115), including the approximate tiers
+EVERY query has an oracle (116/116), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -2142,6 +2142,29 @@ def q_json_spec(spark, sf_dir):
     return infer_json_spec(ev.select(js.alias("js")), "js", dominance=0.9)
 
 
+def q_fk_discovery(spark, sf_dir):
+    """Inclusion-dependency (FK) discovery
+    (operators/inclusion.discover_inclusions): every ordered pair of
+    six key columns across orders/customer/nation/lineitem, coverage =
+    |A ∩ B| / |A| over distinct non-null values compared as strings.
+    The planted orphans make o_custkey ⊆ c_custkey a DIRTY FK
+    (coverage < 1) while l_orderkey ⊆ o_orderkey holds exactly — the
+    discovery output that referential_violations then verifies."""
+    from schema_validator_spark.operators.inclusion import (
+        discover_inclusions,
+    )
+
+    tabs = {n: _t(spark, sf_dir, n)
+            for n in ("orders", "customer", "nation", "lineitem")}
+    cols = {
+        "orders": ["o_custkey", "o_orderkey"],
+        "customer": ["c_custkey", "c_nationkey"],
+        "nation": ["n_nationkey"],
+        "lineitem": ["l_orderkey"],
+    }
+    return discover_inclusions(tabs, cols, min_coverage=1.0)
+
+
 def _check_suite_def():
     from schema_validator_spark.operators.checks import Check
 
@@ -2243,6 +2266,10 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
          "n_corrupt"],
         ["presence_rate", "type_share"],
     ),
+    "fk_discovery": (
+        ["from_id", "to_id", "n_from", "n_common", "holds"],
+        ["coverage"],
+    ),
 }
 
 
@@ -2327,6 +2354,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shared_content": q_shared_content,
         "winnow_pairs": q_winnow_pairs,
         "json_spec": q_json_spec,
+        "fk_discovery": q_fk_discovery,
         # --- tier 2: checked only in CORRECTNESS_r02 --------------------
         "lang_id_counts": q_lang_id_counts,
         "quality_scores": q_quality_scores,
@@ -3363,6 +3391,50 @@ def _oracle_sql_raw() -> dict[str, str]:
                     and cast(n_type as double) >= 0.9 * n_key) as dominant,
                    n_obj, n_corrupt
             from wk cross join tot
+        """,
+        "fk_discovery": """
+            with d as (
+              select distinct 'orders.o_custkey' as cid,
+                     cast(o_custkey as varchar) as v
+              from orders where o_custkey is not null
+              union
+              select distinct 'orders.o_orderkey',
+                     cast(o_orderkey as varchar)
+              from orders where o_orderkey is not null
+              union
+              select distinct 'customer.c_custkey',
+                     cast(c_custkey as varchar)
+              from customer where c_custkey is not null
+              union
+              select distinct 'customer.c_nationkey',
+                     cast(c_nationkey as varchar)
+              from customer where c_nationkey is not null
+              union
+              select distinct 'nation.n_nationkey',
+                     cast(n_nationkey as varchar)
+              from nation where n_nationkey is not null
+              union
+              select distinct 'lineitem.l_orderkey',
+                     cast(l_orderkey as varchar)
+              from lineitem where l_orderkey is not null
+            ), na as (
+              select cid, cast(count(*) as bigint) as n from d group by 1
+            ), common as (
+              select a.cid as from_id, b.cid as to_id,
+                     cast(count(*) as bigint) as n_common
+              from d a join d b on a.v = b.v and a.cid <> b.cid
+              group by 1, 2
+            )
+            select f.cid as from_id, t.cid as to_id,
+                   f.n as n_from,
+                   coalesce(c.n_common, 0) as n_common,
+                   round(cast(coalesce(c.n_common, 0) as double) / f.n, 6)
+                     as coverage,
+                   (round(cast(coalesce(c.n_common, 0) as double) / f.n, 6)
+                    >= 1.0) as holds
+            from na f cross join na t
+            left join common c on c.from_id = f.cid and c.to_id = t.cid
+            where f.cid <> t.cid
         """,
         "embedding_quality": """
             with p as (
