@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (116/116), including the approximate tiers
+EVERY query has an oracle (117/117), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -2165,6 +2165,21 @@ def q_fk_discovery(spark, sf_dir):
     return discover_inclusions(tabs, cols, min_coverage=1.0)
 
 
+def q_value_patterns(spark, sf_dir):
+    """Value-pattern (mask) profiling
+    (operators/patterns.value_patterns): per-column character-class
+    mask histogram (A/a/9, punctuation kept, runs collapsed) — the
+    unknown-format anomaly view; semantic_types matches known formats,
+    this surfaces the rest.  Deterministic tie-break (count desc, mask
+    asc) makes the ranked rows replayable."""
+    from schema_validator_spark.operators.patterns import value_patterns
+
+    cust = _t(spark, sf_dir, "customer")
+    return value_patterns(
+        cust, ["c_name", "c_mktsegment"], top_k=5, compress=True
+    )
+
+
 def _check_suite_def():
     from schema_validator_spark.operators.checks import Check
 
@@ -2270,6 +2285,9 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
         ["from_id", "to_id", "n_from", "n_common", "holds"],
         ["coverage"],
     ),
+    "value_patterns": (
+        ['"column"', "mask", "n", '"rank"'], ["share"]
+    ),
 }
 
 
@@ -2355,6 +2373,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "json_spec": q_json_spec,
         "fk_discovery": q_fk_discovery,
+        "value_patterns": q_value_patterns,
         # --- tier 2: checked only in CORRECTNESS_r02 --------------------
         "lang_id_counts": q_lang_id_counts,
         "quality_scores": q_quality_scores,
@@ -3435,6 +3454,35 @@ def _oracle_sql_raw() -> dict[str, str]:
             from na f cross join na t
             left join common c on c.from_id = f.cid and c.to_id = t.cid
             where f.cid <> t.cid
+        """,
+        "value_patterns": """
+            with masked as (
+              select col as "column",
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(v, '[A-Z]+', 'A', 'g'),
+                         '[a-z]+', 'a', 'g'),
+                       '[0-9]+', '9', 'g') as mask
+              from (
+                select 'c_name' as col, cast(c_name as varchar) as v
+                from customer
+                union all
+                select 'c_mktsegment', cast(c_mktsegment as varchar)
+                from customer
+              ) where v is not null
+            ), counts as (
+              select "column", mask, cast(count(*) as bigint) as n
+              from masked group by 1, 2
+            ), ranked as (
+              select "column", mask, n,
+                     round(cast(n as double) /
+                           sum(n) over (partition by "column"), 6) as share,
+                     cast(row_number() over (
+                       partition by "column"
+                       order by n desc, mask asc) as int) as "rank"
+              from counts
+            )
+            select * from ranked where "rank" <= 5
         """,
         "embedding_quality": """
             with p as (
