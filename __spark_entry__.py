@@ -3407,7 +3407,8 @@ def _oracle_sql_raw() -> dict[str, str]:
                      as presence_rate,
                    round(cast(n_type as double) / n_key, 6) as type_share,
                    (n_type = max_type
-                    and cast(n_type as double) >= 0.9 * n_key) as dominant,
+                    and round(cast(n_type as double) / n_key, 6) >= 0.9)
+                     as dominant,
                    n_obj, n_corrupt
             from wk cross join tot
         """,
@@ -3449,8 +3450,7 @@ def _oracle_sql_raw() -> dict[str, str]:
                    coalesce(c.n_common, 0) as n_common,
                    round(cast(coalesce(c.n_common, 0) as double) / f.n, 6)
                      as coverage,
-                   (round(cast(coalesce(c.n_common, 0) as double) / f.n, 6)
-                    >= 1.0) as holds
+                   (coalesce(c.n_common, 0) = f.n) as holds
             from na f cross join na t
             left join common c on c.from_id = f.cid and c.to_id = t.cid
             where f.cid <> t.cid

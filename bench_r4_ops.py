@@ -139,20 +139,97 @@ def run_check_suite(spark, n=64_000_000):
             "sec": round(time.time() - t, 1)}
 
 
+def run_json_spec(spark, n=25_000_000):
+    from schema_validator_spark.operators.jsonspec import infer_json_spec
+
+    i = F.col("id")
+    df = spark.range(n).select(
+        F.when(i % 97 == 0, F.lit("not json"))
+        .when(
+            i % 3 == 0,
+            F.concat(F.lit('{"k": '), (i % 100).cast("string"),
+                     F.lit(', "active": true}')),
+        )
+        .when(
+            i % 3 == 1,
+            F.concat(F.lit('{"k": "'), (i % 100).cast("string"),
+                     F.lit('", "amount": {"cents": '),
+                     (i % 1000).cast("string"), F.lit("}}")),
+        )
+        .otherwise(
+            F.concat(F.lit('{"k": '), (i % 9).cast("string"),
+                     F.lit('.5, "tags": ["a","b"]}')),
+        )
+        .alias("js")
+    )
+    t = time.time()
+    rows = infer_json_spec(df, "js").collect()
+    return {"op": "json_spec", "rows": n, "keys_typed": len(rows),
+            "sec": round(time.time() - t, 1)}
+
+
+def run_fk_discovery(spark, n_fact=16_000_000, n_dim=1_000_000):
+    from schema_validator_spark.operators.inclusion import (
+        discover_inclusions,
+    )
+
+    fact = spark.range(n_fact).select(
+        (F.col("id") % (n_dim + 1000)).alias("fk"),  # ~0.1% dirty keys
+        (F.col("id") % 7).alias("grp"),
+    )
+    dim = spark.range(n_dim).select(F.col("id").alias("pk"))
+    t = time.time()
+    rows = discover_inclusions(
+        {"fact": fact, "dim": dim},
+        {"fact": ["fk", "grp"], "dim": ["pk"]},
+    ).collect()
+    cov = {(r["from_id"], r["to_id"]): r["coverage"] for r in rows}
+    return {"op": "fk_discovery", "fact_rows": n_fact, "dim_rows": n_dim,
+            "fk_pk_coverage": cov[("fact.fk", "dim.pk")],
+            "sec": round(time.time() - t, 1)}
+
+
+def run_value_patterns(spark, n=16_000_000):
+    from schema_validator_spark.operators.patterns import value_patterns
+    from schema_validator_spark.sources.datagen import code_files
+
+    df = code_files(spark, n)
+    t = time.time()
+    rows = value_patterns(
+        df, ["repo", "path", "commit"], top_k=5
+    ).collect()
+    return {"op": "value_patterns", "rows": n, "masks": len(rows),
+            "sec": round(time.time() - t, 1)}
+
+
+#: op label (as printed in output / BENCH.md) -> benchmark fn
+OPS = {
+    "edit_join": run_edit_join,
+    "winnow_pairs": run_winnow,
+    "shared_content": run_shared_content,
+    "doc_chunks": run_doc_chunks,
+    "check_suite": run_check_suite,
+    "json_spec": run_json_spec,
+    "fk_discovery": run_fk_discovery,
+    "value_patterns": run_value_patterns,
+}
+
+
 def main():
     cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-    only = set(sys.argv[2:])  # optional op-name filter
+    only = sys.argv[2:]  # optional op-label filter
+    unknown = [o for o in only if o not in OPS]
+    if unknown:
+        sys.exit(f"unknown op(s) {unknown}; choose from {sorted(OPS)}")
     spark = bench.build_session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    all_fns = (run_edit_join, run_winnow, run_shared_content,
-               run_doc_chunks, run_check_suite)
-    for fn in all_fns:
-        if only and fn.__name__.removeprefix("run_") not in only:
+    for label, fn in OPS.items():
+        if only and label not in only:
             continue
         try:
             out = fn(spark)
         except Exception as exc:  # keep later points running
-            out = {"op": fn.__name__, "error": str(exc)[:200]}
+            out = {"op": label, "error": str(exc)[:200]}
         out["cpus"] = cpus
         print(json.dumps(out), flush=True)
     spark.stop()

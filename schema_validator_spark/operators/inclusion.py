@@ -9,21 +9,34 @@ Metanome/SINDY profiling family does — same unary-IND semantics.)
 
 Semantics: values compare as strings (cast once, so an int FK against
 a bigint PK still matches — the Bloom-tier lesson); NULLs are excluded
-(SQL FK semantics ignore NULL references); a column appears even when
-it shares no values with anything (coverage 0 rows are materialized,
-not silently absent).
+(SQL FK semantics ignore NULL references); every requested column pair
+is materialized — zero shared values shows as coverage 0, and an
+all-NULL column shows with n_from = 0 and coverage/holds NULL
+(vacuous), never silently absent.  ``holds`` at min_coverage=1.0 is
+the INTEGER test ``n_common == n_from`` — a 6dp-rounded 0.9999997
+cannot masquerade as an exact inclusion dependency.
 
-Scale shape: one stack-unpivot per table rides its scan; DISTINCT
-(column, value) is a map-side-combined shuffle bounded by total
-distinct values; the co-occurrence self-join groups per VALUE, whose
-bucket is at most the number of profiled columns (a constant — no
-degenerate bucket possible); the final frame is #columns² rows.
+Scale shape: ONE stack-unpivot per table rides its scan (the
+profile.py pattern — not a scan per column); DISTINCT (column, value)
+is a map-side-combined shuffle bounded by total distinct values; the
+co-occurrence self-join groups per VALUE, whose bucket is at most the
+number of profiled columns (a constant — no degenerate bucket
+possible); the final frame is #columns² rows.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _unpivot(df: DataFrame, tname: str, cols: list[str]) -> DataFrame:
+    parts = ", ".join(
+        f"'{tname}.{c}', cast(`{c}` as string)" for c in cols
+    )
+    return df.selectExpr(
+        f"stack({len(cols)}, {parts}) as (cid, v)"
+    ).filter(F.col("v").isNotNull())
 
 
 def discover_inclusions(
@@ -35,29 +48,31 @@ def discover_inclusions(
     """``(from_id, to_id, n_from, n_common, coverage, holds)`` for every
     ordered pair of profiled columns (ids are ``table.column``).
     ``coverage`` = |distinct(from) ∩ distinct(to)| / |distinct(from)|,
-    rounded 6dp; ``holds`` = coverage >= ``min_coverage``."""
+    rounded 6dp (NULL when the from-column is all NULL); ``holds`` is
+    exact: ``n_common == n_from`` at min_coverage=1.0, else the
+    UNROUNDED ratio >= ``min_coverage``."""
     if not 0 < min_coverage <= 1.0:
         raise ValueError("min_coverage must be in (0, 1]")
-    frames = []
+    frames, all_ids = [], []
     for tname, cols in columns.items():
         if tname not in tables:
             raise ValueError(f"no DataFrame given for table {tname!r}")
-        df = tables[tname]
-        for c in cols:
-            frames.append(
-                df.select(
-                    F.lit(f"{tname}.{c}").alias("cid"),
-                    F.col(c).cast("string").alias("v"),
-                ).filter(F.col("v").isNotNull())
-            )
-    if len(frames) < 2:
+        all_ids.extend(f"{tname}.{c}" for c in cols)
+        frames.append(_unpivot(tables[tname], tname, cols))
+    if len(all_ids) < 2:
         raise ValueError("need at least two profiled columns")
+    spark = next(iter(tables.values())).sparkSession
     d = frames[0]
     for f in frames[1:]:
         d = d.unionByName(f)
     d = d.distinct()
 
-    na = d.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+    # every requested column participates, even if all-NULL (n = 0)
+    ids = spark.createDataFrame([(i,) for i in all_ids], "cid string")
+    na = ids.join(
+        d.groupBy("cid").agg(F.count(F.lit(1)).alias("n")),
+        on="cid", how="left",
+    ).select("cid", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
     common = (
         d.alias("a")
         .join(d.alias("b"), on="v")
@@ -74,20 +89,25 @@ def discover_inclusions(
         )
         .filter(F.col("from_id") != F.col("to_id"))
     )
-    cov = F.round(
-        F.coalesce(F.col("n_common"), F.lit(0)).cast("double")
-        / F.col("n_from"),
-        6,
+    nc = F.coalesce(F.col("n_common"), F.lit(0)).cast("long")
+    cov = F.when(
+        F.col("n_from") > 0,
+        F.round(nc.cast("double") / F.col("n_from"), 6),
     )
+    if min_coverage == 1.0:
+        ok = nc == F.col("n_from")
+    else:
+        ok = (nc.cast("double") / F.col("n_from")) >= F.lit(
+            float(min_coverage)
+        )
     return (
         pairs.join(F.broadcast(common), on=["from_id", "to_id"], how="left")
         .select(
             "from_id",
             "to_id",
             "n_from",
-            F.coalesce(F.col("n_common"), F.lit(0))
-            .cast("long").alias("n_common"),
+            nc.alias("n_common"),
             cov.alias("coverage"),
-            (cov >= F.lit(float(min_coverage))).alias("holds"),
+            F.when(F.col("n_from") > 0, ok).alias("holds"),
         )
     )

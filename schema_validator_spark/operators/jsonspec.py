@@ -81,12 +81,13 @@ def infer_json_spec(
         v.filter("_is_obj")
         .select("_v")
         .lateralJoin(spark.tvf.variant_explode(F.col("_v").outer()))
+        # project the schema string ONCE — inlining it into the CASE
+        # would re-walk the variant per non-matching branch (CSE does
+        # not share conditionally-evaluated subexpressions)
         .select(
-            "key",
-            F.expr(
-                _CANON.replace("_vt", "schema_of_variant(value)")
-            ).alias("vtype"),
+            "key", F.expr("schema_of_variant(value)").alias("_vt")
         )
+        .select("key", F.expr(_CANON).alias("vtype"))
     )
     counts = kv.groupBy("key", "vtype").agg(
         F.count(F.lit(1)).alias("n_type")
@@ -107,11 +108,14 @@ def infer_json_spec(
             .alias("presence_rate"),
             F.round(F.col("n_type") / F.col("n_key"), 6)
             .alias("type_share"),
+            # compare the 6dp-ROUNDED share against the bar: an exactly
+            # met threshold (9/10 at 0.9) must pass — n_type >= 0.9 *
+            # n_key fails on the IEEE product 9.000000000000002
             (
                 (F.col("n_type") == F.col("_max_type"))
                 & (
-                    F.col("n_type")
-                    >= F.lit(float(dominance)) * F.col("n_key")
+                    F.round(F.col("n_type") / F.col("n_key"), 6)
+                    >= F.lit(float(dominance))
                 )
             ).alias("dominant"),
             "n_obj",

@@ -46,17 +46,14 @@ def value_patterns(
         raise ValueError("no columns given")
     if top_k < 1:
         raise ValueError("top_k must be >= 1")
-    frames = []
-    for c in cols:
-        frames.append(
-            df.select(
-                F.lit(c).alias("column"),
-                _mask(F.col(c).cast("string"), compress).alias("mask"),
-            ).filter(F.col("mask").isNotNull())
-        )
-    u = frames[0]
-    for f in frames[1:]:
-        u = u.unionByName(f)
+    # ONE stack-unpivot pass (the profile.py pattern — not a scan per
+    # column); the mask chain then runs once over the unpivoted value
+    parts = ", ".join(f"'{c}', cast(`{c}` as string)" for c in cols)
+    u = (
+        df.selectExpr(f"stack({len(cols)}, {parts}) as (column, _val)")
+        .select("column", _mask(F.col("_val"), compress).alias("mask"))
+        .filter(F.col("mask").isNotNull())
+    )
     counts = u.groupBy("column", "mask").agg(
         F.count(F.lit(1)).alias("n")
     )

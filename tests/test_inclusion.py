@@ -65,6 +65,22 @@ def test_type_mismatch_still_matches_as_string(spark):
     assert r["coverage"] == 1.0 and r["holds"] is True
 
 
+def test_all_null_column_materialized(spark):
+    a = spark.createDataFrame([(None,), (None,)], "x int")
+    b = spark.createDataFrame([(1,), (2,)], "y bigint")
+    got = {
+        (r["from_id"], r["to_id"]): r
+        for r in discover_inclusions(
+            {"a": a, "b": b}, {"a": ["x"], "b": ["y"]}
+        ).collect()
+    }
+    # the all-NULL column still appears on both sides, marked vacuous
+    r = got[("a.x", "b.y")]
+    assert r["n_from"] == 0 and r["coverage"] is None and r["holds"] is None
+    assert got[("b.y", "a.x")]["coverage"] == 0.0
+    assert got[("b.y", "a.x")]["holds"] is False
+
+
 def test_partial_threshold(tabs):
     got = _got(tabs, min_coverage=0.6)
     assert got[("fact.fk", "dim.pk")]["holds"] is True
