@@ -1,0 +1,117 @@
+"""Secret / credential scanning over code content — the code-table
+sibling of operators/pii.py (pii_scan finds personal data in TEXT
+columns; this finds leaked credentials in SOURCE CODE, the scan a
+code-corpus curator runs before training or publishing — BigCode's
+Stack pipeline redacts exactly this class).
+
+Patterns are the published gitleaks/detect-secrets shapes for
+well-known credential formats (AWS access-key ids, GitHub fine/classic
+tokens, Slack tokens, PEM private-key headers, JWTs) plus two
+assignment heuristics (password/api-key literals).  All RE2-safe — no
+backreferences, no lookaround — so the DuckDB oracle replays them with
+the identical regex semantics.
+
+Scale shape: ``secret_scan`` is the pii_scan shape — every
+(column x pattern) pair is two map-side-combinable aggregates in ONE
+global aggregation producing ONE row; ``secret_findings`` is row-level
+— one ``regexp_count`` per pattern in a single projection, ONE
+stack-unpivot (not a scan per pattern), then a filter; zero joins,
+zero Python, the corpus never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: (secret_type, RE2-safe pattern) — ordered, names stable (they are
+#: output values); single source of truth shared with the oracle
+SECRET_PATTERNS: list[tuple[str, str]] = [
+    ("AWS_ACCESS_KEY_ID", r"\bAKIA[0-9A-Z]{16}\b"),
+    ("GITHUB_TOKEN", r"\bgh[pousr]_[0-9A-Za-z]{36}\b"),
+    ("SLACK_TOKEN", r"\bxox[baprs]-[0-9A-Za-z-]{10,}"),
+    ("PRIVATE_KEY_BLOCK", r"-----BEGIN [A-Z ]{0,20}PRIVATE KEY-----"),
+    (
+        "JWT",
+        r"\beyJ[0-9A-Za-z_-]{8,}\.[0-9A-Za-z_-]{8,}\.[0-9A-Za-z_-]{8,}",
+    ),
+    ("PASSWORD_LITERAL", r"(?i)\b(password|passwd|pwd)\s*[:=]\s*\S{4,}"),
+    ("API_KEY_LITERAL", r"(?i)\bapi[_-]?key\s*[:=]\s*[0-9A-Za-z_-]{8,}"),
+]
+
+
+def secret_findings(
+    df: DataFrame,
+    id_cols: list[str],
+    content_col: str,
+    *,
+    patterns: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Row-level findings: ``(id_cols..., secret_type, n_spans)`` —
+    one row per (file, credential type) actually present.  This is the
+    actionable form (which files to quarantine); ``secret_scan`` is the
+    governance rollup."""
+    pats = patterns or SECRET_PATTERNS
+    s = F.coalesce(F.col(content_col), F.lit(""))
+    counted = df.select(
+        *id_cols,
+        *[
+            F.regexp_count(s, F.lit(p)).alias(f"_c{i}")
+            for i, (_, p) in enumerate(pats)
+        ],
+    )
+    parts = ", ".join(
+        f"'{name}', _c{i}" for i, (name, _) in enumerate(pats)
+    )
+    return (
+        counted.selectExpr(
+            *id_cols, f"stack({len(pats)}, {parts}) as (secret_type, n_spans)"
+        )
+        .filter(F.col("n_spans") > 0)
+    )
+
+
+def secret_scan(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    *,
+    patterns: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Per (column, secret_type) exposure report:
+    ``(column, secret_type, n_rows, n_matched, n_spans, match_rate)``.
+    ``cols`` defaults to every string column.  ONE aggregation pass
+    over the table, one output row per (column, type)."""
+    if cols is None:
+        cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, T.StringType)
+        ]
+    pats = patterns or SECRET_PATTERNS
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in cols:
+        s = F.coalesce(F.col(c), F.lit(""))
+        for name, pat in pats:
+            aggs.append(
+                F.count(F.when(s.rlike(pat), 1)).alias(f"{c}\x00{name}\x00m")
+            )
+            aggs.append(
+                F.sum(F.regexp_count(s, F.lit(pat))).alias(
+                    f"{c}\x00{name}\x00s"
+                )
+            )
+    row = df.agg(*aggs).collect()[0].asDict()
+    n_rows = row["_rows"]
+    out = []
+    for c in cols:
+        for name, _ in pats:
+            m = row[f"{c}\x00{name}\x00m"]
+            sp = row[f"{c}\x00{name}\x00s"]
+            rate = round(m / n_rows, 6) if n_rows else 0.0
+            out.append((c, name, n_rows, m, sp, rate))
+    return df.sparkSession.createDataFrame(
+        out,
+        "column string, secret_type string, n_rows long, n_matched long, "
+        "n_spans long, match_rate double",
+    )

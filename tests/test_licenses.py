@@ -1,0 +1,83 @@
+from __future__ import annotations
+
+from schema_validator_spark.operators.licenses import (
+    LICENSE_MARKERS,
+    detect_license,
+    license_summary,
+)
+from schema_validator_spark.plans.inspect import n_exchanges, uses_python
+
+MIT = "Permission is hereby granted, free of charge, to any person"
+APACHE = "Licensed under the Apache License, Version 2.0 (the License)"
+GPL = "under the terms of the GNU General Public License as published"
+LGPL = "under the terms of the GNU Lesser General Public License"
+AGPL = "under the terms of the GNU Affero General Public License"
+BSD = "Redistribution and use in source and binary forms, with or without"
+MPL = "subject to the terms of the Mozilla Public License, v. 2.0"
+UNL = "This is free and unencumbered software released into the public domain"
+
+
+def _lic(spark, content):
+    df = spark.createDataFrame([(1, content)], "id long, content string")
+    return detect_license(df, "content").collect()[0]["license"]
+
+
+def test_each_marker(spark):
+    assert _lic(spark, MIT) == "MIT"
+    assert _lic(spark, APACHE) == "Apache-2.0"
+    assert _lic(spark, GPL) == "GPL"
+    assert _lic(spark, LGPL) == "LGPL"
+    assert _lic(spark, AGPL) == "AGPL-3.0"
+    assert _lic(spark, BSD) == "BSD"
+    assert _lic(spark, MPL) == "MPL-2.0"
+    assert _lic(spark, UNL) == "Unlicense"
+
+
+def test_lgpl_not_gpl(spark):
+    # "GNU Lesser General Public License" must NOT read as GPL: the
+    # GPL marker phrase is not a substring of the LGPL phrase, and
+    # priority order puts LGPL first anyway
+    assert _lic(spark, LGPL) == "LGPL"
+    # a COPYING file quoting both phrases resolves by priority
+    assert _lic(spark, LGPL + "\n" + GPL) == "LGPL"
+
+
+def test_fallbacks(spark):
+    assert _lic(spark, "Copyright (c) 2024 Someone") == "UNKNOWN"
+    assert _lic(spark, "def f():\n    return 1\n") == "NONE"
+    assert _lic(spark, None) == "NONE"
+
+
+def test_case_insensitive(spark):
+    assert _lic(spark, MIT.upper()) == "MIT"
+
+
+def test_detect_zero_shuffle(spark):
+    df = spark.createDataFrame([(1, MIT)], "id long, content string")
+    out = detect_license(df, "content")
+    assert n_exchanges(out) == 0
+    assert not uses_python(out)
+
+
+def test_summary_shares(spark):
+    rows = [
+        ("r1", MIT), ("r1", MIT), ("r1", GPL), ("r1", "x"),
+        ("r2", APACHE),
+    ]
+    df = spark.createDataFrame(rows, "repo string, content string")
+    got = {
+        (r["repo"], r["license"]): (r["n_files"], r["share"])
+        for r in license_summary(df, "repo", "content").collect()
+    }
+    assert got[("r1", "MIT")] == (2, 0.5)
+    assert got[("r1", "GPL")] == (1, 0.25)
+    assert got[("r1", "NONE")] == (1, 0.25)
+    assert got[("r2", "Apache-2.0")] == (1, 1.0)
+
+
+def test_marker_names_stable(spark):
+    # output values are an API: names must not drift
+    assert {n for n, _ in LICENSE_MARKERS} == {
+        "Apache-2.0", "AGPL-3.0", "LGPL", "GPL", "MPL-2.0", "MIT",
+        "BSD", "Unlicense",
+    }
