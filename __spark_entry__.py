@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (122/122), including the approximate tiers
+EVERY query has an oracle (124/124), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -2362,6 +2362,82 @@ def q_notebook_cells(spark, sf_dir):
     )
 
 
+def q_code_imports(spark, sf_dir):
+    """Import/dependency extraction
+    (functions/imports.extract_imports): per-language RE2-safe regexes
+    chosen by a lazy CASE over the lang column, regexp_extract_all +
+    one explode riding the scan — zero shuffles.  Mixed-language corpus
+    synthesized deterministically (py/go/js stripes with int-only
+    module names + an unregistered-lang stripe that must yield no
+    rows); the oracle replays the SAME patterns via DuckDB
+    regexp_extract_all + unnest."""
+    from schema_validator_spark.functions.imports import extract_imports
+
+    docs = _t(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 20).cast("string")
+    m3 = F.col("doc_id") % 3
+    lang = (
+        F.when(F.col("doc_id") % 31 == 0, F.lit("cobol"))
+        .when(m3 == 0, F.lit("py"))
+        .when(m3 == 1, F.lit("go"))
+        .otherwise(F.lit("js"))
+    )
+    content = (
+        F.when(
+            m3 == 0,
+            F.concat(F.lit("import mod"), k, F.lit("\nfrom pkg"), k,
+                     F.lit(".sub import x\n"), F.col("text")),
+        )
+        .when(
+            m3 == 1,
+            F.concat(F.lit('import "lib/p'), k, F.lit('"\n'),
+                     F.col("text")),
+        )
+        .otherwise(
+            F.concat(F.lit("const a = require('m"), k, F.lit("');\n"),
+                     F.col("text")),
+        )
+    )
+    df = docs.select(
+        "doc_id", lang.alias("lang"), content.alias("content")
+    )
+    return extract_imports(df, ["doc_id"], "content", "lang")
+
+
+def q_comment_stats(spark, sf_dir):
+    """Comment-ratio metrics (operators/codequality.comment_stats):
+    line + block comment counts and char fraction per file — the
+    StarCoder-era quality signal (near-zero = minified/generated,
+    near-one = boilerplate).  Block comments removed FIRST so a '//'
+    inside '/* */' never double-counts; all length-delta/regexp_count
+    arithmetic in pure codegen, no interpreted HOFs.  Deterministic
+    py/go stripes with planted line and block comments."""
+    from schema_validator_spark.operators.codequality import comment_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 20).cast("string")
+    base = F.replace(F.col("text"), F.lit(" a "), F.lit("\n"))
+    is_py = F.col("doc_id") % 2 == 0
+    tail = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.when(is_py, F.concat(F.lit("\nx = 1 # tail"), k)).otherwise(
+            F.concat(F.lit("\n/* b"), k, F.lit("\nmore */"))
+        ),
+    ).otherwise(F.lit(""))
+    content = F.concat(
+        F.when(is_py, F.concat(F.lit("# c"), k, F.lit("\n")))
+        .otherwise(F.concat(F.lit("// c"), k, F.lit("\n"))),
+        base,
+        tail,
+    )
+    df = docs.select(
+        "doc_id",
+        F.when(is_py, F.lit("py")).otherwise(F.lit("go")).alias("lang"),
+        content.alias("content"),
+    )
+    return comment_stats(df, "content", "lang", keep_cols=["doc_id"])
+
+
 def _check_suite_def():
     from schema_validator_spark.operators.checks import Check
 
@@ -2476,6 +2552,11 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
         ["avg_line_len", "alnum_frac", "alpha_frac"],
     ),
     "license_scan": (["repo", "license", "n_files"], ["share"]),
+    "comment_stats": (
+        ["doc_id", "n_chars", "comment_chars", "n_line_comments",
+         "n_block_comments"],
+        ["comment_frac"],
+    ),
 }
 
 
@@ -2567,6 +2648,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "license_scan": q_license_scan,
         "lang_mismatch": q_lang_mismatch,
         "notebook_cells": q_notebook_cells,
+        "code_imports": q_code_imports,
+        "comment_stats": q_comment_stats,
         # --- tier 2: checked only in CORRECTNESS_r02 --------------------
         "lang_id_counts": q_lang_id_counts,
         "quality_scores": q_quality_scores,
@@ -3017,6 +3100,117 @@ _NOTEBOOK_ORACLE_SQL = r"""
     from cells
     where cell_type = 'code' and src is not null
 """
+
+
+def _imports_oracle_sql() -> str:
+    """Replay q_code_imports: identical content synthesis + the SAME
+    per-language regexes (single source of truth:
+    functions/imports.IMPORT_PATTERNS) via regexp_extract_all +
+    unnest."""
+    from schema_validator_spark.functions.imports import IMPORT_PATTERNS
+
+    def esc(p: str) -> str:
+        return p.replace("'", "''")
+
+    py, pyg = IMPORT_PATTERNS["py"]
+    go, gog = IMPORT_PATTERNS["go"]
+    js, jsg = IMPORT_PATTERNS["js"]
+    return f"""
+        with c as (
+          select doc_id,
+                 cast(doc_id % 20 as varchar) as k,
+                 doc_id % 3 as m3,
+                 (doc_id % 31 = 0) as is_cobol,
+                 text
+          from documents
+        ), synth as (
+          select doc_id, is_cobol, m3,
+                 case when m3 = 0 then
+                        'import mod' || k || chr(10) || 'from pkg' || k
+                        || '.sub import x' || chr(10) || text
+                      when m3 = 1 then
+                        'import "lib/p' || k || '"' || chr(10) || text
+                      else
+                        'const a = require(''m' || k || ''');' || chr(10)
+                        || text
+                 end as content
+          from c
+        )
+        select doc_id,
+               unnest(regexp_extract_all(content,
+                 case when m3 = 0 then '{esc(py)}'
+                      when m3 = 1 then '{esc(go)}'
+                      else '{esc(js)}' end,
+                 case when m3 = 0 then {pyg}
+                      when m3 = 1 then {gog} else {jsg} end)) as module
+        from synth
+        where not is_cobol
+    """
+
+
+def _comment_stats_oracle_sql() -> str:
+    """Replay q_comment_stats: identical synthesis + the SAME comment
+    regexes (single source of truth:
+    operators/codequality.COMMENT_SYNTAX) as length-delta arithmetic
+    in DuckDB (regexp_replace 'g', counts via regexp_extract_all)."""
+    from schema_validator_spark.operators.codequality import COMMENT_SYNTAX
+
+    py_line, _ = COMMENT_SYNTAX["py"]
+    go_line, go_blk = COMMENT_SYNTAX["go"]
+
+    def esc(p: str) -> str:
+        return p.replace("'", "''")
+
+    return f"""
+        with c as (
+          select doc_id,
+                 cast(doc_id % 20 as varchar) as k,
+                 (doc_id % 2 = 0) as is_py,
+                 (doc_id % 5 = 0) as has_tail,
+                 text
+          from documents
+        ), synth as (
+          select doc_id, is_py,
+                 coalesce(
+                   case when is_py then '# c' || k else '// c' || k end
+                   || chr(10) || replace(text, ' a ', chr(10))
+                   || case when has_tail and is_py
+                           then chr(10) || 'x = 1 # tail' || k
+                           when has_tail
+                           then chr(10) || '/* b' || k || chr(10)
+                                || 'more */'
+                           else '' end,
+                   '') as content
+          from c
+        ), noblk as (
+          select doc_id, is_py, content,
+                 case when is_py then content
+                      else regexp_replace(content, '{esc(go_blk)}', '', 'g')
+                 end as nb
+          from synth
+        )
+        select doc_id,
+               cast(length(content) as int) as n_chars,
+               cast((length(content) - length(nb))
+                    + (length(nb) - length(regexp_replace(nb,
+                        case when is_py then '{esc(py_line)}'
+                             else '{esc(go_line)}' end, '', 'g')))
+                 as int) as comment_chars,
+               cast(len(regexp_extract_all(nb,
+                        case when is_py then '{esc(py_line)}'
+                             else '{esc(go_line)}' end)) as int)
+                 as n_line_comments,
+               cast(case when is_py then 0
+                    else len(regexp_extract_all(content, '{esc(go_blk)}'))
+                    end as int) as n_block_comments,
+               case when length(content) > 0 then
+                 round(cast((length(content) - length(nb))
+                       + (length(nb) - length(regexp_replace(nb,
+                           case when is_py then '{esc(py_line)}'
+                                else '{esc(go_line)}' end, '', 'g')))
+                   as double) / length(content), 6) end as comment_frac
+        from noblk
+    """
 
 
 def _fd_discovery_oracle_sql() -> str:
@@ -3897,6 +4091,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "license_scan": _license_oracle_sql(),
         "lang_mismatch": _LANG_MISMATCH_ORACLE_SQL,
         "notebook_cells": _NOTEBOOK_ORACLE_SQL,
+        "code_imports": _imports_oracle_sql(),
+        "comment_stats": _comment_stats_oracle_sql(),
         "embedding_quality": """
             with p as (
               select embedding as v,
