@@ -2985,7 +2985,18 @@ def _license_oracle_sql() -> str:
     """
 
 
-_CODEQ_ORACLE_SQL = """
+def _codequality_oracle_sql() -> str:
+    """Replay q_code_quality with the SAME autogen regex, head window,
+    and keep thresholds (single source of truth:
+    operators/codequality module constants — the integer keep
+    arithmetic is re-derived from the same Fraction)."""
+    from fractions import Fraction
+
+    from schema_validator_spark.operators import codequality as cq
+
+    r = Fraction(cq.DEFAULT_MIN_ALNUM_FRAC)
+    autogen = cq.AUTOGEN_RE.replace("'", "''")
+    return f"""
     with c0 as (
       select doc_id,
              case when doc_id % 11 = 0 then repeat(replace(text, ' ', ''), 8)
@@ -3005,8 +3016,8 @@ _CODEQ_ORACLE_SQL = """
                   '[0-9A-Za-z]', '', 'g')) as int) as n_alnum,
              cast(length(content) - length(regexp_replace(content,
                   '[A-Za-z]', '', 'g')) as int) as n_alpha,
-             regexp_matches(substr(content, 1, 300),
-                  '(?i)(auto-?generated|do not edit|generated by)') as autogen
+             regexp_matches(substr(content, 1, {cq.AUTOGEN_HEAD_CHARS}),
+                  '{autogen}') as autogen
       from c
     )
     select doc_id, n_chars, n_lines, max_line_len,
@@ -3020,20 +3031,20 @@ _CODEQ_ORACLE_SQL = """
              as alpha_frac,
            autogen,
            ends_with(content, chr(10)) as ends_newline,
-           cast( (length(content) - length(replace(content, '{', '')))
+           cast( (length(content) - length(replace(content, '{{', '')))
                + (length(content) - length(replace(content, '[', '')))
                + (length(content) - length(replace(content, '(', '')))
-               - (length(content) - length(replace(content, '}', '')))
+               - (length(content) - length(replace(content, '}}', '')))
                - (length(content) - length(replace(content, ']', '')))
                - (length(content) - length(replace(content, ')', '')))
              as int) as bracket_balance,
-           (n_chars between 1 and 1000000
-            and max_line_len <= 1000
-            and (n_chars - (n_lines - 1)) <= 100 * n_lines
-            and n_alnum * 4 >= n_chars * 1
+           (n_chars between {cq.DEFAULT_MIN_CHARS} and {cq.DEFAULT_MAX_CHARS}
+            and max_line_len <= {cq.DEFAULT_MAX_LINE}
+            and (n_chars - (n_lines - 1)) <= {cq.DEFAULT_MAX_AVG_LINE} * n_lines
+            and n_alnum * {r.denominator} >= n_chars * {r.numerator}
             and not autogen) as keep
     from s
-"""
+    """
 
 
 _LANG_MISMATCH_ORACLE_SQL = r"""
@@ -4086,7 +4097,7 @@ def _oracle_sql_raw() -> dict[str, str]:
             )
             select * from ranked where "rank" <= 5
         """,
-        "code_quality": _CODEQ_ORACLE_SQL,
+        "code_quality": _codequality_oracle_sql(),
         "secret_scan": _secret_oracle_sql(),
         "license_scan": _license_oracle_sql(),
         "lang_mismatch": _LANG_MISMATCH_ORACLE_SQL,

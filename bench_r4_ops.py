@@ -308,8 +308,9 @@ def run_notebook_cells(spark, n=8_000_000):
 def run_imports(spark, n=32_000_000):
     from schema_validator_spark.functions.imports import import_edges
 
-    # plant a go-style import per file; only lang='go' rows (1/7 of the
-    # corpus) extract — a realistic mixed-language table
+    # plant a go-style import per file; the go rows match the go
+    # pattern and the ts rows match the js/ts 'import "x"' form, so
+    # ~2/7 of the corpus extracts — a realistic mixed-language table
     i = F.pmod(F.xxhash64("path"), 500)
     df = _code_files_parquet(spark, n).withColumn(
         "content",

@@ -51,7 +51,9 @@ def detect_license(
     """Adds ``out_col``: the first marker (priority order) contained in
     ``lower(content)``; ``UNKNOWN`` when only a bare ``copyright`` line
     exists, ``NONE`` otherwise."""
-    ms = markers or LICENSE_MARKERS
+    ms = markers if markers is not None else LICENSE_MARKERS
+    if not ms:
+        raise ValueError("empty marker list")
     low = df.withColumn("_low", F.lower(F.coalesce(content_col, F.lit(""))))
     expr = F.lit(NONE)
     fallback = F.when(F.col("_low").contains("copyright"), F.lit(UNKNOWN))

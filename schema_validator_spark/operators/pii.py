@@ -30,20 +30,29 @@ def pii_types() -> list[tuple[str, str]]:
     return [(tok.strip("<>"), pat) for pat, tok in PII_PATTERNS]
 
 
-def pii_scan(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
-    """Per (column, pii_type) PII exposure report:
-    ``(column, pii_type, n_rows, n_matched, n_spans, match_rate)``.
-    ``cols`` defaults to every string column."""
+def pattern_scan(
+    df: DataFrame,
+    cols: list[str] | None,
+    patterns: list[tuple[str, str]],
+    type_col: str,
+) -> DataFrame:
+    """Shared governance-scan shape (pii_scan + secrets.secret_scan):
+    per (column, pattern-type) ``(column, <type_col>, n_rows,
+    n_matched, n_spans, match_rate)`` — every (column x pattern) pair
+    is two map-side-combinable aggregates in ONE global aggregation;
+    the melt to rows is driver-side over #cols x #patterns values.
+    ``cols=None`` scans every string column."""
+    if not patterns:
+        raise ValueError("empty pattern list")
     if cols is None:
         cols = [
             f.name for f in df.schema.fields
             if isinstance(f.dataType, T.StringType)
         ]
-    pairs = pii_types()
     aggs = [F.count(F.lit(1)).alias("_rows")]
     for c in cols:
         s = F.coalesce(F.col(c), F.lit(""))
-        for name, pat in pairs:
+        for name, pat in patterns:
             aggs.append(
                 F.count(F.when(s.rlike(pat), 1)).alias(f"{c}\x00{name}\x00m")
             )
@@ -54,13 +63,20 @@ def pii_scan(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     n_rows = row["_rows"]
     out = []
     for c in cols:
-        for name, _ in pairs:
+        for name, _ in patterns:
             m = row[f"{c}\x00{name}\x00m"]
             s = row[f"{c}\x00{name}\x00s"]
             rate = round(m / n_rows, 6) if n_rows else 0.0
             out.append((c, name, n_rows, m, s, rate))
     return df.sparkSession.createDataFrame(
         out,
-        "column string, pii_type string, n_rows long, n_matched long, "
+        f"column string, {type_col} string, n_rows long, n_matched long, "
         "n_spans long, match_rate double",
     )
+
+
+def pii_scan(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Per (column, pii_type) PII exposure report:
+    ``(column, pii_type, n_rows, n_matched, n_spans, match_rate)``.
+    ``cols`` defaults to every string column."""
+    return pattern_scan(df, cols, pii_types(), "pii_type")

@@ -23,7 +23,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 #: (secret_type, RE2-safe pattern) — ordered, names stable (they are
 #: output values); single source of truth shared with the oracle
@@ -52,7 +51,9 @@ def secret_findings(
     one row per (file, credential type) actually present.  This is the
     actionable form (which files to quarantine); ``secret_scan`` is the
     governance rollup."""
-    pats = patterns or SECRET_PATTERNS
+    pats = patterns if patterns is not None else SECRET_PATTERNS
+    if not pats:
+        raise ValueError("empty pattern list")
     s = F.coalesce(F.col(content_col), F.lit(""))
     counted = df.select(
         *id_cols,
@@ -81,37 +82,10 @@ def secret_scan(
     """Per (column, secret_type) exposure report:
     ``(column, secret_type, n_rows, n_matched, n_spans, match_rate)``.
     ``cols`` defaults to every string column.  ONE aggregation pass
-    over the table, one output row per (column, type)."""
-    if cols is None:
-        cols = [
-            f.name
-            for f in df.schema.fields
-            if isinstance(f.dataType, T.StringType)
-        ]
-    pats = patterns or SECRET_PATTERNS
-    aggs = [F.count(F.lit(1)).alias("_rows")]
-    for c in cols:
-        s = F.coalesce(F.col(c), F.lit(""))
-        for name, pat in pats:
-            aggs.append(
-                F.count(F.when(s.rlike(pat), 1)).alias(f"{c}\x00{name}\x00m")
-            )
-            aggs.append(
-                F.sum(F.regexp_count(s, F.lit(pat))).alias(
-                    f"{c}\x00{name}\x00s"
-                )
-            )
-    row = df.agg(*aggs).collect()[0].asDict()
-    n_rows = row["_rows"]
-    out = []
-    for c in cols:
-        for name, _ in pats:
-            m = row[f"{c}\x00{name}\x00m"]
-            sp = row[f"{c}\x00{name}\x00s"]
-            rate = round(m / n_rows, 6) if n_rows else 0.0
-            out.append((c, name, n_rows, m, sp, rate))
-    return df.sparkSession.createDataFrame(
-        out,
-        "column string, secret_type string, n_rows long, n_matched long, "
-        "n_spans long, match_rate double",
-    )
+    over the table, one output row per (column, type) — the shared
+    governance-scan shape (operators/pii.pattern_scan, single source
+    of truth with pii_scan)."""
+    from .pii import pattern_scan
+
+    pats = patterns if patterns is not None else SECRET_PATTERNS
+    return pattern_scan(df, cols, pats, "secret_type")
