@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (124/124), including the approximate tiers
+EVERY query has an oracle (126/126), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -2438,6 +2438,66 @@ def q_comment_stats(spark, sf_dir):
     return comment_stats(df, "content", "lang", keep_cols=["doc_id"])
 
 
+def q_path_classes(spark, sf_dir):
+    """Path classification summary
+    (operators/pathclass.path_class_summary — The Stack's path-based
+    exclusion tier: vendored/generated/test/docs/config dropped before
+    any content filter): priority-ordered RE2-safe rlike CASE in pure
+    codegen + one tiny groupBy.  Six deterministic path stripes cover
+    every class; the oracle replays the SAME rule table."""
+    from schema_validator_spark.operators.pathclass import (
+        path_class_summary,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 50).cast("string")
+    m = F.col("doc_id") % 6
+    path = (
+        F.when(m == 0, F.concat(F.lit("vendor/lib/f"), k, F.lit(".py")))
+        .when(m == 1, F.concat(F.lit("build/gen/f"), k, F.lit(".js")))
+        .when(m == 2, F.concat(F.lit("tests/test_f"), k, F.lit(".py")))
+        .when(m == 3, F.concat(F.lit("docs/readme"), k, F.lit(".md")))
+        .when(m == 4, F.concat(F.lit("conf/app"), k, F.lit(".yaml")))
+        .otherwise(F.concat(F.lit("src/main/f"), k, F.lit(".go")))
+    )
+    return path_class_summary(docs.select(path.alias("path")), "path")
+
+
+def q_encoding_stats(spark, sf_dir):
+    """Text-hygiene signals (operators/codequality.encoding_stats):
+    control chars, BOM, U+FFFD mojibake count, CRLF/LF/CR split and a
+    line-ending verdict — ingestion bugs row rules can't see.  All
+    length-delta / regexp_count arithmetic in pure codegen.
+    Deterministic stripes plant crlf / lf / mixed / control+mojibake /
+    BOM files; the oracle rebuilds the identical strings with chr()
+    codepoints."""
+    from schema_validator_spark.operators.codequality import encoding_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 5
+    content = (
+        F.when(m == 0, F.replace(F.col("text"), F.lit(" a "), F.lit("\r\n")))
+        .when(m == 1, F.replace(F.col("text"), F.lit(" a "), F.lit("\n")))
+        .when(
+            m == 2,
+            F.concat(
+                F.replace(F.col("text"), F.lit(" a "), F.lit("\n")),
+                F.lit("\r\n"),
+            ),
+        )
+        .when(
+            m == 3,
+            F.concat(F.col("text"), F.lit("\x07��")),
+        )
+        .otherwise(F.concat(F.lit("﻿"), F.col("text")))
+    )
+    return encoding_stats(
+        docs.select("doc_id", content.alias("content")),
+        "content",
+        keep_cols=["doc_id"],
+    )
+
+
 def _check_suite_def():
     from schema_validator_spark.operators.checks import Check
 
@@ -2557,6 +2617,7 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
          "n_block_comments"],
         ["comment_frac"],
     ),
+    "path_classes": (["path_class", "n_files"], ["share"]),
 }
 
 
@@ -2650,6 +2711,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "notebook_cells": q_notebook_cells,
         "code_imports": q_code_imports,
         "comment_stats": q_comment_stats,
+        "path_classes": q_path_classes,
+        "encoding_stats": q_encoding_stats,
         # --- tier 2: checked only in CORRECTNESS_r02 --------------------
         "lang_id_counts": q_lang_id_counts,
         "quality_scores": q_quality_scores,
@@ -3221,6 +3284,101 @@ def _comment_stats_oracle_sql() -> str:
                                 else '{esc(go_line)}' end, '', 'g')))
                    as double) / length(content), 6) end as comment_frac
         from noblk
+    """
+
+
+def _pathclass_oracle_sql() -> str:
+    """Replay q_path_classes: identical path synthesis + the SAME
+    priority-ordered rule regexes (single source of truth:
+    operators/pathclass.PATH_RULES)."""
+    from schema_validator_spark.operators.pathclass import PATH_RULES, SOURCE
+
+    whens = "\n                    ".join(
+        f"when regexp_matches(path, '{pat}') then '{cls}'"
+        for cls, pat in PATH_RULES
+    )
+    return f"""
+      with p as (
+        select case doc_id % 6
+                 when 0 then 'vendor/lib/f' || cast(doc_id % 50 as varchar)
+                             || '.py'
+                 when 1 then 'build/gen/f' || cast(doc_id % 50 as varchar)
+                             || '.js'
+                 when 2 then 'tests/test_f' || cast(doc_id % 50 as varchar)
+                             || '.py'
+                 when 3 then 'docs/readme' || cast(doc_id % 50 as varchar)
+                             || '.md'
+                 when 4 then 'conf/app' || cast(doc_id % 50 as varchar)
+                             || '.yaml'
+                 else 'src/main/f' || cast(doc_id % 50 as varchar) || '.go'
+               end as path
+        from documents
+      ), d as (
+        select case {whens}
+                    else '{SOURCE}' end as path_class
+        from p
+      ), counts as (
+        select path_class, count(*) as n_files from d group by 1
+      )
+      select path_class, n_files,
+             round(cast(n_files as double) / sum(n_files) over (), 6)
+               as share
+      from counts
+    """
+
+
+def _encoding_oracle_sql() -> str:
+    """Replay q_encoding_stats: identical stripes rebuilt with chr()
+    codepoints + the SAME control-char class (single source of truth:
+    operators/codequality.CONTROL_CHAR_RE) as length-delta
+    arithmetic."""
+    from schema_validator_spark.operators.codequality import CONTROL_CHAR_RE
+
+    ctrl = CONTROL_CHAR_RE.replace("'", "''")
+    return f"""
+      with c0 as (
+        select doc_id,
+               case doc_id % 5
+                 when 0 then replace(text, ' a ', chr(13) || chr(10))
+                 when 1 then replace(text, ' a ', chr(10))
+                 when 2 then replace(text, ' a ', chr(10))
+                             || chr(13) || chr(10)
+                 when 3 then text || chr(7) || chr(65533) || chr(65533)
+                 else chr(65279) || text
+               end as content
+        from documents
+      ), c as (
+        select doc_id, coalesce(content, '') as content from c0
+      ), s as (
+        select doc_id,
+               cast(length(content) as int) as n_chars,
+               cast(len(regexp_extract_all(content, '{ctrl}')) as int)
+                 as n_control,
+               starts_with(content, chr(65279)) as has_bom,
+               cast(length(content)
+                    - length(replace(content, chr(65533), '')) as int)
+                 as n_replacement,
+               cast((length(content) - length(replace(content,
+                    chr(13) || chr(10), ''))) / 2 as int) as n_crlf,
+               cast(length(content)
+                    - length(replace(content, chr(10), '')) as int) as nl,
+               cast(length(content)
+                    - length(replace(content, chr(13), '')) as int) as cr
+        from c
+      )
+      select doc_id, n_chars, n_control, has_bom, n_replacement, n_crlf,
+             (nl - n_crlf) as n_lone_lf,
+             (cr - n_crlf) as n_lone_cr,
+             case when n_crlf = 0 and nl - n_crlf = 0 and cr - n_crlf = 0
+                    then 'none'
+                  when n_crlf > 0 and nl - n_crlf = 0 and cr - n_crlf = 0
+                    then 'crlf'
+                  when n_crlf = 0 and nl - n_crlf > 0 and cr - n_crlf = 0
+                    then 'lf'
+                  when n_crlf = 0 and nl - n_crlf = 0 and cr - n_crlf > 0
+                    then 'cr'
+                  else 'mixed' end as line_ending
+      from s
     """
 
 
@@ -4104,6 +4262,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "notebook_cells": _NOTEBOOK_ORACLE_SQL,
         "code_imports": _imports_oracle_sql(),
         "comment_stats": _comment_stats_oracle_sql(),
+        "path_classes": _pathclass_oracle_sql(),
+        "encoding_stats": _encoding_oracle_sql(),
         "embedding_quality": """
             with p as (
               select embedding as v,

@@ -345,6 +345,47 @@ def run_comment_stats(spark, n=32_000_000):
             "sec": round(time.time() - t, 1)}
 
 
+def run_path_classes(spark, n=64_000_000):
+    from schema_validator_spark.operators.pathclass import (
+        path_class_summary,
+    )
+
+    m = F.pmod(F.xxhash64("path"), 10)
+    df = _code_files_parquet(spark, n).withColumn(
+        "path",
+        F.when(m == 0, F.concat(F.lit("vendor/"), F.col("path")))
+        .when(m == 1, F.concat(F.lit("tests/"), F.col("path")))
+        .when(m == 2, F.concat(F.lit("docs/"), F.col("path")))
+        .when(m == 3, F.concat(F.col("path"), F.lit(".min.js")))
+        .otherwise(F.col("path")),
+    )
+    t = time.time()
+    rows = path_class_summary(df, "path").collect()
+    return {"op": "path_classes", "rows": n,
+            "classes": {r["path_class"]: r["n_files"] for r in rows},
+            "sec": round(time.time() - t, 1)}
+
+
+def run_encoding_stats(spark, n=32_000_000):
+    from schema_validator_spark.operators.codequality import encoding_stats
+
+    m = F.pmod(F.xxhash64("path"), 100)
+    df = _code_files_parquet(spark, n).withColumn(
+        "content",
+        F.when(m == 0, F.replace(F.col("content"), F.lit("\n"),
+                                 F.lit("\r\n")))
+        .when(m == 1, F.concat(F.lit("﻿"), F.col("content")))
+        .when(m == 2, F.concat(F.col("content"), F.lit("\x07�")))
+        .otherwise(F.col("content")),
+    )
+    t = time.time()
+    rows = encoding_stats(df, "content").groupBy("line_ending").count() \
+        .collect()
+    return {"op": "encoding_stats", "rows": n,
+            "endings": {r["line_ending"]: r["count"] for r in rows},
+            "sec": round(time.time() - t, 1)}
+
+
 #: op label (as printed in output / BENCH.md) -> benchmark fn
 OPS = {
     "edit_join": run_edit_join,
@@ -362,6 +403,8 @@ OPS = {
     "notebook_cells": run_notebook_cells,
     "import_edges": run_imports,
     "comment_stats": run_comment_stats,
+    "path_classes": run_path_classes,
+    "encoding_stats": run_encoding_stats,
 }
 
 
