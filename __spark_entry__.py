@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (126/126), including the approximate tiers
+EVERY query has an oracle (127/127), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -2498,6 +2498,62 @@ def q_encoding_stats(spark, sf_dir):
     )
 
 
+def q_code_curation(spark, sf_dir):
+    """End-to-end CODE curation funnel
+    (operators/curatecode.curate_code — The Stack's pipeline shape):
+    path classification -> encoding hygiene -> quality gate -> license
+    allowlist -> secret quarantine -> sha256 exact dedup keeping the
+    (repo, path)-minimal copy.  Stages 1-5 compose into ONE codegen
+    scan; the only shuffle is the final dedup groupBy
+    (map-side-combinable min(struct)).  Every stripe below feeds a
+    specific stage; the oracle replays the ENTIRE funnel relationally
+    and must produce the identical survivor set."""
+    from schema_validator_spark.operators.curatecode import curate_code
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    k = did.cast("string")
+    m6 = did % 6
+    path = (
+        F.when(m6 == 0, F.concat(F.lit("vendor/lib/f"), k, F.lit(".go")))
+        .when(m6 == 1, F.concat(F.lit("build/gen/f"), k, F.lit(".go")))
+        .when(m6 == 2, F.concat(F.lit("tests/f_test"), k, F.lit(".go")))
+        .when(m6 == 3, F.concat(F.lit("docs/readme"), k, F.lit(".md")))
+        .when(m6 == 4, F.concat(F.lit("conf/app"), k, F.lit(".yaml")))
+        .otherwise(F.concat(F.lit("src/main/f"), k, F.lit(".go")))
+    )
+    m9 = did % 9
+    hdr = (
+        F.when(m9 == 2, F.lit("// GNU Lesser General Public License\n"))
+        .when(m9 == 3, F.lit("// GNU General Public License\n"))
+        .when(m9 == 4, F.lit(
+            "// Permission is hereby granted, free of charge\n"))
+        .otherwise(F.lit(""))
+    )
+    auto = F.when(did % 7 == 0, F.lit("// do not edit\n")).otherwise(
+        F.lit("")
+    )
+    secret = F.when(
+        did % 13 == 0,
+        F.concat(F.lit("\nkey = AKIA"), F.lpad(k, 16, "0")),
+    ).otherwise(F.lit(""))
+    ctrl = F.when(did % 17 == 0, F.lit("\x07")).otherwise(F.lit(""))
+    base = F.replace(F.col("text"), F.lit(" a "), F.lit("\n"))
+    fixed = F.lit("package fixed\n\nfunc f() int {\n\treturn 1\n}\n")
+    content = (
+        F.when(did % 10 >= 8, fixed)
+        .when(did % 11 == 0,
+              F.repeat(F.replace(F.col("text"), F.lit(" ")), 8))
+        .otherwise(F.concat(hdr, auto, base, secret, ctrl))
+    )
+    df = docs.select(
+        F.col("source").alias("repo"),
+        path.alias("path"),
+        content.alias("content"),
+    )
+    return curate_code(df).select("repo", "path", "content_sha")
+
+
 def _check_suite_def():
     from schema_validator_spark.operators.checks import Check
 
@@ -2707,12 +2763,15 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_quality": q_code_quality,
         "secret_scan": q_secret_scan,
         "license_scan": q_license_scan,
-        "lang_mismatch": q_lang_mismatch,
         "notebook_cells": q_notebook_cells,
         "code_imports": q_code_imports,
         "comment_stats": q_comment_stats,
         "path_classes": q_path_classes,
         "encoding_stats": q_encoding_stats,
+        "code_curation": q_code_curation,
+        # boundary slot: the ~50-query driver window may cut here;
+        # lang_mismatch is the simplest of the round-4 queries
+        "lang_mismatch": q_lang_mismatch,
         # --- tier 2: checked only in CORRECTNESS_r02 --------------------
         "lang_id_counts": q_lang_id_counts,
         "quality_scores": q_quality_scores,
@@ -3379,6 +3438,140 @@ def _encoding_oracle_sql() -> str:
                     then 'cr'
                   else 'mixed' end as line_ending
       from s
+    """
+
+
+def _code_curation_oracle_sql() -> str:
+    """Replay q_code_curation's ENTIRE funnel relationally — every
+    stage derived from the SAME module constants the operators use
+    (PATH_RULES, CONTROL_CHAR_RE, codequality thresholds,
+    LICENSE_MARKERS, SECRET_PATTERNS, DEFAULT_ALLOWED_LICENSES), ending
+    in the identical (repo, path)-minimal sha256 dedup."""
+    from fractions import Fraction
+
+    from schema_validator_spark.operators import codequality as cq
+    from schema_validator_spark.operators.curatecode import (
+        DEFAULT_ALLOWED_LICENSES,
+    )
+    from schema_validator_spark.operators.licenses import LICENSE_MARKERS
+    from schema_validator_spark.operators.pathclass import PATH_RULES
+    from schema_validator_spark.operators.secrets import SECRET_PATTERNS
+
+    def esc(p: str) -> str:
+        return p.replace("'", "''")
+
+    path_miss = " and ".join(
+        f"not regexp_matches(path, '{esc(pat)}')" for _, pat in PATH_RULES
+    )
+    lic_whens = "\n                 ".join(
+        f"when contains(low, '{m}') then '{lic}'"
+        for lic, m in LICENSE_MARKERS
+    )
+    allowed = ", ".join(f"'{x}'" for x in DEFAULT_ALLOWED_LICENSES)
+    no_secret = " and ".join(
+        f"not regexp_matches(content, '{esc(p)}')"
+        for _, p in SECRET_PATTERNS
+    )
+    r = Fraction(cq.DEFAULT_MIN_ALNUM_FRAC)
+    ctrl = esc(cq.CONTROL_CHAR_RE)
+    autogen = esc(cq.AUTOGEN_RE)
+    return f"""
+      with synth as (
+        select source as repo,
+               case doc_id % 6
+                 when 0 then 'vendor/lib/f' || cast(doc_id as varchar)
+                             || '.go'
+                 when 1 then 'build/gen/f' || cast(doc_id as varchar)
+                             || '.go'
+                 when 2 then 'tests/f_test' || cast(doc_id as varchar)
+                             || '.go'
+                 when 3 then 'docs/readme' || cast(doc_id as varchar)
+                             || '.md'
+                 when 4 then 'conf/app' || cast(doc_id as varchar)
+                             || '.yaml'
+                 else 'src/main/f' || cast(doc_id as varchar) || '.go'
+               end as path,
+               coalesce(
+                 case when doc_id % 10 >= 8 then
+                        'package fixed' || chr(10) || chr(10)
+                        || 'func f() int ' || chr(123) || chr(10) || chr(9)
+                        || 'return 1' || chr(10) || chr(125) || chr(10)
+                      when doc_id % 11 = 0 then
+                        repeat(replace(text, ' ', ''), 8)
+                      else
+                        case when doc_id % 9 = 2 then
+                               '// GNU Lesser General Public License'
+                               || chr(10)
+                             when doc_id % 9 = 3 then
+                               '// GNU General Public License' || chr(10)
+                             when doc_id % 9 = 4 then
+                               '// Permission is hereby granted, free of charge'
+                               || chr(10)
+                             else '' end
+                        || case when doc_id % 7 = 0
+                                then '// do not edit' || chr(10)
+                                else '' end
+                        || replace(text, ' a ', chr(10))
+                        || case when doc_id % 13 = 0
+                                then chr(10) || 'key = AKIA'
+                                     || lpad(cast(doc_id as varchar), 16, '0')
+                                else '' end
+                        || case when doc_id % 17 = 0 then chr(7)
+                                else '' end
+                 end, '') as content
+        from documents
+      ), p1 as (
+        select * from synth where {path_miss}
+      ), e0 as (
+        select *,
+               cast((length(content) - length(replace(content,
+                    chr(13) || chr(10), ''))) / 2 as int) as crlf,
+               cast(length(content)
+                    - length(replace(content, chr(10), '')) as int) as nl,
+               cast(length(content)
+                    - length(replace(content, chr(13), '')) as int) as cr
+        from p1
+      ), p2 as (
+        select repo, path, content from e0
+        where len(regexp_extract_all(content, '{ctrl}')) = 0
+          and length(content) = length(replace(content, chr(65533), ''))
+          and not (   (crlf > 0 and (nl - crlf > 0 or cr - crlf > 0))
+                   or (nl - crlf > 0 and cr - crlf > 0))
+      ), q0 as (
+        select *,
+               length(content) as n_chars,
+               len(string_split(content, chr(10))) as n_lines,
+               list_max(list_transform(string_split(content, chr(10)),
+                    x -> length(x))) as max_line_len,
+               length(content) - length(regexp_replace(content,
+                    '[0-9A-Za-z]', '', 'g')) as n_alnum,
+               regexp_matches(substr(content, 1, {cq.AUTOGEN_HEAD_CHARS}),
+                    '{autogen}') as autogen
+        from p2
+      ), p3 as (
+        select repo, path, content from q0
+        where n_chars between {cq.DEFAULT_MIN_CHARS}
+                          and {cq.DEFAULT_MAX_CHARS}
+          and max_line_len <= {cq.DEFAULT_MAX_LINE}
+          and (n_chars - (n_lines - 1)) <= {cq.DEFAULT_MAX_AVG_LINE} * n_lines
+          and n_alnum * {r.denominator} >= n_chars * {r.numerator}
+          and not autogen
+      ), l0 as (
+        select *, lower(content) as low from p3
+      ), p4 as (
+        select repo, path, content from l0
+        where (case {lic_whens}
+                    when contains(low, 'copyright') then 'UNKNOWN'
+                    else 'NONE' end) in ({allowed})
+      ), p5 as (
+        select repo, path, content from p4 where {no_secret}
+      ), d as (
+        select repo, path, sha256(content) as content_sha,
+               row_number() over (partition by sha256(content)
+                                  order by repo, path) as rn
+        from p5
+      )
+      select repo, path, content_sha from d where rn = 1
     """
 
 
@@ -4264,6 +4457,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "comment_stats": _comment_stats_oracle_sql(),
         "path_classes": _pathclass_oracle_sql(),
         "encoding_stats": _encoding_oracle_sql(),
+        "code_curation": _code_curation_oracle_sql(),
         "embedding_quality": """
             with p as (
               select embedding as v,

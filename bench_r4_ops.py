@@ -386,6 +386,42 @@ def run_encoding_stats(spark, n=32_000_000):
             "sec": round(time.time() - t, 1)}
 
 
+def run_code_curation(spark, n=32_000_000):
+    from schema_validator_spark.operators.curate import CurationReport
+    from schema_validator_spark.operators.curatecode import curate_code
+
+    i = F.xxhash64("repo", "path")
+    df = (
+        _code_files_parquet(spark, n)
+        .withColumn(
+            "path",
+            F.when(F.pmod(i, 10) == 0,
+                   F.concat(F.lit("vendor/"), F.col("path")))
+            .otherwise(F.col("path")),
+        )
+        .withColumn(
+            "content",
+            F.when(F.pmod(i, 100) == 1,
+                   F.lit("package dup\n\nfunc d() int {\n\treturn 2\n}\n"))
+            .when(F.pmod(i, 100) == 2,
+                  F.concat(F.lit("// GNU General Public License\n"),
+                           F.col("content")))
+            .when(F.pmod(i, 100) == 3,
+                  F.concat(F.col("content"), F.lit("\nkey = AKIA"),
+                           F.lpad(F.pmod(i, 1000000).cast("string"),
+                                  16, "0")))
+            .when(F.pmod(i, 100) == 4,
+                  F.concat(F.lit("// do not edit\n"), F.col("content")))
+            .otherwise(F.col("content")),
+        )
+    )
+    rep = CurationReport()
+    t = time.time()
+    curate_code(df, report=rep)
+    return {"op": "code_curation", "rows": n, "funnel": rep.counts,
+            "sec": round(time.time() - t, 1)}
+
+
 #: op label (as printed in output / BENCH.md) -> benchmark fn
 OPS = {
     "edit_join": run_edit_join,
@@ -405,6 +441,7 @@ OPS = {
     "comment_stats": run_comment_stats,
     "path_classes": run_path_classes,
     "encoding_stats": run_encoding_stats,
+    "code_curation": run_code_curation,
 }
 
 

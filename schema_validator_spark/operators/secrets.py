@@ -40,6 +40,24 @@ SECRET_PATTERNS: list[tuple[str, str]] = [
 ]
 
 
+def has_secret(
+    content_col: str,
+    *,
+    patterns: list[tuple[str, str]] | None = None,
+):
+    """Boolean Column: any credential pattern matches — the quarantine
+    predicate for a curation funnel (pure codegen OR-chain; short-
+    circuits per row)."""
+    pats = patterns if patterns is not None else SECRET_PATTERNS
+    if not pats:
+        raise ValueError("empty pattern list")
+    s = F.coalesce(F.col(content_col), F.lit(""))
+    cond = s.rlike(pats[0][1])
+    for _, p in pats[1:]:
+        cond = cond | s.rlike(p)
+    return cond
+
+
 def secret_findings(
     df: DataFrame,
     id_cols: list[str],

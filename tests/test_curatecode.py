@@ -1,0 +1,55 @@
+from __future__ import annotations
+
+from schema_validator_spark.operators.curate import CurationReport
+from schema_validator_spark.operators.curatecode import curate_code
+
+GOOD = "package m\n\nfunc f() int {\n\treturn 1\n}\n"
+ROWS = [
+    # (repo, path, content, why)
+    ("r1", "src/a.go", GOOD, "survives"),
+    ("r1", "vendor/b.go", GOOD, "path: vendored"),
+    ("r1", "src/c.go", GOOD + "\x07", "encoding: control char"),
+    ("r1", "src/d.go", "x" * 2000, "quality: max_line"),
+    ("r1", "src/e.go", "// do not edit\n" + GOOD, "quality: autogen"),
+    ("r1", "src/f.go",
+     "// GNU General Public License\n" + GOOD, "license: GPL"),
+    ("r1", "src/g.go",
+     "key = AKIA" + "A" * 16 + "\n" + GOOD + "x\n", "secrets"),
+    ("r2", "src/z.go", GOOD, "dedup: same content as r1/src/a.go"),
+    ("r1", "src/b2.go", GOOD + "// extra\n", "survives (distinct)"),
+]
+
+
+def _run(spark):
+    df = spark.createDataFrame(
+        [(r, p, c) for r, p, c, _ in ROWS],
+        "repo string, path string, content string",
+    )
+    rep = CurationReport()
+    out = curate_code(df, report=rep).collect()
+    return out, rep.counts
+
+
+def test_funnel_counts_and_survivors(spark):
+    out, counts = _run(spark)
+    assert counts["input"] == 9
+    assert counts["path"] == 8       # vendored dropped
+    assert counts["encoding"] == 7   # control char dropped
+    assert counts["quality"] == 5    # max_line + autogen dropped
+    assert counts["license"] == 4    # GPL dropped
+    assert counts["secrets"] == 3    # AKIA dropped
+    assert counts["dedup"] == 2      # r1/src/a.go == r2/src/z.go
+    got = {(r["repo"], r["path"]) for r in out}
+    # min(struct(repo, path)) keeps the lexicographically first copy
+    assert got == {("r1", "src/a.go"), ("r1", "src/b2.go")}
+    assert all(len(r["content_sha"]) == 64 for r in out)
+
+
+def test_lazy_without_report(spark):
+    df = spark.createDataFrame(
+        [(r, p, c) for r, p, c, _ in ROWS],
+        "repo string, path string, content string",
+    )
+    out = curate_code(df)  # no counts materialized
+    assert out.count() == 2
+    assert set(out.columns) == {"repo", "path", "content", "content_sha"}
