@@ -3235,6 +3235,14 @@ _NOTEBOOK_ORACLE_SQL = r"""
 """
 
 
+def _esc_sq(p: str) -> str:
+    """Escape single quotes for interpolation into a DuckDB string
+    literal — EVERY oracle that inlines a regex/pattern from a shared
+    rule table must route it through here (one hygiene level for every
+    single-source-of-truth constant)."""
+    return p.replace("'", "''")
+
+
 def _imports_oracle_sql() -> str:
     """Replay q_code_imports: identical content synthesis + the SAME
     per-language regexes (single source of truth:
@@ -3242,8 +3250,7 @@ def _imports_oracle_sql() -> str:
     unnest."""
     from schema_validator_spark.functions.imports import IMPORT_PATTERNS
 
-    def esc(p: str) -> str:
-        return p.replace("'", "''")
+    esc = _esc_sq
 
     py, pyg = IMPORT_PATTERNS["py"]
     go, gog = IMPORT_PATTERNS["go"]
@@ -3291,8 +3298,7 @@ def _comment_stats_oracle_sql() -> str:
     py_line, _ = COMMENT_SYNTAX["py"]
     go_line, go_blk = COMMENT_SYNTAX["go"]
 
-    def esc(p: str) -> str:
-        return p.replace("'", "''")
+    esc = _esc_sq
 
     return f"""
         with c as (
@@ -3353,7 +3359,7 @@ def _pathclass_oracle_sql() -> str:
     from schema_validator_spark.operators.pathclass import PATH_RULES, SOURCE
 
     whens = "\n                    ".join(
-        f"when regexp_matches(path, '{pat}') then '{cls}'"
+        f"when regexp_matches(path, '{_esc_sq(pat)}') then '{cls}'"
         for cls, pat in PATH_RULES
     )
     return f"""
@@ -3457,8 +3463,7 @@ def _code_curation_oracle_sql() -> str:
     from schema_validator_spark.operators.pathclass import PATH_RULES
     from schema_validator_spark.operators.secrets import SECRET_PATTERNS
 
-    def esc(p: str) -> str:
-        return p.replace("'", "''")
+    esc = _esc_sq
 
     path_miss = " and ".join(
         f"not regexp_matches(path, '{esc(pat)}')" for _, pat in PATH_RULES
@@ -3568,7 +3573,8 @@ def _code_curation_oracle_sql() -> str:
       ), d as (
         select repo, path, sha256(content) as content_sha,
                row_number() over (partition by sha256(content)
-                                  order by repo, path) as rn
+                                  order by repo nulls first,
+                                           path nulls first) as rn
         from p5
       )
       select repo, path, content_sha from d where rn = 1

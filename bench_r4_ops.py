@@ -386,12 +386,9 @@ def run_encoding_stats(spark, n=32_000_000):
             "sec": round(time.time() - t, 1)}
 
 
-def run_code_curation(spark, n=32_000_000):
-    from schema_validator_spark.operators.curate import CurationReport
-    from schema_validator_spark.operators.curatecode import curate_code
-
+def _curation_input(spark, n):
     i = F.xxhash64("repo", "path")
-    df = (
+    return (
         _code_files_parquet(spark, n)
         .withColumn(
             "path",
@@ -415,11 +412,32 @@ def run_code_curation(spark, n=32_000_000):
             .otherwise(F.col("content")),
         )
     )
+
+
+def run_code_curation(spark, n=32_000_000):
+    """AUDIT mode: per-stage survivor counts (materializes each stage
+    once — 7 actions, the O(stages^2) diagnostic path)."""
+    from schema_validator_spark.operators.curate import CurationReport
+    from schema_validator_spark.operators.curatecode import curate_code
+
+    df = _curation_input(spark, n)
     rep = CurationReport()
     t = time.time()
     curate_code(df, report=rep)
     return {"op": "code_curation", "rows": n, "funnel": rep.counts,
             "sec": round(time.time() - t, 1)}
+
+
+def run_code_curation_prod(spark, n=32_000_000):
+    """PRODUCTION mode: the whole funnel as ONE lazy plan / single
+    action — the representative throughput number (BENCH.md row)."""
+    from schema_validator_spark.operators.curatecode import curate_code
+
+    df = _curation_input(spark, n)
+    t = time.time()
+    survivors = curate_code(df).count()
+    return {"op": "code_curation_prod", "rows": n,
+            "survivors": survivors, "sec": round(time.time() - t, 1)}
 
 
 #: op label (as printed in output / BENCH.md) -> benchmark fn
@@ -442,6 +460,7 @@ OPS = {
     "path_classes": run_path_classes,
     "encoding_stats": run_encoding_stats,
     "code_curation": run_code_curation,
+    "code_curation_prod": run_code_curation_prod,
 }
 
 

@@ -62,6 +62,15 @@ def curate_code(
     """Return the curated code corpus: the caller's columns plus
     ``content_sha`` (sha256 hex of content, the row invariant the
     dedup keyed on).  Lazily composed; caller writes it."""
+    reserved = set(_ENC_STATS) | set(_CQ_STATS) | {
+        "_pc", "_lic", "content_sha",
+    }
+    clash = sorted(reserved & set(df.columns))
+    if clash:
+        raise ValueError(
+            "curate_code reserves these column names for its stage "
+            f"outputs; rename the input columns: {clash}"
+        )
     track = report is not None
 
     def stage(name: str, d: DataFrame) -> DataFrame:

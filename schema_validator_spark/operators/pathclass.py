@@ -28,9 +28,13 @@ PATH_RULES: list[tuple[str, str]] = [
     ),
     (
         "test",
+        # Java naming is camel-case, so that alternative is pinned
+        # case-sensitive via (?-i:...) — plain (?i)Tests?\.java$ would
+        # misclassify Latest.java / Contest.java / attest.java as tests
+        # (they end in lowercase 'test.java') and drop real source.
         r"(?i)((^|/)(tests?|testing|spec|__tests__)/"
         r"|(^|/)test_[^/]*\.py$|_test\.go$|\.spec\.(js|ts)$"
-        r"|Tests?\.java$)",
+        r"|(?-i:Tests?\.java$|(^|/)Test[A-Z][^/]*\.java$))",
     ),
     (
         "docs",

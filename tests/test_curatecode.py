@@ -45,6 +45,30 @@ def test_funnel_counts_and_survivors(spark):
     assert all(len(r["content_sha"]) == 64 for r in out)
 
 
+def test_null_repo_survivor_matches_oracle_ordering(spark):
+    # Spark's min(struct(...)) sorts NULL fields FIRST, so a NULL-repo
+    # copy of duplicated content is the survivor; the DuckDB oracle
+    # orders 'repo nulls first, path nulls first' to match.
+    df = spark.createDataFrame(
+        [("r1", "src/a.go", GOOD), (None, "src/n.go", GOOD)],
+        "repo string, path string, content string",
+    )
+    out = curate_code(df).collect()
+    assert len(out) == 1
+    assert out[0]["repo"] is None and out[0]["path"] == "src/n.go"
+
+
+def test_reserved_column_names_raise(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [("r1", "src/a.go", GOOD, 5)],
+        "repo string, path string, content string, n_chars int",
+    )
+    with pytest.raises(ValueError, match="n_chars"):
+        curate_code(df)
+
+
 def test_lazy_without_report(spark):
     df = spark.createDataFrame(
         [(r, p, c) for r, p, c, _ in ROWS],

@@ -18,6 +18,13 @@ ROWS = [
     (7, "pkg/foo_test.go", "test"),
     (8, "src/Button.spec.ts", "test"),
     (9, "src/FooTest.java", "test"),
+    (18, "src/FooTests.java", "test"),
+    (19, "a/TestRunner.java", "test"),
+    # camel-case Java test suffix is case-SENSITIVE: these end in
+    # lowercase 'test.java' and are real source, not tests
+    (20, "src/Latest.java", "source"),
+    (21, "src/Contest.java", "source"),
+    (22, "src/attest.java", "source"),
     (10, "docs/guide.md", "docs"),
     (11, "README.md", "docs"),
     (12, "Makefile", "config"),
@@ -55,8 +62,8 @@ def test_summary_shares(spark):
            for r in path_class_summary(df, "path").collect()}
     n = len(ROWS)
     assert got["vendored"] == (3, round(3 / n, 6))
-    assert got["test"] == (4, round(4 / n, 6))
-    assert got["source"] == (2, round(2 / n, 6))
+    assert got["test"] == (6, round(6 / n, 6))
+    assert got["source"] == (5, round(5 / n, 6))
     assert sum(v[0] for v in got.values()) == n
 
 
