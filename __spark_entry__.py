@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (127/127), including the approximate tiers
+EVERY query has an oracle (128/128), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -2281,6 +2281,59 @@ def q_license_scan(spark, sf_dir):
     return license_summary(df, "repo", "content")
 
 
+def q_repo_license(spark, sf_dir):
+    """Repo-level license propagation
+    (operators/licenses.propagate_repo_license — The Stack's actual
+    licensing step: the verdict comes from the repo's LICENSE/COPYING
+    files, NOT per-file headers, and is broadcast-joined back onto
+    every file).  Stripes: repos r0-r7 get TWO license files with
+    different licenses (exercises most-restrictive LICENSE_RANK
+    arg-max), r8-r15 one file (incl. an unidentifiable text ->
+    UNKNOWN), r16-r19 none (-> NONE); non-license rows keep corpus
+    text so stray in-source license headers provably don't leak into
+    the repo verdict."""
+    from schema_validator_spark.operators.licenses import (
+        propagate_repo_license,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    is_lic = (did < 16) | ((did >= 20) & (did < 28))
+    m4, m6 = did % 4, did % 6
+    k = did.cast("string")
+    lic_path = F.when(
+        did < 16,
+        F.when(m4 == 0, F.lit("LICENSE"))
+        .when(m4 == 1, F.lit("docs/COPYING"))
+        .when(m4 == 2, F.lit("license.md"))
+        .otherwise(F.lit("LICENSE-APACHE.txt")),
+    ).otherwise(F.lit("COPYING.LESSER"))
+    path = F.when(is_lic, lic_path).otherwise(
+        F.concat(F.lit("src/f"), k, F.lit(".go"))
+    )
+    lic_text = (
+        F.when(m6 == 0,
+               F.lit("Permission is hereby granted, free of charge"))
+        .when(m6 == 1, F.lit("GNU General Public License"))
+        .when(m6 == 2, F.lit("Licensed under the Apache License"))
+        .when(m6 == 3, F.lit("proprietary secret sauce"))
+        .when(m6 == 4,
+              F.lit("Redistribution and use in source and binary forms"))
+        .otherwise(F.lit("This is free and unencumbered software"))
+    )
+    content = F.when(is_lic, lic_text).otherwise(
+        F.coalesce(F.col("text"), F.lit(""))
+    )
+    df = docs.select(
+        F.concat(F.lit("r"), (did % 20).cast("string")).alias("repo"),
+        path.alias("path"),
+        content.alias("content"),
+    )
+    return propagate_repo_license(df, "repo", "path", "content").select(
+        "repo", "path", "repo_license"
+    )
+
+
 def q_lang_mismatch(spark, sf_dir):
     """Declared-lang vs path-extension consistency
     (operators/codequality.lang_path_mismatches): the two-column
@@ -2850,6 +2903,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setsim_exact": q_setsim_exact,
         "ann_topk": q_ann_topk,
         "text_profile": q_text_profile,
+        "repo_license": q_repo_license,
     }
 
 
@@ -3047,6 +3101,74 @@ def _secret_oracle_sql() -> str:
           from documents
         )
         select * from ({body}) where n_spans > 0
+    """
+
+
+def _repo_license_oracle_sql() -> str:
+    """Replay q_repo_license relationally from the SAME module
+    constants (LICENSE_FILE_RE, LICENSE_MARKERS, LICENSE_RANK): detect
+    each license-file verdict, map undetectable to UNKNOWN, arg-max by
+    restrictiveness rank per repo, left-join back onto every file with
+    NONE default."""
+    from schema_validator_spark.operators.licenses import (
+        LICENSE_FILE_RE,
+        LICENSE_MARKERS,
+        LICENSE_RANK,
+    )
+
+    whens = "\n                 ".join(
+        f"when contains(low, '{_esc_sq(m)}') then '{lic}'"
+        for lic, m in LICENSE_MARKERS
+    )
+    rank_whens = "\n                 ".join(
+        f"when '{lic}' then {r}" for lic, r in LICENSE_RANK.items()
+    )
+    return f"""
+      with synth as (
+        select 'r' || cast(doc_id % 20 as varchar) as repo,
+               case when doc_id < 16 or (doc_id >= 20 and doc_id < 28)
+                    then case when doc_id < 16 then
+                              case doc_id % 4
+                                when 0 then 'LICENSE'
+                                when 1 then 'docs/COPYING'
+                                when 2 then 'license.md'
+                                else 'LICENSE-APACHE.txt' end
+                         else 'COPYING.LESSER' end
+                    else 'src/f' || cast(doc_id as varchar) || '.go'
+               end as path,
+               case when doc_id < 16 or (doc_id >= 20 and doc_id < 28)
+                    then case doc_id % 6
+                      when 0 then
+                        'Permission is hereby granted, free of charge'
+                      when 1 then 'GNU General Public License'
+                      when 2 then 'Licensed under the Apache License'
+                      when 3 then 'proprietary secret sauce'
+                      when 4 then
+                        'Redistribution and use in source and binary forms'
+                      else 'This is free and unencumbered software' end
+                    else coalesce(text, '')
+               end as content
+        from documents
+      ), lic as (
+        select repo,
+               case {whens}
+                    else 'UNKNOWN' end as flic
+        from (select repo, lower(content) as low from synth
+              where regexp_matches(path, '{_esc_sq(LICENSE_FILE_RE)}'))
+      ), ranked as (
+        select repo, flic,
+               case flic {rank_whens} else 8 end as r
+        from lic
+      ), dim as (
+        select repo, flic as repo_license from (
+          select repo, flic,
+                 row_number() over (partition by repo
+                                    order by r desc, flic desc) as rn
+          from ranked) where rn = 1
+      )
+      select s.repo, s.path,
+             coalesce(d.repo_license, 'NONE') as repo_license
+      from synth s left join dim d using (repo)
     """
 
 
@@ -4457,6 +4579,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "code_quality": _codequality_oracle_sql(),
         "secret_scan": _secret_oracle_sql(),
         "license_scan": _license_oracle_sql(),
+        "repo_license": _repo_license_oracle_sql(),
         "lang_mismatch": _LANG_MISMATCH_ORACLE_SQL,
         "notebook_cells": _NOTEBOOK_ORACLE_SQL,
         "code_imports": _imports_oracle_sql(),

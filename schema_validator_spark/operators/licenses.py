@@ -69,6 +69,118 @@ def detect_license(
     return low.withColumn(out_col, expr).drop("_low")
 
 
+#: path regex identifying a repo's license-bearing files (LICENSE,
+#: LICENSE.md, LICENSE-MIT, LICENCE, COPYING, COPYING.LESSER, UNLICENSE
+#: at any directory level) — The Stack detects the REPO license from
+#: these files and propagates it to every file of the repo, rather than
+#: trusting per-file headers (Kocetkov et al. 2022 §3).
+LICENSE_FILE_RE = (
+    r"(?i)(^|/)((un)?licen[cs]es?([-.][a-z0-9.]+)?"
+    r"|copying([-.][a-z0-9.]+)?)$"
+)
+
+#: restrictiveness rank — the repo verdict is the MOST RESTRICTIVE
+#: license found among its license files (conservative gate; a license
+#: file whose text matches no marker counts as UNKNOWN).  Single source
+#: of truth for the oracle.
+LICENSE_RANK: dict[str, int] = {
+    "Unlicense": 0,
+    "MIT": 1,
+    "BSD": 2,
+    "Apache-2.0": 3,
+    "MPL-2.0": 4,
+    "LGPL": 5,
+    "GPL": 6,
+    "AGPL-3.0": 7,
+    "UNKNOWN": 8,
+}
+
+
+def repo_license(
+    df: DataFrame,
+    repo_col: str,
+    path_col: str,
+    content_col: str,
+    *,
+    markers: list[tuple[str, str]] | None = None,
+    license_file_re: str = LICENSE_FILE_RE,
+) -> DataFrame:
+    """Per-repo license dimension ``(repo, repo_license,
+    n_license_files)`` derived ONLY from the repo's license-bearing
+    files (path matches ``license_file_re``): detect each file's
+    license by marker, map undetectable license files to ``UNKNOWN``,
+    and keep the most restrictive verdict per ``LICENSE_RANK``.
+
+    Scale shape: the path filter rides the scan (license files are
+    ~1 per repo, so the groupBy shuffles ~n_repos rows, not n_files);
+    the arg-max is a map-side-combinable ``max(struct(rank, name))``.
+    Repos with no license file are absent — callers propagate with a
+    left join defaulting to ``NONE``."""
+    lic = df.filter(
+        F.coalesce(F.col(path_col), F.lit("")).rlike(license_file_re)
+    )
+    d = detect_license(lic, content_col, out_col="_flic", markers=markers)
+    v = F.when(F.col("_flic") == NONE, F.lit(UNKNOWN)).otherwise(
+        F.col("_flic")
+    )
+    chain = None
+    for name, r in LICENSE_RANK.items():
+        cond = v == name
+        chain = (
+            F.when(cond, F.lit(r))
+            if chain is None
+            else chain.when(cond, F.lit(r))
+        )
+    rank = chain.otherwise(F.lit(LICENSE_RANK[UNKNOWN]))
+    return (
+        d.select(
+            F.col(repo_col).alias("repo"),
+            F.struct(rank.alias("_rank"), v.alias("_lic")).alias("_m"),
+        )
+        .groupBy("repo")
+        .agg(
+            F.max("_m").alias("_m"),
+            F.count(F.lit(1)).alias("n_license_files"),
+        )
+        .select(
+            "repo",
+            F.col("_m._lic").alias("repo_license"),
+            "n_license_files",
+        )
+    )
+
+
+def propagate_repo_license(
+    df: DataFrame,
+    repo_col: str,
+    path_col: str,
+    content_col: str,
+    *,
+    out_col: str = "repo_license",
+    markers: list[tuple[str, str]] | None = None,
+    license_file_re: str = LICENSE_FILE_RE,
+) -> DataFrame:
+    """All input rows plus ``out_col``: the repo-level license verdict
+    joined back onto every file (``NONE`` for repos with no license
+    file).  The dimension is ~1 row per repo, so the join is an
+    explicit broadcast — the file table never shuffles."""
+    dim = repo_license(
+        df,
+        repo_col,
+        path_col,
+        content_col,
+        markers=markers,
+        license_file_re=license_file_re,
+    ).select(F.col("repo").alias("_rl_repo"),
+             F.col("repo_license").alias(out_col))
+    joined = df.join(
+        F.broadcast(dim),
+        on=df[repo_col] == dim["_rl_repo"],
+        how="left",
+    ).drop("_rl_repo")
+    return joined.withColumn(out_col, F.coalesce(out_col, F.lit(NONE)))
+
+
 def license_summary(
     df: DataFrame,
     repo_col: str,

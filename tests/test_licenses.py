@@ -81,3 +81,54 @@ def test_marker_names_stable(spark):
         "Apache-2.0", "AGPL-3.0", "LGPL", "GPL", "MPL-2.0", "MIT",
         "BSD", "Unlicense",
     }
+
+
+def test_repo_license_dim_and_propagation(spark):
+    from schema_validator_spark.operators.licenses import (
+        propagate_repo_license,
+        repo_license,
+    )
+
+    rows = [
+        # rA: LICENSE says MIT, COPYING says GPL -> most restrictive GPL
+        ("rA", "LICENSE", MIT),
+        ("rA", "docs/COPYING", GPL),
+        ("rA", "src/a.go", "package a"),
+        # rB: single permissive license file, nested, with extension
+        ("rB", "sub/pkg/license.md", APACHE),
+        ("rB", "src/b.go", "package b"),
+        # rC: license file whose text matches no marker -> UNKNOWN
+        ("rC", "LICENSE.txt", "proprietary secret sauce"),
+        ("rC", "src/c.go", "package c"),
+        # rD: no license file at all; a GPL HEADER in source must NOT
+        # set the repo verdict (repo-level detection, not file-level),
+        # and license-ish source filenames are not license files
+        ("rD", "src/license_checker.go", GPL),
+        ("rD", "src/d.go", "package d"),
+        # rE: suffixed license filename
+        ("rE", "LICENSE-MIT", MIT),
+        ("rE", "src/e.go", "package e"),
+    ]
+    df = spark.createDataFrame(rows, "repo string, path string, content string")
+    dim = {r["repo"]: (r["repo_license"], r["n_license_files"])
+           for r in repo_license(df, "repo", "path", "content").collect()}
+    assert dim == {
+        "rA": ("GPL", 2),
+        "rB": ("Apache-2.0", 1),
+        "rC": ("UNKNOWN", 1),
+        "rE": ("MIT", 1),
+    }
+
+    out = propagate_repo_license(df, "repo", "path", "content")
+    got = {(r["repo"], r["path"]): r["repo_license"] for r in out.collect()}
+    assert got[("rA", "src/a.go")] == "GPL"
+    assert got[("rB", "src/b.go")] == "Apache-2.0"
+    assert got[("rC", "src/c.go")] == "UNKNOWN"
+    assert got[("rD", "src/d.go")] == "NONE"
+    assert got[("rD", "src/license_checker.go")] == "NONE"
+    assert got[("rE", "src/e.go")] == "MIT"
+    assert out.count() == len(rows)
+    # broadcast join: the file table never shuffles (the only Exchange
+    # is the tiny dim groupBy feeding the broadcast)
+    from schema_validator_spark.plans.inspect import join_kinds
+    assert any("Broadcast" in k for k in join_kinds(out))
