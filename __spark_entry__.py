@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (128/128), including the approximate tiers
+EVERY query has an oracle (130/130), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -2334,6 +2334,95 @@ def q_repo_license(spark, sf_dir):
     )
 
 
+def q_code_chunks(spark, sf_dir):
+    """Function-level chunking (operators/codechunk.chunk_functions —
+    the unit extractor for function-granularity dedup, CodeParrot /
+    StarCoder practice): zero-shuffle JVM-HOF boundary slicing over
+    the per-row line array.  Stripes: py/go/js contents with multiple
+    top-level units + a shared identical function (cross-file dup
+    chunks), plus a 'rust' stripe with no registered boundary regex
+    (whole file = one chunk).  The oracle is an INDEPENDENT relational
+    derivation — ordered line unnest + window running-sum grouping —
+    not a replay of the slicing arithmetic, so chunk boundaries,
+    ordering, preamble handling, and reconstruction are all
+    cross-checked."""
+    from schema_validator_spark.operators.codechunk import chunk_functions
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    k = did.cast("string")
+    m3 = did % 3
+    lang = F.when(did % 13 == 0, F.lit("rust")).otherwise(
+        F.when(m3 == 0, F.lit("py"))
+        .when(m3 == 1, F.lit("go"))
+        .otherwise(F.lit("js"))
+    )
+    py = F.concat(
+        F.lit("import os\n\ndef f(x):\n    return "), k,
+        F.lit("\n\ndef shared():\n    return 0\n"),
+    )
+    go = F.concat(
+        F.lit("package p\n\nfunc A() int {\n\treturn "), k,
+        F.lit("\n}\n\nfunc Shared() int {\n\treturn 0\n}\n"),
+    )
+    js = F.concat(
+        F.lit("function a"), k, F.lit("() { return 1 }\nclass B {}\n")
+    )
+    content = F.when(m3 == 0, py).when(m3 == 1, go).otherwise(js)
+    df = docs.select(
+        "doc_id", lang.alias("lang"), content.alias("content")
+    )
+    ch = chunk_functions(df, ["doc_id"], "content", "lang")
+    return ch.select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_sha",
+        F.length("chunk_text").alias("chunk_len"),
+    )
+
+
+def q_identifier_vocab(spark, sf_dir):
+    """Identifier subtoken vocabulary
+    (functions/identifiers.identifier_vocabulary — the code-model
+    vocabulary signal: lex identifiers, drop per-lang reserved words,
+    split camel/snake/acronym boundaries to lowercase subtokens, one
+    vocabulary groupBy).  Stripes cover all three keyword lists, an
+    unregistered lang (keywords kept), acronym runs
+    (parseHTTPResponse), digits in subtokens, and per-doc unique
+    identifiers so the vocabulary grows with the corpus."""
+    from schema_validator_spark.functions.identifiers import (
+        identifier_vocabulary,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    k = did.cast("string")
+    m3 = did % 3
+    lang = F.when(did % 13 == 0, F.lit("rust")).otherwise(
+        F.when(m3 == 0, F.lit("py"))
+        .when(m3 == 1, F.lit("go"))
+        .otherwise(F.lit("js"))
+    )
+    py = F.concat(
+        F.lit("def handler(self):\n    return parseHTTPResponse(val"),
+        k, F.lit(", userName)\n"),
+    )
+    go = F.concat(
+        F.lit("func Do"), k,
+        F.lit("() int {\n\tvar maxRetryCount int\n"
+              "\treturn maxRetryCount\n}\n"),
+    )
+    js = F.concat(
+        F.lit("const fooBar"), k,
+        F.lit(" = function() { return this.x2Value }\n"),
+    )
+    content = F.when(m3 == 0, py).when(m3 == 1, go).otherwise(js)
+    df = docs.select(
+        "doc_id", lang.alias("lang"), content.alias("content")
+    )
+    return identifier_vocabulary(df, ["doc_id"], "content", "lang")
+
+
 def q_lang_mismatch(spark, sf_dir):
     """Declared-lang vs path-extension consistency
     (operators/codequality.lang_path_mismatches): the two-column
@@ -2904,6 +2993,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "text_profile": q_text_profile,
         "repo_license": q_repo_license,
+        "code_chunks": q_code_chunks,
+        "identifier_vocab": q_identifier_vocab,
     }
 
 
@@ -3169,6 +3260,143 @@ def _repo_license_oracle_sql() -> str:
       select s.repo, s.path,
              coalesce(d.repo_license, 'NONE') as repo_license
       from synth s left join dim d using (repo)
+    """
+
+
+def _code_chunks_oracle_sql() -> str:
+    """Independent relational derivation of q_code_chunks: ordered
+    line unnest (generate_subscripts) + boundary marking with the SAME
+    BOUNDARY_RES regexes + window running-sum group ids + ordered
+    string_agg reassembly — cross-checks the operator's HOF slicing
+    arithmetic rather than replaying it."""
+    from schema_validator_spark.operators.codechunk import BOUNDARY_RES
+
+    marks = "\n                    ".join(
+        f"when lang = '{lg}' and regexp_matches(line, '{_esc_sq(p)}') "
+        "then 1"
+        for lg, p in sorted(BOUNDARY_RES.items())
+    )
+    return f"""
+      with synth as (
+        select doc_id,
+               case when doc_id % 13 = 0 then 'rust'
+                    when doc_id % 3 = 0 then 'py'
+                    when doc_id % 3 = 1 then 'go'
+                    else 'js' end as lang,
+               case when doc_id % 3 = 0 then
+                      'import os' || chr(10) || chr(10)
+                      || 'def f(x):' || chr(10) || '    return '
+                      || cast(doc_id as varchar) || chr(10) || chr(10)
+                      || 'def shared():' || chr(10) || '    return 0'
+                      || chr(10)
+                    when doc_id % 3 = 1 then
+                      'package p' || chr(10) || chr(10)
+                      || 'func A() int ' || chr(123) || chr(10)
+                      || chr(9) || 'return ' || cast(doc_id as varchar)
+                      || chr(10) || chr(125) || chr(10) || chr(10)
+                      || 'func Shared() int ' || chr(123) || chr(10)
+                      || chr(9) || 'return 0' || chr(10) || chr(125)
+                      || chr(10)
+                    else
+                      'function a' || cast(doc_id as varchar)
+                      || '() ' || chr(123) || ' return 1 ' || chr(125)
+                      || chr(10) || 'class B ' || chr(123) || chr(125)
+                      || chr(10)
+               end as content
+        from documents
+      ), lines as (
+        select doc_id, lang,
+               unnest(string_split(content, chr(10))) as line,
+               generate_subscripts(string_split(content, chr(10)), 1)
+                 as ord
+        from synth
+      ), marked as (
+        select *,
+               case {marks}
+                    else 0 end as m
+        from lines
+      ), grp as (
+        select *,
+               sum(m) over (partition by doc_id order by ord) as g0,
+               max(case when ord = 1 then m else 0 end)
+                 over (partition by doc_id) as first_m
+        from marked
+      ), chunks as (
+        select doc_id,
+               cast(g0 - first_m as int) as chunk_idx,
+               string_agg(line, chr(10) order by ord) as chunk_text
+        from grp
+        group by doc_id, g0, first_m
+      )
+      select doc_id, chunk_idx, sha256(chunk_text) as chunk_sha,
+             cast(length(chunk_text) as int) as chunk_len
+      from chunks
+    """
+
+
+def _identifier_vocab_oracle_sql() -> str:
+    """Replay q_identifier_vocab from the SAME module constants
+    (IDENTIFIER_RE, KEYWORDS): lex, per-lang keyword stop-list, the
+    two boundary rewrites (acronym first), lowercase split, vocabulary
+    aggregation."""
+    from schema_validator_spark.functions.identifiers import (
+        IDENTIFIER_RE,
+        KEYWORDS,
+    )
+
+    kw_cases = "\n                 ".join(
+        "when '{lg}' then identifier in ({ws})".format(
+            lg=lg, ws=", ".join(f"'{w}'" for w in words)
+        )
+        for lg, words in sorted(KEYWORDS.items())
+    )
+    return rf"""
+      with synth as (
+        select doc_id,
+               case when doc_id % 13 = 0 then 'rust'
+                    when doc_id % 3 = 0 then 'py'
+                    when doc_id % 3 = 1 then 'go'
+                    else 'js' end as lang,
+               case when doc_id % 3 = 0 then
+                      'def handler(self):' || chr(10)
+                      || '    return parseHTTPResponse(val'
+                      || cast(doc_id as varchar) || ', userName)'
+                      || chr(10)
+                    when doc_id % 3 = 1 then
+                      'func Do' || cast(doc_id as varchar)
+                      || '() int ' || chr(123) || chr(10)
+                      || chr(9) || 'var maxRetryCount int' || chr(10)
+                      || chr(9) || 'return maxRetryCount' || chr(10)
+                      || chr(125) || chr(10)
+                    else
+                      'const fooBar' || cast(doc_id as varchar)
+                      || ' = function() ' || chr(123)
+                      || ' return this.x2Value ' || chr(125) || chr(10)
+               end as content
+        from documents
+      ), toks as (
+        select lang,
+               unnest(regexp_extract_all(content,
+                      '{_esc_sq(IDENTIFIER_RE)}')) as identifier
+        from synth
+      ), kept as (
+        select identifier from toks
+        where not (case lang
+                 {kw_cases}
+                 else false end)
+      ), subs as (
+        select identifier,
+               unnest(list_filter(string_split_regex(
+                 lower(regexp_replace(regexp_replace(identifier,
+                   '([A-Z]+)([A-Z][a-z])', '\1_\2', 'g'),
+                   '([a-z0-9])([A-Z])', '\1_\2', 'g')),
+                 '_+'), x -> x <> '')) as subtoken
+        from kept
+      )
+      select subtoken, count(*) as n_occ,
+             count(distinct identifier) as n_identifiers
+      from subs
+      group by subtoken
     """
 
 
@@ -4580,6 +4808,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "secret_scan": _secret_oracle_sql(),
         "license_scan": _license_oracle_sql(),
         "repo_license": _repo_license_oracle_sql(),
+        "code_chunks": _code_chunks_oracle_sql(),
+        "identifier_vocab": _identifier_vocab_oracle_sql(),
         "lang_mismatch": _LANG_MISMATCH_ORACLE_SQL,
         "notebook_cells": _NOTEBOOK_ORACLE_SQL,
         "code_imports": _imports_oracle_sql(),

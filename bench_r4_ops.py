@@ -440,6 +440,65 @@ def run_code_curation_prod(spark, n=32_000_000):
             "survivors": survivors, "sec": round(time.time() - t, 1)}
 
 
+def run_code_chunks(spark, n=32_000_000):
+    from schema_validator_spark.operators.codechunk import chunk_functions
+
+    df = _code_files_parquet(spark, n)
+    t = time.time()
+    cnt = chunk_functions(df, ["repo", "path"], "content", "lang").count()
+    return {"op": "code_chunks", "rows": n, "chunks": cnt,
+            "sec": round(time.time() - t, 1)}
+
+
+def run_identifier_vocab(spark, n=16_000_000):
+    from schema_validator_spark.functions.identifiers import (
+        identifier_vocabulary,
+    )
+
+    df = _code_files_parquet(spark, n)
+    t = time.time()
+    cnt = identifier_vocabulary(
+        df, ["repo", "path"], "content", "lang"
+    ).count()
+    return {"op": "identifier_vocab", "rows": n, "vocab": cnt,
+            "sec": round(time.time() - t, 1)}
+
+
+def run_repo_license(spark, n=32_000_000):
+    from schema_validator_spark.operators.licenses import (
+        propagate_repo_license,
+    )
+
+    i = F.xxhash64("repo", "path")
+    df = (
+        _code_files_parquet(spark, n)
+        .withColumn(
+            "path",
+            F.when(F.pmod(i, 1000) == 5, F.lit("LICENSE"))
+            .otherwise(F.col("path")),
+        )
+        .withColumn(
+            "content",
+            F.when(
+                F.pmod(i, 1000) == 5,
+                F.when(F.pmod(F.xxhash64("repo"), 3) == 0,
+                       F.lit("Permission is hereby granted, free of charge"))
+                .when(F.pmod(F.xxhash64("repo"), 3) == 1,
+                      F.lit("GNU General Public License"))
+                .otherwise(F.lit("Licensed under the Apache License")),
+            ).otherwise(F.col("content")),
+        )
+    )
+    t = time.time()
+    rows = (
+        propagate_repo_license(df, "repo", "path", "content")
+        .groupBy("repo_license").count().collect()
+    )
+    return {"op": "repo_license", "rows": n,
+            "mix": {r["repo_license"]: r["count"] for r in rows},
+            "sec": round(time.time() - t, 1)}
+
+
 #: op label (as printed in output / BENCH.md) -> benchmark fn
 OPS = {
     "edit_join": run_edit_join,
@@ -461,6 +520,9 @@ OPS = {
     "encoding_stats": run_encoding_stats,
     "code_curation": run_code_curation,
     "code_curation_prod": run_code_curation_prod,
+    "code_chunks": run_code_chunks,
+    "identifier_vocab": run_identifier_vocab,
+    "repo_license": run_repo_license,
 }
 
 
