@@ -469,9 +469,13 @@ def run_repo_license(spark, n=32_000_000):
         propagate_repo_license,
     )
 
-    i = F.xxhash64("repo", "path")
+    # materialize the stripe key BEFORE rewriting path — a lazy
+    # xxhash64("repo","path") expression would re-evaluate against the
+    # rewritten path and select different rows for the content stripe
+    i = F.col("_i")
     df = (
         _code_files_parquet(spark, n)
+        .withColumn("_i", F.xxhash64("repo", "path"))
         .withColumn(
             "path",
             F.when(F.pmod(i, 1000) == 5, F.lit("LICENSE"))
@@ -488,6 +492,7 @@ def run_repo_license(spark, n=32_000_000):
                 .otherwise(F.lit("Licensed under the Apache License")),
             ).otherwise(F.col("content")),
         )
+        .drop("_i")
     )
     t = time.time()
     rows = (
