@@ -2358,7 +2358,7 @@ def q_code_chunks(spark, sf_dir):
         .otherwise(F.lit("js"))
     )
     py = F.concat(
-        F.lit("import os\n\ndef f(x):\n    return "), k,
+        F.lit("import os\n\n@cached\ndef f(x):\n    return "), k,
         F.lit("\n\ndef shared():\n    return 0\n"),
     )
     go = F.concat(
@@ -2366,7 +2366,8 @@ def q_code_chunks(spark, sf_dir):
         F.lit("\n}\n\nfunc Shared() int {\n\treturn 0\n}\n"),
     )
     js = F.concat(
-        F.lit("function a"), k, F.lit("() { return 1 }\nclass B {}\n")
+        F.lit("function a"), k,
+        F.lit("() { return 1 }\nexport default class B {}\n"),
     )
     content = F.when(m3 == 0, py).when(m3 == 1, go).otherwise(js)
     df = docs.select(
@@ -3266,16 +3267,31 @@ def _repo_license_oracle_sql() -> str:
 def _code_chunks_oracle_sql() -> str:
     """Independent relational derivation of q_code_chunks: ordered
     line unnest (generate_subscripts) + boundary marking with the SAME
-    BOUNDARY_RES regexes + window running-sum group ids + ordered
-    string_agg reassembly — cross-checks the operator's HOF slicing
-    arithmetic rather than replaying it."""
-    from schema_validator_spark.operators.codechunk import BOUNDARY_RES
-
-    marks = "\n                    ".join(
-        f"when lang = '{lg}' and regexp_matches(line, '{_esc_sq(p)}') "
-        "then 1"
-        for lg, p in sorted(BOUNDARY_RES.items())
+    BOUNDARY_RES/ATTACH_RES regexes (pairwise rule via lag(line)) +
+    window running-sum group ids + ordered string_agg reassembly —
+    cross-checks the operator's HOF slicing arithmetic rather than
+    replaying it."""
+    from schema_validator_spark.operators.codechunk import (
+        ATTACH_RES,
+        BOUNDARY_RES,
     )
+
+    parts = []
+    for lg, p in sorted(BOUNDARY_RES.items()):
+        ap = ATTACH_RES.get(lg)
+        if ap:
+            parts.append(
+                f"when lang = '{lg}' and (regexp_matches(line, "
+                f"'{_esc_sq(p)}') or regexp_matches(line, "
+                f"'{_esc_sq(ap)}')) and not coalesce("
+                f"regexp_matches(prev, '{_esc_sq(ap)}'), false) then 1"
+            )
+        else:
+            parts.append(
+                f"when lang = '{lg}' and regexp_matches(line, "
+                f"'{_esc_sq(p)}') then 1"
+            )
+    marks = "\n                    ".join(parts)
     return f"""
       with synth as (
         select doc_id,
@@ -3285,6 +3301,7 @@ def _code_chunks_oracle_sql() -> str:
                     else 'js' end as lang,
                case when doc_id % 3 = 0 then
                       'import os' || chr(10) || chr(10)
+                      || '@cached' || chr(10)
                       || 'def f(x):' || chr(10) || '    return '
                       || cast(doc_id as varchar) || chr(10) || chr(10)
                       || 'def shared():' || chr(10) || '    return 0'
@@ -3300,8 +3317,8 @@ def _code_chunks_oracle_sql() -> str:
                     else
                       'function a' || cast(doc_id as varchar)
                       || '() ' || chr(123) || ' return 1 ' || chr(125)
-                      || chr(10) || 'class B ' || chr(123) || chr(125)
-                      || chr(10)
+                      || chr(10) || 'export default class B '
+                      || chr(123) || chr(125) || chr(10)
                end as content
         from documents
       ), lines as (
@@ -3310,11 +3327,15 @@ def _code_chunks_oracle_sql() -> str:
                generate_subscripts(string_split(content, chr(10)), 1)
                  as ord
         from synth
+      ), lagged as (
+        select *,
+               lag(line) over (partition by doc_id order by ord) as prev
+        from lines
       ), marked as (
         select *,
                case {marks}
                     else 0 end as m
-        from lines
+        from lagged
       ), grp as (
         select *,
                sum(m) over (partition by doc_id order by ord) as g0,

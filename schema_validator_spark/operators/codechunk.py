@@ -5,22 +5,32 @@ function level, not the file level; the reference's per-struct
 validation unit is the analogous granularity, validators.go's
 struct-walk).
 
-A chunk is a top-level unit: everything from one boundary line (a
-line-start ``def``/``func``/``function``/``class`` per the lang's
-registered regex) up to the next boundary line, plus a preamble chunk
-(imports, module docstring) when the file doesn't open with a
-boundary.  Nested definitions stay inside their parent chunk — the
-boundary regexes anchor at column 0, so an indented ``def`` never
-splits its class.  Langs with no registered regex yield the whole file
-as one chunk (chunk 0) — nothing is ever dropped, and
-``concat_ws(chr(10), chunks)`` reconstructs the file byte-exactly.
+A chunk is a top-level unit: everything from one boundary line up to
+the next boundary line, plus a preamble chunk (imports, module
+docstring) when the file doesn't open with a boundary.  A boundary is
+a column-0 ``def``/``func``/``function``/``class`` line per the
+lang's registered regex — or, for langs with a registered ATTACHMENT
+regex (Python decorators), the first line of the decorator stack
+above it, so ``@staticmethod`` travels with its function and
+decorated/undecorated twins get different ``chunk_sha``.  The
+boundary predicate is pairwise — it reads only the line and the line
+above — which keeps the whole operator linear.  Nested definitions
+stay inside their parent chunk (boundaries anchor at column 0), and
+langs with no registered regex yield the whole file as one chunk —
+nothing is ever dropped: ``concat_ws(chr(10), chunks)`` reconstructs
+the file byte-exactly.  Doc comments directly above a unit stay with
+the PREVIOUS chunk (cosmetic-only divergence, documented; unlike
+decorators they don't change behavior).
 
-Scale shape: ZERO shuffles — boundary detection, index arithmetic, and
-slicing are JVM higher-order functions over the per-row line array
-(linear: total sliced chars = file size; no quadratic membership scans
-— the next-boundary lookup is positional ``get``), and the final
-``posexplode`` rides the scan.  The quadratic-HOF hazard documented in
-CLAUDE.md does not apply: no per-element scan over another array.
+Scale shape: ZERO shuffles and LINEAR per-row work.  The line array
+and the boundary-index array are materialized as explicit columns
+BEFORE the slicing transform — lambda-containing trees are excluded
+from Spark subexpression elimination, so referencing the raw
+expressions inside the transform would re-run split + the per-line
+regex scan once per chunk (measured 142x slowdown at 200 defs/file;
+CLAUDE.md: share heavy derivations through an explicit column).  With
+the columns bound, boundary detection is one pass, the next-boundary
+lookup is positional ``get``, and total sliced chars = file size.
 """
 
 from __future__ import annotations
@@ -36,10 +46,25 @@ BOUNDARY_RES: dict[str, str] = {
     "py": r"^(async\s+def|def|class)\b",
     # functions, methods, and type declarations all start units in Go
     "go": r"^(func|type)\b",
-    # function/class declarations, optionally exported/async
-    "js": r"^(export\s+)?(async\s+)?(function|class)\b",
+    # function/class declarations, optionally exported / default /
+    # async — `export default function App()` is the dominant
+    # ES-module pattern and must start a unit
+    "js": r"^(export\s+)?(default\s+)?(async\s+)?(function|class)\b",
 }
 BOUNDARY_RES["ts"] = BOUNDARY_RES["js"]
+
+#: lang -> attachment regex: column-0 lines that BELONG TO the unit
+#: below them.  A boundary moves to the first line of a maximal
+#: attachment run (pairwise rule: a def preceded by an attachment is
+#: not a boundary; an attachment preceded by a non-attachment is).
+#: Python decorators are semantic (``@property`` changes behavior) so
+#: they must stay inside the chunk_sha; comment attachment is
+#: deliberately NOT attempted — a bare comment block would falsely
+#: start a unit, while a bare column-0 decorator not followed by a
+#: def is invalid Python.
+ATTACH_RES: dict[str, str] = {
+    "py": r"^@[A-Za-z_]",
+}
 
 
 def chunk_functions(
@@ -49,6 +74,7 @@ def chunk_functions(
     lang_col: str,
     *,
     boundary_res: dict[str, str] | None = None,
+    attach_res: dict[str, str] | None = None,
     with_sha: bool = True,
 ) -> DataFrame:
     """``(id_cols..., chunk_idx, chunk_text[, chunk_sha])`` — one row
@@ -56,18 +82,37 @@ def chunk_functions(
     ``chunk_sha`` (sha256 of the chunk text) to an exact-dedup groupBy
     for function-level dedup."""
     res = boundary_res if boundary_res is not None else BOUNDARY_RES
+    att = attach_res if attach_res is not None else ATTACH_RES
     if not res:
         raise ValueError("empty boundary-regex map")
+    clash = sorted({"_cf_lines", "_cf_b"} & set(df.columns))
+    if clash:
+        raise ValueError(
+            "chunk_functions reserves these column names; rename the "
+            f"input columns: {clash}"
+        )
     s = F.coalesce(F.col(content_col), F.lit(""))
     lang = F.lower(F.coalesce(F.col(lang_col), F.lit("")))
-    lines = F.split(s, "\n", -1)
+    tmp = df.withColumn("_cf_lines", F.split(s, "\n", -1))
+    lines = F.col("_cf_lines")
 
-    def boundaries(pat: str) -> Column:
-        # 0-based indices of boundary lines
+    def boundaries(def_pat: str, att_pat: str | None) -> Column:
+        # 0-based indices of boundary lines (pairwise predicate:
+        # current line + the line above, each an O(1) positional get)
+        def is_boundary(l: Column, i: Column) -> Column:
+            if att_pat is None:
+                return l.rlike(def_pat)
+            prev_att = F.coalesce(
+                F.get(lines, i - 1).rlike(att_pat), F.lit(False)
+            )
+            return (l.rlike(def_pat) | l.rlike(att_pat)) & ~prev_att
+
         return F.filter(
             F.transform(
                 lines,
-                lambda l, i: F.when(l.rlike(pat), i).otherwise(F.lit(-1)),
+                lambda l, i: F.when(
+                    is_boundary(l, i), i
+                ).otherwise(F.lit(-1)),
             ),
             lambda x: x >= 0,
         )
@@ -75,26 +120,28 @@ def chunk_functions(
     chain = None
     for lg, pat in sorted(res.items()):
         cond = lang == lg
-        arr = boundaries(pat)
+        arr = boundaries(pat, att.get(lg))
         chain = F.when(cond, arr) if chain is None else chain.when(cond, arr)
     b = chain.otherwise(F.array().cast("array<int>"))
     # prepend the preamble start unless the file opens with a boundary
     b2 = F.when(
         (F.size(b) > 0) & (F.element_at(b, 1) == 0), b
     ).otherwise(F.concat(F.array(F.lit(0)), b))
+    tmp = tmp.withColumn("_cf_b", b2)
+    bc = F.col("_cf_b")
     n_lines = F.size(lines)
     chunks = F.transform(
-        b2,
+        bc,
         lambda st, j: F.array_join(
             F.slice(
                 lines,
                 st + 1,
-                F.coalesce(F.get(b2, j + 1), n_lines) - st,
+                F.coalesce(F.get(bc, j + 1), n_lines) - st,
             ),
             "\n",
         ),
     )
-    out = df.select(
+    out = tmp.select(
         *id_cols,
         F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
     )
@@ -110,6 +157,7 @@ def function_dedup_stats(
     lang_col: str,
     *,
     boundary_res: dict[str, str] | None = None,
+    attach_res: dict[str, str] | None = None,
 ) -> DataFrame:
     """Function-level exact-dup profile: one row —
     ``(n_chunks, n_distinct_chunks, n_dup_chunks, dup_frac)`` where
@@ -117,7 +165,12 @@ def function_dedup_stats(
     sha (what function-level dedup would remove).  One
     map-side-combinable groupBy at chunk-sha scale."""
     ch = chunk_functions(
-        df, id_cols, content_col, lang_col, boundary_res=boundary_res
+        df,
+        id_cols,
+        content_col,
+        lang_col,
+        boundary_res=boundary_res,
+        attach_res=attach_res,
     )
     per_sha = ch.groupBy("chunk_sha").agg(F.count(F.lit(1)).alias("n"))
     return per_sha.agg(

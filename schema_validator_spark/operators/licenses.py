@@ -164,6 +164,12 @@ def propagate_repo_license(
     joined back onto every file (``NONE`` for repos with no license
     file).  The dimension is ~1 row per repo, so the join is an
     explicit broadcast — the file table never shuffles."""
+    clash = sorted({out_col, "_rl_repo"} & set(df.columns))
+    if clash:
+        raise ValueError(
+            "propagate_repo_license output/helper column names collide "
+            f"with input columns (pass a different out_col): {clash}"
+        )
     dim = repo_license(
         df,
         repo_col,

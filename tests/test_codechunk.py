@@ -44,6 +44,12 @@ ROWS = [
     (6, "anything", "rust"),  # unregistered lang -> whole file
     (7, None, "py"),
     (8, "", "go"),
+    (9, "import x\n\n@a\n@b(1)\ndef f():\n    pass\ndef g():\n    pass\n",
+     "py"),
+    (10, "@first_line\ndef f():\n    pass\n", "py"),
+    (11, "export default function App() {}\n"
+         "export default class C {}\n"
+         "export async function go() {}\n", "js"),
 ]
 
 
@@ -76,6 +82,22 @@ def test_boundaries_and_preamble(spark):
     assert by_id[6] == [(0, "anything")]       # unregistered lang
     assert by_id[7] == [(0, "")]               # NULL content
     assert by_id[8] == [(0, "")]               # empty content
+    # decorator stack travels with its function: the unit starts at
+    # the FIRST decorator, and def g (no decorators) starts its own
+    dec = [t for _, t in by_id[9]]
+    assert dec[0] == "import x\n"
+    assert dec[1] == "@a\n@b(1)\ndef f():\n    pass"
+    assert dec[2] == "def g():\n    pass\n"
+    # decorator on line 1: boundary at index 0, no preamble
+    assert len(by_id[10]) == 1
+    assert by_id[10][0][1].startswith("@first_line")
+    # export default function/class start units
+    js_units = [t for _, t in by_id[11]]
+    assert [u.split("\n")[0] for u in js_units] == [
+        "export default function App() {}",
+        "export default class C {}",
+        "export async function go() {}",
+    ]
 
 
 def test_reconstruction_byte_exact(spark):
@@ -119,3 +141,47 @@ def test_empty_map_raises(spark):
                                "id long, content string, lang string")
     with pytest.raises(ValueError):
         chunk_functions(df, ["id"], "content", "lang", boundary_res={})
+
+
+def test_reserved_column_raises(spark):
+    df = spark.createDataFrame(
+        [(1, "x", "py", "boom")],
+        "id long, content string, lang string, _cf_lines string",
+    )
+    with pytest.raises(ValueError, match="_cf_lines"):
+        chunk_functions(df, ["id"], "content", "lang")
+
+
+def test_many_boundaries_linear_shape(spark):
+    # 300 top-level defs in one file: every def is its own chunk and
+    # the file reconstructs byte-exactly (the materialized-column plan
+    # makes this linear; the old in-lambda expression tree re-ran the
+    # line split per chunk)
+    content = "".join(
+        f"def f{i}():\n    return {i}\n" for i in range(300)
+    )
+    df = spark.createDataFrame([(1, content, "py")],
+                               "id long, content string, lang string")
+    rows = sorted(
+        (r["chunk_idx"], r["chunk_text"])
+        for r in chunk_functions(df, ["id"], "content", "lang").collect()
+    )
+    assert len(rows) == 300
+    assert "\n".join(t for _, t in rows) == content
+    assert rows[0][1].startswith("def f0")
+    assert rows[299][1].startswith("def f299")
+
+
+def test_propagate_repo_license_collision_raises(spark):
+    import pytest as _pytest
+
+    from schema_validator_spark.operators.licenses import (
+        propagate_repo_license,
+    )
+
+    df = spark.createDataFrame(
+        [("r", "LICENSE", "x", "MIT")],
+        "repo string, path string, content string, repo_license string",
+    )
+    with _pytest.raises(ValueError, match="repo_license"):
+        propagate_repo_license(df, "repo", "path", "content")
