@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (130/130), including the approximate tiers
+EVERY query has an oracle (131/131), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -2424,6 +2424,56 @@ def q_identifier_vocab(spark, sf_dir):
     return identifier_vocabulary(df, ["doc_id"], "content", "lang")
 
 
+def q_repo_profile(spark, sf_dir):
+    """Per-repo health dashboard
+    (operators/repoprofile.repo_profile): size, language mix, dominant
+    language (max-struct arg-max), test/vendored composition from
+    PATH_RULES, intra-repo exact-dup load, and the repo license
+    verdict — the repo-grain profile a curation run reads before
+    ingesting.  Stripes: 20 repos, 6 path classes, 3 langs, a planted
+    intra-repo dup stripe, and LICENSE files for repos r0-r15 only
+    (r16-r19 -> NONE)."""
+    from schema_validator_spark.operators.repoprofile import repo_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    k = did.cast("string")
+    m6 = did % 6
+    is_lic = did < 16
+    path = F.when(is_lic, F.lit("LICENSE")).otherwise(
+        F.when(m6 == 0, F.concat(F.lit("vendor/lib/f"), k, F.lit(".go")))
+        .when(m6 == 1, F.concat(F.lit("tests/t"), k, F.lit(".py")))
+        .when(m6 == 2, F.concat(F.lit("src/f"), k, F.lit(".go")))
+        .when(m6 == 3, F.concat(F.lit("src/g"), k, F.lit(".py")))
+        .when(m6 == 4, F.concat(F.lit("docs/d"), k, F.lit(".md")))
+        .otherwise(F.concat(F.lit("src/h"), k, F.lit(".js")))
+    )
+    lang = (
+        F.when(m6.isin(0, 2), F.lit("go"))
+        .when(m6.isin(1, 3), F.lit("py"))
+        .when(m6 == 4, F.lit("md"))
+        .otherwise(F.lit("js"))
+    )
+    m3 = did % 3
+    lic_text = (
+        F.when(m3 == 0,
+               F.lit("Permission is hereby granted, free of charge"))
+        .when(m3 == 1, F.lit("GNU General Public License"))
+        .otherwise(F.lit("all rights reserved by someone"))
+    )
+    content = F.when(is_lic, lic_text).otherwise(
+        F.when(did % 5 == 0, F.lit("package dup"))
+        .otherwise(F.concat(F.coalesce(F.col("text"), F.lit("")), k))
+    )
+    df = docs.select(
+        F.concat(F.lit("r"), (did % 20).cast("string")).alias("repo"),
+        path.alias("path"),
+        lang.alias("lang"),
+        content.alias("content"),
+    )
+    return repo_profile(df, "repo", "path", "lang", "content")
+
+
 def q_lang_mismatch(spark, sf_dir):
     """Declared-lang vs path-extension consistency
     (operators/codequality.lang_path_mismatches): the two-column
@@ -2817,6 +2867,11 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
         ["comment_frac"],
     ),
     "path_classes": (["path_class", "n_files"], ["share"]),
+    "repo_profile": (
+        ["repo", "n_files", "n_bytes", "n_langs", "top_lang",
+         "repo_license"],
+        ["test_share", "vendored_share", "dup_share"],
+    ),
 }
 
 
@@ -2996,6 +3051,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_license": q_repo_license,
         "code_chunks": q_code_chunks,
         "identifier_vocab": q_identifier_vocab,
+        "repo_profile": q_repo_profile,
     }
 
 
@@ -3418,6 +3474,117 @@ def _identifier_vocab_oracle_sql() -> str:
              count(distinct identifier) as n_identifiers
       from subs
       group by subtoken
+    """
+
+
+def _repo_profile_oracle_sql() -> str:
+    """Replay q_repo_profile from the SAME module constants: PATH_RULES
+    priority classification, LICENSE marker/rank arg-max, intra-repo
+    sha256 dup load, dominant-lang arg-max (count desc, lang desc),
+    repo-grain joins with NONE license default."""
+    from schema_validator_spark.operators.licenses import (
+        LICENSE_FILE_RE,
+        LICENSE_MARKERS,
+        LICENSE_RANK,
+    )
+    from schema_validator_spark.operators.pathclass import PATH_RULES, SOURCE
+
+    cls_whens = "\n                    ".join(
+        f"when regexp_matches(path, '{_esc_sq(pat)}') then '{cls}'"
+        for cls, pat in PATH_RULES
+    )
+    lic_whens = "\n                 ".join(
+        f"when contains(low, '{_esc_sq(m)}') then '{lic}'"
+        for lic, m in LICENSE_MARKERS
+    )
+    rank_whens = "\n                 ".join(
+        f"when '{lic}' then {r}" for lic, r in LICENSE_RANK.items()
+    )
+    return f"""
+      with synth as (
+        select 'r' || cast(doc_id % 20 as varchar) as repo,
+               case when doc_id < 16 then 'LICENSE'
+                    when doc_id % 6 = 0 then
+                      'vendor/lib/f' || cast(doc_id as varchar) || '.go'
+                    when doc_id % 6 = 1 then
+                      'tests/t' || cast(doc_id as varchar) || '.py'
+                    when doc_id % 6 = 2 then
+                      'src/f' || cast(doc_id as varchar) || '.go'
+                    when doc_id % 6 = 3 then
+                      'src/g' || cast(doc_id as varchar) || '.py'
+                    when doc_id % 6 = 4 then
+                      'docs/d' || cast(doc_id as varchar) || '.md'
+                    else 'src/h' || cast(doc_id as varchar) || '.js'
+               end as path,
+               case when doc_id % 6 in (0, 2) then 'go'
+                    when doc_id % 6 in (1, 3) then 'py'
+                    when doc_id % 6 = 4 then 'md'
+                    else 'js' end as lang,
+               case when doc_id < 16 then
+                      case doc_id % 3
+                        when 0 then
+                          'Permission is hereby granted, free of charge'
+                        when 1 then 'GNU General Public License'
+                        else 'all rights reserved by someone' end
+                    when doc_id % 5 = 0 then 'package dup'
+                    else coalesce(text, '')
+                         || cast(doc_id as varchar)
+               end as content
+        from documents
+      ), perfile as (
+        select repo, lang,
+               case when (case {cls_whens}
+                          else '{SOURCE}' end) = 'test'
+                    then 1 else 0 end as is_test,
+               case when (case {cls_whens}
+                          else '{SOURCE}' end) = 'vendored'
+                    then 1 else 0 end as is_vend,
+               length(content) as nb,
+               sha256(content) as sha,
+               path, content
+        from synth
+      ), agg as (
+        select repo, count(*) as n_files,
+               cast(sum(nb) as bigint) as n_bytes,
+               count(distinct lang) as n_langs,
+               round(avg(is_test), 6) as test_share,
+               round(avg(is_vend), 6) as vendored_share
+        from perfile group by repo
+      ), dup as (
+        select repo,
+               round((sum(n) - count(*)) / cast(sum(n) as double), 6)
+                 as dup_share
+        from (select repo, sha, count(*) as n from perfile
+              group by repo, sha)
+        group by repo
+      ), top as (
+        select repo, lang as top_lang from (
+          select repo, lang,
+                 row_number() over (partition by repo
+                                    order by count(*) desc, lang desc)
+                   as rn
+          from perfile group by repo, lang) where rn = 1
+      ), lic as (
+        select repo,
+               case {lic_whens}
+                    else 'UNKNOWN' end as flic
+        from (select repo, lower(content) as low from perfile
+              where regexp_matches(path, '{_esc_sq(LICENSE_FILE_RE)}'))
+      ), dim as (
+        select repo, flic as repo_license from (
+          select repo, flic,
+                 row_number() over (partition by repo order by
+                   (case flic {rank_whens} else 8 end) desc,
+                   flic desc) as rn
+          from lic) where rn = 1
+      )
+      select a.repo, n_files, n_bytes, n_langs, top_lang,
+             test_share, vendored_share, dup_share,
+             coalesce(d.repo_license, 'NONE') as repo_license
+      from agg a
+      join dup using (repo)
+      join top using (repo)
+      left join dim d using (repo)
     """
 
 
@@ -4831,6 +4998,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "repo_license": _repo_license_oracle_sql(),
         "code_chunks": _code_chunks_oracle_sql(),
         "identifier_vocab": _identifier_vocab_oracle_sql(),
+        "repo_profile": _repo_profile_oracle_sql(),
         "lang_mismatch": _LANG_MISMATCH_ORACLE_SQL,
         "notebook_cells": _NOTEBOOK_ORACLE_SQL,
         "code_imports": _imports_oracle_sql(),
