@@ -3532,14 +3532,14 @@ def _repo_profile_oracle_sql() -> str:
                end as content
         from documents
       ), perfile as (
-        select repo, lang,
+        select repo, lower(lang) as lang,
                case when (case {cls_whens}
                           else '{SOURCE}' end) = 'test'
                     then 1 else 0 end as is_test,
                case when (case {cls_whens}
                           else '{SOURCE}' end) = 'vendored'
                     then 1 else 0 end as is_vend,
-               length(content) as nb,
+               strlen(content) as nb,
                sha256(content) as sha,
                path, content
         from synth

@@ -58,12 +58,17 @@ BOUNDARY_RES["ts"] = BOUNDARY_RES["js"]
 #: attachment run (pairwise rule: a def preceded by an attachment is
 #: not a boundary; an attachment preceded by a non-attachment is).
 #: Python decorators are semantic (``@property`` changes behavior) so
-#: they must stay inside the chunk_sha; comment attachment is
-#: deliberately NOT attempted — a bare comment block would falsely
-#: start a unit, while a bare column-0 decorator not followed by a
-#: def is invalid Python.
+#: they must stay inside the chunk_sha.  The shape is strict — a bare
+#: ``@name``, dotted path, or call-opening ``@name(...`` ONLY — so
+#: docstring tag lines (``@author: jane``, ``@param x ...``) never
+#: become boundaries.  Known line-regex limits (documented, not
+#: parsed): a MULTI-LINE decorator call or a blank line inside the
+#: stack breaks pairwise contiguity, so the following def starts its
+#: own unit (the decorator lands in the unit above — the pre-feature
+#: behavior, never a crash); comment attachment is deliberately not
+#: attempted (a bare comment block would falsely start a unit).
 ATTACH_RES: dict[str, str] = {
-    "py": r"^@[A-Za-z_]",
+    "py": r"^@[A-Za-z_][A-Za-z0-9_.]*(\(.*)?\s*$",
 }
 
 

@@ -37,13 +37,19 @@ def repo_profile(
 
     ``dup_share`` = fraction of the repo's files whose content sha256
     occurs more than once WITHIN the repo (what intra-repo exact dedup
-    would remove, counting every copy after the first).  ``top_lang``
+    would remove, counting every copy after the first).  ``n_bytes``
+    is UTF-8 octets, not characters.  Lang labels are lowercased
+    (``Go`` == ``go``), matching codechunk's dispatch.  ``top_lang``
     ties break lexicographically descending (deterministic).  Shares
     round to 6dp."""
+    if "_pcls" in df.columns:
+        raise ValueError(
+            "repo_profile reserves the column name '_pcls'; rename it"
+        )
     base = classify_paths(df, path_col, out_col="_pcls").select(
         F.col(repo_col).alias("repo"),
         F.col("_pcls"),
-        F.coalesce(F.col(lang_col), F.lit("")).alias("_lang"),
+        F.lower(F.coalesce(F.col(lang_col), F.lit(""))).alias("_lang"),
         F.coalesce(F.col(content_col), F.lit("")).alias("_content"),
     )
     per_file = base.select(
@@ -51,7 +57,7 @@ def repo_profile(
         "_lang",
         (F.col("_pcls") == "test").cast("int").alias("_is_test"),
         (F.col("_pcls") == "vendored").cast("int").alias("_is_vend"),
-        F.length("_content").alias("_bytes"),
+        F.octet_length("_content").alias("_bytes"),
         F.sha2("_content", 256).alias("_sha"),
     )
     agg = per_file.groupBy("repo").agg(

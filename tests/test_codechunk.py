@@ -172,16 +172,50 @@ def test_many_boundaries_linear_shape(spark):
     assert rows[299][1].startswith("def f299")
 
 
-def test_propagate_repo_license_collision_raises(spark):
-    import pytest as _pytest
-
-    from schema_validator_spark.operators.licenses import (
-        propagate_repo_license,
+def test_docstring_tags_are_not_boundaries(spark):
+    # '@author: jane' at column 0 inside a module docstring must NOT
+    # start a unit (strict decorator shape: bare name / dotted path /
+    # call-opening only)
+    content = (
+        '"""Utils.\n'
+        "\n"
+        "@author: jane\n"
+        "@param x the thing\n"
+        '"""\n'
+        "import os\n"
+        "def f():\n"
+        "    pass\n"
     )
-
-    df = spark.createDataFrame(
-        [("r", "LICENSE", "x", "MIT")],
-        "repo string, path string, content string, repo_license string",
+    df = spark.createDataFrame([(1, content, "py")],
+                               "id long, content string, lang string")
+    rows = sorted(
+        (r["chunk_idx"], r["chunk_text"])
+        for r in chunk_functions(df, ["id"], "content", "lang").collect()
     )
-    with _pytest.raises(ValueError, match="repo_license"):
-        propagate_repo_license(df, "repo", "path", "content")
+    assert len(rows) == 2                       # preamble + def f
+    assert rows[0][1].startswith('"""Utils.')
+    assert "@author: jane" in rows[0][1]        # stays in the preamble
+    assert rows[1][1].startswith("def f():")
+
+
+def test_multiline_decorator_documented_fallback(spark):
+    # multi-line decorator calls break pairwise contiguity: the def
+    # starts its own unit and the decorator lands in the unit above —
+    # the documented pre-feature fallback, never a crash
+    content = (
+        "import os\n"
+        '@pytest.mark.parametrize(\n'
+        '    "x", [1])\n'
+        "def f(x):\n"
+        "    pass\n"
+    )
+    df = spark.createDataFrame([(1, content, "py")],
+                               "id long, content string, lang string")
+    rows = sorted(
+        (r["chunk_idx"], r["chunk_text"])
+        for r in chunk_functions(df, ["id"], "content", "lang").collect()
+    )
+    assert [t.split("\n")[0] for _, t in rows] == [
+        "import os", "@pytest.mark.parametrize(", "def f(x):"
+    ]
+    assert "\n".join(t for _, t in rows) == content

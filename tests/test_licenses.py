@@ -132,3 +132,18 @@ def test_repo_license_dim_and_propagation(spark):
     # is the tiny dim groupBy feeding the broadcast)
     from schema_validator_spark.plans.inspect import join_kinds
     assert any("Broadcast" in k for k in join_kinds(out))
+
+
+def test_propagate_repo_license_collision_raises(spark):
+    import pytest
+
+    from schema_validator_spark.operators.licenses import (
+        propagate_repo_license,
+    )
+
+    df = spark.createDataFrame(
+        [("r", "LICENSE", "x", "MIT")],
+        "repo string, path string, content string, repo_license string",
+    )
+    with pytest.raises(ValueError, match="repo_license"):
+        propagate_repo_license(df, "repo", "path", "content")

@@ -43,6 +43,32 @@ def test_repo_profile(spark):
     assert b["repo_license"] == "NONE"
 
 
+def test_bytes_are_octets_and_lang_case_folds(spark):
+    rows = [
+        ("r", "a.go", "Go", "héllo日本"),   # 5 ascii + é(2) + 2x3 bytes
+        ("r", "b.go", "go", "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, lang string, content string"
+    )
+    got = repo_profile(df, "repo", "path", "lang", "content").collect()[0]
+    assert got["n_bytes"] == len("héllo日本".encode()) + 1  # octets, not chars
+    assert got["n_langs"] == 1                             # Go == go
+    assert got["top_lang"] == "go"
+
+
+def test_reserved_pcls_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [("r", "a.go", "go", "x", "boom")],
+        "repo string, path string, lang string, content string,"
+        " _pcls string",
+    )
+    with pytest.raises(ValueError, match="_pcls"):
+        repo_profile(df, "repo", "path", "lang", "content")
+
+
 def test_top_lang_tie_breaks_desc(spark):
     rows = [("r", "a.go", "go", "1"), ("r", "b.py", "py", "2")]
     df = spark.createDataFrame(
