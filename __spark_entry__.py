@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (131/131), including the approximate tiers
+EVERY query has an oracle (132/132), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -2474,6 +2474,80 @@ def q_repo_profile(spark, sf_dir):
     return repo_profile(df, "repo", "path", "lang", "content")
 
 
+#: code_complexity synthesis snippets — single source of truth shared by
+#: q_code_complexity (Spark) and _code_complexity_oracle_sql (DuckDB via
+#: _duck_lit), so the two sides can never drift.  Each lang stripe has a
+#: header, a per-doc REPEATED body (doc_id % 5 + 1 times), and a tail;
+#: stripes cover tab indentation (py/go), space indentation (js),
+#: short-circuit operators (&&/|| for go/js, and/or words for py), a
+#: keyword inside a comment (js "// case note" — the documented
+#:  syntactic tier), and an unregistered lang (cobol -> cyclomatic 1).
+_CPLX_SNIPPETS: dict[str, tuple[str, str, str]] = {
+    "py": (
+        "def f():\n",
+        "\tif a and b:\n\t\tx = 1\n",
+        "\twhile t or u:\n\t\t\ty = 2\n",
+    ),
+    "go": (
+        "func main() {\n",
+        "\tif a && b {\n\t\tx = 1\n\t}\n",
+        "\tfor i := range v {\n\t\tselect {\n\t\tcase c:\n\t\t}\n\t}\n}\n",
+    ),
+    "js": (
+        "function f() {\n",
+        "  if (a || b) { x = 1 }\n",
+        "  while (t) { y() }\n  // case note\n",
+    ),
+    "cobol": (
+        "PROCEDURE DIVISION.\n    IF X > 0\n    END-IF\n",
+        "",
+        "",
+    ),
+}
+
+
+def q_code_complexity(spark, sf_dir):
+    """Lexical code-complexity metrics
+    (operators/complexity.complexity_stats): per-file McCabe-proxy
+    decision count (whole-word branch keywords + short-circuit
+    operators), cyclomatic estimate, and tab-expanded max-indent
+    nesting depth — the maintainability signal beside code_quality's
+    hygiene gate.  Stripes: py/go/js/unregistered-cobol with repeated
+    bodies (doc_id % 5 + 1) so metrics vary per doc; every 29th doc
+    NULL content, every 31st NULL lang."""
+    from schema_validator_spark.operators.complexity import (
+        complexity_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    m = did % 4
+    rep = (did % 5 + 1).cast("int")
+
+    def _body(lg):
+        head, mid, tail = _CPLX_SNIPPETS[lg]
+        return F.concat(
+            F.lit(head), F.repeat(F.lit(mid), rep), F.lit(tail)
+        )
+
+    content = F.when(did % 29 == 0, F.lit(None).cast("string")).otherwise(
+        F.when(m == 0, _body("py"))
+        .when(m == 1, _body("go"))
+        .when(m == 2, _body("js"))
+        .otherwise(F.lit(_CPLX_SNIPPETS["cobol"][0]))
+    )
+    lang = F.when(did % 31 == 0, F.lit(None).cast("string")).otherwise(
+        F.when(m == 0, F.lit("py"))
+        .when(m == 1, F.lit("go"))
+        .when(m == 2, F.lit("js"))
+        .otherwise(F.lit("cobol"))
+    )
+    df = docs.select(
+        "doc_id", lang.alias("lang"), content.alias("content")
+    )
+    return complexity_stats(df, "content", "lang", keep_cols=["doc_id"])
+
+
 def q_lang_mismatch(spark, sf_dir):
     """Declared-lang vs path-extension consistency
     (operators/codequality.lang_path_mismatches): the two-column
@@ -2872,6 +2946,11 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
          "repo_license"],
         ["test_share", "vendored_share", "dup_share"],
     ),
+    "code_complexity": (
+        ["doc_id", "n_lines", "n_decisions", "n_bool_ops",
+         "cyclomatic", "max_indent"],
+        ["decision_density"],
+    ),
 }
 
 
@@ -3052,6 +3131,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_chunks": q_code_chunks,
         "identifier_vocab": q_identifier_vocab,
         "repo_profile": q_repo_profile,
+        "code_complexity": q_code_complexity,
     }
 
 
@@ -3585,6 +3665,101 @@ def _repo_profile_oracle_sql() -> str:
       join dup using (repo)
       join top using (repo)
       left join dim d using (repo)
+    """
+
+
+def _duck_lit(s: str) -> str:
+    """Render a Python string as a DuckDB expression, translating
+    newline/tab to chr() calls (DuckDB standard literals have no escape
+    sequences) and doubling single quotes.  Returns '' -> `''`."""
+    if s == "":
+        return "''"
+    parts: list[str] = []
+    buf: list[str] = []
+    for ch in s:
+        if ch in ("\n", "\t"):
+            if buf:
+                parts.append("'" + "".join(buf).replace("'", "''") + "'")
+                buf = []
+            parts.append(f"chr({ord(ch)})")
+        else:
+            buf.append(ch)
+    if buf:
+        parts.append("'" + "".join(buf).replace("'", "''") + "'")
+    return " || ".join(parts)
+
+
+def _code_complexity_oracle_sql() -> str:
+    """Replay q_code_complexity from the SAME module constants
+    (_CPLX_SNIPPETS for the synthesis; DECISION_SYNTAX + decision_pattern
+    + TAB_WIDTH for the metrics): per-lang whole-word regexp counts,
+    &&/|| replace-length delta halved, tab-expanded per-line leading
+    spaces, McCabe cyclomatic = decisions + bool ops + 1."""
+    from schema_validator_spark.operators.complexity import (
+        DECISION_SYNTAX,
+        TAB_WIDTH,
+        decision_pattern,
+    )
+
+    def _stripe(lg: str) -> str:
+        head, mid, tail = _CPLX_SNIPPETS[lg]
+        if not mid:
+            return _duck_lit(head)
+        return (
+            f"{_duck_lit(head)} || repeat({_duck_lit(mid)},"
+            f" doc_id % 5 + 1) || {_duck_lit(tail)}"
+        )
+
+    kw_whens = "\n                 ".join(
+        "when '{lg}' then len(regexp_extract_all(content, '{pat}'))"
+        .format(lg=lg, pat=_esc_sq(decision_pattern(words)))
+        for lg, (words, _) in sorted(DECISION_SYNTAX.items())
+    )
+    op_langs = ", ".join(
+        f"'{lg}'"
+        for lg, (_, ops) in sorted(DECISION_SYNTAX.items())
+        if ops
+    )
+    return f"""
+      with synth as (
+        select doc_id,
+               case when doc_id % 31 = 0 then null
+                    when doc_id % 4 = 0 then 'py'
+                    when doc_id % 4 = 1 then 'go'
+                    when doc_id % 4 = 2 then 'js'
+                    else 'cobol' end as lang,
+               coalesce(case when doc_id % 29 = 0 then null
+                    when doc_id % 4 = 0 then {_stripe("py")}
+                    when doc_id % 4 = 1 then {_stripe("go")}
+                    when doc_id % 4 = 2 then {_stripe("js")}
+                    else {_stripe("cobol")} end, '') as content
+        from documents
+      ), st as (
+        select doc_id,
+               len(string_split(content, chr(10))) as n_lines,
+               cast(case coalesce(lower(lang), '')
+                 {kw_whens}
+                 else 0 end as int) as n_decisions,
+               cast(case when coalesce(lower(lang), '') in ({op_langs})
+                 then (length(content)
+                       - length(replace(content, '&&', ''))
+                       + length(content)
+                       - length(replace(content, '||', ''))) / 2
+                 else 0 end as int) as n_bool_ops,
+               list_max(list_transform(
+                 string_split(replace(content, chr(9),
+                                      '{" " * TAB_WIDTH}'), chr(10)),
+                 l -> case when ltrim(l) = '' then 0
+                           else length(l) - length(ltrim(l)) end))
+                 as max_indent
+        from synth
+      )
+      select doc_id, n_lines, n_decisions, n_bool_ops,
+             n_decisions + n_bool_ops + 1 as cyclomatic,
+             max_indent,
+             round((n_decisions + n_bool_ops) / n_lines, 6)
+               as decision_density
+      from st
     """
 
 
@@ -4999,6 +5174,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "code_chunks": _code_chunks_oracle_sql(),
         "identifier_vocab": _identifier_vocab_oracle_sql(),
         "repo_profile": _repo_profile_oracle_sql(),
+        "code_complexity": _code_complexity_oracle_sql(),
         "lang_mismatch": _LANG_MISMATCH_ORACLE_SQL,
         "notebook_cells": _NOTEBOOK_ORACLE_SQL,
         "code_imports": _imports_oracle_sql(),
