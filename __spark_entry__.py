@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (132/132), including the approximate tiers
+EVERY query has an oracle (133/133), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -2548,6 +2548,34 @@ def q_code_complexity(spark, sf_dir):
     return complexity_stats(df, "content", "lang", keep_cols=["doc_id"])
 
 
+def q_file_history(spark, sf_dir):
+    """Commit-grain file-version churn
+    (operators/history.churn_stats): per (repo, path) version count,
+    distinct content states, first/last commit, head-version sha, and
+    churn ratio — the "keep latest visible version" axis of the north
+    rule's (repo, path, commit) table.  Synthesis: 7x31 key grid over
+    doc_id (coprime -> ~n/217 versions per file), commit = doc_id
+    (unique, monotone), content alternates between 2 per-key states so
+    distinct < versions; every 41st doc NULL content (hashes as '')."""
+    from schema_validator_spark.operators.history import churn_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    content = F.when(did % 41 == 0, F.lit(None).cast("string")).otherwise(
+        F.concat(
+            F.lit("c"), (did % 217).cast("string"), F.lit("-"),
+            (F.floor(did / 217) % 2).cast("string"),
+        )
+    )
+    df = docs.select(
+        F.concat(F.lit("r"), (did % 7).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), (did % 31).cast("string")).alias("path"),
+        did.alias("commit"),
+        content.alias("content"),
+    )
+    return churn_stats(df, ["repo", "path"], "commit", "content")
+
+
 def q_lang_mismatch(spark, sf_dir):
     """Declared-lang vs path-extension consistency
     (operators/codequality.lang_path_mismatches): the two-column
@@ -2951,6 +2979,11 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
          "cyclomatic", "max_indent"],
         ["decision_density"],
     ),
+    "file_history": (
+        ["repo", "path", "n_versions", "n_distinct_versions",
+         "first_version", "last_version", "head_sha"],
+        ["churn_ratio"],
+    ),
 }
 
 
@@ -3132,6 +3165,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "identifier_vocab": q_identifier_vocab,
         "repo_profile": q_repo_profile,
         "code_complexity": q_code_complexity,
+        "file_history": q_file_history,
     }
 
 
@@ -3761,6 +3795,31 @@ def _code_complexity_oracle_sql() -> str:
                as decision_density
       from st
     """
+
+
+_FILE_HISTORY_ORACLE_SQL = """
+      with synth as (
+        select 'r' || cast(doc_id % 7 as varchar) as repo,
+               'p' || cast(doc_id % 31 as varchar) as path,
+               doc_id as commit_v,
+               sha256(coalesce(
+                 case when doc_id % 41 = 0 then null
+                      else 'c' || cast(doc_id % 217 as varchar) || '-'
+                           || cast((doc_id // 217) % 2 as varchar)
+                 end, '')) as sha
+        from documents
+      )
+      select repo, path,
+             count(*) as n_versions,
+             count(distinct sha) as n_distinct_versions,
+             min(commit_v) as first_version,
+             max(commit_v) as last_version,
+             arg_max(sha, commit_v) as head_sha,
+             round(1 - count(distinct sha) / cast(count(*) as double), 6)
+               as churn_ratio
+      from synth
+      group by repo, path
+"""
 
 
 def _license_oracle_sql() -> str:
@@ -5175,6 +5234,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "identifier_vocab": _identifier_vocab_oracle_sql(),
         "repo_profile": _repo_profile_oracle_sql(),
         "code_complexity": _code_complexity_oracle_sql(),
+        "file_history": _FILE_HISTORY_ORACLE_SQL,
         "lang_mismatch": _LANG_MISMATCH_ORACLE_SQL,
         "notebook_cells": _NOTEBOOK_ORACLE_SQL,
         "code_imports": _imports_oracle_sql(),
