@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (133/133), including the approximate tiers
+EVERY query has an oracle (134/134), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -2576,6 +2576,60 @@ def q_file_history(spark, sf_dir):
     return churn_stats(df, ["repo", "path"], "commit", "content")
 
 
+#: nlpl_pairs synthesis templates, single-sourced for the oracle via
+#: _duck_lit: stripe -> (prefix, suffix) around the doc_id insertion.
+#: Every unit ends with \n; the lead chunk the chunker produces is the
+#: unit WITHOUT its trailing newline (the next unit's def line follows).
+#: Stripes: plain def + multi-line triple-double docstring (k in doc);
+#: decorated async def + triple-single (k in func NAME); raw-prefix
+#: docstring; def with no docstring (no pair); a Go file (lang-filtered).
+_NLPL_TMPL: dict[int, tuple[str, str]] = {
+    0: ('def f(a, b):\n    """Sum ', '.\n\n    More text."""\n'
+        '    return a + b\n'),
+    1: ("@cached\nasync def g", "(x):\n    '''doc g'''\n    return x\n"),
+    2: ('def h():\n    r"""raw ', ' doc"""\n    pass\n'),
+    3: ("def nodoc():\n    return ", "\n"),
+    4: ("func F", "() {}\n"),
+}
+_NLPL_TAIL = "def tail(y):\n    return y\n"
+
+
+def q_nlpl_pairs(spark, sf_dir):
+    """NL-PL (docstring, function) pair extraction
+    (operators/docpairs.extract_nlpl_pairs = lang filter ->
+    chunk_functions -> anchored docstring regexes): the CodeSearchNet
+    training-data construction step.  Each py file = one striped unit
+    + a docstring-less tail function, so exactly the three docstring
+    stripes pair (chunk_idx pins positions, chunk_sha pins the chunk
+    text byte-exactly — an end-to-end check on the chunker too)."""
+    from schema_validator_spark.operators.docpairs import (
+        extract_nlpl_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    m = did % 5
+    k = did.cast("string")
+
+    def _unit(i):
+        p, s = _NLPL_TMPL[i]
+        return F.concat(F.lit(p), k, F.lit(s))
+
+    unit0 = (
+        F.when(m == 0, _unit(0)).when(m == 1, _unit(1))
+        .when(m == 2, _unit(2)).when(m == 3, _unit(3))
+        .otherwise(_unit(4))
+    )
+    content = F.when(m == 4, unit0).otherwise(
+        F.concat(unit0, F.lit(_NLPL_TAIL))
+    )
+    lang = F.when(m == 4, F.lit("go")).otherwise(F.lit("py"))
+    df = docs.select(
+        "doc_id", lang.alias("lang"), content.alias("content")
+    )
+    return extract_nlpl_pairs(df, ["doc_id"], "content", "lang")
+
+
 def q_lang_mismatch(spark, sf_dir):
     """Declared-lang vs path-extension consistency
     (operators/codequality.lang_path_mismatches): the two-column
@@ -3166,6 +3220,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_profile": q_repo_profile,
         "code_complexity": q_code_complexity,
         "file_history": q_file_history,
+        "nlpl_pairs": q_nlpl_pairs,
     }
 
 
@@ -3820,6 +3875,50 @@ _FILE_HISTORY_ORACLE_SQL = """
       from synth
       group by repo, path
 """
+
+
+def _nlpl_oracle_sql() -> str:
+    """Replay q_nlpl_pairs from the SAME constants: rebuild the lead
+    chunk per stripe (_NLPL_TMPL unit minus its trailing newline — the
+    tail's def line follows it), sha256 it (pins the chunker
+    byte-exactly), and apply the SAME anchored regexes
+    (docpairs.PY_NAME_RE / PY_SIG_RE / py_doc_re) in RE2.  Only
+    stripes 0-2 pair: 3 has no docstring, 4 is lang-filtered."""
+    from schema_validator_spark.operators.docpairs import (
+        PY_NAME_RE,
+        PY_SIG_RE,
+        py_doc_re,
+    )
+
+    def _chunk0(i: int) -> str:
+        p, s = _NLPL_TMPL[i]
+        return (
+            f"{_duck_lit(p)} || cast(doc_id as varchar)"
+            f" || {_duck_lit(s[:-1])}"
+        )
+
+    d1, d2 = _esc_sq(py_doc_re('"')), _esc_sq(py_doc_re("'"))
+    return f"""
+      with chunk0 as (
+        select doc_id,
+               case when doc_id % 5 = 0 then {_chunk0(0)}
+                    when doc_id % 5 = 1 then {_chunk0(1)}
+                    else {_chunk0(2)} end as chunk_text
+        from documents where doc_id % 5 in (0, 1, 2)
+      )
+      select doc_id, 0 as chunk_idx,
+             sha256(chunk_text) as chunk_sha,
+             regexp_extract(chunk_text, '{_esc_sq(PY_NAME_RE)}', 1)
+               as func_name,
+             regexp_extract(chunk_text, '{_esc_sq(PY_SIG_RE)}', 1)
+               as signature,
+             case when regexp_matches(chunk_text, '{d1}')
+                    then regexp_extract(chunk_text, '{d1}', 1)
+                  when regexp_matches(chunk_text, '{d2}')
+                    then regexp_extract(chunk_text, '{d2}', 1)
+             end as docstring
+      from chunk0
+    """
 
 
 def _license_oracle_sql() -> str:
@@ -5235,6 +5334,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "repo_profile": _repo_profile_oracle_sql(),
         "code_complexity": _code_complexity_oracle_sql(),
         "file_history": _FILE_HISTORY_ORACLE_SQL,
+        "nlpl_pairs": _nlpl_oracle_sql(),
         "lang_mismatch": _LANG_MISMATCH_ORACLE_SQL,
         "notebook_cells": _NOTEBOOK_ORACLE_SQL,
         "code_imports": _imports_oracle_sql(),
