@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (134/134), including the approximate tiers
+EVERY query has an oracle (135/135), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -2085,6 +2085,26 @@ def q_shared_content(spark, sf_dir):
     )
 
 
+def q_repo_similarity(spark, sf_dir):
+    """Repo-pair set similarity / fork detection
+    (operators/crossrepo.repo_similarity): Jaccard + containment over
+    the repos' DISTINCT content-sha sets — the same fork_<source>
+    augmentation as shared_content, so every fork repo shows
+    containment 1.0 against its base while jaccard ~1/3 (the fork
+    copies every third doc)."""
+    from schema_validator_spark.operators.crossrepo import repo_similarity
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(F.col("source").alias("repo"), F.col("text"))
+    fork = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.concat(F.lit("fork_"), F.col("source")).alias("repo"),
+        F.col("text"),
+    )
+    return repo_similarity(
+        base.unionByName(fork), "repo", "text", min_jaccard=0.05
+    )
+
+
 def q_winnow_pairs(spark, sf_dir):
     """Winnowing fingerprint pairs (operators/winnow.winnow_pairs —
     Schleimer et al. 2003, the MOSS code-clone algorithm): documents
@@ -3038,6 +3058,10 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
          "first_version", "last_version", "head_sha"],
         ["churn_ratio"],
     ),
+    "repo_similarity": (
+        ["repo_a", "repo_b", "shared_files", "n_a", "n_b"],
+        ["jaccard", "containment"],
+    ),
 }
 
 
@@ -3221,6 +3245,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_complexity": q_code_complexity,
         "file_history": q_file_history,
         "nlpl_pairs": q_nlpl_pairs,
+        "repo_similarity": q_repo_similarity,
     }
 
 
@@ -5166,6 +5191,39 @@ def _oracle_sql_raw() -> dict[str, str]:
             from rc a join rc b on a.text = b.text and a.repo < b.repo
             group by 1, 2
             having count(*) >= 2
+        """,
+        "repo_similarity": """
+            with all_rc as (
+              select source as repo, text from documents
+              union all
+              select 'fork_' || source, text from documents
+              where doc_id % 3 = 0
+            ), rc as (
+              select distinct repo, text from all_rc
+              where text is not null and text <> ''
+            ), sizes as (
+              select repo, cast(count(*) as bigint) as n
+              from rc group by repo
+            ), pairs as (
+              select a.repo as repo_a, b.repo as repo_b,
+                     cast(count(*) as bigint) as shared_files
+              from rc a join rc b on a.text = b.text and a.repo < b.repo
+              group by 1, 2
+            )
+            select repo_a, repo_b, shared_files,
+                   sa.n as n_a, sb.n as n_b,
+                   round(shared_files
+                         / cast(sa.n + sb.n - shared_files as double), 6)
+                     as jaccard,
+                   round(shared_files
+                         / cast(least(sa.n, sb.n) as double), 6)
+                     as containment
+            from pairs
+            join sizes sa on sa.repo = pairs.repo_a
+            join sizes sb on sb.repo = pairs.repo_b
+            where round(shared_files
+                        / cast(sa.n + sb.n - shared_files as double), 6)
+                  >= 0.05
         """,
         "winnow_pairs": """
             with norm as (

@@ -23,6 +23,46 @@ from pyspark.sql import functions as F
 from .dedup import _cap_hot_buckets
 
 
+def _repo_content_sets(
+    df: DataFrame,
+    repo_col: str,
+    content_col: str,
+    max_repos_per_content: int | None,
+    log_dropped: bool,
+    what: str,
+) -> DataFrame:
+    """Distinct ``(_repo, _h)`` frame (sha256 of non-empty contents),
+    hot boilerplate hashes capped + logged."""
+    c = F.col(content_col)
+    rc = (
+        df.filter(c.isNotNull() & (F.length(c) > 0))
+        .select(
+            F.col(repo_col).alias("_repo"),
+            F.sha2(c.cast("string"), 256).alias("_h"),
+        )
+        .distinct()
+    )
+    return _cap_hot_buckets(
+        rc, ["_h"], max_repos_per_content,
+        what=what, log_dropped=log_dropped,
+    )
+
+
+def _pair_counts(rc: DataFrame) -> DataFrame:
+    """``(repo_a, repo_b, shared_files)`` from a distinct (_repo, _h)
+    frame — hash self-join, bucket size = repos sharing the content."""
+    a, b = rc.alias("a"), rc.alias("b")
+    return (
+        a.join(b, on="_h")
+        .filter(F.col("a._repo") < F.col("b._repo"))
+        .groupBy(
+            F.col("a._repo").alias("repo_a"),
+            F.col("b._repo").alias("repo_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_files"))
+    )
+
+
 def shared_content_pairs(
     df: DataFrame,
     repo_col: str,
@@ -39,27 +79,68 @@ def shared_content_pairs(
     many repos (boilerplate; drop count logged, never silent)."""
     if min_shared < 1:
         raise ValueError("min_shared must be >= 1")
-    c = F.col(content_col)
-    rc = (
-        df.filter(c.isNotNull() & (F.length(c) > 0))
+    rc = _repo_content_sets(
+        df, repo_col, content_col, max_repos_per_content,
+        log_dropped, "shared_content_pairs",
+    )
+    return _pair_counts(rc).filter(F.col("shared_files") >= min_shared)
+
+
+def repo_similarity(
+    df: DataFrame,
+    repo_col: str,
+    content_col: str,
+    *,
+    min_jaccard: float = 0.0,
+    max_repos_per_content: int | None = None,
+    log_dropped: bool = True,
+) -> DataFrame:
+    """Fork / vendored-tree detection: ``(repo_a, repo_b,
+    shared_files, n_a, n_b, jaccard, containment)`` with
+    ``repo_a < repo_b`` — set similarity between the repos' DISTINCT
+    content-sha sets.  ``jaccard`` = shared / (n_a + n_b - shared);
+    ``containment`` = shared / min(n_a, n_b), the fork signal (a fork
+    that added files keeps containment ~1 while jaccard drifts down).
+    Both rounded 6dp.
+
+    Set sizes are computed on the SAME capped frame as the pair
+    counts, so when ``max_repos_per_content`` drops boilerplate the
+    similarity is the exact Jaccard over the capped universe
+    (shared <= min(n_a, n_b) always holds — never a ratio > 1).
+
+    Scale shape: everything in shared_content_pairs plus one
+    repo-scale size agg joined onto the pair frame twice (repo-dim
+    sized — broadcastable)."""
+    if not 0.0 <= min_jaccard <= 1.0:
+        raise ValueError("min_jaccard must be in [0, 1]")
+    rc = _repo_content_sets(
+        df, repo_col, content_col, max_repos_per_content,
+        log_dropped, "repo_similarity",
+    )
+    sizes = rc.groupBy(F.col("_repo")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    pairs = _pair_counts(rc)
+    sa = sizes.select(
+        F.col("_repo").alias("repo_a"), F.col("_n").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("_repo").alias("repo_b"), F.col("_n").alias("n_b")
+    )
+    sh = F.col("shared_files")
+    out = (
+        pairs.join(F.broadcast(sa), "repo_a")
+        .join(F.broadcast(sb), "repo_b")
         .select(
-            F.col(repo_col).alias("_repo"),
-            F.sha2(c.cast("string"), 256).alias("_h"),
+            "repo_a", "repo_b", "shared_files", "n_a", "n_b",
+            F.round(
+                sh / (F.col("n_a") + F.col("n_b") - sh), 6
+            ).alias("jaccard"),
+            F.round(
+                sh / F.least(F.col("n_a"), F.col("n_b")), 6
+            ).alias("containment"),
         )
-        .distinct()
     )
-    rc = _cap_hot_buckets(
-        rc, ["_h"], max_repos_per_content,
-        what="shared_content_pairs", log_dropped=log_dropped,
-    )
-    a, b = rc.alias("a"), rc.alias("b")
-    return (
-        a.join(b, on="_h")
-        .filter(F.col("a._repo") < F.col("b._repo"))
-        .groupBy(
-            F.col("a._repo").alias("repo_a"),
-            F.col("b._repo").alias("repo_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("shared_files"))
-        .filter(F.col("shared_files") >= min_shared)
-    )
+    if min_jaccard > 0.0:
+        out = out.filter(F.col("jaccard") >= min_jaccard)
+    return out

@@ -42,3 +42,45 @@ def test_validation(spark):
     df = spark.createDataFrame([("r", "x")], "repo string, content string")
     with pytest.raises(ValueError):
         shared_content_pairs(df, "repo", "content", min_shared=0)
+
+
+def test_repo_similarity_jaccard_and_containment(spark):
+    from schema_validator_spark.operators.crossrepo import repo_similarity
+
+    df = spark.createDataFrame(ROWS, "repo string, content string")
+    got = {(r["repo_a"], r["repo_b"]): r.asDict()
+           for r in repo_similarity(df, "repo", "content").collect()}
+    # r1 = {alpha, beta, gamma}, r2 = {alpha, beta}: shared 2
+    p = got[("r1", "r2")]
+    assert (p["shared_files"], p["n_a"], p["n_b"]) == (2, 3, 2)
+    assert p["jaccard"] == round(2 / 3, 6)
+    assert p["containment"] == 1.0            # r2 fully contained: fork
+    q = got[("r1", "r3")]
+    assert q["jaccard"] == round(1 / 4, 6)
+    assert q["containment"] == 0.5
+    assert ("r1", "r4") not in got            # nothing shared
+
+
+def test_repo_similarity_min_jaccard_and_cap_consistency(spark):
+    from schema_validator_spark.operators.crossrepo import repo_similarity
+
+    df = spark.createDataFrame(ROWS, "repo string, content string")
+    got = repo_similarity(df, "repo", "content", min_jaccard=0.5).collect()
+    assert [(r["repo_a"], r["repo_b"]) for r in got] == [("r1", "r2")]
+    # sizes computed on the CAPPED frame: dropping the hot content must
+    # keep shared <= min(n_a, n_b) (ratios never exceed 1)
+    rows = [(f"r{i}", "license") for i in range(10)]
+    rows += [("r0", "real"), ("r1", "real")]
+    df2 = spark.createDataFrame(rows, "repo string, content string")
+    got2 = repo_similarity(
+        df2, "repo", "content", max_repos_per_content=5,
+        log_dropped=False,
+    ).collect()
+    assert len(got2) == 1
+    r = got2[0]
+    assert (r["n_a"], r["n_b"], r["jaccard"]) == (1, 1, 1.0)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        repo_similarity(df, "repo", "content", min_jaccard=1.5)
