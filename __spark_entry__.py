@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (135/135), including the approximate tiers
+EVERY query has an oracle (136/136), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -2650,6 +2650,52 @@ def q_nlpl_pairs(spark, sf_dir):
     return extract_nlpl_pairs(df, ["doc_id"], "content", "lang")
 
 
+#: unsafe_apis synthesis templates (stripe -> (lang, prefix, suffix)
+#: around the doc_id insertion), single-sourced for the oracle via
+#: _duck_lit.  Stripes: py with eval+pickle, py clean (evaluate() must
+#: not \b-match), js eval+innerHTML, c strcpy/strcat/system, go
+#: unsafe.Pointer, and an UNREGISTERED lang (rb) with eval( — no claim.
+_UNSAFE_TMPL: dict[int, tuple[str, str, str]] = {
+    0: ("py", "import pickle\nx = eval(src",
+        ")\ny = pickle.loads(data)\n"),
+    1: ("py", "def ok", "():\n    return evaluate(x)\n"),
+    2: ("js", "eval(s", "); el.innerHTML = html;\n"),
+    3: ("c", "strcpy(a, b", "); strcat(a, c); system(cmd);\n"),
+    4: ("go", "p := unsafe.Pointer(&x", ")\n"),
+    5: ("rb", "eval(x", ")\n"),
+}
+
+
+def q_unsafe_apis(spark, sf_dir):
+    """Unsafe-API usage findings
+    (operators/unsafe.unsafe_findings): Bandit/Semgrep-class audit of
+    dangerous call sites (code injection, unsafe deserialization,
+    shell exec, unsafe C string functions) — per-lang lazy regex
+    counts, one stack-unpivot, row-level (file, class, span-count)
+    findings."""
+    from schema_validator_spark.operators.unsafe import unsafe_findings
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    m = did % 6
+    k = did.cast("string")
+    lang = content = None
+    for i, (lg, p, s) in sorted(_UNSAFE_TMPL.items()):
+        cond = m == i
+        body = F.concat(F.lit(p), k, F.lit(s))
+        lg_lit = F.lit(lg)
+        lang = F.when(cond, lg_lit) if lang is None else lang.when(
+            cond, lg_lit
+        )
+        content = F.when(cond, body) if content is None else content.when(
+            cond, body
+        )
+    df = docs.select(
+        "doc_id", lang.alias("lang"), content.alias("content")
+    )
+    return unsafe_findings(df, ["doc_id"], "content", "lang")
+
+
 def q_lang_mismatch(spark, sf_dir):
     """Declared-lang vs path-extension consistency
     (operators/codequality.lang_path_mismatches): the two-column
@@ -3246,6 +3292,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "file_history": q_file_history,
         "nlpl_pairs": q_nlpl_pairs,
         "repo_similarity": q_repo_similarity,
+        "unsafe_apis": q_unsafe_apis,
     }
 
 
@@ -3943,6 +3990,49 @@ def _nlpl_oracle_sql() -> str:
                     then regexp_extract(chunk_text, '{d2}', 1)
              end as docstring
       from chunk0
+    """
+
+
+def _unsafe_oracle_sql() -> str:
+    """Replay q_unsafe_apis from the SAME constants (_UNSAFE_TMPL
+    synthesis via _duck_lit; operators/unsafe.UNSAFE_PATTERNS
+    patterns): one union branch per (lang, class) pattern slot,
+    len(regexp_extract_all) span counts, lang-scoped, zero-span rows
+    filtered — the stack-unpivot's relational form."""
+    from schema_validator_spark.operators.unsafe import (
+        UNSAFE_PATTERNS,
+        _flat,
+    )
+
+    synth_whens = "\n                 ".join(
+        f"when doc_id % 6 = {i} then"
+        f" {_duck_lit(p)} || cast(doc_id as varchar) || {_duck_lit(s)}"
+        for i, (_, p, s) in sorted(_UNSAFE_TMPL.items())
+    )
+    lang_whens = "\n                 ".join(
+        f"when doc_id % 6 = {i} then '{lg}'"
+        for i, (lg, _, _) in sorted(_UNSAFE_TMPL.items())
+    )
+    branches = "\n            union all\n".join(
+        f"""
+            select doc_id, lang, '{name}' as api_class,
+                   case when lang = '{lg}'
+                        then len(regexp_extract_all(content,
+                                 '{_esc_sq(pat)}'))
+                        else 0 end as n_spans
+            from synth"""
+        for lg, name, pat in _flat(UNSAFE_PATTERNS)
+    )
+    return f"""
+      with synth as (
+        select doc_id,
+               case {lang_whens} end as lang,
+               case {synth_whens} end as content
+        from documents
+      )
+      select doc_id, lang, api_class, cast(n_spans as int) as n_spans
+      from ({branches})
+      where n_spans > 0
     """
 
 
@@ -5393,6 +5483,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "code_complexity": _code_complexity_oracle_sql(),
         "file_history": _FILE_HISTORY_ORACLE_SQL,
         "nlpl_pairs": _nlpl_oracle_sql(),
+        "unsafe_apis": _unsafe_oracle_sql(),
         "lang_mismatch": _LANG_MISMATCH_ORACLE_SQL,
         "notebook_cells": _NOTEBOOK_ORACLE_SQL,
         "code_imports": _imports_oracle_sql(),
