@@ -29,6 +29,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _check_reserved(cols: list[str], key_cols: list[str]) -> None:
+    # internal struct/agg field names: an input column named _v would
+    # make `_head._v` ambiguous; _head/_s would shadow the agg aliases
+    clash = sorted({"_v", "_s", "_head"} & set([*cols, *key_cols]))
+    if clash:
+        raise ValueError(
+            "history operators reserve these column names; rename the "
+            f"input columns: {clash}"
+        )
+
+
 def latest_files(
     df: DataFrame,
     key_cols: list[str],
@@ -54,6 +65,7 @@ def latest_files(
             c for c in df.columns
             if c not in key_cols and c != version_col
         ]
+    _check_reserved(payload_cols, key_cols)
     packed = F.max(
         F.struct(
             F.col(version_col).alias("_v"),
@@ -90,6 +102,7 @@ def churn_stats(
     Plan: ONE groupBy on the key; every term map-side combinable
     except the count(distinct sha) two-phase agg.
     """
+    _check_reserved([version_col, content_col], key_cols)
     sha = F.sha2(F.coalesce(F.col(content_col), F.lit("")), 256)
     out = df.groupBy(*[F.col(k) for k in key_cols]).agg(
         F.count(F.lit(1)).alias("n_versions"),

@@ -80,14 +80,10 @@ def secret_findings(
             for i, (_, p) in enumerate(pats)
         ],
     )
-    parts = ", ".join(
-        f"'{name}', _c{i}" for i, (name, _) in enumerate(pats)
-    )
-    return (
-        counted.selectExpr(
-            *id_cols, f"stack({len(pats)}, {parts}) as (secret_type, n_spans)"
-        )
-        .filter(F.col("n_spans") > 0)
+    from ._util import stack_findings
+
+    return stack_findings(
+        counted, id_cols, [name for name, _ in pats], "secret_type"
     )
 
 

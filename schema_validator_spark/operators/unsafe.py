@@ -111,7 +111,7 @@ def unsafe_findings(
     lang = F.lower(F.coalesce(F.col(lang_col), F.lit("")))
     counted = df.select(
         *id_cols,
-        lang.alias("_ul"),
+        lang.alias("lang"),
         *[
             F.when(lang == lg, F.regexp_count(s, F.lit(p)))
             .otherwise(F.lit(0))
@@ -119,16 +119,11 @@ def unsafe_findings(
             for i, (lg, _, p) in enumerate(flat)
         ],
     )
-    parts = ", ".join(
-        f"'{name}', _c{i}" for i, (_, name, _) in enumerate(flat)
-    )
-    return (
-        counted.selectExpr(
-            *id_cols,
-            "_ul as lang",
-            f"stack({len(flat)}, {parts}) as (api_class, n_spans)",
-        )
-        .filter(F.col("n_spans") > 0)
+    from ._util import stack_findings
+
+    return stack_findings(
+        counted, [*id_cols, "lang"],
+        [name for _, name, _ in flat], "api_class",
     )
 
 

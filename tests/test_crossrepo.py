@@ -80,7 +80,5 @@ def test_repo_similarity_min_jaccard_and_cap_consistency(spark):
     r = got2[0]
     assert (r["n_a"], r["n_b"], r["jaccard"]) == (1, 1, 1.0)
 
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError):
+    with pytest.raises(ValueError):
         repo_similarity(df, "repo", "content", min_jaccard=1.5)

@@ -77,6 +77,22 @@ def test_churn_stats(spark):
     assert f3["head_sha"] == _sha("")
 
 
+def test_reserved_names_raise(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [("r", "f", 1, "x")],
+        "repo string, path string, commit long, _v string",
+    )
+    with pytest.raises(ValueError, match="_v"):
+        latest_files(df, ["repo", "path"], "commit")
+    with pytest.raises(ValueError, match="_head"):
+        churn_stats(
+            df.withColumnRenamed("_v", "_head"),
+            ["repo", "path"], "commit", "_head",
+        )
+
+
 def test_one_exchange_plans(spark):
     from schema_validator_spark.plans.inspect import n_exchanges
 
