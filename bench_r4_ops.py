@@ -72,16 +72,12 @@ def run_winnow(spark, n=200_000):
             "sec": round(time.time() - t, 1)}
 
 
-def run_shared_content(spark, n=4_000_000, repos=20_000):
-    from schema_validator_spark.operators.crossrepo import (
-        shared_content_pairs,
-    )
-
+def _shared_corpus(spark, n, repos):
     # ~200 files/repo; every 50th file is vendored content shared by ~10
     # DIFFERENT repos (prime modulus 7919 keeps copies off the repo
     # cycle); every 197th row is identical boilerplate spread over
     # thousands of repos — the hot bucket the cap must absorb
-    df = spark.range(n).select(
+    return spark.range(n).select(
         F.concat(F.lit("r"), (F.col("id") % repos).cast("string"))
         .alias("repo"),
         F.when(F.col("id") % 197 == 0, F.lit("boilerplate-license"))
@@ -93,11 +89,31 @@ def run_shared_content(spark, n=4_000_000, repos=20_000):
         .otherwise(F.md5(F.col("id").cast("string")))
         .alias("content"),
     )
+
+
+def run_shared_content(spark, n=4_000_000, repos=20_000):
+    from schema_validator_spark.operators.crossrepo import (
+        shared_content_pairs,
+    )
+
+    df = _shared_corpus(spark, n, repos)
     t = time.time()
     cnt = shared_content_pairs(
         df, "repo", "content", min_shared=1, max_repos_per_content=100,
     ).count()
     return {"op": "shared_content", "rows": n, "repos": repos,
+            "pairs": cnt, "sec": round(time.time() - t, 1)}
+
+
+def run_repo_similarity(spark, n=4_000_000, repos=20_000):
+    from schema_validator_spark.operators.crossrepo import repo_similarity
+
+    df = _shared_corpus(spark, n, repos)
+    t = time.time()
+    cnt = repo_similarity(
+        df, "repo", "content", max_repos_per_content=100,
+    ).count()
+    return {"op": "repo_similarity", "rows": n, "repos": repos,
             "pairs": cnt, "sec": round(time.time() - t, 1)}
 
 
@@ -504,6 +520,99 @@ def run_repo_license(spark, n=32_000_000):
             "sec": round(time.time() - t, 1)}
 
 
+def run_complexity(spark, n=32_000_000):
+    from schema_validator_spark.operators.complexity import (
+        complexity_by_lang,
+    )
+
+    # append a branchy block to every 3rd file so decision counts and
+    # indents are non-vacuous across the lang cycle
+    i = F.xxhash64("repo", "path")
+    df = _code_files_parquet(spark, n).withColumn(
+        "content",
+        F.when(
+            F.pmod(i, 3) == 0,
+            F.concat(
+                F.col("content"),
+                F.lit("\nif a && b {\n\tfor k := range v {\n"
+                      "\t\tif c || d {\n\t\t\tx++\n\t\t}\n\t}\n}\n"),
+            ),
+        ).otherwise(F.col("content")),
+    )
+    t = time.time()
+    rows = complexity_by_lang(df, "content", "lang").collect()
+    return {"op": "complexity", "rows": n, "langs": len(rows),
+            "sec": round(time.time() - t, 1)}
+
+
+def run_file_history(spark, n=64_000_000):
+    from schema_validator_spark.operators.history import churn_stats
+
+    # 1M distinct (repo, path) keys x ~64 versions; content cycles 3
+    # per-key states so distinct < versions everywhere
+    i = F.col("id")
+    df = spark.range(n).select(
+        F.concat(F.lit("r"), (i % 5000).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), (i % 1_000_000).cast("string")).alias("path"),
+        i.alias("commit"),
+        F.concat(F.lit("s"), (i % 3).cast("string"),
+                 F.md5((i % 1_000_000).cast("string"))).alias("content"),
+    )
+    t = time.time()
+    cnt = churn_stats(df, ["repo", "path"], "commit", "content").count()
+    return {"op": "file_history", "rows": n, "files": cnt,
+            "sec": round(time.time() - t, 1)}
+
+
+def run_nlpl_pairs(spark, n=8_000_000):
+    from schema_validator_spark.operators.docpairs import (
+        extract_nlpl_pairs,
+    )
+
+    # every file: one documented def + one docstring-less def; every
+    # 4th file is Go (must be filtered before the chunker)
+    i = F.col("id")
+    k = i.cast("string")
+    body = F.concat(
+        F.lit('def f'), k, F.lit('(a, b):\n    """Doc '), k,
+        F.lit('."""\n    return a + b\n\ndef g'), k,
+        F.lit('(x):\n    return x\n'),
+    )
+    df = spark.range(n).select(
+        i.alias("doc_id"),
+        F.when(i % 4 == 3, F.lit("go")).otherwise(F.lit("py"))
+        .alias("lang"),
+        body.alias("content"),
+    )
+    t = time.time()
+    cnt = extract_nlpl_pairs(df, ["doc_id"], "content", "lang").count()
+    return {"op": "nlpl_pairs", "rows": n, "pairs": cnt,
+            "sec": round(time.time() - t, 1)}
+
+
+def run_unsafe_apis(spark, n=32_000_000):
+    from schema_validator_spark.operators.unsafe import unsafe_findings
+
+    # plant call sites in ~1% of files (only the lang-matched ones
+    # claim); the other 99% measure the pure scan cost
+    i = F.xxhash64("repo", "path")
+    df = _code_files_parquet(spark, n).withColumn(
+        "content",
+        F.when(
+            F.pmod(i, 100) == 7,
+            F.concat(F.col("content"),
+                     F.lit("\nx = eval(src)\nos.system(cmd)\n"
+                           "strcpy(a, b);\n")),
+        ).otherwise(F.col("content")),
+    )
+    t = time.time()
+    cnt = unsafe_findings(
+        df, ["repo", "path"], "content", "lang"
+    ).count()
+    return {"op": "unsafe_apis", "rows": n, "findings": cnt,
+            "sec": round(time.time() - t, 1)}
+
+
 #: op label (as printed in output / BENCH.md) -> benchmark fn
 OPS = {
     "edit_join": run_edit_join,
@@ -528,6 +637,11 @@ OPS = {
     "code_chunks": run_code_chunks,
     "identifier_vocab": run_identifier_vocab,
     "repo_license": run_repo_license,
+    "repo_similarity": run_repo_similarity,
+    "complexity": run_complexity,
+    "file_history": run_file_history,
+    "nlpl_pairs": run_nlpl_pairs,
+    "unsafe_apis": run_unsafe_apis,
 }
 
 
