@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (136/136), including the approximate tiers
+EVERY query has an oracle (137/137), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -2696,6 +2696,53 @@ def q_unsafe_apis(spark, sf_dir):
     return unsafe_findings(df, ["doc_id"], "content", "lang")
 
 
+def q_manifest_deps(spark, sf_dir):
+    """Dependency-manifest extraction
+    (operators/manifests.manifest_deps): declared dependencies from
+    pip requirements.txt (comment/option lines excluded), go.mod
+    (require lines incl. blocks; the module self-declaration never
+    matches), and package.json (JSON-parsed, runtime vs dev kinds;
+    malformed JSON -> zero deps, never an error — every 37th npm doc
+    is malformed).  Stripe 3 is a non-manifest file: no rows."""
+    from schema_validator_spark.operators.manifests import manifest_deps
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    m = did % 4
+    k = did.cast("string")
+    path = (
+        F.when(m == 0, F.lit("requirements.txt"))
+        .when(m == 1, F.lit("go.mod"))
+        .when(m == 2, F.lit("web/package.json"))
+        .otherwise(F.lit("src/main.py"))
+    )
+    pip = F.concat(
+        F.lit("pkg"), k, F.lit(">=1.0\n# c\nnumpy\n-r base.txt\n")
+    )
+    gomod = F.concat(
+        F.lit("module m"), k,
+        F.lit("\nrequire (\n\tgithub.com/a/b"), k,
+        F.lit(" v1.2.3\n)\n"),
+    )
+    npm = F.concat(
+        F.lit('{"dependencies": {"react": "^18", "p'), k,
+        F.lit('": "1"}, "devDependencies": {"jest": "^29"}}'),
+    )
+    content = (
+        F.when(m == 0, pip)
+        .when(m == 1, gomod)
+        .when(
+            m == 2,
+            F.when(did % 37 == 0, F.lit("{bad")).otherwise(npm),
+        )
+        .otherwise(F.lit("import os\n"))
+    )
+    df = docs.select(
+        "doc_id", path.alias("path"), content.alias("content")
+    )
+    return manifest_deps(df, ["doc_id"], "path", "content")
+
+
 def q_lang_mismatch(spark, sf_dir):
     """Declared-lang vs path-extension consistency
     (operators/codequality.lang_path_mismatches): the two-column
@@ -3293,6 +3340,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nlpl_pairs": q_nlpl_pairs,
         "repo_similarity": q_repo_similarity,
         "unsafe_apis": q_unsafe_apis,
+        "manifest_deps": q_manifest_deps,
     }
 
 
@@ -4033,6 +4081,61 @@ def _unsafe_oracle_sql() -> str:
       select doc_id, lang, api_class, cast(n_spans as int) as n_spans
       from ({branches})
       where n_spans > 0
+    """
+
+
+def _manifest_oracle_sql() -> str:
+    """Replay q_manifest_deps from the SAME module regexes
+    (operators/manifests.PIP_DEP_RE / GO_DEP_RE) and DuckDB's JSON
+    reader for the npm stripe (json_valid guard mirrors from_json's
+    null-on-malformed)."""
+    from schema_validator_spark.operators.manifests import (
+        GO_DEP_RE,
+        PIP_DEP_RE,
+    )
+
+    return f"""
+      with synth as (
+        select doc_id,
+               case when doc_id % 4 = 0 then
+                      'pkg' || cast(doc_id as varchar)
+                      || '>=1.0' || chr(10) || '# c' || chr(10)
+                      || 'numpy' || chr(10) || '-r base.txt' || chr(10)
+                    when doc_id % 4 = 1 then
+                      'module m' || cast(doc_id as varchar) || chr(10)
+                      || 'require (' || chr(10) || chr(9)
+                      || 'github.com/a/b' || cast(doc_id as varchar)
+                      || ' v1.2.3' || chr(10) || ')' || chr(10)
+                    when doc_id % 37 = 0 then '{{bad'
+                    else '{{"dependencies": {{"react": "^18", "p'
+                         || cast(doc_id as varchar)
+                         || '": "1"}}, "devDependencies":'
+                         || ' {{"jest": "^29"}}}}'
+               end as content
+        from documents where doc_id % 4 in (0, 1, 2)
+      )
+      select doc_id, 'pip_requirements' as manifest_type,
+             unnest(regexp_extract_all(content,
+                    '{_esc_sq(PIP_DEP_RE)}', 1)) as dep,
+             'runtime' as kind
+      from synth where doc_id % 4 = 0
+      union all
+      select doc_id, 'go_mod',
+             unnest(regexp_extract_all(content,
+                    '{_esc_sq(GO_DEP_RE)}', 1)), 'runtime'
+      from synth where doc_id % 4 = 1
+      union all
+      select doc_id, 'npm_package',
+             unnest(coalesce(case when json_valid(content)
+               then json_keys(content, '$.dependencies') end,
+               [])), 'runtime'
+      from synth where doc_id % 4 = 2
+      union all
+      select doc_id, 'npm_package',
+             unnest(coalesce(case when json_valid(content)
+               then json_keys(content, '$.devDependencies') end,
+               [])), 'dev'
+      from synth where doc_id % 4 = 2
     """
 
 
@@ -5484,6 +5587,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "file_history": _FILE_HISTORY_ORACLE_SQL,
         "nlpl_pairs": _nlpl_oracle_sql(),
         "unsafe_apis": _unsafe_oracle_sql(),
+        "manifest_deps": _manifest_oracle_sql(),
         "lang_mismatch": _LANG_MISMATCH_ORACLE_SQL,
         "notebook_cells": _NOTEBOOK_ORACLE_SQL,
         "code_imports": _imports_oracle_sql(),
