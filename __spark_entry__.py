@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (137/137), including the approximate tiers
+EVERY query has an oracle (138/138), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -2743,6 +2743,57 @@ def q_manifest_deps(spark, sf_dir):
     return manifest_deps(df, ["doc_id"], "path", "content")
 
 
+#: public_api synthesis templates (stripe -> (lang, prefix, suffix)
+#: around the doc_id insertion) — the insertion lands INSIDE the first
+#: exported symbol name so every doc exports distinct symbols; each
+#: stripe also plants a non-exported decl (underscore py, lowercase
+#: go, unexported js, package-private java) that must NOT extract.
+_API_TMPL: dict[int, tuple[str, str, str]] = {
+    0: ("py", "def handler",
+        "(x):\n    pass\n\ndef _hidden():\n    pass\n"
+        "class Model:\n    pass\n"),
+    1: ("go", "func Do",
+        "() {}\nfunc helper() {}\ntype Conf struct {}\n"),
+    2: ("js", "export function run",
+        "() {}\nexport const VALUE = 1\nfunction priv() {}\n"),
+    3: ("java", "public class W",
+        " {}\nclass PackagePrivate {}\n"),
+    4: ("cobol", "PROCEDURE DIVISION", ".\n"),
+}
+
+
+def q_public_api(spark, sf_dir):
+    """Public-API symbol extraction
+    (functions/publicapi.extract_public_symbols): each file's exported
+    surface per the lang's visibility convention (py non-underscore
+    top-level, go capitalization incl. receivers, js export
+    declarations, java public types; unregistered cobol exports
+    nothing)."""
+    from schema_validator_spark.functions.publicapi import (
+        extract_public_symbols,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    m = did % 5
+    k = did.cast("string")
+    lang = content = None
+    for i, (lg, p, s) in sorted(_API_TMPL.items()):
+        cond = m == i
+        body = F.concat(F.lit(p), k, F.lit(s))
+        lg_lit = F.lit(lg)
+        lang = F.when(cond, lg_lit) if lang is None else lang.when(
+            cond, lg_lit
+        )
+        content = F.when(cond, body) if content is None else content.when(
+            cond, body
+        )
+    df = docs.select(
+        "doc_id", lang.alias("lang"), content.alias("content")
+    )
+    return extract_public_symbols(df, ["doc_id"], "content", "lang")
+
+
 def q_lang_mismatch(spark, sf_dir):
     """Declared-lang vs path-extension consistency
     (operators/codequality.lang_path_mismatches): the two-column
@@ -3341,6 +3392,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_similarity": q_repo_similarity,
         "unsafe_apis": q_unsafe_apis,
         "manifest_deps": q_manifest_deps,
+        "public_api": q_public_api,
     }
 
 
@@ -4137,6 +4189,29 @@ def _manifest_oracle_sql() -> str:
                [])), 'dev'
       from synth where doc_id % 4 = 2
     """
+
+
+def _public_api_oracle_sql() -> str:
+    """Replay q_public_api from the SAME constants (_API_TMPL via
+    _duck_lit; functions/publicapi.API_PATTERNS regexes in RE2): one
+    union branch per registered-lang stripe (the cobol stripe exports
+    nothing and has no branch)."""
+    from schema_validator_spark.functions.publicapi import API_PATTERNS
+
+    branches = []
+    for i, (lg, p, s) in sorted(_API_TMPL.items()):
+        if lg not in API_PATTERNS:
+            continue
+        content = (
+            f"{_duck_lit(p)} || cast(doc_id as varchar)"
+            f" || {_duck_lit(s)}"
+        )
+        branches.append(f"""
+            select doc_id, '{lg}' as lang,
+                   unnest(regexp_extract_all({content},
+                          '{_esc_sq(API_PATTERNS[lg])}', 1)) as symbol
+            from documents where doc_id % 5 = {i}""")
+    return "\n            union all\n".join(branches)
 
 
 def _license_oracle_sql() -> str:
@@ -5588,6 +5663,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "nlpl_pairs": _nlpl_oracle_sql(),
         "unsafe_apis": _unsafe_oracle_sql(),
         "manifest_deps": _manifest_oracle_sql(),
+        "public_api": _public_api_oracle_sql(),
         "lang_mismatch": _LANG_MISMATCH_ORACLE_SQL,
         "notebook_cells": _NOTEBOOK_ORACLE_SQL,
         "code_imports": _imports_oracle_sql(),
