@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (138/138), including the approximate tiers
+EVERY query has an oracle (139/139), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -2650,6 +2650,43 @@ def q_nlpl_pairs(spark, sf_dir):
     return extract_nlpl_pairs(df, ["doc_id"], "content", "lang")
 
 
+def q_docstring_coverage(spark, sf_dir):
+    """Per-repo documentation coverage
+    (operators/docpairs.docstring_coverage): share of Python function
+    chunks carrying a docstring — same _NLPL_TMPL synthesis as
+    q_nlpl_pairs (each py file = one striped unit + an undocumented
+    tail) spread over 10 repos, so every repo mixes documented,
+    undocumented, and lang-filtered files."""
+    from schema_validator_spark.operators.docpairs import (
+        docstring_coverage,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    m = did % 5
+    k = did.cast("string")
+
+    def _unit(i):
+        p, s = _NLPL_TMPL[i]
+        return F.concat(F.lit(p), k, F.lit(s))
+
+    unit0 = (
+        F.when(m == 0, _unit(0)).when(m == 1, _unit(1))
+        .when(m == 2, _unit(2)).when(m == 3, _unit(3))
+        .otherwise(_unit(4))
+    )
+    content = F.when(m == 4, unit0).otherwise(
+        F.concat(unit0, F.lit(_NLPL_TAIL))
+    )
+    lang = F.when(m == 4, F.lit("go")).otherwise(F.lit("py"))
+    df = docs.select(
+        F.concat(F.lit("r"), (did % 10).cast("string")).alias("repo"),
+        lang.alias("lang"),
+        content.alias("content"),
+    )
+    return docstring_coverage(df, "repo", "content", "lang")
+
+
 #: unsafe_apis synthesis templates (stripe -> (lang, prefix, suffix)
 #: around the doc_id insertion), single-sourced for the oracle via
 #: _duck_lit.  Stripes: py with eval+pickle, py clean (evaluate() must
@@ -3206,6 +3243,10 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
         ["repo_a", "repo_b", "shared_files", "n_a", "n_b"],
         ["jaccard", "containment"],
     ),
+    "docstring_coverage": (
+        ["repo", "n_functions", "n_documented"],
+        ["doc_coverage"],
+    ),
 }
 
 
@@ -3393,6 +3434,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unsafe_apis": q_unsafe_apis,
         "manifest_deps": q_manifest_deps,
         "public_api": q_public_api,
+        "docstring_coverage": q_docstring_coverage,
     }
 
 
@@ -4090,6 +4132,55 @@ def _nlpl_oracle_sql() -> str:
                     then regexp_extract(chunk_text, '{d2}', 1)
              end as docstring
       from chunk0
+    """
+
+
+def _docstring_coverage_oracle_sql() -> str:
+    """Replay q_docstring_coverage: rebuild BOTH chunks per py doc
+    (the striped unit minus its trailing newline + the tail — same
+    chunk reconstruction as _nlpl_oracle_sql), apply the SAME anchored
+    regexes (is-function head probe, both docstring styles), aggregate
+    per repo."""
+    from schema_validator_spark.operators.docpairs import (
+        _PY_HEAD,
+        py_doc_re,
+    )
+
+    def _chunk0(i: int) -> str:
+        p, s = _NLPL_TMPL[i]
+        return (
+            f"{_duck_lit(p)} || cast(doc_id as varchar)"
+            f" || {_duck_lit(s[:-1])}"
+        )
+
+    head = _esc_sq(_PY_HEAD)
+    d1, d2 = _esc_sq(py_doc_re('"')), _esc_sq(py_doc_re("'"))
+    return f"""
+      with chunks as (
+        select doc_id,
+               case when doc_id % 5 = 0 then {_chunk0(0)}
+                    when doc_id % 5 = 1 then {_chunk0(1)}
+                    when doc_id % 5 = 2 then {_chunk0(2)}
+                    else {_chunk0(3)} end as chunk
+        from documents where doc_id % 5 in (0, 1, 2, 3)
+        union all
+        select doc_id, {_duck_lit(_NLPL_TAIL)} as chunk
+        from documents where doc_id % 5 in (0, 1, 2, 3)
+      ), flags as (
+        select 'r' || cast(doc_id % 10 as varchar) as repo,
+               case when regexp_matches(chunk, '{head}')
+                    then 1 else 0 end as fn,
+               case when regexp_matches(chunk, '{d1}')
+                      or regexp_matches(chunk, '{d2}')
+                    then 1 else 0 end as doc
+        from chunks
+      )
+      select repo,
+             cast(sum(fn) as bigint) as n_functions,
+             cast(sum(fn * doc) as bigint) as n_documented,
+             round(sum(fn * doc) / cast(sum(fn) as double), 6)
+               as doc_coverage
+      from flags group by repo having sum(fn) > 0
     """
 
 
@@ -5664,6 +5755,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "unsafe_apis": _unsafe_oracle_sql(),
         "manifest_deps": _manifest_oracle_sql(),
         "public_api": _public_api_oracle_sql(),
+        "docstring_coverage": _docstring_coverage_oracle_sql(),
         "lang_mismatch": _LANG_MISMATCH_ORACLE_SQL,
         "notebook_cells": _NOTEBOOK_ORACLE_SQL,
         "code_imports": _imports_oracle_sql(),

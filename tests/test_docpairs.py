@@ -106,3 +106,26 @@ def test_zero_shuffle_plan(spark):
     assert n_exchanges(
         extract_nlpl_pairs(df, ["doc_id"], "content", "lang")
     ) == 0
+
+
+def test_docstring_coverage(spark):
+    from schema_validator_spark.operators.docpairs import (
+        docstring_coverage,
+    )
+
+    rows = [
+        ("r1", "py", FILE),                       # add+fetch doc'd, nodoc not
+        ("r1", "py", "def solo():\n    pass\n"),  # 1 fn, 0 doc'd
+        ("r1", "go", "func F() {}\n"),            # filtered
+        ("r2", "py", "import os\nX = 1\n"),       # preamble only: no fns
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, lang string, content string"
+    )
+    got = {r["repo"]: r.asDict()
+           for r in docstring_coverage(df, "repo", "content",
+                                       "lang").collect()}
+    r1 = got["r1"]
+    assert (r1["n_functions"], r1["n_documented"]) == (4, 2)
+    assert r1["doc_coverage"] == 0.5
+    assert "r2" not in got                        # zero function chunks
