@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (139/139), including the approximate tiers
+EVERY query has an oracle (140/140), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -2831,6 +2831,54 @@ def q_public_api(spark, sf_dir):
     return extract_public_symbols(df, ["doc_id"], "content", "lang")
 
 
+def q_test_mapping(spark, sf_dir):
+    """Source-to-test pairing by naming convention
+    (operators/testmap.source_test_mapping): per-repo tested/untested
+    source counts, orphan tests, coverage.  Synthesis: docs grouped in
+    fives sharing a stem pool (g = doc_id//5, s = g%50) so pairings
+    are deterministic — py prefix tests (every 3rd group replaced by
+    an extra untested source), go suffix tests (every 4th group an
+    orphan), and a .test.js stripe whose sources never exist
+    (suffix-parse + orphan path)."""
+    from schema_validator_spark.operators.testmap import (
+        source_test_mapping,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    m = did % 5
+    g = F.floor(did / 5).cast("long")
+    s = (g % 50).cast("string")
+    path = (
+        F.when(m == 0, F.concat(F.lit("src/m"), s, F.lit(".py")))
+        .when(
+            m == 1,
+            F.when(
+                g % 3 == 0,
+                F.concat(F.lit("src/extra"), s, F.lit(".py")),
+            ).otherwise(
+                F.concat(F.lit("tests/test_m"), s, F.lit(".py"))
+            ),
+        )
+        .when(m == 2, F.concat(F.lit("pkg/n"), s, F.lit(".go")))
+        .when(
+            m == 3,
+            F.when(
+                g % 4 == 0,
+                F.concat(F.lit("tests/orphan"), s, F.lit("_test.go")),
+            ).otherwise(
+                F.concat(F.lit("pkg/n"), s, F.lit("_test.go"))
+            ),
+        )
+        .otherwise(F.concat(F.lit("web/c"), s, F.lit(".test.js")))
+    )
+    df = docs.select(
+        F.concat(F.lit("r"), (g % 7).cast("string")).alias("repo"),
+        path.alias("path"),
+    )
+    return source_test_mapping(df, "repo", "path")
+
+
 def q_lang_mismatch(spark, sf_dir):
     """Declared-lang vs path-extension consistency
     (operators/codequality.lang_path_mismatches): the two-column
@@ -3247,6 +3295,11 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
         ["repo", "n_functions", "n_documented"],
         ["doc_coverage"],
     ),
+    "test_mapping": (
+        ["repo", "n_source_files", "n_test_files", "n_tested_sources",
+         "n_orphan_tests"],
+        ["test_coverage"],
+    ),
 }
 
 
@@ -3435,6 +3488,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "manifest_deps": q_manifest_deps,
         "public_api": q_public_api,
         "docstring_coverage": q_docstring_coverage,
+        "test_mapping": q_test_mapping,
     }
 
 
@@ -4181,6 +4235,95 @@ def _docstring_coverage_oracle_sql() -> str:
              round(sum(fn * doc) / cast(sum(fn) as double), 6)
                as doc_coverage
       from flags group by repo having sum(fn) > 0
+    """
+
+
+def _test_mapping_oracle_sql() -> str:
+    """Replay q_test_mapping: same path synthesis, same basename/ext/
+    stem parsing regexes, the tested-stem CASE generated from the SAME
+    module constants (_TEST_PREFIX/_TEST_SUFFIXES), the collapsed
+    (repo, ext, stem) key aggregation, repo rollup."""
+    from schema_validator_spark.operators.testmap import (
+        _TEST_PREFIX,
+        _TEST_SUFFIXES,
+    )
+
+    np = len(_TEST_PREFIX)
+    whens = [
+        f"when starts_with(stem, '{_TEST_PREFIX}')"
+        f" and length(stem) > {np} then substr(stem, {np + 1})"
+    ]
+    for suf in _TEST_SUFFIXES:
+        ns = len(suf)
+        whens.append(
+            f"when ends_with(stem, '{suf}') and length(stem) > {ns}"
+            f" then substr(stem, 1, length(stem) - {ns})"
+        )
+    tstem_case = "\n                 ".join(whens)
+    return rf"""
+      with synth as (
+        select 'r' || cast((doc_id // 5) % 7 as varchar) as repo,
+               case when doc_id % 5 = 0 then
+                      'src/m' || cast((doc_id // 5) % 50 as varchar)
+                      || '.py'
+                    when doc_id % 5 = 1 then
+                      case when (doc_id // 5) % 3 = 0 then
+                        'src/extra'
+                        || cast((doc_id // 5) % 50 as varchar) || '.py'
+                      else
+                        'tests/test_m'
+                        || cast((doc_id // 5) % 50 as varchar) || '.py'
+                      end
+                    when doc_id % 5 = 2 then
+                      'pkg/n' || cast((doc_id // 5) % 50 as varchar)
+                      || '.go'
+                    when doc_id % 5 = 3 then
+                      case when (doc_id // 5) % 4 = 0 then
+                        'tests/orphan'
+                        || cast((doc_id // 5) % 50 as varchar)
+                        || '_test.go'
+                      else
+                        'pkg/n' || cast((doc_id // 5) % 50 as varchar)
+                        || '_test.go'
+                      end
+                    else
+                      'web/c' || cast((doc_id // 5) % 50 as varchar)
+                      || '.test.js'
+               end as path
+        from documents
+      ), parts as (
+        select repo,
+               regexp_extract(b, '\.([A-Za-z0-9]+)$', 1) as ext,
+               regexp_replace(b, '\.([A-Za-z0-9]+)$', '') as stem
+        from (select repo,
+                     regexp_extract(path, '([^/]+)$', 1) as b
+              from synth)
+      ), cls as (
+        select repo, ext, stem,
+               case {tstem_case}
+                    else null end as tstem
+        from parts
+      ), keyed as (
+        select repo, ext, coalesce(tstem, stem) as k,
+               sum(case when tstem is null then 1 else 0 end) as n_src,
+               sum(case when tstem is not null then 1 else 0 end)
+                 as n_tst
+        from cls group by 1, 2, 3
+      )
+      select repo,
+             cast(sum(n_src) as bigint) as n_source_files,
+             cast(sum(n_tst) as bigint) as n_test_files,
+             cast(sum(case when n_src > 0 and n_tst > 0
+                           then n_src else 0 end) as bigint)
+               as n_tested_sources,
+             cast(sum(case when n_src = 0 then n_tst else 0 end)
+                  as bigint) as n_orphan_tests,
+             case when sum(n_src) > 0 then
+               round(sum(case when n_src > 0 and n_tst > 0
+                              then n_src else 0 end)
+                     / cast(sum(n_src) as double), 6)
+             end as test_coverage
+      from keyed group by repo
     """
 
 
@@ -5756,6 +5899,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "manifest_deps": _manifest_oracle_sql(),
         "public_api": _public_api_oracle_sql(),
         "docstring_coverage": _docstring_coverage_oracle_sql(),
+        "test_mapping": _test_mapping_oracle_sql(),
         "lang_mismatch": _LANG_MISMATCH_ORACLE_SQL,
         "notebook_cells": _NOTEBOOK_ORACLE_SQL,
         "code_imports": _imports_oracle_sql(),
