@@ -2614,19 +2614,10 @@ _NLPL_TMPL: dict[int, tuple[str, str]] = {
 _NLPL_TAIL = "def tail(y):\n    return y\n"
 
 
-def q_nlpl_pairs(spark, sf_dir):
-    """NL-PL (docstring, function) pair extraction
-    (operators/docpairs.extract_nlpl_pairs = lang filter ->
-    chunk_functions -> anchored docstring regexes): the CodeSearchNet
-    training-data construction step.  Each py file = one striped unit
-    + a docstring-less tail function, so exactly the three docstring
-    stripes pair (chunk_idx pins positions, chunk_sha pins the chunk
-    text byte-exactly — an end-to-end check on the chunker too)."""
-    from schema_validator_spark.operators.docpairs import (
-        extract_nlpl_pairs,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
+def _nlpl_synth(docs):
+    """Shared (doc_id, lang, content) synthesis for q_nlpl_pairs and
+    q_docstring_coverage — both oracles reconstruct these exact
+    chunks, so the synthesis must exist exactly once."""
     did = F.col("doc_id")
     m = did % 5
     k = did.cast("string")
@@ -2644,9 +2635,24 @@ def q_nlpl_pairs(spark, sf_dir):
         F.concat(unit0, F.lit(_NLPL_TAIL))
     )
     lang = F.when(m == 4, F.lit("go")).otherwise(F.lit("py"))
-    df = docs.select(
+    return docs.select(
         "doc_id", lang.alias("lang"), content.alias("content")
     )
+
+
+def q_nlpl_pairs(spark, sf_dir):
+    """NL-PL (docstring, function) pair extraction
+    (operators/docpairs.extract_nlpl_pairs = lang filter ->
+    chunk_functions -> anchored docstring regexes): the CodeSearchNet
+    training-data construction step.  Each py file = one striped unit
+    + a docstring-less tail function, so exactly the three docstring
+    stripes pair (chunk_idx pins positions, chunk_sha pins the chunk
+    text byte-exactly — an end-to-end check on the chunker too)."""
+    from schema_validator_spark.operators.docpairs import (
+        extract_nlpl_pairs,
+    )
+
+    df = _nlpl_synth(_t(spark, sf_dir, "documents"))
     return extract_nlpl_pairs(df, ["doc_id"], "content", "lang")
 
 
@@ -2661,28 +2667,12 @@ def q_docstring_coverage(spark, sf_dir):
         docstring_coverage,
     )
 
-    docs = _t(spark, sf_dir, "documents")
-    did = F.col("doc_id")
-    m = did % 5
-    k = did.cast("string")
-
-    def _unit(i):
-        p, s = _NLPL_TMPL[i]
-        return F.concat(F.lit(p), k, F.lit(s))
-
-    unit0 = (
-        F.when(m == 0, _unit(0)).when(m == 1, _unit(1))
-        .when(m == 2, _unit(2)).when(m == 3, _unit(3))
-        .otherwise(_unit(4))
-    )
-    content = F.when(m == 4, unit0).otherwise(
-        F.concat(unit0, F.lit(_NLPL_TAIL))
-    )
-    lang = F.when(m == 4, F.lit("go")).otherwise(F.lit("py"))
-    df = docs.select(
-        F.concat(F.lit("r"), (did % 10).cast("string")).alias("repo"),
-        lang.alias("lang"),
-        content.alias("content"),
+    df = _nlpl_synth(_t(spark, sf_dir, "documents")).select(
+        F.concat(
+            F.lit("r"), (F.col("doc_id") % 10).cast("string")
+        ).alias("repo"),
+        "lang",
+        "content",
     )
     return docstring_coverage(df, "repo", "content", "lang")
 
@@ -4293,7 +4283,7 @@ def _test_mapping_oracle_sql() -> str:
         from documents
       ), parts as (
         select repo,
-               regexp_extract(b, '\.([A-Za-z0-9]+)$', 1) as ext,
+               lower(regexp_extract(b, '\.([A-Za-z0-9]+)$', 1)) as ext,
                regexp_replace(b, '\.([A-Za-z0-9]+)$', '') as stem
         from (select repo,
                      regexp_extract(path, '([^/]+)$', 1) as b
@@ -4376,6 +4366,7 @@ def _manifest_oracle_sql() -> str:
     reader for the npm stripe (json_valid guard mirrors from_json's
     null-on-malformed)."""
     from schema_validator_spark.operators.manifests import (
+        GO_BLOCK_STRIP_RE,
         GO_DEP_RE,
         PIP_DEP_RE,
     )
@@ -4407,7 +4398,9 @@ def _manifest_oracle_sql() -> str:
       from synth where doc_id % 4 = 0
       union all
       select doc_id, 'go_mod',
-             unnest(regexp_extract_all(content,
+             unnest(regexp_extract_all(
+                    regexp_replace(content,
+                      '{_esc_sq(GO_BLOCK_STRIP_RE)}', '', 'g'),
                     '{_esc_sq(GO_DEP_RE)}', 1)), 'runtime'
       from synth where doc_id % 4 = 1
       union all

@@ -12,11 +12,18 @@ per-format:
 
 - ``pip_requirements``: one package name per line; comment (``#``) and
   option (``-r``/``--hash``) lines can't match (names must start
-  alphanumeric); extras brackets and version specs are not part of the
-  captured name.
+  alphanumeric), and the name must be followed by end-of-line or a
+  PEP-508 continuation (extras ``[``, version operators, ``;`` marker,
+  ``#`` comment, ``@`` direct reference) — so URL and VCS lines
+  (``git+https://...``, bare ``https://...``) never yield phantom
+  ``git``/``https`` deps.  Extras brackets and version specs are not
+  part of the captured name.
 - ``go_mod``: module paths followed by a ``v<digit>`` version — both
   single-line ``require x vN`` and indented require-block lines; the
-  repo's own ``module`` line has no version so it never matches.
+  repo's own ``module`` line has no version so it never matches, and
+  ``replace``/``exclude`` blocks are stripped before extraction (their
+  single-line forms can't match: the keyword is not a require prefix),
+  so replaced-away or excluded modules are never claimed as declared.
 - ``npm_package``: JSON-parsed (``from_json`` on Spark, ``json_keys``
   in the DuckDB oracle) — ``dependencies`` + ``devDependencies`` keys
   with a ``kind`` tag; malformed JSON yields zero deps on both sides
@@ -40,12 +47,22 @@ MANIFEST_RULES: list[tuple[str, str]] = [
     ("npm_package", r"(^|/)package\.json$"),
 ]
 
-#: per-format extraction regex (group 1 = dependency name)
-PIP_DEP_RE = r"(?m)^[ \t]*([A-Za-z0-9][A-Za-z0-9._-]*)"
+#: per-format extraction regex (group 1 = dependency name).  The pip
+#: name must be followed by a PEP-508 continuation or end-of-line
+#: (``\r`` consumed explicitly: RE2's (?m)$ matches only before \n,
+#: Java's also before \r\n — the explicit class keeps both engines
+#: identical on CRLF files).  RE2-safe: no lookaround.
+PIP_DEP_RE = (
+    r"(?m)^[ \t]*([A-Za-z0-9][A-Za-z0-9._-]*)[ \t\r]*"
+    r"(?:$|[=<>!~;#@\[])"
+)
 GO_DEP_RE = (
     r"(?m)^[ \t]*(?:require[ \t]+)?([A-Za-z0-9][A-Za-z0-9_./-]*)"
     r"[ \t]+v[0-9]"
 )
+#: replace/exclude blocks are stripped from go.mod before extraction —
+#: their indented module lines would otherwise match GO_DEP_RE
+GO_BLOCK_STRIP_RE = r"(?ms)^(?:replace|exclude)[ \t]*\(.*?\n\)"
 
 #: npm JSON schema for from_json (null-safe on malformed input)
 _NPM_SCHEMA = (
@@ -74,7 +91,10 @@ def manifest_deps(
         )
 
     pip = _tag(F.regexp_extract_all(s, F.lit(PIP_DEP_RE), 1), "runtime")
-    go = _tag(F.regexp_extract_all(s, F.lit(GO_DEP_RE), 1), "runtime")
+    go_src = F.regexp_replace(s, GO_BLOCK_STRIP_RE, "")
+    go = _tag(
+        F.regexp_extract_all(go_src, F.lit(GO_DEP_RE), 1), "runtime"
+    )
     parsed = F.from_json(s, _NPM_SCHEMA)
     empty_map = F.create_map().cast("map<string,string>")
     npm = F.concat(

@@ -59,7 +59,10 @@ def source_test_mapping(
     6dp (NULL when a repo has only test files)."""
     path = F.coalesce(F.col(path_col), F.lit(""))
     base = F.regexp_extract(path, r"([^/]+)$", 1)
-    ext = F.regexp_extract(base, r"\.([A-Za-z0-9]+)$", 1)
+    # ext case-folds (codebase norm, codequality ext parsing) so
+    # Util.PY pairs with test_Util.py; stems stay case-sensitive —
+    # Foo.js and foo.js are distinct modules on case-sensitive systems
+    ext = F.lower(F.regexp_extract(base, r"\.([A-Za-z0-9]+)$", 1))
     stem = F.regexp_replace(base, r"\.[A-Za-z0-9]+$", "")
     tstem = _tested_stem(stem)
     frame = df.select(

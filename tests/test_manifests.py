@@ -78,3 +78,31 @@ def test_zero_shuffle_plan(spark):
     assert n_exchanges(
         manifest_deps(df, ["repo", "path"], "path", "content")
     ) == 0
+
+
+def test_url_vcs_and_replace_exclude_not_claimed(spark):
+    reqs = (
+        "git+https://github.com/a/b.git#egg=b\n"
+        "https://files.pythonhosted.org/x/pkg.whl\n"
+        "pkg @ https://example.com/pkg.whl\n"
+        "torch==2.1 ; python_version < '3.12'\r\n"   # CRLF + marker
+        "plain\n"
+    )
+    gomod = (
+        "module m\nrequire (\n\tgood.com/a v1.0.0\n)\n"
+        "replace (\n\told.example.com/a v1.0.0 => ./fork\n)\n"
+        "exclude (\n\tbad.com/x v1.2.3\n)\n"
+        "exclude worse.com/y v9.9.9\n"
+        "replace p.com/q v1.0.0 => r.com/s v2.0.0\n"
+    )
+    rows = [("r", "requirements.txt", reqs), ("r", "go.mod", gomod)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {(r["manifest_type"], r["dep"])
+           for r in manifest_deps(df, ["repo"], "path",
+                                  "content").collect()}
+    assert got == {
+        ("pip_requirements", "pkg"),
+        ("pip_requirements", "torch"),
+        ("pip_requirements", "plain"),
+        ("go_mod", "good.com/a"),
+    }
