@@ -613,6 +613,118 @@ def run_unsafe_apis(spark, n=32_000_000):
             "sec": round(time.time() - t, 1)}
 
 
+def run_manifest_deps(spark, n=8_000_000):
+    from schema_validator_spark.operators.manifests import manifest_deps
+
+    i = F.col("id")
+    k = i.cast("string")
+    m = i % 4
+    path = (
+        F.when(m == 0, F.lit("requirements.txt"))
+        .when(m == 1, F.lit("go.mod"))
+        .when(m == 2, F.lit("web/package.json"))
+        .otherwise(F.lit("src/main.py"))
+    )
+    content = (
+        F.when(m == 0, F.concat(
+            F.lit("pkg"), k,
+            F.lit(">=1.0\n# c\nnumpy\ngit+https://x/y.git\n"),
+        ))
+        .when(m == 1, F.concat(
+            F.lit("module m\nrequire (\n\tgithub.com/a/b"), k,
+            F.lit(" v1.2.3\n)\nreplace (\n\told.com/z v1 => ./f\n)\n"),
+        ))
+        .when(m == 2, F.concat(
+            F.lit('{"dependencies": {"react": "^18", "p'), k,
+            F.lit('": "1"}, "devDependencies": {"jest": "^29"}}'),
+        ))
+        .otherwise(F.lit("import os\n"))
+    )
+    df = spark.range(n).select(
+        F.concat(F.lit("r"), (i % 20000).cast("string")).alias("repo"),
+        path.alias("path"), content.alias("content"),
+    )
+    t = time.time()
+    cnt = manifest_deps(df, ["repo"], "path", "content").count()
+    return {"op": "manifest_deps", "rows": n, "deps": cnt,
+            "sec": round(time.time() - t, 1)}
+
+
+def run_public_api(spark, n=32_000_000):
+    from schema_validator_spark.functions.publicapi import (
+        extract_public_symbols,
+    )
+
+    # plant exported symbols in half the files; the other half (and
+    # the lang-pattern misses) measure pure scan cost
+    i = F.xxhash64("repo", "path")
+    df = _code_files_parquet(spark, n).withColumn(
+        "content",
+        F.when(
+            F.pmod(i, 2) == 0,
+            F.concat(F.col("content"),
+                     F.lit("\ntype Config struct {}\n"
+                           "func Exported() int { return 1 }\n")),
+        ).otherwise(F.col("content")),
+    )
+    t = time.time()
+    cnt = extract_public_symbols(
+        df, ["repo", "path"], "content", "lang"
+    ).count()
+    return {"op": "public_api", "rows": n, "symbols": cnt,
+            "sec": round(time.time() - t, 1)}
+
+
+def run_docstring_coverage(spark, n=8_000_000):
+    from schema_validator_spark.operators.docpairs import (
+        docstring_coverage,
+    )
+
+    i = F.col("id")
+    k = i.cast("string")
+    body = F.concat(
+        F.lit('def f'), k, F.lit('(a, b):\n    """Doc '), k,
+        F.lit('."""\n    return a + b\n\ndef g'), k,
+        F.lit('(x):\n    return x\n'),
+    )
+    df = spark.range(n).select(
+        F.concat(F.lit("r"), (i % 20000).cast("string")).alias("repo"),
+        F.when(i % 4 == 3, F.lit("go")).otherwise(F.lit("py"))
+        .alias("lang"),
+        body.alias("content"),
+    )
+    t = time.time()
+    cnt = docstring_coverage(df, "repo", "content", "lang").count()
+    return {"op": "docstring_coverage", "rows": n, "repos": cnt,
+            "sec": round(time.time() - t, 1)}
+
+
+def run_test_mapping(spark, n=64_000_000):
+    from schema_validator_spark.operators.testmap import (
+        source_test_mapping,
+    )
+
+    # 1M stems over 20k repos; 1/4 of rows are tests (alternating
+    # prefix/suffix conventions), 1/16 orphan tests
+    i = F.col("id")
+    s = (i % 1_000_000).cast("string")
+    path = (
+        F.when(i % 4 == 0,
+               F.concat(F.lit("tests/test_m"), s, F.lit(".py")))
+        .when(i % 16 == 1,
+              F.concat(F.lit("tests/orphan"), s, F.lit("_test.go")))
+        .otherwise(F.concat(F.lit("src/m"), s, F.lit(".py")))
+    )
+    df = spark.range(n).select(
+        F.concat(F.lit("r"), (i % 20000).cast("string")).alias("repo"),
+        path.alias("path"),
+    )
+    t = time.time()
+    cnt = source_test_mapping(df, "repo", "path").count()
+    return {"op": "test_mapping", "rows": n, "repos": cnt,
+            "sec": round(time.time() - t, 1)}
+
+
 #: op label (as printed in output / BENCH.md) -> benchmark fn
 OPS = {
     "edit_join": run_edit_join,
@@ -642,6 +754,10 @@ OPS = {
     "file_history": run_file_history,
     "nlpl_pairs": run_nlpl_pairs,
     "unsafe_apis": run_unsafe_apis,
+    "manifest_deps": run_manifest_deps,
+    "public_api": run_public_api,
+    "docstring_coverage": run_docstring_coverage,
+    "test_mapping": run_test_mapping,
 }
 
 
