@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (140/140), including the approximate tiers
+EVERY query has an oracle (141/141), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -2869,6 +2869,56 @@ def q_test_mapping(spark, sf_dir):
     return source_test_mapping(df, "repo", "path")
 
 
+#: lang_detect synthesis (stripe -> (declared lang, prefix, suffix)):
+#: correct py/js declarations (no report), wrong go/c declarations
+#: (keyword-vote mismatches), a bash shebang overriding python
+#: keywords, unknown content (not reported), and a declared lang
+#: outside the detector vocabulary (not reported).
+_LANGDET_TMPL: dict[int, tuple[str, str, str]] = {
+    0: ("py", "def f", "(x):\n    return self.x\nimport os\n"),
+    1: ("go", "def g", "(x):\n    return self.x\nimport os\n"),
+    2: ("js", "const v", " = () => {\n  console.log('x')\n}\n"),
+    3: ("py", "#!/bin/bash\n# job ", "\ndef f(x):\n    return self.x\n"),
+    4: ("c", "public class W",
+        " {\n  public static void main() {\n"
+        "    System.out.println();\n  }\n}\n"),
+    5: ("py", "PROCEDURE DIVISION ", ".\n"),
+    6: ("cobol", "package m", "\nfunc main() {\n\tx := 1\n}\n"),
+}
+
+
+def q_lang_detect(spark, sf_dir):
+    """Content-based language detection, consistency form
+    (operators/langdetect.lang_consistency): shebang tier + per-lang
+    keyword vote vs the declared lang — rows where the content
+    contradicts the metadata.  Expected reports: go-declared python
+    (stripe 1), shebang bash under a py declaration (stripe 3),
+    c-declared java (stripe 4)."""
+    from schema_validator_spark.operators.langdetect import (
+        lang_consistency,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    m = did % 7
+    k = did.cast("string")
+    lang = content = None
+    for i, (lg, p, s) in sorted(_LANGDET_TMPL.items()):
+        cond = m == i
+        body = F.concat(F.lit(p), k, F.lit(s))
+        lg_lit = F.lit(lg)
+        lang = F.when(cond, lg_lit) if lang is None else lang.when(
+            cond, lg_lit
+        )
+        content = F.when(cond, body) if content is None else content.when(
+            cond, body
+        )
+    df = docs.select(
+        "doc_id", lang.alias("lang"), content.alias("content")
+    )
+    return lang_consistency(df, ["doc_id"], "content", "lang")
+
+
 def q_lang_mismatch(spark, sf_dir):
     """Declared-lang vs path-extension consistency
     (operators/codequality.lang_path_mismatches): the two-column
@@ -3479,6 +3529,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "public_api": q_public_api,
         "docstring_coverage": q_docstring_coverage,
         "test_mapping": q_test_mapping,
+        "lang_detect": q_lang_detect,
     }
 
 
@@ -4314,6 +4365,75 @@ def _test_mapping_oracle_sql() -> str:
                      / cast(sum(n_src) as double), 6)
              end as test_coverage
       from keyed group by repo
+    """
+
+
+def _lang_detect_oracle_sql() -> str:
+    """Replay q_lang_detect from the SAME constants (_LANGDET_TMPL via
+    _duck_lit; langdetect.KEYWORD_SIGNALS / SHEBANG_RULES): per-lang
+    keyword scores as one union branch per lang, arg-max via
+    row_number (score desc, lang desc — the struct-max tiebreak),
+    shebang CASE in rule order on top, vocabulary + unknown filters."""
+    from schema_validator_spark.operators.langdetect import (
+        KEYWORD_SIGNALS,
+        SHEBANG_RULES,
+    )
+
+    synth_lang = "\n                 ".join(
+        f"when doc_id % 7 = {i} then '{lg}'"
+        for i, (lg, _, _) in sorted(_LANGDET_TMPL.items())
+    )
+    synth_content = "\n                 ".join(
+        f"when doc_id % 7 = {i} then"
+        f" {_duck_lit(p)} || cast(doc_id as varchar) || {_duck_lit(s)}"
+        for i, (_, p, s) in sorted(_LANGDET_TMPL.items())
+    )
+    score_branches = "\n            union all\n".join(
+        """
+            select doc_id, declared, content, '{lg}' as lang,
+                   {score} as score
+            from synth""".format(
+            lg=lg,
+            score=" + ".join(
+                f"len(regexp_extract_all(content, '{_esc_sq(p)}'))"
+                for p in pats
+            ),
+        )
+        for lg, pats in sorted(KEYWORD_SIGNALS.items())
+    )
+    shebang_whens = "\n                 ".join(
+        f"when regexp_matches(content, '{_esc_sq(pat)}') then '{lg}'"
+        for lg, pat in SHEBANG_RULES
+    )
+    vocab = ", ".join(
+        f"'{lg}'"
+        for lg in sorted(set(KEYWORD_SIGNALS) | {l for l, _ in SHEBANG_RULES})
+    )
+    return f"""
+      with synth as (
+        select doc_id,
+               case {synth_lang} end as declared,
+               case {synth_content} end as content
+        from documents
+      ), scores as ({score_branches}
+      ), best as (
+        select doc_id, declared, content, lang, score,
+               row_number() over (partition by doc_id
+                                  order by score desc, lang desc) as rn
+        from scores
+      ), det as (
+        select doc_id, declared,
+               case {shebang_whens}
+                    when score > 0 then lang
+                    else 'unknown' end as detected
+        from best where rn = 1
+      )
+      select doc_id, declared as declared_lang,
+             detected as detected_lang
+      from det
+      where detected <> 'unknown'
+        and declared in ({vocab})
+        and detected <> declared
     """
 
 
@@ -5893,6 +6013,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "public_api": _public_api_oracle_sql(),
         "docstring_coverage": _docstring_coverage_oracle_sql(),
         "test_mapping": _test_mapping_oracle_sql(),
+        "lang_detect": _lang_detect_oracle_sql(),
         "lang_mismatch": _LANG_MISMATCH_ORACLE_SQL,
         "notebook_cells": _NOTEBOOK_ORACLE_SQL,
         "code_imports": _imports_oracle_sql(),

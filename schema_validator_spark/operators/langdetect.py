@@ -1,0 +1,120 @@
+"""Content-based language detection — the linguist/guesslang step a
+code-corpus pipeline runs when path or declared-lang metadata is
+missing or untrusted (The Stack re-detects rather than trusting file
+extensions).  Complements operators/codequality.lang_path_mismatches
+(path-vs-declared) with a content-vs-declared axis.
+
+Two tiers, both lexical and RE2-safe:
+
+1. **shebang** — a ``#!`` first line names the interpreter
+   authoritatively (``#!/usr/bin/env python3`` -> py); matched via one
+   anchored regex per interpreter family.
+2. **keyword vote** — per-lang counts of distinctive syntax tokens
+   (``def``/``elif``/``self.`` for py, ``func``/``:=``/``package``
+   for go, ...); the arg-max wins, ties broken by lang name
+   (deterministic, documented), zero total score -> ``unknown``.
+
+Scoring is syntactic (a keyword in a comment votes), and the signal
+lists are deliberately the high-frequency core: a missing construct
+weakens one lang's vote, it never corrupts another's.
+
+Scale shape: every signal is a fixed ``regexp_count`` chain riding the
+scan; the arg-max is an ``array_max`` over a per-row array of
+(score, lang) structs — pure codegen, ZERO shuffles, zero Python.
+``lang_consistency`` adds one filter (still zero shuffles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: (lang, anchored shebang regex) — first match wins, order fixed
+SHEBANG_RULES: list[tuple[str, str]] = [
+    ("py", r"\A#![^\n]*python"),
+    ("js", r"\A#![^\n]*node"),
+    ("sh", r"\A#![^\n]*\b(?:ba|z|da)?sh\b"),
+    ("rb", r"\A#![^\n]*ruby"),
+    ("pl", r"\A#![^\n]*perl"),
+]
+
+#: lang -> distinctive-token regexes; score = sum of match counts.
+#: RE2-safe, shared verbatim with the oracle.
+KEYWORD_SIGNALS: dict[str, tuple[str, ...]] = {
+    "py": (r"\bdef [a-z_]", r"\belif\b", r"\bself\.", r"\bimport \w"),
+    "go": (r"\bfunc ", r":=", r"\bpackage \w+\n", r"\bchan\b"),
+    "js": (r"\bfunction\b", r"\bconst \w", r"=>", r"\bconsole\."),
+    "java": (r"\bpublic (?:class|static|void)\b", r"\bSystem\.out",
+             r"\bimport java\."),
+    "c": (r"#include\b", r"\bprintf\s*\(", r"\bvoid \w+\s*\("),
+}
+
+
+def detect_lang(
+    content_col: str,
+    *,
+    shebangs: list[tuple[str, str]] | None = None,
+    signals: dict[str, tuple[str, ...]] | None = None,
+) -> Column:
+    """String Column: detected lang (``unknown`` when nothing votes).
+    Shebang tier wins outright; otherwise the keyword-vote arg-max."""
+    sb = shebangs if shebangs is not None else SHEBANG_RULES
+    sig = signals if signals is not None else KEYWORD_SIGNALS
+    if not sig:
+        raise ValueError("empty keyword-signal map")
+    s = F.coalesce(F.col(content_col), F.lit(""))
+    scored = F.array(
+        *[
+            F.struct(
+                sum(
+                    (F.regexp_count(s, F.lit(p)) for p in pats),
+                    start=F.lit(0),
+                ).alias("score"),
+                F.lit(lg).alias("lang"),
+            )
+            for lg, pats in sorted(sig.items())
+        ]
+    )
+    best = F.array_max(scored)
+    vote = F.when(best["score"] > 0, best["lang"]).otherwise(
+        F.lit("unknown")
+    )
+    out = vote
+    for lg, pat in reversed(sb):
+        out = F.when(s.rlike(pat), F.lit(lg)).otherwise(out)
+    return out
+
+
+def lang_consistency(
+    df: DataFrame,
+    id_cols: list[str],
+    content_col: str,
+    lang_col: str,
+    *,
+    shebangs: list[tuple[str, str]] | None = None,
+    signals: dict[str, tuple[str, ...]] | None = None,
+) -> DataFrame:
+    """Rows whose DETECTED lang disagrees with the declared one:
+    ``(id_cols..., declared_lang, detected_lang)``.  ``unknown``
+    detections are not reported (no evidence either way), nor are
+    declared langs outside the detector's vocabulary (it cannot vote
+    for them)."""
+    sig = signals if signals is not None else KEYWORD_SIGNALS
+    sb = shebangs if shebangs is not None else SHEBANG_RULES
+    vocab = sorted(set(sig) | {lg for lg, _ in sb})
+    declared = F.lower(F.coalesce(F.col(lang_col), F.lit("")))
+    detected = detect_lang(
+        content_col, shebangs=shebangs, signals=signals
+    )
+    return (
+        df.select(
+            *id_cols,
+            declared.alias("declared_lang"),
+            detected.alias("detected_lang"),
+        )
+        .filter(
+            (F.col("detected_lang") != "unknown")
+            & F.col("declared_lang").isin(*vocab)
+            & (F.col("detected_lang") != F.col("declared_lang"))
+        )
+    )
