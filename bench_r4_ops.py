@@ -725,6 +725,23 @@ def run_test_mapping(spark, n=64_000_000):
             "sec": round(time.time() - t, 1)}
 
 
+def run_lang_detect(spark, n=32_000_000):
+    from schema_validator_spark.operators.langdetect import (
+        lang_consistency,
+    )
+
+    # declared lang comes from the parquet cycle; content is go-shaped
+    # for all rows, so ~6/7 of declarations contradict the vote —
+    # the worst case for the consistency filter
+    df = _code_files_parquet(spark, n)
+    t = time.time()
+    cnt = lang_consistency(
+        df, ["repo", "path"], "content", "lang"
+    ).count()
+    return {"op": "lang_detect", "rows": n, "mismatches": cnt,
+            "sec": round(time.time() - t, 1)}
+
+
 #: op label (as printed in output / BENCH.md) -> benchmark fn
 OPS = {
     "edit_join": run_edit_join,
@@ -758,6 +775,7 @@ OPS = {
     "public_api": run_public_api,
     "docstring_coverage": run_docstring_coverage,
     "test_mapping": run_test_mapping,
+    "lang_detect": run_lang_detect,
 }
 
 
