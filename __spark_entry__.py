@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (141/141), including the approximate tiers
+EVERY query has an oracle (142/142), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -2105,6 +2105,32 @@ def q_repo_similarity(spark, sf_dir):
     )
 
 
+def q_fork_dedup(spark, sf_dir):
+    """Repo-level fork dedup (operators/crossrepo.fork_dedup):
+    similarity clustering + canonical selection.  Corpus = base
+    sources ∪ fork_<source> (every 3rd doc, j~1/3 vs base) ∪
+    fork2_<source> (every 6th doc: j~1/2 vs fork but only ~1/6 vs
+    base, so at min_jaccard=0.25 it joins the family ONLY transitively
+    through fork).  Canonical = most files (the base source), forks
+    mapped onto it, every repo emitted."""
+    from schema_validator_spark.operators.crossrepo import fork_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(F.col("source").alias("repo"), F.col("text"))
+    fork = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.concat(F.lit("fork_"), F.col("source")).alias("repo"),
+        F.col("text"),
+    )
+    fork2 = docs.filter(F.col("doc_id") % 6 == 0).select(
+        F.concat(F.lit("fork2_"), F.col("source")).alias("repo"),
+        F.col("text"),
+    )
+    return fork_dedup(
+        base.unionByName(fork).unionByName(fork2),
+        "repo", "text", min_jaccard=0.25,
+    )
+
+
 def q_winnow_pairs(spark, sf_dir):
     """Winnowing fingerprint pairs (operators/winnow.winnow_pairs —
     Schleimer et al. 2003, the MOSS code-clone algorithm): documents
@@ -3530,6 +3556,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docstring_coverage": q_docstring_coverage,
         "test_mapping": q_test_mapping,
         "lang_detect": q_lang_detect,
+        "fork_dedup": q_fork_dedup,
     }
 
 
@@ -5839,6 +5866,59 @@ def _oracle_sql_raw() -> dict[str, str]:
             where round(shared_files
                         / cast(sa.n + sb.n - shared_files as double), 6)
                   >= 0.05
+        """,
+        "fork_dedup": """
+            with recursive all_rc as (
+              select source as repo, text from documents
+              union all
+              select 'fork_' || source, text from documents
+              where doc_id % 3 = 0
+              union all
+              select 'fork2_' || source, text from documents
+              where doc_id % 6 = 0
+            ), rc as (
+              select distinct repo, text from all_rc
+              where text is not null and text <> ''
+            ), sizes as (
+              select repo, cast(count(*) as bigint) as n_files
+              from rc group by repo
+            ), rawp as (
+              select a.repo as ra, b.repo as rb,
+                     cast(count(*) as bigint) as sh
+              from rc a join rc b on a.text = b.text and a.repo < b.repo
+              group by 1, 2
+            ), pairs as (
+              select ra, rb from rawp
+              join sizes sa on sa.repo = rawp.ra
+              join sizes sb on sb.repo = rawp.rb
+              where round(sh / cast(sa.n_files + sb.n_files - sh
+                                    as double), 6) >= 0.25
+            ), edges as (
+              select ra as a, rb as b from pairs
+              union
+              select rb, ra from pairs
+            ), reach(node, label) as (
+              select repo, repo from sizes
+              union
+              select e.a, r.label from edges e
+              join reach r on r.node = e.b
+            ), comp as (
+              select node as repo, min(label) as family
+              from reach group by node
+            ), canon as (
+              select family, repo as canonical_repo from (
+                select c.family, s.repo,
+                       row_number() over (partition by c.family
+                         order by s.n_files desc, s.repo desc) as rn
+                from comp c join sizes s on s.repo = c.repo
+              ) where rn = 1
+            )
+            select s.repo, s.n_files, k.canonical_repo,
+                   cast(case when s.repo = k.canonical_repo
+                        then 1 else 0 end as int) as is_canonical
+            from sizes s
+            join comp c on c.repo = s.repo
+            join canon k on k.family = c.family
         """,
         "winnow_pairs": """
             with norm as (

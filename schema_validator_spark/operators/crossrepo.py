@@ -144,3 +144,72 @@ def repo_similarity(
     if min_jaccard > 0.0:
         out = out.filter(F.col("jaccard") >= min_jaccard)
     return out
+
+
+def fork_dedup(
+    df: DataFrame,
+    repo_col: str,
+    content_col: str,
+    *,
+    min_jaccard: float = 0.8,
+    max_repos_per_content: int | None = None,
+    log_dropped: bool = True,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Repo-level dedup: cluster repos whose content-sha Jaccard
+    reaches ``min_jaccard`` (transitively — a fork-of-a-fork joins the
+    family through its parent even when far from the root) and pick
+    ONE canonical repo per family: most distinct contents, ties to the
+    lexicographically greatest name (deterministic, documented).
+    Returns EVERY repo with a non-empty file:
+    ``(repo, n_files, canonical_repo, is_canonical)`` — singletons are
+    their own canonical.
+
+    This is The Stack's repo-grain dedup step: train on the canonical,
+    drop the forks.
+
+    Scale shape: repo_similarity's plan + connected components at
+    fork-pair scale (dedup.cluster_pairs: 1 job/iter, O(diameter)
+    iterations — fork families are shallow) + a family-scale arg-max
+    dim broadcast back onto the repo-dim-sized size frame."""
+    from .dedup import cluster_pairs
+
+    rc = _repo_content_sets(
+        df, repo_col, content_col, max_repos_per_content,
+        log_dropped, "fork_dedup",
+    )
+    sizes = rc.groupBy(F.col("_repo").alias("repo")).agg(
+        F.count(F.lit(1)).alias("n_files")
+    )
+    pairs = repo_similarity(
+        df, repo_col, content_col,
+        min_jaccard=min_jaccard,
+        max_repos_per_content=max_repos_per_content,
+        log_dropped=False,
+    )
+    clusters = cluster_pairs(
+        pairs.select("repo_a", "repo_b"), id_a="repo_a", id_b="repo_b",
+        max_iters=max_iters,
+    ).select(F.col("doc_id").alias("repo"), "cluster_id")
+    labeled = sizes.join(clusters, "repo", "left").withColumn(
+        "_family", F.coalesce(F.col("cluster_id"), F.col("repo"))
+    )
+    canon = labeled.groupBy("_family").agg(
+        F.max(
+            F.struct(
+                F.col("n_files").alias("_n"),
+                F.col("repo").alias("_r"),
+            )
+        )["_r"].alias("canonical_repo")
+    )
+    return (
+        labeled.join(F.broadcast(canon), "_family")
+        .select(
+            "repo",
+            "n_files",
+            "canonical_repo",
+            (F.col("repo") == F.col("canonical_repo"))
+            .cast("int")
+            .alias("is_canonical"),
+        )
+    )

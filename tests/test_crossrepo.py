@@ -82,3 +82,39 @@ def test_repo_similarity_min_jaccard_and_cap_consistency(spark):
 
     with pytest.raises(ValueError):
         repo_similarity(df, "repo", "content", min_jaccard=1.5)
+
+
+def test_fork_dedup_transitive_and_canonical(spark):
+    from schema_validator_spark.operators.crossrepo import fork_dedup
+
+    rows = (
+        # base: 4 files; fork: 2 of them (j=0.5 vs base);
+        # fork2: 1 of fork's files (j=0.5 vs fork, 0.25 vs base) —
+        # joins the family only transitively through fork
+        [("base", f"c{i}") for i in range(4)]
+        + [("fork", "c0"), ("fork", "c1")]
+        + [("fork2", "c0")]
+        + [("solo", "x")]
+    )
+    df = spark.createDataFrame(rows, "repo string, content string")
+    got = {r["repo"]: r.asDict()
+           for r in fork_dedup(df, "repo", "content",
+                               min_jaccard=0.4).collect()}
+    assert got["base"]["is_canonical"] == 1
+    assert got["fork"]["canonical_repo"] == "base"
+    assert got["fork2"]["canonical_repo"] == "base"   # transitive
+    assert got["fork2"]["is_canonical"] == 0
+    assert got["solo"]["canonical_repo"] == "solo"    # singleton
+    assert got["solo"]["is_canonical"] == 1
+    assert got["base"]["n_files"] == 4
+
+
+def test_fork_dedup_tie_breaks_by_repo_name(spark):
+    from schema_validator_spark.operators.crossrepo import fork_dedup
+
+    rows = [("a", "c0"), ("a", "c1"), ("b", "c0"), ("b", "c1")]
+    df = spark.createDataFrame(rows, "repo string, content string")
+    got = {r["repo"]: r["canonical_repo"]
+           for r in fork_dedup(df, "repo", "content",
+                               min_jaccard=0.9).collect()}
+    assert got == {"a": "b", "b": "b"}    # equal sizes: greatest name
