@@ -725,6 +725,20 @@ def run_test_mapping(spark, n=64_000_000):
             "sec": round(time.time() - t, 1)}
 
 
+def run_fork_dedup(spark, n=4_000_000, repos=20_000):
+    from schema_validator_spark.operators.crossrepo import fork_dedup
+
+    df = _shared_corpus(spark, n, repos)
+    t = time.time()
+    out = fork_dedup(
+        df, "repo", "content",
+        min_jaccard=0.002, max_repos_per_content=100,
+    )
+    canon = out.filter(F.col("is_canonical") == 1).count()
+    return {"op": "fork_dedup", "rows": n, "repos": repos,
+            "canonical": canon, "sec": round(time.time() - t, 1)}
+
+
 def run_lang_detect(spark, n=32_000_000):
     from schema_validator_spark.operators.langdetect import (
         lang_consistency,
@@ -776,6 +790,7 @@ OPS = {
     "docstring_coverage": run_docstring_coverage,
     "test_mapping": run_test_mapping,
     "lang_detect": run_lang_detect,
+    "fork_dedup": run_fork_dedup,
 }
 
 

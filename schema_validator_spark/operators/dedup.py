@@ -654,6 +654,11 @@ def cluster_pairs(
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
         .distinct()
+        # materialize ONCE: edges join every iteration, and without
+        # this the whole upstream pair-generation plan (LSH banding,
+        # repo-similarity self-join, ...) re-executes per iteration —
+        # measured 274s -> 38s on fork_dedup at 4M files/20k repos
+        .localCheckpoint()
     )
     labels = (
         edges.groupBy("a")
