@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (142/142), including the approximate tiers
+EVERY query has an oracle (143/143), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -2594,6 +2594,86 @@ def q_code_complexity(spark, sf_dir):
     return complexity_stats(df, "content", "lang", keep_cols=["doc_id"])
 
 
+def q_indent_style(spark, sf_dir):
+    """Per-lang indentation-style mix
+    (operators/complexity.indent_profile): tabs/spaces/mixed shares by
+    first-character classification — the formatting-consistency audit.
+    Stripes: tabbed go, spaced py, mixed py, unindented md, NULL
+    content (counts as none)."""
+    from schema_validator_spark.operators.complexity import (
+        indent_profile,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    m = did % 5
+    k = did.cast("string")
+    lang = (
+        F.when(m == 0, F.lit("go"))
+        .when(m == 3, F.lit("md"))
+        .otherwise(F.lit("py"))
+    )
+    content = (
+        F.when(m == 0, F.concat(
+            F.lit("func f() {\n\tx := "), k, F.lit("\n}\n")))
+        .when(m == 1, F.concat(
+            F.lit("def f():\n    return "), k, F.lit("\n")))
+        .when(m == 2, F.concat(
+            F.lit("def g():\n\tif a:\n        pass  # "), k,
+            F.lit("\n")))
+        .when(m == 3, F.concat(F.lit("title "), k, F.lit("\nbody\n")))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    df = docs.select(lang.alias("lang"), content.alias("content"))
+    return indent_profile(df, "content", "lang")
+
+
+_INDENT_STYLE_ORACLE_SQL = """
+  with synth as (
+    select case when doc_id % 5 = 0 then 'go'
+                when doc_id % 5 = 3 then 'md'
+                else 'py' end as lang,
+           case when doc_id % 5 = 0 then
+                  'func f() ' || chr(123) || chr(10) || chr(9)
+                  || 'x := ' || cast(doc_id as varchar) || chr(10)
+                  || chr(125) || chr(10)
+                when doc_id % 5 = 1 then
+                  'def f():' || chr(10) || '    return '
+                  || cast(doc_id as varchar) || chr(10)
+                when doc_id % 5 = 2 then
+                  'def g():' || chr(10) || chr(9) || 'if a:'
+                  || chr(10) || '        pass  # '
+                  || cast(doc_id as varchar) || chr(10)
+                when doc_id % 5 = 3 then
+                  'title ' || cast(doc_id as varchar) || chr(10)
+                  || 'body' || chr(10)
+           end as content
+    from documents
+  ), st as (
+    select lang,
+           case when tab > 0 and sp > 0 then 'mixed'
+                when tab > 0 then 'tabs'
+                when sp > 0 then 'spaces'
+                else 'none' end as style
+    from (
+      select lang,
+             len(list_filter(string_split(coalesce(content, ''),
+                 chr(10)), l -> l[1:1] = chr(9))) as tab,
+             len(list_filter(string_split(coalesce(content, ''),
+                 chr(10)), l -> l[1:1] = ' ')) as sp
+      from synth)
+  )
+  select lang, cast(count(*) as bigint) as n_files,
+         round(sum(case when style = 'tabs' then 1 else 0 end)
+               / cast(count(*) as double), 6) as tabs_share,
+         round(sum(case when style = 'spaces' then 1 else 0 end)
+               / cast(count(*) as double), 6) as spaces_share,
+         round(sum(case when style = 'mixed' then 1 else 0 end)
+               / cast(count(*) as double), 6) as mixed_share
+  from st group by lang
+"""
+
+
 def q_file_history(spark, sf_dir):
     """Commit-grain file-version churn
     (operators/history.churn_stats): per (repo, path) version count,
@@ -3366,6 +3446,10 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
          "n_orphan_tests"],
         ["test_coverage"],
     ),
+    "indent_style": (
+        ["lang", "n_files"],
+        ["tabs_share", "spaces_share", "mixed_share"],
+    ),
 }
 
 
@@ -3557,6 +3641,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "test_mapping": q_test_mapping,
         "lang_detect": q_lang_detect,
         "fork_dedup": q_fork_dedup,
+        "indent_style": q_indent_style,
     }
 
 
@@ -6094,6 +6179,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "docstring_coverage": _docstring_coverage_oracle_sql(),
         "test_mapping": _test_mapping_oracle_sql(),
         "lang_detect": _lang_detect_oracle_sql(),
+        "indent_style": _INDENT_STYLE_ORACLE_SQL,
         "lang_mismatch": _LANG_MISMATCH_ORACLE_SQL,
         "notebook_cells": _NOTEBOOK_ORACLE_SQL,
         "code_imports": _imports_oracle_sql(),

@@ -143,6 +143,50 @@ def complexity_stats(
     )
 
 
+def indent_style(content_col: str):
+    """String Column: the file's indentation style — ``tabs`` /
+    ``spaces`` / ``mixed`` (both appear as a line's FIRST character) /
+    ``none`` (no indented lines).  First-character classification
+    only: an alignment space after a tab doesn't flip a tabs file to
+    mixed (the style signal is what OPENS the indent)."""
+    s = F.coalesce(F.col(content_col), F.lit(""))
+    lines = F.split(s, "\n", -1)
+    first = lambda l: F.substring(l, 1, 1)  # noqa: E731
+    n_tab = F.size(F.filter(lines, lambda l: first(l) == "\t"))
+    n_sp = F.size(F.filter(lines, lambda l: first(l) == " "))
+    return (
+        F.when((n_tab > 0) & (n_sp > 0), F.lit("mixed"))
+        .when(n_tab > 0, F.lit("tabs"))
+        .when(n_sp > 0, F.lit("spaces"))
+        .otherwise(F.lit("none"))
+    )
+
+
+def indent_profile(
+    df: DataFrame,
+    content_col: str,
+    lang_col: str,
+) -> DataFrame:
+    """Per-lang indentation-style mix ``(lang, n_files, tabs_share,
+    spaces_share, mixed_share)`` (6dp) — the formatting-consistency
+    audit (a lang whose files split between tabs and spaces diffs
+    noisily and trains a model on both conventions).  One map-side-
+    combinable groupBy over the lang vocabulary; the style
+    classification rides the scan."""
+    style = indent_style(content_col)
+    lang = F.lower(F.coalesce(F.col(lang_col), F.lit("")))
+    n = F.count(F.lit(1))
+    return df.groupBy(lang.alias("lang")).agg(
+        n.alias("n_files"),
+        F.round(F.sum((style == "tabs").cast("int")) / n, 6)
+        .alias("tabs_share"),
+        F.round(F.sum((style == "spaces").cast("int")) / n, 6)
+        .alias("spaces_share"),
+        F.round(F.sum((style == "mixed").cast("int")) / n, 6)
+        .alias("mixed_share"),
+    )
+
+
 def complexity_by_lang(
     df: DataFrame,
     content_col: str,

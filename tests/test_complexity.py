@@ -122,3 +122,44 @@ def test_decision_pattern_longest_first_and_empty_syntax():
     assert set(DECISION_SYNTAX) >= {"py", "go", "js", "ts", "java", "c"}
     with pytest.raises(ValueError, match="empty decision syntax"):
         complexity_stats(None, "c", "l", syntax={})
+
+
+def test_indent_style_classification(spark):
+    from schema_validator_spark.operators.complexity import indent_style
+
+    rows = [
+        (1, "go", "func f() {\n\tx := 1\n\ty := 2\n}\n"),
+        (2, "py", "def f():\n    pass\n"),
+        (3, "py", "def f():\n\tif a:\n            pass\n"),  # both
+        (4, "md", "no indent here\nat all\n"),
+        (5, "py", None),
+        # alignment space after a tab does NOT make it mixed
+        (6, "go", "\tx := 1\n\t  aligned\n"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {r["doc_id"]: r["style"]
+           for r in df.select("doc_id",
+                              indent_style("content").alias("style"))
+           .collect()}
+    assert got == {1: "tabs", 2: "spaces", 3: "mixed", 4: "none",
+                   5: "none", 6: "tabs"}
+
+
+def test_indent_profile_rollup(spark):
+    from schema_validator_spark.operators.complexity import indent_profile
+
+    rows = [
+        (1, "go", "\tx\n"),
+        (2, "go", "\ty\n"),
+        (3, "go", "  z\n"),
+        (4, "PY", "  a\n"),          # lang case-folds
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {r["lang"]: r.asDict()
+           for r in indent_profile(df, "content", "lang").collect()}
+    go = got["go"]
+    assert go["n_files"] == 3
+    assert go["tabs_share"] == round(2 / 3, 6)
+    assert go["spaces_share"] == round(1 / 3, 6)
+    assert go["mixed_share"] == 0.0
+    assert got["py"]["spaces_share"] == 1.0
