@@ -4483,7 +4483,8 @@ def _test_mapping_oracle_sql() -> str:
 def _lang_detect_oracle_sql() -> str:
     """Replay q_lang_detect from the SAME constants (_LANGDET_TMPL via
     _duck_lit; langdetect.KEYWORD_SIGNALS / SHEBANG_RULES): per-lang
-    keyword scores as one union branch per lang, arg-max via
+    merged-alternation keyword scores (the same merge_signal_patterns
+    string Spark counts) as one union branch per lang, arg-max via
     row_number (score desc, lang desc — the struct-max tiebreak),
     shebang CASE in rule order on top, vocabulary + unknown filters."""
     from schema_validator_spark.operators.langdetect import (
@@ -4500,16 +4501,16 @@ def _lang_detect_oracle_sql() -> str:
         f" {_duck_lit(p)} || cast(doc_id as varchar) || {_duck_lit(s)}"
         for i, (_, p, s) in sorted(_LANGDET_TMPL.items())
     )
+    from schema_validator_spark.operators.langdetect import (
+        merge_signal_patterns,
+    )
+
     score_branches = "\n            union all\n".join(
         """
             select doc_id, declared, content, '{lg}' as lang,
-                   {score} as score
+                   len(regexp_extract_all(content, '{alt}')) as score
             from synth""".format(
-            lg=lg,
-            score=" + ".join(
-                f"len(regexp_extract_all(content, '{_esc_sq(p)}'))"
-                for p in pats
-            ),
+            lg=lg, alt=_esc_sq(merge_signal_patterns(pats))
         )
         for lg, pats in sorted(KEYWORD_SIGNALS.items())
     )

@@ -66,6 +66,32 @@ def test_lang_consistency(spark):
             for r in got] == [(1, "go", "py")]
 
 
+def test_merge_signals_matches_per_pattern(spark):
+    # the merged per-lang alternation detects identically to exact
+    # per-pattern sums on realistic code (overlapping same-lang signal
+    # spans are the only divergence source — "def elif" scores 1 not 2
+    # merged, but the arg-max winner is unchanged: no other lang gains)
+    contents = [
+        "def handler(x):\n    return self.y\nimport os\n",
+        "package main\n\nfunc main() {\n\tx := 1\n}\n",
+        "const app = () => {\n  console.log('hi')\n}\n",
+        "public class A {\n  public static void main() {} }\n",
+        '#include <stdio.h>\nvoid run(void) { printf("x"); }\n',
+        "def elif_handler(x): pass\n",   # adjacent py signals
+        "def elif\n",                    # overlapping py signal spans
+        "#!/usr/bin/env python3\nfunc main() { x := 1 }\n",
+        "", None,
+    ]
+    df = spark.createDataFrame(
+        [(i, None, c) for i, c in enumerate(contents)], SCHEMA
+    )
+    got = df.select(
+        detect_lang("content").alias("m"),
+        detect_lang("content", merge_signals=False).alias("p"),
+    ).collect()
+    assert [r["m"] for r in got] == [r["p"] for r in got]
+
+
 def test_validation_and_zero_shuffle(spark):
     with pytest.raises(ValueError, match="empty keyword-signal"):
         detect_lang("c", signals={})
