@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (143/143), including the approximate tiers
+EVERY query has an oracle (144/144), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -2674,6 +2674,82 @@ _INDENT_STYLE_ORACLE_SQL = """
 """
 
 
+#: type-2 clone synthesis: stripe t = doc_id % 5 -> (lang, header,
+#: line, footer); "@" marks where cast(doc_id as varchar) is spliced
+#: (identifier suffixes + literal values vary PER DOC, so exact-sha
+#: tiers see all-distinct files).  body = line repeated 1 + doc_id % 3
+#: times -> the normal form depends only on (t, rep): 15 clone
+#: families.  Single-sourced for the oracle via _duck_lit.
+_CLONE_TMPL: dict[int, tuple[str, str, str, str]] = {
+    0: ("py", "def f@(a@):\n", "    v@ = a@ + @\n",
+        "    return v@  # r@\n"),
+    1: ("js", "function f@(a@) {\n", "  let v@ = a@ * @;\n",
+        "  return v@; // c@\n}\n"),
+    2: ("go", "func F@(a@ int) int {\n", "\tv@ := a@ - @\n",
+        "\treturn v@ /* b@ */\n}\n"),
+    3: ("py", "class C@:\n    def m@(self):\n",
+        '        self.x@ = "s@"\n', "        return self.x@\n"),
+    4: ("java", "public class C@ {\n  static int f@(int a@) {\n",
+        "    int v@ = a@ + @;\n", "    return v@;\n  }\n}\n"),
+}
+
+
+def _clone_splice(tmpl: str, k) -> "F.Column":
+    """Column: ``tmpl`` with every ``@`` replaced by the Column ``k``."""
+    parts = tmpl.split("@")
+    args = []
+    for i, p in enumerate(parts):
+        if i:
+            args.append(k)
+        if p:
+            args.append(F.lit(p))
+    return F.concat(*args) if len(args) > 1 else args[0]
+
+
+def q_type2_clones(spark, sf_dir):
+    """Type-2 (identifier/literal-blind) clone families
+    (operators/clones.type2_clone_groups): files differing only in
+    identifier names, literal values, comments, and whitespace hash to
+    one family — the Deja-Vu/SourcererCC tier exact-sha dedup misses.
+    Synthesis: 5 structural templates x 3 body repetitions = 15
+    families whose members all differ byte-wise (per-doc identifier
+    suffixes + literals); repos stripe doc_id % 10 so every family is
+    cross-repo."""
+    from schema_validator_spark.operators.clones import (
+        type2_clone_groups,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    k = did.cast("string")
+    t = did % 5
+    rep = (did % 3 + 1).cast("int")
+    lang = content = None
+    for i, (lg, head, line, foot) in sorted(_CLONE_TMPL.items()):
+        cond = t == i
+        body = F.concat(
+            _clone_splice(head, k),
+            F.repeat(_clone_splice(line, k), rep),
+            _clone_splice(foot, k),
+        )
+        lg_lit = F.lit(lg)
+        lang = F.when(cond, lg_lit) if lang is None else lang.when(
+            cond, lg_lit
+        )
+        content = F.when(cond, body) if content is None else content.when(
+            cond, body
+        )
+    df = docs.select(
+        did.alias("doc_id"),
+        F.concat(F.lit("repo_"), (did % 10).cast("string")).alias("repo"),
+        lang.alias("lang"),
+        content.alias("content"),
+    )
+    return type2_clone_groups(
+        df, "doc_id", "content", "lang", repo_col="repo"
+    )
+
+
 def q_file_history(spark, sf_dir):
     """Commit-grain file-version churn
     (operators/history.churn_stats): per (repo, path) version count,
@@ -3642,6 +3718,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_detect": q_lang_detect,
         "fork_dedup": q_fork_dedup,
         "indent_style": q_indent_style,
+        "type2_clones": q_type2_clones,
     }
 
 
@@ -4477,6 +4554,86 @@ def _test_mapping_oracle_sql() -> str:
                      / cast(sum(n_src) as double), 6)
              end as test_coverage
       from keyed group by repo
+    """
+
+
+def _type2_clones_oracle_sql() -> str:
+    """Replay q_type2_clones from the SAME constants (_CLONE_TMPL via
+    _duck_lit; clones.STRING_PATTERNS / COMMENT_SYNTAX /
+    NUMBER_PATTERN / IDENT_PATTERN / class tokens): synthesize the
+    striped corpus, apply the identical ordered regexp_replace chain
+    ('g' = replace-all, matching Spark's default), md5-group, filter
+    empty normal forms and singletons."""
+    from schema_validator_spark.operators.clones import (
+        IDENT_PATTERN,
+        I_TOK,
+        NUMBER_PATTERN,
+        N_TOK,
+        STRING_PATTERNS,
+        S_TOK,
+    )
+    from schema_validator_spark.operators.codequality import (
+        COMMENT_SYNTAX,
+    )
+
+    def _splice(tmpl: str) -> str:
+        parts = tmpl.split("@")
+        out = []
+        for i, p in enumerate(parts):
+            if i:
+                out.append("cast(doc_id as varchar)")
+            if p:
+                out.append(_duck_lit(p))
+        return " || ".join(out) if out else "''"
+
+    synth_lang = "\n                 ".join(
+        f"when doc_id % 5 = {i} then '{lg}'"
+        for i, (lg, _, _, _) in sorted(_CLONE_TMPL.items())
+    )
+    synth_content = "\n                 ".join(
+        f"when doc_id % 5 = {i} then ({_splice(h)})"
+        f" || repeat({_splice(ln)}, cast(1 + doc_id % 3 as int))"
+        f" || ({_splice(ft)})"
+        for i, (_, h, ln, ft) in sorted(_CLONE_TMPL.items())
+    )
+    s1 = "content"
+    for pat in STRING_PATTERNS:
+        s1 = f"regexp_replace({s1}, '{_esc_sq(pat)}', '{S_TOK}', 'g')"
+    comment_whens = []
+    for lg, (line_pat, blk_pat) in sorted(COMMENT_SYNTAX.items()):
+        e = "s1"
+        if blk_pat:
+            e = f"regexp_replace({e}, '{_esc_sq(blk_pat)}', '', 'g')"
+        e = f"regexp_replace({e}, '{_esc_sq(line_pat)}', '', 'g')"
+        comment_whens.append(f"when lang = '{lg}' then {e}")
+    comment_case = (
+        "case " + "\n                 ".join(comment_whens) + " else s1 end"
+    )
+    norm = f"regexp_replace(s2, '{_esc_sq(NUMBER_PATTERN)}', '{N_TOK}', 'g')"
+    norm = f"regexp_replace({norm}, '{_esc_sq(IDENT_PATTERN)}', '{I_TOK}', 'g')"
+    norm = rf"trim(regexp_replace({norm}, '\s+', ' ', 'g'))"
+    return f"""
+      with synth as (
+        select doc_id,
+               'repo_' || cast(doc_id % 10 as varchar) as repo,
+               case {synth_lang} end as lang,
+               case {synth_content} end as content
+        from documents
+      ), st1 as (
+        select doc_id, repo, lang, {s1} as s1 from synth
+      ), st2 as (
+        select doc_id, repo, {comment_case} as s2 from st1
+      ), nf as (
+        select doc_id, repo, {norm} as norm from st2
+      )
+      select md5(norm) as clone_key,
+             count(*) as n_files,
+             count(distinct repo) as n_repos,
+             min(doc_id) as representative
+      from nf
+      where length(norm) > 0
+      group by md5(norm)
+      having count(*) >= 2
     """
 
 
@@ -6181,6 +6338,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "test_mapping": _test_mapping_oracle_sql(),
         "lang_detect": _lang_detect_oracle_sql(),
         "indent_style": _INDENT_STYLE_ORACLE_SQL,
+        "type2_clones": _type2_clones_oracle_sql(),
         "lang_mismatch": _LANG_MISMATCH_ORACLE_SQL,
         "notebook_cells": _NOTEBOOK_ORACLE_SQL,
         "code_imports": _imports_oracle_sql(),
