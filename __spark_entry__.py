@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (144/144), including the approximate tiers
+EVERY query has an oracle (145/145), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -1577,6 +1577,17 @@ def q_bpe_token_counts(spark, sf_dir):
     The DuckDB oracle replays every merge pass byte-identically."""
     docs = _t(spark, sf_dir, "documents")
     return X.bpe_token_counts(docs, "doc_id", "text", _BPE_MERGES)
+
+
+def q_tokenizer_fertility(spark, sf_dir):
+    """Per-lang tokenizer-efficiency profile
+    (functions/text.tokenizer_fertility): fertility = BPE tokens per
+    whitespace word under the shared merge table, plus bytes/chars per
+    token — the mixture-budget signal.  Runs on the REAL documents
+    (lang, text) columns, no synthesis; the oracle replays the merge
+    passes byte-identically via _bpe_oracle_seg_sql."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.tokenizer_fertility(docs, "lang", "text", _BPE_MERGES)
 
 
 def q_classifier_scores(spark, sf_dir):
@@ -3522,6 +3533,11 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
          "n_orphan_tests"],
         ["test_coverage"],
     ),
+    "tokenizer_fertility": (
+        ["lang", "n_docs", "n_bytes", "n_chars", "n_words",
+         "n_bpe_tokens"],
+        ["fertility", "bytes_per_token", "chars_per_token"],
+    ),
     "indent_style": (
         ["lang", "n_files"],
         ["tabs_share", "spaces_share", "mixed_share"],
@@ -3719,6 +3735,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fork_dedup": q_fork_dedup,
         "indent_style": q_indent_style,
         "type2_clones": q_type2_clones,
+        "tokenizer_fertility": q_tokenizer_fertility,
     }
 
 
@@ -6556,6 +6573,46 @@ def _oracle_sql_raw() -> dict[str, str]:
             )
             select wc.doc_id, cast(sum(wc.c * vocab.n_tok) as bigint) as n_bpe_tokens
             from wc join vocab using (w) group by 1
+        """,
+        "tokenizer_fertility": f"""
+            with base as (
+              select coalesce(lang, '') as lang, coalesce(text, '') as s
+              from documents
+            ), stats as (
+              select lang, count(*) as n_docs,
+                     cast(sum(strlen(s)) as bigint) as n_bytes,
+                     cast(sum(length(s)) as bigint) as n_chars
+              from base group by 1
+            ), w as (
+              select lang, unnest(list_filter(
+                       string_split_regex(trim(s), '\\s+'), t -> t <> '')) as w
+              from base
+            ), wc as (
+              select lang, w, count(*) as c from w group by 1, 2
+            ), vocab as (
+              select w,
+                     cast((length(seg) - length(replace(seg, chr(30), ''))) / 2
+                          as bigint) as n_tok
+              from (select w, {_bpe_oracle_seg_sql("w")} as seg
+                    from (select distinct w from wc))
+            ), tok as (
+              select lang, cast(sum(wc.c) as bigint) as n_words,
+                     cast(sum(wc.c * vocab.n_tok) as bigint) as n_bpe_tokens
+              from wc join vocab using (w) group by 1
+            )
+            select s.lang, s.n_docs, s.n_bytes, s.n_chars,
+                   coalesce(t.n_words, 0) as n_words,
+                   coalesce(t.n_bpe_tokens, 0) as n_bpe_tokens,
+                   case when coalesce(t.n_words, 0) > 0
+                        then t.n_bpe_tokens / cast(t.n_words as double)
+                   end as fertility,
+                   case when coalesce(t.n_bpe_tokens, 0) > 0
+                        then s.n_bytes / cast(t.n_bpe_tokens as double)
+                   end as bytes_per_token,
+                   case when coalesce(t.n_bpe_tokens, 0) > 0
+                        then s.n_chars / cast(t.n_bpe_tokens as double)
+                   end as chars_per_token
+            from stats s left join tok t using (lang)
         """,
         "curation": r"""
             with recursive valid as (

@@ -756,6 +756,31 @@ def run_lang_detect(spark, n=32_000_000):
             "sec": round(time.time() - t, 1)}
 
 
+def run_type2_clones(spark, n=32_000_000):
+    from schema_validator_spark.operators.clones import (
+        type2_clone_groups,
+        type2_clone_members,
+    )
+
+    # content varies per row only in identifiers/literals inside a few
+    # structural templates -> a handful of GIANT clone families (the
+    # vendored-boilerplate degenerate case: members' family dim is
+    # tiny, the fact side is 100% clone rows)
+    df = _code_files_parquet(spark, n)
+    t = time.time()
+    grp = type2_clone_groups(
+        df, "path", "content", "lang", repo_col="repo"
+    ).count()
+    t_grp = round(time.time() - t, 1)
+    t = time.time()
+    mem = type2_clone_members(
+        df, ["repo", "path"], "content", "lang"
+    ).count()
+    return {"op": "type2_clones", "rows": n, "families": grp,
+            "member_rows": mem, "sec_groups": t_grp,
+            "sec_members": round(time.time() - t, 1)}
+
+
 #: op label (as printed in output / BENCH.md) -> benchmark fn
 OPS = {
     "edit_join": run_edit_join,
@@ -791,6 +816,7 @@ OPS = {
     "test_mapping": run_test_mapping,
     "lang_detect": run_lang_detect,
     "fork_dedup": run_fork_dedup,
+    "type2_clones": run_type2_clones,
 }
 
 

@@ -318,6 +318,68 @@ def bpe_token_counts(
     )
 
 
+def tokenizer_fertility(
+    df, lang_col: str, text_col: str, merges: list[tuple[str, str]]
+):
+    """Per-lang tokenizer-efficiency profile — fertility (BPE tokens
+    per whitespace word) plus bytes/chars per token: the signal
+    multilingual-LM tokenizer studies use to allocate vocabulary and
+    mixture budgets (a high-fertility lang pays more sequence length
+    per byte of text, so a token-budgeted sampler under-represents it
+    byte-wise).  Output: ``(lang, n_docs, n_bytes, n_chars, n_words,
+    n_bpe_tokens, fertility, bytes_per_token, chars_per_token)``;
+    langs whose text has no words keep NULL ratios, NULL lang groups
+    as ``''``.
+
+    Scale shape: byte/char sums are one map-side-combined lang
+    groupBy; token sums reuse ``bpe_token_counts``'s plan — the merge
+    passes run over the Heaps-bounded DISTINCT-word vocabulary, never
+    per occurrence — and the final join is lang-scale (KB)."""
+    validate_bpe_merges(merges)
+    base = df.select(
+        F.coalesce(F.col(lang_col), F.lit("")).alias("lang"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
+    )
+    stats = base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.octet_length("_t")).cast("long").alias("n_bytes"),
+        F.sum(F.length("_t")).cast("long").alias("n_chars"),
+    )
+    wc = (
+        base.select("lang", F.explode(tokens(F.col("_t"))).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = (
+        wc.select("w")
+        .distinct()
+        .withColumn("n_tok", bpe_word_token_count(F.col("w"), merges))
+    )
+    tok = (
+        wc.join(vocab, "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.col("c") * F.col("n_tok")).cast("long").alias(
+                "n_bpe_tokens"
+            ),
+        )
+    )
+    nw = F.coalesce(F.col("n_words"), F.lit(0))
+    nt = F.coalesce(F.col("n_bpe_tokens"), F.lit(0))
+    return stats.join(tok, "lang", "left").select(
+        "lang",
+        "n_docs",
+        "n_bytes",
+        "n_chars",
+        nw.alias("n_words"),
+        nt.alias("n_bpe_tokens"),
+        F.when(nw > 0, nt / nw).alias("fertility"),
+        F.when(nt > 0, F.col("n_bytes") / nt).alias("bytes_per_token"),
+        F.when(nt > 0, F.col("n_chars") / nt).alias("chars_per_token"),
+    )
+
+
 # ------------------------------------------------------------------ tf-idf
 
 def tfidf_keywords(

@@ -28,10 +28,10 @@ never re-match an earlier step's placeholder.
 
 Scale shape: the whole normalization + md5 rides the scan (pure
 codegen, zero Python); the ONLY shuffle is one hash partition on the
-16-byte clone key (same shape as exact sha dedup).  Group sizes come
-from a count-only window over that key — members of a clone family
-co-locate exactly like any dedup groupBy, and the group-grain summary
-is a map-side-combinable aggregation.
+16-byte clone key (same shape as exact sha dedup).  The group-grain
+summary is a map-side-combinable aggregation; member rows join the
+filtered family dim back (AQE-broadcastable, skew-splittable) rather
+than windowing over the key — see type2_clone_members.
 
 Reference anchor: the reference validates single structs and has no
 corpus-dedup analog; this extends SURVEY.md §2.9's dedup family along
@@ -40,7 +40,7 @@ the clone-granularity axis (rule registry parity is untouched).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .codequality import COMMENT_SYNTAX
@@ -111,7 +111,17 @@ def type2_clone_members(
     group_size)`` for every file in a type-2 family of at least
     ``min_group`` members.  Files whose normal form is empty (blank or
     comment-only) are excluded — every empty file would otherwise be
-    one giant vacuous family.  One hash shuffle on the clone key."""
+    one giant vacuous family.
+
+    Shape: group sizes come from a map-side-combinable groupBy joined
+    back onto the keyed rows — NOT a window.  A window over clone_key
+    must buffer a whole family in one task, and the realistic
+    degenerate input (one boilerplate file vendored 10M times) makes
+    that a hot partition no planner can split; the join's fact-side
+    skew is AQE-splittable, and the family dim (filtered to
+    ``>= min_group`` BEFORE the join) is family-count sized — small
+    enough that AQE usually broadcasts it, leaving the fact side
+    un-shuffled."""
     if not id_cols:
         raise ValueError("type2_clone_members needs id columns")
     if min_group < 2:
@@ -122,12 +132,14 @@ def type2_clone_members(
         .filter(F.length("_norm") > 0)
         .select(*id_cols, F.md5(F.col("_norm")).alias("clone_key"))
     )
-    w = Window.partitionBy("clone_key")
-    return keyed.select(
-        *id_cols,
-        "clone_key",
-        F.count(F.lit(1)).over(w).alias("group_size"),
-    ).filter(F.col("group_size") >= min_group)
+    fams = (
+        keyed.groupBy("clone_key")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") >= min_group)
+    )
+    return keyed.join(fams, "clone_key").select(
+        *id_cols, "clone_key", "group_size"
+    )
 
 
 def type2_clone_groups(

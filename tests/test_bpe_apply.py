@@ -121,3 +121,42 @@ def test_bpe_token_counts_per_doc(spark):
         1: n("the") * 2 + n("north") + n("wind") + n("and") + n("sun"),
         2: n("outstanding") + n("rendering"),
     }
+
+
+def test_tokenizer_fertility_per_lang(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "the north wind"),
+            (2, "en", "and the sun"),
+            (3, "de", "außerordentlich"),   # multibyte: bytes > chars
+            (4, "de", "   "),               # whitespace-only
+            (5, None, None),                # NULL lang groups as ''
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {
+        r["lang"]: r
+        for r in X.tokenizer_fertility(docs, "lang", "text", MERGES).collect()
+    }
+    assert set(out) == {"en", "de", ""}
+
+    def n(w):
+        return len(ref_bpe_priority(w, MERGES))
+
+    en = out["en"]
+    en_tok = n("the") * 2 + n("north") + n("wind") + n("and") + n("sun")
+    assert (en["n_docs"], en["n_words"], en["n_bpe_tokens"]) == (2, 6, en_tok)
+    assert en["fertility"] == pytest.approx(en_tok / 6)
+    assert en["n_bytes"] == en["n_chars"] == len("the north wind") + len(
+        "and the sun"
+    )
+    assert en["bytes_per_token"] == pytest.approx(en["n_bytes"] / en_tok)
+
+    de = out["de"]
+    assert de["n_docs"] == 2
+    assert de["n_bytes"] > de["n_chars"]  # 'ß' is 2 UTF-8 bytes
+    assert de["n_words"] == 1
+
+    empty = out[""]
+    assert (empty["n_docs"], empty["n_words"], empty["n_bpe_tokens"]) == (1, 0, 0)
+    assert empty["fertility"] is None and empty["bytes_per_token"] is None

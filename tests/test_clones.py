@@ -108,11 +108,12 @@ def test_plan_shapes(spark):
     df = spark.createDataFrame(
         [("r", "p", "py", "def f(): pass")], SCHEMA
     )
-    # normalization + hashing ride the scan; the only exchange is the
-    # clone-key shuffle (window for members, groupBy for groups)
-    assert n_exchanges(
-        type2_clone_members(df, ["repo", "path"], "content", "lang")
-    ) == 1
+    # normalization + hashing ride the scan; groups = one clone-key
+    # groupBy; members adds the family-dim join-back (its fact-side
+    # exchange collapses to a broadcast under AQE at runtime)
     assert n_exchanges(
         type2_clone_groups(df, "path", "content", "lang")
     ) == 1
+    assert n_exchanges(
+        type2_clone_members(df, ["repo", "path"], "content", "lang")
+    ) <= 3
