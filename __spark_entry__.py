@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (145/145), including the approximate tiers
+EVERY query has an oracle (146/146), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -2849,6 +2849,52 @@ def q_nlpl_pairs(spark, sf_dir):
     return extract_nlpl_pairs(df, ["doc_id"], "content", "lang")
 
 
+def q_api_diff(spark, sf_dir):
+    """API-surface breaking-change diff across two snapshots
+    (functions/publicapi.api_diff — the code-table analog of the
+    schema-evolution gate).  Synthesis: every doc exports one UNIQUE
+    symbol f{doc_id}; the new snapshot renames it to g{doc_id} when
+    doc_id % 11 == 0, so each rename must surface as exactly one
+    removed + one added row.  The oracle derives the expected set
+    ARITHMETICALLY from the stripes — fully independent of the
+    extraction regexes it checks."""
+    from schema_validator_spark.functions.publicapi import api_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    k = did.cast("string")
+    repo = F.concat(F.lit("r"), (did % 20).cast("string"))
+
+    def snap(sym):
+        return docs.select(
+            repo.alias("repo"),
+            F.lit("py").alias("lang"),
+            F.concat(F.lit("def "), sym, F.lit("():\n    pass\n")).alias(
+                "content"
+            ),
+        )
+
+    old = snap(F.concat(F.lit("f"), k))
+    new = snap(
+        F.when(did % 11 == 0, F.concat(F.lit("g"), k)).otherwise(
+            F.concat(F.lit("f"), k)
+        )
+    )
+    return api_diff(old, new, "repo", "content", "lang")
+
+
+_API_DIFF_ORACLE_SQL = """
+  select 'r' || cast(doc_id % 20 as varchar) as repo, 'py' as lang,
+         'f' || cast(doc_id as varchar) as symbol,
+         'removed' as change
+  from documents where doc_id % 11 = 0
+  union all
+  select 'r' || cast(doc_id % 20 as varchar), 'py',
+         'g' || cast(doc_id as varchar), 'added'
+  from documents where doc_id % 11 = 0
+"""
+
+
 def q_docstring_coverage(spark, sf_dir):
     """Per-repo documentation coverage
     (operators/docpairs.docstring_coverage): share of Python function
@@ -3736,6 +3782,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indent_style": q_indent_style,
         "type2_clones": q_type2_clones,
         "tokenizer_fertility": q_tokenizer_fertility,
+        "api_diff": q_api_diff,
     }
 
 
@@ -6356,6 +6403,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "lang_detect": _lang_detect_oracle_sql(),
         "indent_style": _INDENT_STYLE_ORACLE_SQL,
         "type2_clones": _type2_clones_oracle_sql(),
+        "api_diff": _API_DIFF_ORACLE_SQL,
         "lang_mismatch": _LANG_MISMATCH_ORACLE_SQL,
         "notebook_cells": _NOTEBOOK_ORACLE_SQL,
         "code_imports": _imports_oracle_sql(),

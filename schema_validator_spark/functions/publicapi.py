@@ -91,3 +91,44 @@ def api_surface(
         F.count_distinct(F.col("symbol")).alias("n_symbols"),
         F.count(F.lit(1)).alias("n_occurrences"),
     )
+
+
+def api_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    repo_col: str,
+    content_col: str,
+    lang_col: str,
+    *,
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Breaking-change audit between two snapshots of the code table —
+    the API-surface analog of the schema-evolution compatibility gate:
+    ``(repo, lang, symbol, change)`` with ``change = 'removed'``
+    (breaking: the symbol left the repo's exported surface) or
+    ``'added'`` (additive).  Symbol identity is the DISTINCT exported
+    name per (repo, lang) — moving a declaration between files, or
+    duplicating it, is not a surface change.
+
+    Scale shape: extraction rides each snapshot's scan; both sides
+    collapse to distinct (repo, lang, symbol) frames — surface scale,
+    orders of magnitude below file grain — before ONE key-scale
+    full-outer join; unchanged symbols drop inside the join filter so
+    output is change-volume sized (the same shape as table_diff)."""
+    o = extract_public_symbols(
+        old_df, [repo_col], content_col, lang_col, patterns=patterns
+    ).distinct().withColumn("_old", F.lit(1))
+    n = extract_public_symbols(
+        new_df, [repo_col], content_col, lang_col, patterns=patterns
+    ).distinct().withColumn("_new", F.lit(1))
+    j = o.join(n, [repo_col, "lang", "symbol"], "full_outer")
+    return j.filter(
+        F.col("_old").isNull() | F.col("_new").isNull()
+    ).select(
+        repo_col,
+        "lang",
+        "symbol",
+        F.when(F.col("_new").isNull(), F.lit("removed"))
+        .otherwise(F.lit("added"))
+        .alias("change"),
+    )

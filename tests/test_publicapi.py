@@ -79,3 +79,27 @@ def test_validation_and_zero_shuffle(spark):
     assert n_exchanges(
         extract_public_symbols(df, ["repo", "doc_id"], "content", "lang")
     ) == 0
+
+
+def test_api_diff(spark):
+    from schema_validator_spark.functions.publicapi import api_diff
+
+    old = spark.createDataFrame([
+        ("r1", 1, "py", "def f():\n    pass\ndef g():\n    pass\n"),
+        ("r1", 2, "py", "def g():\n    pass\n"),   # dup decl of g
+        ("r2", 3, "go", "func Run() {}\n"),
+    ], SCHEMA)
+    new = spark.createDataFrame([
+        # f moved file + g renamed to h; extra duplicate f is no change
+        ("r1", 9, "py", "def f():\n    pass\ndef h():\n    pass\n"),
+        ("r1", 8, "py", "def f():\n    pass\n"),
+        ("r2", 7, "go", "func Run() {}\n"),        # unchanged
+    ], SCHEMA)
+    got = sorted(
+        (r["repo"], r["lang"], r["symbol"], r["change"])
+        for r in api_diff(old, new, "repo", "content", "lang").collect()
+    )
+    assert got == [
+        ("r1", "py", "g", "removed"),
+        ("r1", "py", "h", "added"),
+    ]
