@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (146/146), including the approximate tiers
+EVERY query has an oracle (147/147), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -2849,6 +2849,86 @@ def q_nlpl_pairs(spark, sf_dir):
     return extract_nlpl_pairs(df, ["doc_id"], "content", "lang")
 
 
+def q_entropy_secrets(spark, sf_dir):
+    """High-entropy string findings (operators/secrets.entropy_findings
+    — the truffleHog tier behind the pattern scan).  Stripes: planted
+    32-char md5-derived hex tokens (entropy ~3.8, random per doc),
+    zero-entropy and 1.58-bit repetitive fillers, and a no-candidate
+    row; threshold 3.0 sits >=1.4 bits from every planted class, so an
+    engine ulp can never flip a verdict.  The oracle computes entropy
+    RELATIONALLY (unnest chars -> group -> -sum(p*log2 p)) — an
+    independent derivation of the same quantity the codegen HOF chain
+    produces, compared as 6dp-scaled longs."""
+    from schema_validator_spark.operators.secrets import (
+        entropy_findings,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    k = did.cast("string")
+    m = did % 4
+    content = (
+        F.when(m == 0, F.concat(
+            F.lit('token = "'),
+            F.substring(F.md5(k), 1, 16),
+            F.substring(F.md5(F.concat(F.lit("x"), k)), 1, 16),
+            F.lit('"'),
+        ))
+        .when(m == 1, F.lit('name = "aaaaaaaaaaaaaaaaaaaaaaaa"'))
+        .when(m == 2, F.lit('v = "abcabcabcabcabcabcabcabc"'))
+        .otherwise(F.lit('short = "aK9z"'))
+    )
+    df = docs.select("doc_id", content.alias("content"))
+    return entropy_findings(df, ["doc_id"], "content", threshold=3.0)
+
+
+def _entropy_secrets_oracle_sql() -> str:
+    """Relational replay of q_entropy_secrets from the SAME candidate
+    pattern (secrets.ENTROPY_CANDIDATE): synthesize the striped
+    corpus, explode distinct candidate runs, explode characters, and
+    aggregate -sum(p*log2 p) per token."""
+    from schema_validator_spark.operators.secrets import (
+        ENTROPY_CANDIDATE,
+    )
+
+    return f"""
+      with synth as (
+        select doc_id,
+               case when doc_id % 4 = 0 then
+                      'token = "'
+                      || substr(md5(cast(doc_id as varchar)), 1, 16)
+                      || substr(md5('x' || cast(doc_id as varchar)), 1, 16)
+                      || '"'
+                    when doc_id % 4 = 1 then
+                      'name = "aaaaaaaaaaaaaaaaaaaaaaaa"'
+                    when doc_id % 4 = 2 then
+                      'v = "abcabcabcabcabcabcabcabc"'
+                    else 'short = "aK9z"' end as content
+        from documents
+      ), toks as (
+        select doc_id, unnest(list_distinct(regexp_extract_all(
+                 content, '{_esc_sq(ENTROPY_CANDIDATE)}'))) as token
+        from synth
+      ), ch as (
+        select doc_id, token, length(token) as L,
+               substring(token, i, 1) as c
+        from (select doc_id, token,
+                     unnest(generate_series(1, length(token))) as i
+              from toks)
+      ), freq as (
+        select doc_id, token, L, c, count(*) as n
+        from ch group by 1, 2, 3, 4
+      ), ent as (
+        select doc_id, token, cast(L as bigint) as token_len,
+               sum(-(n / cast(L as double))
+                   * log2(n / cast(L as double))) as entropy
+        from freq group by 1, 2, 3
+      )
+      select doc_id, token, token_len, entropy
+      from ent where entropy >= 3.0
+    """
+
+
 def q_api_diff(spark, sf_dir):
     """API-surface breaking-change diff across two snapshots
     (functions/publicapi.api_diff — the code-table analog of the
@@ -3579,6 +3659,9 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
          "n_orphan_tests"],
         ["test_coverage"],
     ),
+    "entropy_secrets": (
+        ["doc_id", "token", "token_len"], ["entropy"],
+    ),
     "tokenizer_fertility": (
         ["lang", "n_docs", "n_bytes", "n_chars", "n_words",
          "n_bpe_tokens"],
@@ -3783,6 +3866,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type2_clones": q_type2_clones,
         "tokenizer_fertility": q_tokenizer_fertility,
         "api_diff": q_api_diff,
+        "entropy_secrets": q_entropy_secrets,
     }
 
 
@@ -6404,6 +6488,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "indent_style": _INDENT_STYLE_ORACLE_SQL,
         "type2_clones": _type2_clones_oracle_sql(),
         "api_diff": _API_DIFF_ORACLE_SQL,
+        "entropy_secrets": _entropy_secrets_oracle_sql(),
         "lang_mismatch": _LANG_MISMATCH_ORACLE_SQL,
         "notebook_cells": _NOTEBOOK_ORACLE_SQL,
         "code_imports": _imports_oracle_sql(),

@@ -87,6 +87,71 @@ def secret_findings(
     )
 
 
+#: candidate-token shape for the entropy tier: long unbroken
+#: base64/hex-ish runs, truffleHog's scan unit.  RE2-safe.
+ENTROPY_CANDIDATE = r"[0-9A-Za-z+/=_-]{20,}"
+
+#: truffleHog's classic thresholds: ~4.5 bits/char flags random base64
+#: material; hex-only material maxes at 4.0 (16 symbols), so scans
+#: targeting hex keys should pass ~3.0-3.5 explicitly.
+DEFAULT_ENTROPY_BITS = 4.5
+
+
+def shannon_entropy(tok) -> "F.Column":
+    """Double Column: Shannon entropy (bits/char) of a string Column's
+    character distribution — pure codegen (split/distinct/replace
+    HOFs; O(distinct_chars x len) per value, both engine-side)."""
+    t = F.coalesce(tok, F.lit(""))
+    L = F.length(t).cast("double")
+    chars = F.filter(
+        F.array_distinct(F.split(t, "")), lambda c: c != F.lit("")
+    )
+    probs = F.transform(
+        chars, lambda c: (L - F.length(F.replace(t, c, F.lit("")))) / L
+    )
+    return F.aggregate(
+        F.transform(probs, lambda p: -p * F.log2(p)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def entropy_findings(
+    df: DataFrame,
+    id_cols: list[str],
+    content_col: str,
+    *,
+    threshold: float = DEFAULT_ENTROPY_BITS,
+    candidate: str = ENTROPY_CANDIDATE,
+) -> DataFrame:
+    """High-entropy string findings — the truffleHog tier that catches
+    credentials NO published pattern knows (random API keys, session
+    tokens, encoded blobs): ``(id_cols..., token, token_len,
+    entropy)`` for every DISTINCT candidate run in the file whose
+    character entropy is >= ``threshold`` bits/char.  Complements the
+    pattern tier (``secret_findings``): patterns are precise on known
+    formats, entropy is the recall net behind them.  Known FP classes
+    (long git shas, content hashes in lockfiles) are the documented
+    trade — tune ``threshold``/``candidate`` or post-filter paths.
+
+    The token itself is emitted (downstream redaction needs the span);
+    entropy is the exact -sum(p*log2 p) over the token's own chars.
+    Scale shape: extraction + entropy are one per-row codegen
+    projection riding the scan; zero shuffles, zero Python; output is
+    findings-volume sized."""
+    if not id_cols:
+        raise ValueError("entropy_findings needs id columns")
+    s = F.coalesce(F.col(content_col), F.lit(""))
+    toks = F.array_distinct(F.regexp_extract_all(s, F.lit(candidate), 0))
+    rows = df.select(*id_cols, F.explode(toks).alias("token"))
+    return rows.select(
+        *id_cols,
+        "token",
+        F.length("token").alias("token_len"),
+        shannon_entropy(F.col("token")).alias("entropy"),
+    ).filter(F.col("entropy") >= F.lit(float(threshold)))
+
+
 def secret_scan(
     df: DataFrame,
     cols: list[str] | None = None,

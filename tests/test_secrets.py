@@ -1,5 +1,8 @@
 from __future__ import annotations
 
+import pytest
+from pyspark.sql import functions as F
+
 from schema_validator_spark.operators.secrets import (
     SECRET_PATTERNS,
     secret_findings,
@@ -87,3 +90,42 @@ def test_scan_defaults_to_string_columns(spark):
     )
     cols = {r["column"] for r in secret_scan(df).collect()}
     assert cols == {"a", "b"}
+
+
+def test_entropy_findings(spark):
+    import math
+
+    from schema_validator_spark.operators.secrets import (
+        entropy_findings,
+        shannon_entropy,
+    )
+
+    rand40 = "aK9zQ2mXp7Lw3Rt8vY5nB1cJ6dF0gH4sUeIoZxW+"  # 40 distinct
+    rows = [
+        (1, f"key = '{rand40}'"),                     # high entropy
+        (2, "name = 'aaaaaaaaaaaaaaaaaaaaaaaa'"),     # ~0 bits
+        (3, "v = 'abcabcabcabcabcabcabcabc'"),        # ~1.58 bits
+        (4, "short = 'aK9zQ2m'"),                     # < 20 chars: no run
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    got = entropy_findings(df, ["doc_id"], "content").collect()
+    assert [(r["doc_id"], r["token"]) for r in got] == [(1, rand40)]
+    assert got[0]["entropy"] == pytest.approx(math.log2(40))  # all-distinct
+
+    # exact entropy on a known distribution and duplicate-run dedup
+    df2 = spark.createDataFrame(
+        [(9, "x abcabcabcabcabcabcabca abcabcabcabcabcabcabca")],
+        "doc_id long, content string",
+    )
+    out = entropy_findings(df2, ["doc_id"], "content", threshold=1.0).collect()
+    assert len(out) == 1  # distinct candidate runs, not occurrences
+    # token = 'abc'*7 + 'a' -> 22 chars: a=8, b=7, c=7
+    assert out[0]["entropy"] == pytest.approx(
+        -(8/22)*math.log2(8/22) - 2*(7/22)*math.log2(7/22)
+    )
+
+    # zero shuffles, zero Python
+    plan = entropy_findings(df, ["doc_id"], "content")
+    assert n_exchanges(plan) == 0 and not uses_python(plan)
+    assert shannon_entropy(F.lit("")).cast("double") is not None
