@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (147/147), including the approximate tiers
+EVERY query has an oracle (148/148), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -3468,6 +3468,14 @@ def q_code_curation(spark, sf_dir):
     from schema_validator_spark.operators.curatecode import curate_code
 
     docs = _t(spark, sf_dir, "documents")
+    df = _code_curation_synth(docs)
+    return curate_code(df).select("repo", "path", "content_sha")
+
+
+def _code_curation_synth(docs):
+    """The striped code corpus q_code_curation and q_curation_verdicts
+    share (single source with both oracles' synth CTE): every stripe
+    feeds a specific funnel stage."""
     did = F.col("doc_id")
     k = did.cast("string")
     m6 = did % 6
@@ -3503,12 +3511,28 @@ def q_code_curation(spark, sf_dir):
               F.repeat(F.replace(F.col("text"), F.lit(" ")), 8))
         .otherwise(F.concat(hdr, auto, base, secret, ctrl))
     )
-    df = docs.select(
+    return docs.select(
         F.col("source").alias("repo"),
         path.alias("path"),
         content.alias("content"),
     )
-    return curate_code(df).select("repo", "path", "content_sha")
+
+
+def q_curation_verdicts(spark, sf_dir):
+    """Row-level drop attribution for the code-curation funnel
+    (operators/curatecode.curation_verdicts): every file labeled with
+    the FIRST stage that rejects it, or kept/duplicate from the same
+    min-struct survivor rule curate_code uses.  Same synthesis as
+    q_code_curation (shared via _code_curation_synth), so the oracle
+    replays the identical stage predicates restructured as a CASE and
+    a per-sha row_number."""
+    from schema_validator_spark.operators.curatecode import (
+        curation_verdicts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    df = _code_curation_synth(docs)
+    return curation_verdicts(df).select("repo", "path", "verdict")
 
 
 def _check_suite_def():
@@ -3867,6 +3891,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": q_tokenizer_fertility,
         "api_diff": q_api_diff,
         "entropy_secrets": q_entropy_secrets,
+        "curation_verdicts": q_curation_verdicts,
     }
 
 
@@ -5376,41 +5401,9 @@ def _encoding_oracle_sql() -> str:
     """
 
 
-def _code_curation_oracle_sql() -> str:
-    """Replay q_code_curation's ENTIRE funnel relationally — every
-    stage derived from the SAME module constants the operators use
-    (PATH_RULES, CONTROL_CHAR_RE, codequality thresholds,
-    LICENSE_MARKERS, SECRET_PATTERNS, DEFAULT_ALLOWED_LICENSES), ending
-    in the identical (repo, path)-minimal sha256 dedup."""
-    from fractions import Fraction
-
-    from schema_validator_spark.operators import codequality as cq
-    from schema_validator_spark.operators.curatecode import (
-        DEFAULT_ALLOWED_LICENSES,
-    )
-    from schema_validator_spark.operators.licenses import LICENSE_MARKERS
-    from schema_validator_spark.operators.pathclass import PATH_RULES
-    from schema_validator_spark.operators.secrets import SECRET_PATTERNS
-
-    esc = _esc_sq
-
-    path_miss = " and ".join(
-        f"not regexp_matches(path, '{esc(pat)}')" for _, pat in PATH_RULES
-    )
-    lic_whens = "\n                 ".join(
-        f"when contains(low, '{m}') then '{lic}'"
-        for lic, m in LICENSE_MARKERS
-    )
-    allowed = ", ".join(f"'{x}'" for x in DEFAULT_ALLOWED_LICENSES)
-    no_secret = " and ".join(
-        f"not regexp_matches(content, '{esc(p)}')"
-        for _, p in SECRET_PATTERNS
-    )
-    r = Fraction(cq.DEFAULT_MIN_ALNUM_FRAC)
-    ctrl = esc(cq.CONTROL_CHAR_RE)
-    autogen = esc(cq.AUTOGEN_RE)
-    return f"""
-      with synth as (
+#: SQL replay of _code_curation_synth — shared by the code_curation
+#: and curation_verdicts oracles (single source for the striped corpus)
+_CODE_CURATION_SYNTH_SQL = """
         select source as repo,
                case doc_id % 6
                  when 0 then 'vendor/lib/f' || cast(doc_id as varchar)
@@ -5453,7 +5446,44 @@ def _code_curation_oracle_sql() -> str:
                         || case when doc_id % 17 = 0 then chr(7)
                                 else '' end
                  end, '') as content
-        from documents
+        from documents"""
+
+
+def _code_curation_oracle_sql() -> str:
+    """Replay q_code_curation's ENTIRE funnel relationally — every
+    stage derived from the SAME module constants the operators use
+    (PATH_RULES, CONTROL_CHAR_RE, codequality thresholds,
+    LICENSE_MARKERS, SECRET_PATTERNS, DEFAULT_ALLOWED_LICENSES), ending
+    in the identical (repo, path)-minimal sha256 dedup."""
+    from fractions import Fraction
+
+    from schema_validator_spark.operators import codequality as cq
+    from schema_validator_spark.operators.curatecode import (
+        DEFAULT_ALLOWED_LICENSES,
+    )
+    from schema_validator_spark.operators.licenses import LICENSE_MARKERS
+    from schema_validator_spark.operators.pathclass import PATH_RULES
+    from schema_validator_spark.operators.secrets import SECRET_PATTERNS
+
+    esc = _esc_sq
+
+    path_miss = " and ".join(
+        f"not regexp_matches(path, '{esc(pat)}')" for _, pat in PATH_RULES
+    )
+    lic_whens = "\n                 ".join(
+        f"when contains(low, '{m}') then '{lic}'"
+        for lic, m in LICENSE_MARKERS
+    )
+    allowed = ", ".join(f"'{x}'" for x in DEFAULT_ALLOWED_LICENSES)
+    no_secret = " and ".join(
+        f"not regexp_matches(content, '{esc(p)}')"
+        for _, p in SECRET_PATTERNS
+    )
+    r = Fraction(cq.DEFAULT_MIN_ALNUM_FRAC)
+    ctrl = esc(cq.CONTROL_CHAR_RE)
+    autogen = esc(cq.AUTOGEN_RE)
+    return f"""
+      with synth as ({_CODE_CURATION_SYNTH_SQL}
       ), p1 as (
         select * from synth where {path_miss}
       ), e0 as (
@@ -5507,6 +5537,103 @@ def _code_curation_oracle_sql() -> str:
         from p5
       )
       select repo, path, content_sha from d where rn = 1
+    """
+
+
+def _curation_verdicts_oracle_sql() -> str:
+    """Replay q_curation_verdicts: the SAME constant-derived stage
+    predicates as _code_curation_oracle_sql, restructured as a
+    first-failing CASE; passed rows split kept/duplicate by the same
+    per-sha row_number the dedup oracle uses."""
+    from fractions import Fraction
+
+    from schema_validator_spark.operators import codequality as cq
+    from schema_validator_spark.operators.curatecode import (
+        DEFAULT_ALLOWED_LICENSES,
+    )
+    from schema_validator_spark.operators.licenses import LICENSE_MARKERS
+    from schema_validator_spark.operators.pathclass import PATH_RULES
+    from schema_validator_spark.operators.secrets import SECRET_PATTERNS
+
+    esc = _esc_sq
+    path_ok = " and ".join(
+        f"not regexp_matches(path, '{esc(pat)}')" for _, pat in PATH_RULES
+    )
+    lic_whens = "\n                 ".join(
+        f"when contains(low, '{m}') then '{lic}'"
+        for lic, m in LICENSE_MARKERS
+    )
+    allowed = ", ".join(f"'{x}'" for x in DEFAULT_ALLOWED_LICENSES)
+    has_secret = " or ".join(
+        f"regexp_matches(content, '{esc(p)}')" for _, p in SECRET_PATTERNS
+    )
+    r = Fraction(cq.DEFAULT_MIN_ALNUM_FRAC)
+    ctrl = esc(cq.CONTROL_CHAR_RE)
+    autogen = esc(cq.AUTOGEN_RE)
+    return f"""
+      with synth as ({_CODE_CURATION_SYNTH_SQL}
+      ), e0 as (
+        select *,
+               cast((length(content) - length(replace(content,
+                    chr(13) || chr(10), ''))) / 2 as int) as crlf,
+               cast(length(content)
+                    - length(replace(content, chr(10), '')) as int) as nl,
+               cast(length(content)
+                    - length(replace(content, chr(13), '')) as int) as cr,
+               ({path_ok}) as path_ok
+        from synth
+      ), q0 as (
+        select *,
+               (len(regexp_extract_all(content, '{ctrl}')) = 0
+                and length(content)
+                    = length(replace(content, chr(65533), ''))
+                and not (   (crlf > 0 and (nl - crlf > 0 or cr - crlf > 0))
+                         or (nl - crlf > 0 and cr - crlf > 0))) as enc_ok,
+               length(content) as n_chars,
+               len(string_split(content, chr(10))) as n_lines,
+               list_max(list_transform(string_split(content, chr(10)),
+                    x -> length(x))) as max_line_len,
+               length(content) - length(regexp_replace(content,
+                    '[0-9A-Za-z]', '', 'g')) as n_alnum,
+               regexp_matches(substr(content, 1, {cq.AUTOGEN_HEAD_CHARS}),
+                    '{autogen}') as autogen
+        from e0
+      ), s0 as (
+        select *,
+               (n_chars between {cq.DEFAULT_MIN_CHARS}
+                            and {cq.DEFAULT_MAX_CHARS}
+                and max_line_len <= {cq.DEFAULT_MAX_LINE}
+                and (n_chars - (n_lines - 1))
+                    <= {cq.DEFAULT_MAX_AVG_LINE} * n_lines
+                and n_alnum * {r.denominator} >= n_chars * {r.numerator}
+                and not autogen) as qual_ok,
+               (case {lic_whens}
+                     when contains(lower(content), 'copyright')
+                       then 'UNKNOWN'
+                     else 'NONE' end) in ({allowed}) as lic_ok,
+               not ({has_secret}) as sec_ok
+        from (select *, lower(content) as low from q0)
+      ), fl as (
+        select repo, path, content,
+               case when not path_ok then 'path'
+                    when not enc_ok then 'encoding'
+                    when not qual_ok then 'quality'
+                    when not lic_ok then 'license'
+                    when not sec_ok then 'secrets' end as pre
+        from s0
+      ), failed as (
+        select repo, path, pre as verdict from fl where pre is not null
+      ), passed as (
+        select repo, path,
+               case when row_number() over (
+                      partition by sha256(content)
+                      order by repo nulls first, path nulls first) = 1
+                    then 'kept' else 'duplicate' end as verdict
+        from fl where pre is null
+      )
+      select repo, path, verdict from failed
+      union all
+      select repo, path, verdict from passed
     """
 
 
@@ -6489,6 +6616,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "type2_clones": _type2_clones_oracle_sql(),
         "api_diff": _API_DIFF_ORACLE_SQL,
         "entropy_secrets": _entropy_secrets_oracle_sql(),
+        "curation_verdicts": _curation_verdicts_oracle_sql(),
         "lang_mismatch": _LANG_MISMATCH_ORACLE_SQL,
         "notebook_cells": _NOTEBOOK_ORACLE_SQL,
         "code_imports": _imports_oracle_sql(),

@@ -781,6 +781,79 @@ def run_type2_clones(spark, n=32_000_000):
             "sec_members": round(time.time() - t, 1)}
 
 
+def run_entropy_secrets(spark, n=32_000_000):
+    from schema_validator_spark.operators.secrets import entropy_findings
+
+    # ~1/1000 rows get a planted 32-char hex token appended; the rest
+    # exercise candidate extraction over ordinary code content
+    i = F.xxhash64("repo", "path")
+    df = _code_files_parquet(spark, n).withColumn(
+        "content",
+        F.concat(
+            F.col("content"),
+            F.when(
+                F.pmod(i, 1000) == 7,
+                F.concat(F.lit('\nkey = "'), F.md5(i.cast("string")),
+                         F.lit('"')),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    t = time.time()
+    cnt = entropy_findings(
+        df, ["repo", "path"], "content", threshold=3.0
+    ).count()
+    return {"op": "entropy_secrets", "rows": n, "findings": cnt,
+            "sec": round(time.time() - t, 1)}
+
+
+def run_tokenizer_fertility(spark, n=8_000_000):
+    from schema_validator_spark.functions.text import tokenizer_fertility
+
+    MERGES = [
+        ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("o", "n"),
+        ("e", "r"), ("a", "t"), ("e", "n"), ("o", "r"), ("an", "d"),
+        ("in", "g"), ("e", "s"), ("t", "o"), ("o", "u"), ("ou", "r"),
+    ]
+    df = _docs(spark, n).withColumn(
+        "lang", F.concat(F.lit("l"), (F.col("doc_id") % 8).cast("string"))
+    )
+    t = time.time()
+    rows = tokenizer_fertility(df, "lang", "text", MERGES).collect()
+    return {"op": "tokenizer_fertility", "rows": n, "langs": len(rows),
+            "sec": round(time.time() - t, 1)}
+
+
+def run_api_diff(spark, n=32_000_000):
+    from schema_validator_spark.functions.publicapi import api_diff
+
+    # every file exports ~2 symbols; the 'new' snapshot renames one
+    # symbol for 1/1000 of files -> change-volume-sized output
+    base = _code_files_parquet(spark, n)
+    i = F.xxhash64("repo", "path")
+
+    def snap(renamed):
+        sym2 = (
+            F.when(F.pmod(i, 1000) == 3, F.lit("renamed"))
+            .otherwise(F.lit("stable"))
+            if renamed else F.lit("stable")
+        )
+        return base.withColumn(
+            "content",
+            F.concat(
+                F.lit("def f"), F.pmod(i, 100000).cast("string"),
+                F.lit("():\n    pass\ndef "), sym2,
+                F.pmod(i, 100000).cast("string"),
+                F.lit("():\n    pass\n"),
+            ),
+        ).withColumn("lang", F.lit("py"))
+
+    t = time.time()
+    cnt = api_diff(snap(False), snap(True), "repo", "content",
+                   "lang").count()
+    return {"op": "api_diff", "rows_per_side": n, "changes": cnt,
+            "sec": round(time.time() - t, 1)}
+
+
 #: op label (as printed in output / BENCH.md) -> benchmark fn
 OPS = {
     "edit_join": run_edit_join,
@@ -817,6 +890,9 @@ OPS = {
     "lang_detect": run_lang_detect,
     "fork_dedup": run_fork_dedup,
     "type2_clones": run_type2_clones,
+    "entropy_secrets": run_entropy_secrets,
+    "tokenizer_fertility": run_tokenizer_fertility,
+    "api_diff": run_api_diff,
 }
 
 

@@ -131,3 +131,93 @@ def curate_code(
         .select(*cols, "content_sha")
     )
     return stage("dedup", survivors)
+
+
+#: verdict vocabulary, funnel order (first failing stage wins)
+VERDICTS = (
+    "path", "encoding", "quality", "license", "secrets", "duplicate",
+    "kept",
+)
+
+
+def curation_verdicts(
+    df: DataFrame,
+    *,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    content_col: str = "content",
+    allowed_licenses: tuple[str, ...] = DEFAULT_ALLOWED_LICENSES,
+    quality_kwargs: dict | None = None,
+) -> DataFrame:
+    """Row-level drop attribution for the ``curate_code`` funnel: the
+    caller's columns plus ``verdict`` — the FIRST stage that rejects
+    the file (``path``/``encoding``/``quality``/``license``/
+    ``secrets``/``duplicate``) or ``kept``.  ``kept`` rows are exactly
+    ``curate_code``'s survivor set (same predicates, same min-struct
+    survivor rule — single-sourced through the same operators).
+
+    This is the funnel's observability surface: a ``CurationReport``
+    costs one materialization PER STAGE (7 count jobs); this computes
+    every per-file reason — and the whole funnel histogram via one
+    further tiny groupBy — in ONE scan plus the dedup-shaped shuffle.
+    Stage flags 1-5 ride the scan in pure codegen; ``duplicate`` needs
+    the sha-grain survivor dim joined back (key-scale, null-safe), the
+    same shape as type2_clone_members."""
+    reserved = set(_ENC_STATS) | set(_CQ_STATS) | {
+        "_pc", "_lic", "_encfail", "_cqkeep", "_v", "_r",
+        "content_sha", "verdict",
+    }
+    clash = sorted(reserved & set(df.columns))
+    if clash:
+        raise ValueError(
+            "curation_verdicts reserves these column names; rename "
+            f"the input columns: {clash}"
+        )
+    cols = df.columns
+    out = classify_paths(df, path_col, out_col="_pc")
+    out = encoding_stats(
+        out, content_col, keep_cols=cols + ["_pc"]
+    ).withColumn(
+        "_encfail",
+        (F.col("n_control") > 0)
+        | (F.col("n_replacement") > 0)
+        | (F.col("line_ending") == "mixed"),
+    ).drop(*_ENC_STATS)
+    out = code_quality(
+        out, content_col, keep_cols=cols + ["_pc", "_encfail"],
+        **(quality_kwargs or {}),
+    ).withColumn("_cqkeep", F.col("keep")).drop(*_CQ_STATS)
+    out = detect_license(out, content_col, out_col="_lic")
+    pre = (
+        F.when(F.col("_pc") != SOURCE, F.lit("path"))
+        .when(F.col("_encfail"), F.lit("encoding"))
+        .when(~F.col("_cqkeep"), F.lit("quality"))
+        .when(~F.col("_lic").isin(*allowed_licenses), F.lit("license"))
+        .when(has_secret(content_col), F.lit("secrets"))
+    )
+    ordered = [repo_col, path_col] + [
+        c for c in cols if c not in (repo_col, path_col)
+    ]
+    fact = out.select(
+        *cols,
+        F.sha2(F.col(content_col), 256).alias("content_sha"),
+        pre.alias("_v"),
+    )
+    surv = (
+        fact.filter(F.col("_v").isNull())
+        .groupBy("content_sha")
+        .agg(F.min(F.struct(*ordered)).alias("_r"))
+    )
+    j = fact.join(
+        surv.withColumnRenamed("content_sha", "_sha"),
+        F.col("content_sha").eqNullSafe(F.col("_sha")),
+        "left",
+    )
+    verdict = F.coalesce(
+        F.col("_v"),
+        F.when(
+            F.struct(*[F.col(c) for c in ordered]).eqNullSafe(F.col("_r")),
+            F.lit("kept"),
+        ).otherwise(F.lit("duplicate")),
+    )
+    return j.select(*cols, verdict.alias("verdict"))

@@ -77,3 +77,57 @@ def test_lazy_without_report(spark):
     out = curate_code(df)  # no counts materialized
     assert out.count() == 2
     assert set(out.columns) == {"repo", "path", "content", "content_sha"}
+
+
+def test_curation_verdicts(spark):
+    from schema_validator_spark.operators.curatecode import (
+        curation_verdicts,
+    )
+
+    df = spark.createDataFrame(
+        [(r, p, c) for r, p, c, _ in ROWS],
+        "repo string, path string, content string",
+    )
+    got = {
+        (r["repo"], r["path"]): r["verdict"]
+        for r in curation_verdicts(df).collect()
+    }
+    assert got == {
+        ("r1", "src/a.go"): "kept",
+        ("r1", "vendor/b.go"): "path",
+        ("r1", "src/c.go"): "encoding",
+        ("r1", "src/d.go"): "quality",
+        ("r1", "src/e.go"): "quality",
+        ("r1", "src/f.go"): "license",
+        ("r1", "src/g.go"): "secrets",
+        ("r2", "src/z.go"): "duplicate",
+        ("r1", "src/b2.go"): "kept",
+    }
+    # kept == curate_code's survivor set, by construction
+    kept = {k for k, v in got.items() if v == "kept"}
+    surv = {
+        (r["repo"], r["path"]) for r in curate_code(df).collect()
+    }
+    assert kept == surv
+
+
+def test_curation_verdicts_null_content_and_reserved(spark):
+    import pytest
+
+    from schema_validator_spark.operators.curatecode import (
+        curation_verdicts,
+    )
+
+    df = spark.createDataFrame(
+        [("r1", "src/a.go", None)],
+        "repo string, path string, content string",
+    )
+    got = curation_verdicts(df).collect()
+    assert got[0]["verdict"] == "quality"  # empty/NULL fails min_chars
+
+    bad = spark.createDataFrame(
+        [("r", "p", "x", True)],
+        "repo string, path string, content string, keep boolean",
+    )
+    with pytest.raises(ValueError, match="reserves"):
+        curation_verdicts(bad)
