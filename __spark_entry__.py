@@ -5624,10 +5624,15 @@ def _curation_verdicts_oracle_sql() -> str:
       ), failed as (
         select repo, path, pre as verdict from fl where pre is not null
       ), passed as (
+        -- min-ROW equality, not row_number: every copy of an exact
+        -- full-row duplicate is 'kept', mirroring the engine's
+        -- struct-equality rule (curatecode.curation_verdicts docstring)
         select repo, path,
-               case when row_number() over (
-                      partition by sha256(content)
-                      order by repo nulls first, path nulls first) = 1
+               case when row(repo, path, content) is not distinct from
+                         first_value(row(repo, path, content)) over (
+                           partition by sha256(content)
+                           order by repo nulls first, path nulls first,
+                                    content nulls first)
                     then 'kept' else 'duplicate' end as verdict
         from fl where pre is null
       )

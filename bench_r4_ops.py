@@ -814,8 +814,20 @@ def run_tokenizer_fertility(spark, n=8_000_000):
         ("e", "r"), ("a", "t"), ("e", "n"), ("o", "r"), ("an", "d"),
         ("in", "g"), ("e", "s"), ("t", "o"), ("o", "u"), ("ou", "r"),
     ]
-    df = _docs(spark, n).withColumn(
-        "lang", F.concat(F.lit("l"), (F.col("doc_id") % 8).cast("string"))
+    # bounded 50k-word vocabulary (the Heaps-law regime the plan is
+    # designed for; _docs' all-unique md5 words would make the
+    # distinct-word frame corpus-sized — measured 761 s at 8M docs,
+    # the documented degenerate case)
+    words = F.expr(
+        "transform(sequence(1, 75), i ->"
+        " substring(md5(cast((id * 100 + i) % 50000 as string)), 1, 7))"
+    )
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("l"), (F.col("id") % 8).cast("string")).alias(
+            "lang"
+        ),
+        F.array_join(words, " ").alias("text"),
     )
     t = time.time()
     rows = tokenizer_fertility(df, "lang", "text", MERGES).collect()
@@ -851,6 +863,22 @@ def run_api_diff(spark, n=32_000_000):
     cnt = api_diff(snap(False), snap(True), "repo", "content",
                    "lang").count()
     return {"op": "api_diff", "rows_per_side": n, "changes": cnt,
+            "sec": round(time.time() - t, 1)}
+
+
+def run_curation_verdicts(spark, n=32_000_000):
+    from schema_validator_spark.operators.curatecode import (
+        curation_verdicts,
+    )
+
+    df = _code_files_parquet(spark, n)
+    t = time.time()
+    hist = {
+        r["verdict"]: r["count"]
+        for r in curation_verdicts(df)
+        .groupBy("verdict").count().collect()
+    }
+    return {"op": "curation_verdicts", "rows": n, "histogram": hist,
             "sec": round(time.time() - t, 1)}
 
 
@@ -893,6 +921,7 @@ OPS = {
     "entropy_secrets": run_entropy_secrets,
     "tokenizer_fertility": run_tokenizer_fertility,
     "api_diff": run_api_diff,
+    "curation_verdicts": run_curation_verdicts,
 }
 
 

@@ -115,19 +115,33 @@ def api_diff(
     orders of magnitude below file grain — before ONE key-scale
     full-outer join; unchanged symbols drop inside the join filter so
     output is change-volume sized (the same shape as table_diff)."""
+    keys = [repo_col, "lang", "symbol"]
     o = extract_public_symbols(
         old_df, [repo_col], content_col, lang_col, patterns=patterns
     ).distinct().withColumn("_old", F.lit(1))
-    n = extract_public_symbols(
-        new_df, [repo_col], content_col, lang_col, patterns=patterns
-    ).distinct().withColumn("_new", F.lit(1))
-    j = o.join(n, [repo_col, "lang", "symbol"], "full_outer")
+    n = (
+        extract_public_symbols(
+            new_df, [repo_col], content_col, lang_col, patterns=patterns
+        )
+        .distinct()
+        .withColumn("_new", F.lit(1))
+        .select(*[F.col(k).alias(f"_n_{k}") for k in keys], "_new")
+    )
+    # null-safe keys: a NULL repo (missing metadata passed through the
+    # id column) must match itself, or an unchanged symbol would be
+    # reported as removed AND added
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"_n_{k}"))
+        cond = c if cond is None else cond & c
+    j = o.join(n, cond, "full_outer")
     return j.filter(
         F.col("_old").isNull() | F.col("_new").isNull()
     ).select(
-        repo_col,
-        "lang",
-        "symbol",
+        *[
+            F.coalesce(F.col(k), F.col(f"_n_{k}")).alias(out_name)
+            for k, out_name in zip(keys, [repo_col, "lang", "symbol"])
+        ],
         F.when(F.col("_new").isNull(), F.lit("removed"))
         .otherwise(F.lit("added"))
         .alias("change"),

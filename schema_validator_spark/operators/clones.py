@@ -22,9 +22,13 @@ single source of truth the oracle replays verbatim):
    ``I_TOK``,
 5. whitespace runs -> one space, trimmed.
 
-The class tokens are non-ASCII superscripts, outside ``[A-Za-z0-9_]``
-in BOTH engines' ASCII ``\\w``/``\\b`` semantics, so later steps can
-never re-match an earlier step's placeholder.
+The class tokens are non-ASCII PUNCTUATION/SYMBOL characters (Po/Sc):
+Java's ``\\b`` is Unicode-aware (any letter/digit/mark is a word char
+— a superscript-letter placeholder would suppress the boundary in
+Spark but not in RE2), while RE2's is ASCII; a punctuation placeholder
+is a non-word char under BOTH definitions, so later steps see the same
+boundaries in both engines and can never re-match an earlier step's
+placeholder.
 
 Scale shape: the whole normalization + md5 rides the scan (pure
 codegen, zero Python); the ONLY shuffle is one hash partition on the
@@ -45,10 +49,11 @@ from pyspark.sql import functions as F
 
 from .codequality import COMMENT_SYNTAX
 
-#: class tokens — non-word in ASCII \w on both engines (see module doc)
-S_TOK = "ˢ"  # ˢ string literal
-N_TOK = "ⁿ"  # ⁿ numeric literal
-I_TOK = "ᵢ"  # ᵢ identifier
+#: class tokens — Unicode punctuation/symbol, non-word under BOTH
+#: Java's Unicode \b and RE2's ASCII \b (see module doc)
+S_TOK = "§"  # string literal
+N_TOK = "¤"  # numeric literal
+I_TOK = "¶"  # identifier
 
 #: string-literal patterns, applied in order (triple-quoted first so a
 #: docstring is one token, not an empty pair + body)
@@ -58,8 +63,12 @@ STRING_PATTERNS: tuple[str, ...] = (
     r'"[^"\n]*"',
     r"'[^'\n]*'",
 )
-#: int / float / hex / underscore-grouped / exponent literals
-NUMBER_PATTERN = r"\b\d[\dA-Fa-fxX_.]*(?:[eE][+-]?\d+)?"
+#: int / float / hex / underscore-grouped / exponent literals.  Hex is
+#: its own branch so the decimal branch's class stops before 'e' and
+#: the signed exponent can match ('1e+3' is ONE literal, not N+N) and
+#: hex letters can't swallow a following identifier ('1.fee' and
+#: '1.foo' both normalize to the same shape).
+NUMBER_PATTERN = r"\b(?:0[xX][\dA-Fa-f_]+|\d[\d_.]*(?:[eE][+-]?\d+)?)"
 #: ASCII identifier, keywords included (blind normalization)
 IDENT_PATTERN = r"\b[A-Za-z_][A-Za-z0-9_]*"
 

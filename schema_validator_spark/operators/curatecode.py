@@ -152,9 +152,14 @@ def curation_verdicts(
     """Row-level drop attribution for the ``curate_code`` funnel: the
     caller's columns plus ``verdict`` — the FIRST stage that rejects
     the file (``path``/``encoding``/``quality``/``license``/
-    ``secrets``/``duplicate``) or ``kept``.  ``kept`` rows are exactly
-    ``curate_code``'s survivor set (same predicates, same min-struct
-    survivor rule — single-sourced through the same operators).
+    ``secrets``/``duplicate``) or ``kept``.  The DISTINCT ``kept``
+    rows are exactly ``curate_code``'s survivor set (same predicates,
+    same min-struct survivor rule — single-sourced through the same
+    operators).  Exact FULL-ROW duplicates (identical in every caller
+    column) are indistinguishable rows, so every copy of the surviving
+    row is labeled ``kept`` — curate_code emits that row once;
+    histogram consumers comparing against its output should count kept
+    rows distinct.  The oracle mirrors this min-row-equality rule.
 
     This is the funnel's observability surface: a ``CurationReport``
     costs one materialization PER STAGE (7 count jobs); this computes
@@ -164,7 +169,7 @@ def curation_verdicts(
     the sha-grain survivor dim joined back (key-scale, null-safe), the
     same shape as type2_clone_members."""
     reserved = set(_ENC_STATS) | set(_CQ_STATS) | {
-        "_pc", "_lic", "_encfail", "_cqkeep", "_v", "_r",
+        "_pc", "_lic", "_encfail", "_cqkeep", "_v", "_r", "_sha",
         "content_sha", "verdict",
     }
     clash = sorted(reserved & set(df.columns))
@@ -195,8 +200,14 @@ def curation_verdicts(
         .when(~F.col("_lic").isin(*allowed_licenses), F.lit("license"))
         .when(has_secret(content_col), F.lit("secrets"))
     )
+    # survivor comparison struct: curate_code orders by [repo, path,
+    # other cols] — but rows sharing a sha share the CONTENT by
+    # construction, so content never breaks a tie and is excluded
+    # here: the survivor dim then shuffles (sha + small id cols), not
+    # file bodies, which matters in the common mostly-unique corpus
+    # where the dim is corpus-sized
     ordered = [repo_col, path_col] + [
-        c for c in cols if c not in (repo_col, path_col)
+        c for c in cols if c not in (repo_col, path_col, content_col)
     ]
     fact = out.select(
         *cols,

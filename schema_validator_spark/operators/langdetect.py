@@ -25,7 +25,7 @@ scan; the arg-max is an ``array_max`` over a per-row array of
 
 Each lang's signal patterns are merged into ONE alternation
 (``(?:p1)|(?:p2)|...``) so the content is scanned once per LANG, not
-once per PATTERN (5 passes instead of 17 on the defaults — this is
+once per PATTERN (5 passes instead of 18 on the defaults — this is
 the repo's heaviest regex op and the merge is a measured ~2x).  Count
 semantics under an alternation differ from per-pattern sums only when
 two signals of the SAME lang match overlapping spans (the scan resumes

@@ -37,6 +37,21 @@ def test_rename_and_literal_blind(spark):
     assert a != d            # '-' vs '+' is structural
 
 
+def test_number_literal_shapes(spark):
+    # every numeric-literal form is ONE class token, and a hex-letter
+    # run after a literal can't swallow a following identifier
+    a, b, c, d = _norm(spark, [
+        ("py", "x = 1e+3"),
+        ("py", "x = 27"),
+        ("py", "y = 1.fee"),
+        ("py", "y = 1.foo"),
+    ])
+    assert a == b            # signed exponent is part of the literal
+    assert c == d            # '1.' + identifier, hex letters not eaten
+    e, f = _norm(spark, [("py", "z = 0x1F_ab"), ("py", "z = 1_000.5")])
+    assert e == f
+
+
 def test_strings_protect_comment_markers(spark):
     # '//' inside a string is NOT a js line comment after step 1
     a, b = _norm(spark, [
@@ -62,7 +77,7 @@ def test_unregistered_lang_is_lexical_only(spark):
     ])
     # comments survive (no syntax entry) but their words are
     # identifier-shaped and blind to the lexical steps
-    assert a == b == "ᵢ ᵢ = ⁿ; // ᵢ"
+    assert a == b == "¶ ¶ = ¤; // ¶"
     c, = _norm(spark, [("rs", "let x = 10; // ten!")])
     assert a != c  # unstripped comment PUNCTUATION differs
 

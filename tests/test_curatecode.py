@@ -111,6 +111,34 @@ def test_curation_verdicts(spark):
     assert kept == surv
 
 
+def test_curation_verdicts_full_row_duplicates(spark):
+    from schema_validator_spark.operators.curatecode import (
+        curation_verdicts,
+    )
+
+    # exact full-row duplicates are indistinguishable: every copy of
+    # the surviving row is 'kept' (docstring rule; DISTINCT kept rows
+    # == curate_code survivors), while a distinct-path copy of the
+    # same content is 'duplicate'
+    df = spark.createDataFrame(
+        [("r1", "src/a.go", GOOD),
+         ("r1", "src/a.go", GOOD),
+         ("r2", "src/z.go", GOOD)],
+        "repo string, path string, content string",
+    )
+    got = sorted(
+        (r["repo"], r["path"], r["verdict"])
+        for r in curation_verdicts(df).collect()
+    )
+    assert got == [
+        ("r1", "src/a.go", "kept"),
+        ("r1", "src/a.go", "kept"),
+        ("r2", "src/z.go", "duplicate"),
+    ]
+    surv = {(r["repo"], r["path"]) for r in curate_code(df).collect()}
+    assert surv == {("r1", "src/a.go")}
+
+
 def test_curation_verdicts_null_content_and_reserved(spark):
     import pytest
 

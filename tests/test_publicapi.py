@@ -103,3 +103,20 @@ def test_api_diff(spark):
         ("r1", "py", "g", "removed"),
         ("r1", "py", "h", "added"),
     ]
+
+
+def test_api_diff_null_repo_is_null_safe(spark):
+    from schema_validator_spark.functions.publicapi import api_diff
+
+    # a NULL repo (missing metadata) with an UNCHANGED symbol must not
+    # produce phantom removed+added rows; a real change under a NULL
+    # repo still reports with the NULL key intact
+    old = spark.createDataFrame([
+        (None, 1, "py", "def same():\n    pass\ndef gone():\n    pass\n"),
+    ], SCHEMA)
+    new = spark.createDataFrame([
+        (None, 2, "py", "def same():\n    pass\n"),
+    ], SCHEMA)
+    got = [(r["repo"], r["symbol"], r["change"])
+           for r in api_diff(old, new, "repo", "content", "lang").collect()]
+    assert got == [(None, "gone", "removed")]

@@ -128,4 +128,11 @@ def test_entropy_findings(spark):
     # zero shuffles, zero Python
     plan = entropy_findings(df, ["doc_id"], "content")
     assert n_exchanges(plan) == 0 and not uses_python(plan)
-    assert shannon_entropy(F.lit("")).cast("double") is not None
+
+    # empty / NULL input evaluates to exactly 0.0 (no NaN from log2(0))
+    edge = spark.range(1).select(
+        shannon_entropy(F.lit("")).alias("e"),
+        shannon_entropy(F.lit(None).cast("string")).alias("n"),
+        shannon_entropy(F.lit("aaaa")).alias("z"),
+    ).collect()[0]
+    assert (edge["e"], edge["n"], edge["z"]) == (0.0, 0.0, 0.0)
