@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (148/148), including the approximate tiers
+EVERY query has an oracle (149/149), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -2391,21 +2391,12 @@ def q_repo_license(spark, sf_dir):
     )
 
 
-def q_code_chunks(spark, sf_dir):
-    """Function-level chunking (operators/codechunk.chunk_functions —
-    the unit extractor for function-granularity dedup, CodeParrot /
-    StarCoder practice): zero-shuffle JVM-HOF boundary slicing over
-    the per-row line array.  Stripes: py/go/js contents with multiple
-    top-level units + a shared identical function (cross-file dup
-    chunks), plus a 'rust' stripe with no registered boundary regex
-    (whole file = one chunk).  The oracle is an INDEPENDENT relational
-    derivation — ordered line unnest + window running-sum grouping —
-    not a replay of the slicing arithmetic, so chunk boundaries,
-    ordering, preamble handling, and reconstruction are all
-    cross-checked."""
-    from schema_validator_spark.operators.codechunk import chunk_functions
-
-    docs = _t(spark, sf_dir, "documents")
+def _code_chunks_synth(docs):
+    """The striped multi-lang corpus q_code_chunks and
+    q_function_clones share (single source with both oracles' synth
+    CTE): py/go/js files with multiple top-level units (identifiers/
+    literals varying per doc), a shared identical function, and a
+    'rust' stripe with no registered boundary regex."""
     did = F.col("doc_id")
     k = did.cast("string")
     m3 = did % 3
@@ -2427,9 +2418,66 @@ def q_code_chunks(spark, sf_dir):
         F.lit("() { return 1 }\nexport default class B {}\n"),
     )
     content = F.when(m3 == 0, py).when(m3 == 1, go).otherwise(js)
-    df = docs.select(
+    return docs.select(
         "doc_id", lang.alias("lang"), content.alias("content")
     )
+
+
+def q_function_clones(spark, sf_dir):
+    """Function-grain type-2 clone families — the SourcererCC /
+    BigCloneBench granularity: chunk_functions splits files into
+    top-level units (zero shuffles), normalize_type2 blinds
+    identifiers/literals/comments per chunk, and the md5 family
+    groupBy finds cross-FILE function clones exact chunk_sha dedup
+    misses (every py 'def f' body differs byte-wise here — per-doc
+    identifiers — yet is one family).  Same synthesis as q_code_chunks
+    (shared via _code_chunks_synth); the oracle composes the chunker's
+    independent line-window derivation with the shared normalization
+    chain."""
+    from schema_validator_spark.operators.clones import (
+        type2_clone_groups,
+    )
+    from schema_validator_spark.operators.codechunk import (
+        chunk_functions,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    df = _code_chunks_synth(docs)
+    ch = chunk_functions(
+        df, ["doc_id", "lang"], "content", "lang", with_sha=False
+    ).select(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("chunk_idx").cast("string"),
+        ).alias("chunk_id"),
+        F.col("doc_id").cast("string").alias("doc"),
+        "lang",
+        "chunk_text",
+    )
+    return type2_clone_groups(
+        ch, "chunk_id", "chunk_text", "lang", repo_col="doc"
+    ).withColumnRenamed("n_files", "n_chunks").withColumnRenamed(
+        "n_repos", "n_docs"
+    )
+
+
+def q_code_chunks(spark, sf_dir):
+    """Function-level chunking (operators/codechunk.chunk_functions —
+    the unit extractor for function-granularity dedup, CodeParrot /
+    StarCoder practice): zero-shuffle JVM-HOF boundary slicing over
+    the per-row line array.  Stripes: py/go/js contents with multiple
+    top-level units + a shared identical function (cross-file dup
+    chunks), plus a 'rust' stripe with no registered boundary regex
+    (whole file = one chunk).  The oracle is an INDEPENDENT relational
+    derivation — ordered line unnest + window running-sum grouping —
+    not a replay of the slicing arithmetic, so chunk boundaries,
+    ordering, preamble handling, and reconstruction are all
+    cross-checked."""
+    from schema_validator_spark.operators.codechunk import chunk_functions
+
+    docs = _t(spark, sf_dir, "documents")
+    df = _code_chunks_synth(docs)
     ch = chunk_functions(df, ["doc_id"], "content", "lang")
     return ch.select(
         "doc_id",
@@ -3873,6 +3921,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "repo_license": q_repo_license,
         "code_chunks": q_code_chunks,
+        "function_clones": q_function_clones,
         "identifier_vocab": q_identifier_vocab,
         "repo_profile": q_repo_profile,
         "code_complexity": q_code_complexity,
@@ -4160,13 +4209,16 @@ def _repo_license_oracle_sql() -> str:
     """
 
 
-def _code_chunks_oracle_sql() -> str:
-    """Independent relational derivation of q_code_chunks: ordered
-    line unnest (generate_subscripts) + boundary marking with the SAME
-    BOUNDARY_RES/ATTACH_RES regexes (pairwise rule via lag(line)) +
-    window running-sum group ids + ordered string_agg reassembly —
-    cross-checks the operator's HOF slicing arithmetic rather than
-    replaying it."""
+def _chunks_cte_sql() -> str:
+    """The chunker oracle's shared CTE chain (lines -> chunks):
+    ordered line unnest (generate_subscripts) + boundary marking with
+    the SAME BOUNDARY_RES/ATTACH_RES regexes (pairwise rule via
+    lag(line)) + window running-sum group ids + ordered string_agg
+    reassembly — an INDEPENDENT derivation of the operator's HOF
+    slicing arithmetic.  Expects a CTE named ``synth`` with (doc_id,
+    lang, content); yields ``chunks`` with (doc_id, lang, chunk_idx,
+    chunk_text).  Shared by the code_chunks and function_clones
+    oracles."""
     from schema_validator_spark.operators.codechunk import (
         ATTACH_RES,
         BOUNDARY_RES,
@@ -4188,6 +4240,40 @@ def _code_chunks_oracle_sql() -> str:
                 f"'{_esc_sq(p)}') then 1"
             )
     marks = "\n                    ".join(parts)
+    return f"""lines as (
+        select doc_id, lang,
+               unnest(string_split(content, chr(10))) as line,
+               generate_subscripts(string_split(content, chr(10)), 1)
+                 as ord
+        from synth
+      ), lagged as (
+        select *,
+               lag(line) over (partition by doc_id order by ord) as prev
+        from lines
+      ), marked as (
+        select *,
+               case {marks}
+                    else 0 end as m
+        from lagged
+      ), grp as (
+        select *,
+               sum(m) over (partition by doc_id order by ord) as g0,
+               max(case when ord = 1 then m else 0 end)
+                 over (partition by doc_id) as first_m
+        from marked
+      ), chunks as (
+        select doc_id, lang,
+               cast(g0 - first_m as int) as chunk_idx,
+               string_agg(line, chr(10) order by ord) as chunk_text
+        from grp
+        group by doc_id, lang, g0, first_m
+      )"""
+
+
+def _code_chunks_oracle_sql() -> str:
+    """Independent relational derivation of q_code_chunks (see
+    _chunks_cte_sql — cross-checks the operator's HOF slicing
+    arithmetic rather than replaying it)."""
     return f"""
       with synth as (
         select doc_id,
@@ -4217,37 +4303,72 @@ def _code_chunks_oracle_sql() -> str:
                       || chr(123) || chr(125) || chr(10)
                end as content
         from documents
-      ), lines as (
-        select doc_id, lang,
-               unnest(string_split(content, chr(10))) as line,
-               generate_subscripts(string_split(content, chr(10)), 1)
-                 as ord
-        from synth
-      ), lagged as (
-        select *,
-               lag(line) over (partition by doc_id order by ord) as prev
-        from lines
-      ), marked as (
-        select *,
-               case {marks}
-                    else 0 end as m
-        from lagged
-      ), grp as (
-        select *,
-               sum(m) over (partition by doc_id order by ord) as g0,
-               max(case when ord = 1 then m else 0 end)
-                 over (partition by doc_id) as first_m
-        from marked
-      ), chunks as (
-        select doc_id,
-               cast(g0 - first_m as int) as chunk_idx,
-               string_agg(line, chr(10) order by ord) as chunk_text
-        from grp
-        group by doc_id, g0, first_m
-      )
+      ), {_chunks_cte_sql()}
       select doc_id, chunk_idx, sha256(chunk_text) as chunk_sha,
              cast(length(chunk_text) as int) as chunk_len
       from chunks
+    """
+
+
+def _function_clones_oracle_sql() -> str:
+    """Replay q_function_clones: the chunker's independent line-window
+    derivation (_chunks_cte_sql, same synth as code_chunks) composed
+    with the type-2 normalization chain from the shared clones
+    constants, then the md5 family grouping."""
+    from schema_validator_spark.operators.clones import (
+        IDENT_PATTERN,
+        I_TOK,
+        NUMBER_PATTERN,
+        N_TOK,
+        STRING_PATTERNS,
+        S_TOK,
+    )
+    from schema_validator_spark.operators.codequality import (
+        COMMENT_SYNTAX,
+    )
+
+    s1 = "chunk_text"
+    for pat in STRING_PATTERNS:
+        s1 = f"regexp_replace({s1}, '{_esc_sq(pat)}', '{S_TOK}', 'g')"
+    comment_whens = []
+    for lg, (line_pat, blk_pat) in sorted(COMMENT_SYNTAX.items()):
+        e = "s1"
+        if blk_pat:
+            e = f"regexp_replace({e}, '{_esc_sq(blk_pat)}', '', 'g')"
+        e = f"regexp_replace({e}, '{_esc_sq(line_pat)}', '', 'g')"
+        comment_whens.append(f"when lang = '{lg}' then {e}")
+    comment_case = (
+        "case " + "\n                 ".join(comment_whens)
+        + " else s1 end"
+    )
+    norm = f"regexp_replace(s2, '{_esc_sq(NUMBER_PATTERN)}', '{N_TOK}', 'g')"
+    norm = f"regexp_replace({norm}, '{_esc_sq(IDENT_PATTERN)}', '{I_TOK}', 'g')"
+    norm = rf"trim(regexp_replace({norm}, '\s+', ' ', 'g'))"
+    # reuse code_chunks' synth verbatim (single source: the Spark side
+    # shares _code_chunks_synth)
+    synth = _code_chunks_oracle_sql().split("), lines as (")[0]
+    synth = synth.split("with synth as (")[1]
+    return f"""
+      with synth as ({synth}), {_chunks_cte_sql()}
+      , st1 as (
+        select cast(doc_id as varchar) || ':'
+                 || cast(chunk_idx as varchar) as chunk_id,
+               cast(doc_id as varchar) as doc, lang,
+               {s1} as s1
+        from chunks
+      ), st2 as (
+        select chunk_id, doc, {comment_case} as s2 from st1
+      ), nf as (
+        select chunk_id, doc, {norm} as norm from st2
+      )
+      select md5(norm) as clone_key,
+             count(*) as n_chunks,
+             count(distinct doc) as n_docs,
+             min(chunk_id) as representative
+      from nf
+      where length(norm) > 0
+      group by md5(norm)
+      having count(*) >= 2
     """
 
 
@@ -6606,6 +6727,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "license_scan": _license_oracle_sql(),
         "repo_license": _repo_license_oracle_sql(),
         "code_chunks": _code_chunks_oracle_sql(),
+        "function_clones": _function_clones_oracle_sql(),
         "identifier_vocab": _identifier_vocab_oracle_sql(),
         "repo_profile": _repo_profile_oracle_sql(),
         "code_complexity": _code_complexity_oracle_sql(),
