@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (149/149), including the approximate tiers
+EVERY query has an oracle (150/150), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -2809,6 +2809,96 @@ def q_type2_clones(spark, sf_dir):
     )
 
 
+#: code-contamination synthesis: the "benchmark" = the 5 structural
+#: templates spliced with the literal "0" (docs 0-4, one per
+#: template); train stripes m = doc_id % 4 -> renamed full copy of
+#: template t = floor(doc_id/4) % 5 (identifiers/literals vary per
+#: doc: every sha + raw-text tier misses it), partial copy (template
+#: + _CONTAM_TAIL), clean py, clean go.  "@" marks the
+#: cast(doc_id as varchar) splice; single-sourced for the oracle via
+#: _duck_lit.
+_CONTAM_TMPL: dict[int, tuple[str, str]] = {
+    0: ("py", "def f@(n@):\n    t@ = @\n    for i@ in range(n@):\n"
+        "        t@ += i@ * @\n    return t@\n"),
+    1: ("py", "class C@:\n    def get@(self):\n        if self.x@ > @:\n"
+        "            return self.x@ - @\n        return @\n"),
+    2: ("go", "func F@(a@ int) int {\n\tb@ := a@ / @\n\tif b@ > @ {\n"
+        "\t\tb@ = b@ % @\n\t}\n\treturn b@\n}\n"),
+    3: ("js", "function g@(s@) {\n  let r@ = s@ + \"@\";\n"
+        "  while (r@.length < @) { r@ = r@ + r@; }\n  return r@;\n}\n"),
+    4: ("java", "public class D@ {\n  static long h@(long v@) {\n"
+        "    long w@ = v@ << @;\n    return w@ ^ @;\n  }\n}\n"),
+}
+#: divergent tail for the partial-copy stripe (bracket-list token
+#: shapes appear in NO template, so boundary/tail grams never match)
+_CONTAM_TAIL = "zz1 = [7, 8, 9]\nqq2 = zz1[0] + zz1[2]\n"
+#: clean stripes: structurally disjoint from every template (list
+#: comprehension / slice-index shapes vs arithmetic-statement shapes)
+_CONTAM_CLEAN: dict[int, tuple[str, str]] = {
+    2: ("py", "names1 = [w2 for w2 in words3 if w2]\n"
+        "print(len(names1), 9)\n"),
+    3: ("go", "x4 := []int{5, 6}\nfor _, v7 := range x4 {\n"
+        "\ts8 += v7\n}\n"),
+}
+
+
+def _contam_tmpl_cols(t, k):
+    """(lang, content) when-chains: template ``t`` spliced with ``k``."""
+    lang = content = None
+    for i, (lg, tmpl) in sorted(_CONTAM_TMPL.items()):
+        cond = t == i
+        body = _clone_splice(tmpl, k)
+        lg_lit = F.lit(lg)
+        lang = F.when(cond, lg_lit) if lang is None else lang.when(
+            cond, lg_lit
+        )
+        content = F.when(cond, body) if content is None else content.when(
+            cond, body
+        )
+    return lang, content
+
+
+def q_code_contamination(spark, sf_dir):
+    """Benchmark decontamination for CODE
+    (operators/decontaminate.code_contamination): training files
+    sharing type-2-normal-form token 6-grams with an eval set — the
+    renamed/re-literaled HumanEval paste every sha tier and the
+    raw-text n-gram sweep (q_contamination) miss.  Stripes: full
+    renamed copies (share = 1.0), partial copies (template + divergent
+    tail, 0 < share < 1), and two clean stripes that share no gram.
+    The eval gram set broadcasts; the corpus is never shuffled."""
+    from schema_validator_spark.operators.decontaminate import (
+        code_contamination,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ev_lang, ev_content = _contam_tmpl_cols(did, F.lit("0"))
+    eval_df = docs.filter(did < 5).select(
+        did.alias("doc_id"),
+        ev_lang.alias("lang"),
+        ev_content.alias("content"),
+    )
+    t = F.floor(did / 4) % 5
+    m = did % 4
+    tr_lang, tr_content = _contam_tmpl_cols(t, did.cast("string"))
+    lang = (
+        F.when(m <= 1, tr_lang)
+        .when(m == 2, F.lit(_CONTAM_CLEAN[2][0]))
+        .otherwise(F.lit(_CONTAM_CLEAN[3][0]))
+    )
+    content = (
+        F.when(m == 0, tr_content)
+        .when(m == 1, F.concat(tr_content, F.lit(_CONTAM_TAIL)))
+        .when(m == 2, F.lit(_CONTAM_CLEAN[2][1]))
+        .otherwise(F.lit(_CONTAM_CLEAN[3][1]))
+    )
+    train = docs.select(
+        did.alias("doc_id"), lang.alias("lang"), content.alias("content")
+    )
+    return code_contamination(train, eval_df, ["doc_id"], k=6)
+
+
 def q_file_history(spark, sf_dir):
     """Commit-grain file-version churn
     (operators/history.churn_stats): per (repo, path) version count,
@@ -3743,6 +3833,9 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
         ["lang", "n_files"],
         ["tabs_share", "spaces_share", "mixed_share"],
     ),
+    "code_contamination": (
+        ["doc_id", "n_grams", "n_shared"], ["share"],
+    ),
 }
 
 
@@ -3941,6 +4034,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "api_diff": q_api_diff,
         "entropy_secrets": q_entropy_secrets,
         "curation_verdicts": q_curation_verdicts,
+        "code_contamination": q_code_contamination,
     }
 
 
@@ -4310,11 +4404,14 @@ def _code_chunks_oracle_sql() -> str:
     """
 
 
-def _function_clones_oracle_sql() -> str:
-    """Replay q_function_clones: the chunker's independent line-window
-    derivation (_chunks_cte_sql, same synth as code_chunks) composed
-    with the type-2 normalization chain from the shared clones
-    constants, then the md5 family grouping."""
+def _type2_chain_sql(src: str) -> tuple[str, str, str]:
+    """Staged DuckDB expressions replaying clones.normalize_type2 from
+    the SAME module constants — the single chain replay shared by
+    every oracle that normalizes code (type2_clones, function_clones,
+    code_contamination).  Returns ``(s1, s2_case, norm)``: ``s1``
+    reads ``src``, ``s2_case`` reads columns ``s1``/``lang``, ``norm``
+    reads column ``s2`` ('g' = replace-all, matching Spark's
+    default)."""
     from schema_validator_spark.operators.clones import (
         IDENT_PATTERN,
         I_TOK,
@@ -4327,7 +4424,7 @@ def _function_clones_oracle_sql() -> str:
         COMMENT_SYNTAX,
     )
 
-    s1 = "chunk_text"
+    s1 = src
     for pat in STRING_PATTERNS:
         s1 = f"regexp_replace({s1}, '{_esc_sq(pat)}', '{S_TOK}', 'g')"
     comment_whens = []
@@ -4344,6 +4441,15 @@ def _function_clones_oracle_sql() -> str:
     norm = f"regexp_replace(s2, '{_esc_sq(NUMBER_PATTERN)}', '{N_TOK}', 'g')"
     norm = f"regexp_replace({norm}, '{_esc_sq(IDENT_PATTERN)}', '{I_TOK}', 'g')"
     norm = rf"trim(regexp_replace({norm}, '\s+', ' ', 'g'))"
+    return s1, comment_case, norm
+
+
+def _function_clones_oracle_sql() -> str:
+    """Replay q_function_clones: the chunker's independent line-window
+    derivation (_chunks_cte_sql, same synth as code_chunks) composed
+    with the type-2 normalization chain from the shared clones
+    constants, then the md5 family grouping."""
+    s1, comment_case, norm = _type2_chain_sql("chunk_text")
     # reuse code_chunks' synth verbatim (single source: the Spark side
     # shares _code_chunks_synth)
     synth = _code_chunks_oracle_sql().split("), lines as (")[0]
@@ -4858,17 +4964,6 @@ def _type2_clones_oracle_sql() -> str:
     striped corpus, apply the identical ordered regexp_replace chain
     ('g' = replace-all, matching Spark's default), md5-group, filter
     empty normal forms and singletons."""
-    from schema_validator_spark.operators.clones import (
-        IDENT_PATTERN,
-        I_TOK,
-        NUMBER_PATTERN,
-        N_TOK,
-        STRING_PATTERNS,
-        S_TOK,
-    )
-    from schema_validator_spark.operators.codequality import (
-        COMMENT_SYNTAX,
-    )
 
     def _splice(tmpl: str) -> str:
         parts = tmpl.split("@")
@@ -4890,22 +4985,7 @@ def _type2_clones_oracle_sql() -> str:
         f" || ({_splice(ft)})"
         for i, (_, h, ln, ft) in sorted(_CLONE_TMPL.items())
     )
-    s1 = "content"
-    for pat in STRING_PATTERNS:
-        s1 = f"regexp_replace({s1}, '{_esc_sq(pat)}', '{S_TOK}', 'g')"
-    comment_whens = []
-    for lg, (line_pat, blk_pat) in sorted(COMMENT_SYNTAX.items()):
-        e = "s1"
-        if blk_pat:
-            e = f"regexp_replace({e}, '{_esc_sq(blk_pat)}', '', 'g')"
-        e = f"regexp_replace({e}, '{_esc_sq(line_pat)}', '', 'g')"
-        comment_whens.append(f"when lang = '{lg}' then {e}")
-    comment_case = (
-        "case " + "\n                 ".join(comment_whens) + " else s1 end"
-    )
-    norm = f"regexp_replace(s2, '{_esc_sq(NUMBER_PATTERN)}', '{N_TOK}', 'g')"
-    norm = f"regexp_replace({norm}, '{_esc_sq(IDENT_PATTERN)}', '{I_TOK}', 'g')"
-    norm = rf"trim(regexp_replace({norm}, '\s+', ' ', 'g'))"
+    s1, comment_case, norm = _type2_chain_sql("content")
     return f"""
       with synth as (
         select doc_id,
@@ -4928,6 +5008,95 @@ def _type2_clones_oracle_sql() -> str:
       where length(norm) > 0
       group by md5(norm)
       having count(*) >= 2
+    """
+
+
+def _code_contamination_oracle_sql() -> str:
+    """Replay q_code_contamination from the SAME constants
+    (_CONTAM_TMPL / _CONTAM_TAIL / _CONTAM_CLEAN via _duck_lit; the
+    shared _type2_chain_sql): synthesize both sides, normalize, build
+    distinct token 6-grams (inclusive-slice arithmetic: w[i:i+5] is 6
+    tokens, starts range(1, len(w)-4) — same convention as the green
+    `contamination` oracle), join train grams against the distinct
+    eval gram set, aggregate per doc."""
+
+    def _splice(tmpl: str, kexpr: str) -> str:
+        parts = tmpl.split("@")
+        out = []
+        for i, p in enumerate(parts):
+            if i:
+                out.append(kexpr)
+            if p:
+                out.append(_duck_lit(p))
+        return " || ".join(out) if out else "''"
+
+    ev_lang = "\n                 ".join(
+        f"when doc_id = {i} then '{lg}'"
+        for i, (lg, _) in sorted(_CONTAM_TMPL.items())
+    )
+    ev_content = "\n                 ".join(
+        f"when doc_id = {i} then ({_splice(tmpl, chr(39) + '0' + chr(39))})"
+        for i, (_, tmpl) in sorted(_CONTAM_TMPL.items())
+    )
+    t = "cast(floor(doc_id / 4) as bigint) % 5"
+    k = "cast(doc_id as varchar)"
+    tr_tmpl_lang = "\n                 ".join(
+        f"when {t} = {i} then '{lg}'"
+        for i, (lg, _) in sorted(_CONTAM_TMPL.items())
+    )
+    tr_tmpl_content = "\n                 ".join(
+        f"when {t} = {i} then ({_splice(tmpl, k)})"
+        for i, (_, tmpl) in sorted(_CONTAM_TMPL.items())
+    )
+    tr_lang = f"""case when doc_id % 4 <= 1 then (case {tr_tmpl_lang} end)
+                 when doc_id % 4 = 2 then '{_CONTAM_CLEAN[2][0]}'
+                 else '{_CONTAM_CLEAN[3][0]}' end"""
+    tr_content = f"""case
+                 when doc_id % 4 = 0 then (case {tr_tmpl_content} end)
+                 when doc_id % 4 = 1 then (case {tr_tmpl_content} end)
+                   || {_duck_lit(_CONTAM_TAIL)}
+                 when doc_id % 4 = 2 then {_duck_lit(_CONTAM_CLEAN[2][1])}
+                 else {_duck_lit(_CONTAM_CLEAN[3][1])} end"""
+    s1, comment_case, norm = _type2_chain_sql("content")
+    shingle = r"""
+        select {ids} list_filter(string_split_regex(trim(norm), '\s+'),
+                                 t -> t <> '') as w
+        from {src} where length(norm) > 0"""
+    grams = """
+        select {ids} case when len(w) >= 6
+                 then list_distinct(list_transform(range(1, len(w) - 4),
+                        i -> array_to_string(w[i:i+5], ' ')))
+                 else [array_to_string(w, ' ')] end as g_all
+        from {src}"""
+    return f"""
+      with ev_synth as (
+        select doc_id, case {ev_lang} end as lang,
+               case {ev_content} end as content
+        from documents where doc_id < 5
+      ), ev1 as (select lang, {s1} as s1 from ev_synth
+      ), ev2 as (select {comment_case} as s2 from ev1
+      ), evn as (select {norm} as norm from ev2
+      ), evw as ({shingle.format(ids="", src="evn")}
+      ), evga as ({grams.format(ids="", src="evw")}
+      ), evg as (select distinct unnest(g_all) as g from evga
+      ), tr_synth as (
+        select doc_id, {tr_lang} as lang, {tr_content} as content
+        from documents
+      ), tr1 as (select doc_id, lang, {s1} as s1 from tr_synth
+      ), tr2 as (select doc_id, {comment_case} as s2 from tr1
+      ), trn as (select doc_id, {norm} as norm from tr2
+      ), trw as ({shingle.format(ids="doc_id,", src="trn")}
+      ), trga as ({grams.format(ids="doc_id,", src="trw")}
+      ), trg as (
+        select doc_id, cast(len(g_all) as int) as n_grams,
+               unnest(g_all) as g
+        from trga
+      )
+      select doc_id, max(n_grams) as n_grams,
+             cast(count(*) as bigint) as n_shared,
+             round(cast(count(*) as double) / max(n_grams), 6) as share
+      from trg join evg using (g)
+      group by doc_id
     """
 
 
@@ -6744,6 +6913,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "api_diff": _API_DIFF_ORACLE_SQL,
         "entropy_secrets": _entropy_secrets_oracle_sql(),
         "curation_verdicts": _curation_verdicts_oracle_sql(),
+        "code_contamination": _code_contamination_oracle_sql(),
         "lang_mismatch": _LANG_MISMATCH_ORACLE_SQL,
         "notebook_cells": _NOTEBOOK_ORACLE_SQL,
         "code_imports": _imports_oracle_sql(),
