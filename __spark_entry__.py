@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (150/150), including the approximate tiers
+EVERY query has an oracle (151/151), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -2842,12 +2842,14 @@ _CONTAM_CLEAN: dict[int, tuple[str, str]] = {
 }
 
 
-def _contam_tmpl_cols(t, k):
-    """(lang, content) when-chains: template ``t`` spliced with ``k``."""
+def _tmpl_cols(tmpl: dict[int, tuple[str, str]], sel, k):
+    """(lang, content) when-chains: pick ``tmpl[sel]`` and splice
+    every '@' with ``k`` (shared by the contamination / unused-import
+    syntheses)."""
     lang = content = None
-    for i, (lg, tmpl) in sorted(_CONTAM_TMPL.items()):
-        cond = t == i
-        body = _clone_splice(tmpl, k)
+    for i, (lg, t) in sorted(tmpl.items()):
+        cond = sel == i
+        body = _clone_splice(t, k)
         lg_lit = F.lit(lg)
         lang = F.when(cond, lg_lit) if lang is None else lang.when(
             cond, lg_lit
@@ -2856,6 +2858,11 @@ def _contam_tmpl_cols(t, k):
             cond, body
         )
     return lang, content
+
+
+def _contam_tmpl_cols(t, k):
+    """(lang, content) when-chains: template ``t`` spliced with ``k``."""
+    return _tmpl_cols(_CONTAM_TMPL, t, k)
 
 
 def q_code_contamination(spark, sf_dir):
@@ -2897,6 +2904,45 @@ def q_code_contamination(spark, sf_dir):
         did.alias("doc_id"), lang.alias("lang"), content.alias("content")
     )
     return code_contamination(train, eval_df, ["doc_id"], k=6)
+
+
+#: unused-import synthesis, one stripe per lang family (m = doc_id % 5);
+#: '@' = cast(doc_id as varchar) splice so the dead binding varies per
+#: doc.  Planted facts: 0 -> dead@ unused; 1 -> h@ (as-alias) unused;
+#: 2 -> u@ (go alias) and http (plain path) unused, fmt used;
+#: 3 -> q@ (require) unused, R@ (default import) used;
+#: 4 -> D@ unused, C@ used, static max used.  Single-sourced for the
+#: oracle via _duck_lit.
+_UNUSED_TMPL: dict[int, tuple[str, str]] = {
+    0: ("py", "import used0\nimport dead@\nused0.go()\n"),
+    1: ("py", "from m import f@, g@ as h@\nf@()\n"),
+    2: ("go", 'import "fmt"\nimport u@ "a/b@"\nimport "net/http"\n'
+        "func main() { fmt.Println(1) }\n"),
+    3: ("js", "import R@ from 'react';\nconst q@ = require('qs');\n"
+        "R@.x();\n"),
+    4: ("java", "import a.b.C@;\nimport a.b.D@;\n"
+        "import static java.lang.Math.max;\n"
+        "class Z { C@ v = max(1, 2); }\n"),
+}
+
+
+def q_unused_imports(spark, sf_dir):
+    """Dead-import hygiene scan (functions/imports.unused_imports):
+    declared bindings never referenced outside the import lines —
+    flake8-F401/goimports tier, per-lang binding grammars (py
+    import/from/as + comma lists, go alias + path-segment packages,
+    js default/namespace/braces/require, java last-dotted-segment).
+    One planted unused binding per stripe (two for go), every other
+    binding used; zero shuffles."""
+    from schema_validator_spark.functions.imports import unused_imports
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    lang, content = _tmpl_cols(_UNUSED_TMPL, did % 5, did.cast("string"))
+    df = docs.select(
+        did.alias("doc_id"), lang.alias("lang"), content.alias("content")
+    )
+    return unused_imports(df, ["doc_id"], "content", "lang")
 
 
 def q_file_history(spark, sf_dir):
@@ -4035,6 +4081,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_secrets": q_entropy_secrets,
         "curation_verdicts": q_curation_verdicts,
         "code_contamination": q_code_contamination,
+        "unused_imports": q_unused_imports,
     }
 
 
@@ -4957,6 +5004,20 @@ def _test_mapping_oracle_sql() -> str:
     """
 
 
+def _duck_splice(tmpl: str, kexpr: str = "cast(doc_id as varchar)") -> str:
+    """DuckDB expression: ``tmpl`` with every '@' replaced by
+    ``kexpr`` — the SQL twin of _clone_splice, shared by every
+    template-synthesis oracle."""
+    parts = tmpl.split("@")
+    out = []
+    for i, p in enumerate(parts):
+        if i:
+            out.append(kexpr)
+        if p:
+            out.append(_duck_lit(p))
+    return " || ".join(out) if out else "''"
+
+
 def _type2_clones_oracle_sql() -> str:
     """Replay q_type2_clones from the SAME constants (_CLONE_TMPL via
     _duck_lit; clones.STRING_PATTERNS / COMMENT_SYNTAX /
@@ -4965,15 +5026,7 @@ def _type2_clones_oracle_sql() -> str:
     ('g' = replace-all, matching Spark's default), md5-group, filter
     empty normal forms and singletons."""
 
-    def _splice(tmpl: str) -> str:
-        parts = tmpl.split("@")
-        out = []
-        for i, p in enumerate(parts):
-            if i:
-                out.append("cast(doc_id as varchar)")
-            if p:
-                out.append(_duck_lit(p))
-        return " || ".join(out) if out else "''"
+    _splice = _duck_splice
 
     synth_lang = "\n                 ".join(
         f"when doc_id % 5 = {i} then '{lg}'"
@@ -5020,15 +5073,7 @@ def _code_contamination_oracle_sql() -> str:
     `contamination` oracle), join train grams against the distinct
     eval gram set, aggregate per doc."""
 
-    def _splice(tmpl: str, kexpr: str) -> str:
-        parts = tmpl.split("@")
-        out = []
-        for i, p in enumerate(parts):
-            if i:
-                out.append(kexpr)
-            if p:
-                out.append(_duck_lit(p))
-        return " || ".join(out) if out else "''"
+    _splice = _duck_splice
 
     ev_lang = "\n                 ".join(
         f"when doc_id = {i} then '{lg}'"
@@ -5097,6 +5142,128 @@ def _code_contamination_oracle_sql() -> str:
              round(cast(count(*) as double) / max(n_grams), 6) as share
       from trg join evg using (g)
       group by doc_id
+    """
+
+
+def _unused_imports_oracle_sql() -> str:
+    """Replay q_unused_imports from the SAME constants (_UNUSED_TMPL
+    via _duck_splice; the binding/strip/scan regexes from
+    functions/imports.py): synthesize the striped corpus, strip import
+    lines, scan used identifiers, parse per-lang bindings with the
+    identical list pipeline, and emit valid-distinct-unused bindings."""
+    from schema_validator_spark.functions.imports import (
+        GO_BIND_RE,
+        IDENT_FULL,
+        IDENT_SCAN,
+        JAVA_BIND_RE,
+        JS_BRACES_RE,
+        JS_DEFAULT_RE,
+        JS_NS_RE,
+        JS_REQUIRE_RE,
+        PY_FROM_RE,
+        PY_IMPORT_RE,
+        STRIP_RES,
+    )
+
+    def strip(src: str, lg: str) -> str:
+        e = src
+        for pat in STRIP_RES[lg]:
+            e = f"regexp_replace({e}, '{_esc_sq(pat)}', '', 'g')"
+        return e
+
+    def after_as(x: str) -> str:
+        return (
+            f"trim(string_split_regex(trim({x}),"
+            r" '[ \t]+as[ \t]+')[-1])"
+        )
+
+    def items(src: str, pat: str) -> str:
+        return (
+            f"flatten(list_transform(regexp_extract_all({src},"
+            f" '{_esc_sq(pat)}', 1), x -> string_split(x, ',')))"
+        )
+
+    synth_lang = "\n                 ".join(
+        f"when doc_id % 5 = {i} then '{lg}'"
+        for i, (lg, _) in sorted(_UNUSED_TMPL.items())
+    )
+    synth_content = "\n                 ".join(
+        f"when doc_id % 5 = {i} then ({_duck_splice(tmpl)})"
+        for i, (_, tmpl) in sorted(_UNUSED_TMPL.items())
+    )
+    py_bind = (
+        f"list_concat("
+        f"list_transform({items('content', PY_FROM_RE)},"
+        f" it -> {after_as('it')}), "
+        f"list_transform({items('content', PY_IMPORT_RE)},"
+        f" it -> regexp_extract({after_as('it')},"
+        f" '^([A-Za-z_][A-Za-z0-9_]*)', 1)))"
+    )
+    go_bind = (
+        "list_filter(list_transform(range(1, len(pt) + 1),"
+        " i -> case when coalesce(al[i], '') = ''"
+        " then string_split(pt[i], '/')[-1]"
+        " else al[i] end), b -> b <> '_')"
+    )
+    js_bind = (
+        f"list_concat(list_concat("
+        f"regexp_extract_all(content, '{_esc_sq(JS_DEFAULT_RE)}', 1), "
+        f"regexp_extract_all(content, '{_esc_sq(JS_NS_RE)}', 1)), "
+        f"list_concat("
+        f"regexp_extract_all(content, '{_esc_sq(JS_REQUIRE_RE)}', 1), "
+        f"list_transform({items('content', JS_BRACES_RE)},"
+        f" it -> {after_as('it')})))"
+    )
+    jv_bind = (
+        f"list_transform(regexp_extract_all(content,"
+        f" '{_esc_sq(JAVA_BIND_RE)}', 1),"
+        f" p -> string_split(p, '.')[-1])"
+    )
+    used = (
+        "list_distinct(regexp_extract_all(rest,"
+        f" '{_esc_sq(IDENT_SCAN)}'))"
+    )
+    return f"""
+      with synth as (
+        select doc_id,
+               case {synth_lang} end as lang,
+               case {synth_content} end as content
+        from documents
+      ), py as (
+        select doc_id, lang, content, {strip('content', 'py')} as rest
+        from synth where doc_id % 5 in (0, 1)
+      ), pyb as (
+        select doc_id, lang, {py_bind} as bind, {used} as used from py
+      ), go1 as (
+        select doc_id, lang, content, {strip('content', 'go')} as rest
+        from synth where doc_id % 5 = 2
+      ), go2 as (
+        select doc_id, lang, rest,
+               regexp_extract_all(content, '{_esc_sq(GO_BIND_RE)}', 1) as al,
+               regexp_extract_all(content, '{_esc_sq(GO_BIND_RE)}', 2) as pt
+        from go1
+      ), gob as (
+        select doc_id, lang, {go_bind} as bind, {used} as used from go2
+      ), js as (
+        select doc_id, lang, content, {strip('content', 'js')} as rest
+        from synth where doc_id % 5 = 3
+      ), jsb as (
+        select doc_id, lang, {js_bind} as bind, {used} as used from js
+      ), jv as (
+        select doc_id, lang, content, {strip('content', 'java')} as rest
+        from synth where doc_id % 5 = 4
+      ), jvb as (
+        select doc_id, lang, {jv_bind} as bind, {used} as used from jv
+      ), allb as (
+        select * from pyb union all select * from gob
+        union all select * from jsb union all select * from jvb
+      )
+      select doc_id, lang,
+             unnest(list_filter(
+               list_distinct(list_filter(bind,
+                 b -> regexp_matches(b, '{_esc_sq(IDENT_FULL)}'))),
+               b -> not list_contains(used, b))) as binding
+      from allb
     """
 
 
@@ -6914,6 +7081,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "entropy_secrets": _entropy_secrets_oracle_sql(),
         "curation_verdicts": _curation_verdicts_oracle_sql(),
         "code_contamination": _code_contamination_oracle_sql(),
+        "unused_imports": _unused_imports_oracle_sql(),
         "lang_mismatch": _LANG_MISMATCH_ORACLE_SQL,
         "notebook_cells": _NOTEBOOK_ORACLE_SQL,
         "code_imports": _imports_oracle_sql(),

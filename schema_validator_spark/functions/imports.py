@@ -70,6 +70,175 @@ def extract_imports(
     )
 
 
+#: unused-import detection: per-lang BINDING extraction (the local name
+#: an import introduces — not the module path extract_imports returns).
+#: All RE2-safe.  Syntactic tier, conservative by construction: a
+#: binding mentioned anywhere outside the import lines (even in a
+#: comment or string) counts as used, and anything that fails to parse
+#: as an identifier (wildcards, parenthesized py continuation lines,
+#: js multi-line import statements, go '-' path segments) is excluded
+#: from consideration — so the scanner under-reports, never invents.
+PY_FROM_RE = r"(?m)^[ \t]*from[ \t]+[A-Za-z_][A-Za-z0-9_.]*[ \t]+import[ \t]+([^\n#]+)"
+PY_IMPORT_RE = r"(?m)^[ \t]*import[ \t]+([^\n#]+)"
+GO_BIND_RE = (
+    r"(?m)^[ \t]*(?:import[ \t]+)?"
+    r"(?:([._A-Za-z][A-Za-z0-9_]*)[ \t]+)?\"([A-Za-z0-9_./\-]+)\""
+)
+JAVA_BIND_RE = r"(?m)^import[ \t]+(?:static[ \t]+)?([A-Za-z_][A-Za-z0-9_.]*)[ \t]*;"
+JS_DEFAULT_RE = r"import[ \t]+([A-Za-z_$][A-Za-z0-9_$]*)[ \t]*(?:,|from)"
+JS_NS_RE = r"import[ \t]+\*[ \t]+as[ \t]+([A-Za-z_$][A-Za-z0-9_$]*)"
+JS_BRACES_RE = r"import[^\n;]*?\{([^}\n]*)\}"
+JS_REQUIRE_RE = (
+    r"(?m)^[ \t]*(?:const|let|var)[ \t]+"
+    r"([A-Za-z_$][A-Za-z0-9_$]*)[ \t]*=[ \t]*require[ \t]*\("
+)
+#: full-match validity gate for a reportable binding
+IDENT_FULL = r"^[A-Za-z_$][A-Za-z0-9_$]*$"
+#: identifier shape for the "used anywhere else" scan
+IDENT_SCAN = r"[A-Za-z_$][A-Za-z0-9_$]*"
+#: lang -> patterns whose matches are STRIPPED before the usage scan
+STRIP_RES: dict[str, tuple[str, ...]] = {
+    "py": (r"(?m)^[ \t]*(?:from|import)[ \t][^\n]*",),
+    "go": (
+        r"(?m)^[ \t]*(?:import[ \t]+)?"
+        r"(?:[._A-Za-z][A-Za-z0-9_]*[ \t]+)?\"[A-Za-z0-9_./\-]+\"",
+    ),
+    "java": (r"(?m)^import[ \t][^\n]*",),
+    "js": (
+        r"(?m)^[ \t]*import[ \t{*][^\n]*",
+        r"(?m)^[ \t]*(?:const|let|var)[ \t]+[^\n]*?require[ \t]*\([^\n]*",
+    ),
+}
+STRIP_RES["ts"] = STRIP_RES["js"]
+
+
+def _after_as(item):
+    """Last `' as '`-separated token of a trimmed list item: `y as z`
+    -> z, plain `y` -> y (split of a non-matching string is itself)."""
+    return F.trim(
+        F.element_at(F.split(F.trim(item), r"[ \t]+as[ \t]+"), -1)
+    )
+
+
+def _split_items(lists_col):
+    return F.flatten(F.transform(lists_col, lambda x: F.split(x, ",")))
+
+
+def _valid(arr):
+    return F.filter(arr, lambda b: b.rlike(IDENT_FULL))
+
+
+def _py_bindings(s):
+    frm = F.transform(
+        _split_items(F.regexp_extract_all(s, F.lit(PY_FROM_RE), 1)),
+        _after_as,
+    )
+    plain = F.transform(
+        _split_items(F.regexp_extract_all(s, F.lit(PY_IMPORT_RE), 1)),
+        lambda it: F.regexp_extract(
+            _after_as(it), r"^([A-Za-z_][A-Za-z0-9_]*)", 1
+        ),
+    )
+    return _valid(F.concat(frm, plain))
+
+
+def _go_bindings(s):
+    aliases = F.regexp_extract_all(s, F.lit(GO_BIND_RE), 1)
+    paths = F.regexp_extract_all(s, F.lit(GO_BIND_RE), 2)
+    bound = F.zip_with(
+        aliases,
+        paths,
+        lambda a, p: F.when(
+            F.coalesce(a, F.lit("")) == "",
+            F.element_at(F.split(p, "/"), -1),
+        ).otherwise(a),
+    )
+    # '_' (side-effect import) and '.' (dot import) bind nothing a
+    # usage scan could see; '-' path segments fail the identifier gate
+    return F.filter(
+        _valid(bound), lambda b: (b != "_")
+    )
+
+
+def _java_bindings(s):
+    return _valid(
+        F.transform(
+            F.regexp_extract_all(s, F.lit(JAVA_BIND_RE), 1),
+            lambda p: F.element_at(F.split(p, r"\."), -1),
+        )
+    )
+
+
+def _js_bindings(s):
+    singles = F.concat(
+        F.regexp_extract_all(s, F.lit(JS_DEFAULT_RE), 1),
+        F.regexp_extract_all(s, F.lit(JS_NS_RE), 1),
+        F.regexp_extract_all(s, F.lit(JS_REQUIRE_RE), 1),
+    )
+    braced = F.transform(
+        _split_items(F.regexp_extract_all(s, F.lit(JS_BRACES_RE), 1)),
+        _after_as,
+    )
+    return _valid(F.concat(singles, braced))
+
+
+def unused_imports(
+    df: DataFrame,
+    id_cols: list[str],
+    content_col: str,
+    lang_col: str,
+) -> DataFrame:
+    """Declared-but-never-referenced import bindings, exploded:
+    ``(id_cols..., lang, binding)`` — the dead-dependency hygiene scan
+    (flake8 F401 / goimports / eslint no-unused-vars tier) a corpus
+    gate runs before trusting manifest_deps or import_edges as a
+    coupling signal.
+
+    A binding is "unused" when the identifier never appears in the
+    file after every import line is stripped.  Member access counts
+    (``import a.b`` is used by ``a.b.c()`` — the scan sees ``a``); so
+    do mentions in strings/comments — both err toward NOT reporting.
+    Langs: py (import / from-import / as-aliases, comma lists), go
+    (quoted paths, alias form; '_'/'.' imports excluded), js/ts
+    (default / namespace / single-line braces / simple require), java
+    (last dotted segment; wildcard imports never match).
+
+    Scale shape: per-lang extraction behind a lazy CASE (only the
+    matched branch's regexes run), binding parse + usage diff are
+    array HOFs over per-file lists, explode rides the scan — zero
+    shuffles, zero Python."""
+    if not id_cols:
+        raise ValueError("unused_imports needs id columns")
+    s = F.coalesce(F.col(content_col), F.lit(""))
+    lang = F.lower(F.coalesce(F.col(lang_col), F.lit("")))
+    binders = {
+        "py": _py_bindings,
+        "go": _go_bindings,
+        "js": _js_bindings,
+        "ts": _js_bindings,
+        "java": _java_bindings,
+    }
+    chain = None
+    for lg in sorted(binders):
+        rest = s
+        for pat in STRIP_RES[lg]:
+            rest = F.regexp_replace(rest, pat, "")
+        used = F.array_distinct(
+            F.regexp_extract_all(rest, F.lit(IDENT_SCAN), 0)
+        )
+        unused = F.array_except(binders[lg](s), used)
+        cond = lang == lg
+        chain = (
+            F.when(cond, unused) if chain is None else chain.when(cond, unused)
+        )
+    arr = chain.otherwise(F.array().cast("array<string>"))
+    return df.select(
+        *id_cols,
+        F.col(lang_col).alias("lang"),
+        F.explode(arr).alias("binding"),
+    )
+
+
 def import_edges(
     df: DataFrame,
     repo_col: str,
