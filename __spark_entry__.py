@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (151/151), including the approximate tiers
+EVERY query has an oracle (152/152), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -2926,6 +2926,38 @@ _UNUSED_TMPL: dict[int, tuple[str, str]] = {
 }
 
 
+#: debt-marker synthesis (m = doc_id % 4): a TODO line, a line
+#: carrying BOTH a FIXME and a HACK (one debt line, two marker
+#: counts), an XXX inside a string (syntactic tier counts it) next to
+#: an embedded myTODO that must NOT count, and a clean stripe.
+_DEBT_TMPL: dict[int, tuple[str, str]] = {
+    0: ("py", "x@ = 1\n# TODO: fix @\ny = 2\n"),
+    1: ("js", "// FIXME @ and HACK @\nlet z@ = 3;\n"),
+    2: ("go", 's := "XXX @"\nmyTODO := 1\n'),
+    3: ("java", "int a@ = 4;\nint b = a@;\n"),
+}
+
+
+def q_repo_debt(spark, sf_dir):
+    """Repo-grain tech-debt rollup
+    (operators/codequality.repo_debt): TODO/FIXME/HACK/XXX marker
+    lines, token-boundary matched per \\n-split line with explicit
+    engine-neutral char classes (see the module doc for why neither
+    multiline `$` nor `.` nor `\\b` can appear), plus debt density per
+    kline.  One zero-shuffle scan + one map-side-combinable repo
+    groupBy."""
+    from schema_validator_spark.operators.codequality import repo_debt
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    _, content = _tmpl_cols(_DEBT_TMPL, did % 4, did.cast("string"))
+    df = docs.select(
+        F.concat(F.lit("r"), (did % 7).cast("string")).alias("repo"),
+        content.alias("content"),
+    )
+    return repo_debt(df, "repo", "content")
+
+
 def q_unused_imports(spark, sf_dir):
     """Dead-import hygiene scan (functions/imports.unused_imports):
     declared bindings never referenced outside the import lines —
@@ -3882,6 +3914,11 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
     "code_contamination": (
         ["doc_id", "n_grams", "n_shared"], ["share"],
     ),
+    "repo_debt": (
+        ["repo", "n_files", "n_lines", "n_todo", "n_fixme", "n_hack",
+         "n_xxx", "n_debt_lines"],
+        ["debt_per_kline"],
+    ),
 }
 
 
@@ -4082,6 +4119,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_verdicts": q_curation_verdicts,
         "code_contamination": q_code_contamination,
         "unused_imports": q_unused_imports,
+        "repo_debt": q_repo_debt,
     }
 
 
@@ -5142,6 +5180,54 @@ def _code_contamination_oracle_sql() -> str:
              round(cast(count(*) as double) / max(n_grams), 6) as share
       from trg join evg using (g)
       group by doc_id
+    """
+
+
+def _repo_debt_oracle_sql() -> str:
+    """Replay q_repo_debt from the SAME constants (_DEBT_TMPL via
+    _duck_splice; codequality._marker_line_re / DEBT_MARKERS): split
+    lines, full-match each against the identical per-line pattern,
+    roll up per repo."""
+    from schema_validator_spark.operators.codequality import (
+        DEBT_MARKERS,
+        _marker_line_re,
+    )
+
+    synth_content = "\n                 ".join(
+        f"when doc_id % 4 = {i} then ({_duck_splice(tmpl)})"
+        for i, (_, tmpl) in sorted(_DEBT_TMPL.items())
+    )
+    union = _marker_line_re("(?:" + "|".join(DEBT_MARKERS) + ")")
+    marker_counts = ",\n               ".join(
+        f"len(list_filter(ls, l -> regexp_matches(l,"
+        f" '{_esc_sq(_marker_line_re(m))}'))) as n_{m.lower()}"
+        for m in DEBT_MARKERS
+    )
+    marker_sums = ",\n             ".join(
+        f"cast(sum(n_{m.lower()}) as bigint) as n_{m.lower()}"
+        for m in DEBT_MARKERS
+    )
+    return f"""
+      with synth as (
+        select 'r' || cast(doc_id % 7 as varchar) as repo,
+               case {synth_content} end as content
+        from documents
+      ), ln as (
+        select repo, string_split(content, chr(10)) as ls from synth
+      ), per as (
+        select repo, len(ls) as n_lines,
+               {marker_counts},
+               len(list_filter(ls, l -> regexp_matches(l,
+                 '{_esc_sq(union)}'))) as n_debt
+        from ln
+      )
+      select repo, cast(count(*) as bigint) as n_files,
+             cast(sum(n_lines) as bigint) as n_lines,
+             {marker_sums},
+             cast(sum(n_debt) as bigint) as n_debt_lines,
+             round(1000 * cast(sum(n_debt) as double) / sum(n_lines), 6)
+               as debt_per_kline
+      from per group by repo
     """
 
 
@@ -7082,6 +7168,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "curation_verdicts": _curation_verdicts_oracle_sql(),
         "code_contamination": _code_contamination_oracle_sql(),
         "unused_imports": _unused_imports_oracle_sql(),
+        "repo_debt": _repo_debt_oracle_sql(),
         "lang_mismatch": _LANG_MISMATCH_ORACLE_SQL,
         "notebook_cells": _NOTEBOOK_ORACLE_SQL,
         "code_imports": _imports_oracle_sql(),
