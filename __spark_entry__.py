@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (152/152), including the approximate tiers
+EVERY query has an oracle (153/153), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -2938,6 +2938,38 @@ _DEBT_TMPL: dict[int, tuple[str, str]] = {
 }
 
 
+#: embedded-text synthesis (m = doc_id % 4): plain string + line
+#: comment; multi-line triple-quoted docstring + tail comment; a URL
+#: literal whose // must NOT spawn a comment, plus a multi-line block
+#: comment and a single-quoted literal; a go file with line + block.
+_EMBED_TMPL: dict[int, tuple[str, str]] = {
+    0: ("py", 'x@ = "s@"\n# note @\ny = 1\n'),
+    1: ("py", '"""doc @\nmore"""\nz@ = 2  # tail@\n'),
+    2: ("js", 'const u@ = "http://a@.io"; // c@\n/* blk @\nend */\n'
+        "let v = 'q@';\n"),
+    3: ("go", "a@ := 1 // line @\n/* b@ */\n"),
+}
+
+
+def q_embedded_text(spark, sf_dir):
+    """Embedded natural-text extraction
+    (functions/embedded.embedded_text): string literals + comments as
+    (kind, text) rows — the NL channel of a code corpus (feeds
+    lang-id/PII/decontamination without treating files as prose).
+    Ordered masking: strings first (a // inside a URL literal never
+    spawns a comment), block comments before line comments (no double
+    emit).  One codegen projection + one explode, zero shuffles."""
+    from schema_validator_spark.functions.embedded import embedded_text
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    lang, content = _tmpl_cols(_EMBED_TMPL, did % 4, did.cast("string"))
+    df = docs.select(
+        did.alias("doc_id"), lang.alias("lang"), content.alias("content")
+    )
+    return embedded_text(df, ["doc_id"], "content", "lang")
+
+
 def q_repo_debt(spark, sf_dir):
     """Repo-grain tech-debt rollup
     (operators/codequality.repo_debt): TODO/FIXME/HACK/XXX marker
@@ -4120,6 +4152,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_contamination": q_code_contamination,
         "unused_imports": q_unused_imports,
         "repo_debt": q_repo_debt,
+        "embedded_text": q_embedded_text,
     }
 
 
@@ -5180,6 +5213,75 @@ def _code_contamination_oracle_sql() -> str:
              round(cast(count(*) as double) / max(n_grams), 6) as share
       from trg join evg using (g)
       group by doc_id
+    """
+
+
+def _embedded_text_oracle_sql() -> str:
+    """Replay q_embedded_text from the SAME constants (_EMBED_TMPL via
+    _duck_splice; clones.STRING_PATTERNS / S_TOK /
+    codequality.COMMENT_SYNTAX): the staged extract-and-mask string
+    chain (e0..e4 CTE columns), then per-stripe comment extraction
+    from the masked residue, block before line."""
+    from schema_validator_spark.operators.clones import (
+        S_TOK,
+        STRING_PATTERNS,
+    )
+    from schema_validator_spark.operators.codequality import (
+        COMMENT_SYNTAX,
+    )
+
+    synth_lang = "\n                 ".join(
+        f"when doc_id % 4 = {i} then '{lg}'"
+        for i, (lg, _) in sorted(_EMBED_TMPL.items())
+    )
+    synth_content = "\n                 ".join(
+        f"when doc_id % 4 = {i} then ({_duck_splice(tmpl)})"
+        for i, (_, tmpl) in sorted(_EMBED_TMPL.items())
+    )
+    stages = []
+    for i, pat in enumerate(STRING_PATTERNS):
+        stages.append(
+            f"st{i + 1} as (select doc_id, lang,"
+            f" regexp_extract_all(e{i}, '{_esc_sq(pat)}') as x{i + 1},"
+            f" regexp_replace(e{i}, '{_esc_sq(pat)}', '{S_TOK}', 'g')"
+            f" as e{i + 1}"
+            + (", " + ", ".join(f"x{j}" for j in range(1, i + 1))
+               if i else "")
+            + f" from st{i})"
+        )
+    n = len(STRING_PATTERNS)
+    strings_arr = " || ".join(f"x{j}" for j in range(1, n + 1))
+    comment_whens = []
+    for lg, (line_pat, blk_pat) in sorted(COMMENT_SYNTAX.items()):
+        if blk_pat:
+            e = (
+                f"list_concat("
+                f"regexp_extract_all(e{n}, '{_esc_sq(blk_pat)}'), "
+                f"regexp_extract_all(regexp_replace(e{n},"
+                f" '{_esc_sq(blk_pat)}', '', 'g'),"
+                f" '{_esc_sq(line_pat)}'))"
+            )
+        else:
+            e = f"regexp_extract_all(e{n}, '{_esc_sq(line_pat)}')"
+        comment_whens.append(f"when lang = '{lg}' then {e}")
+    comment_case = (
+        "case " + "\n                 ".join(comment_whens)
+        + " else [] end"
+    )
+    return f"""
+      with st0 as (
+        select doc_id,
+               case {synth_lang} end as lang,
+               case {synth_content} end as e0
+        from documents
+      ), {", ".join(stages)}
+      select doc_id, 'string' as kind,
+             unnest({strings_arr}) as text
+      from st{n}
+      union all
+      select doc_id, 'comment' as kind,
+             unnest({comment_case}) as text
+      from st{n}
     """
 
 
@@ -7169,6 +7271,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "code_contamination": _code_contamination_oracle_sql(),
         "unused_imports": _unused_imports_oracle_sql(),
         "repo_debt": _repo_debt_oracle_sql(),
+        "embedded_text": _embedded_text_oracle_sql(),
         "lang_mismatch": _LANG_MISMATCH_ORACLE_SQL,
         "notebook_cells": _NOTEBOOK_ORACLE_SQL,
         "code_imports": _imports_oracle_sql(),

@@ -1,0 +1,138 @@
+"""Embedded natural-text extraction from source code: string literals
+and comments, exploded as ``(id..., kind, text)`` rows — the NL channel
+of a code corpus.  This is the input surface for running the TEXT
+pipeline over code (language-ID of comments, PII sweep over literals,
+docstring-grade quality scoring, NL decontamination) without treating
+whole files as prose.
+
+Extraction order is the type-2 normalization chain's (single source of
+truth: clones.STRING_PATTERNS / codequality.COMMENT_SYNTAX): string
+literals are extracted-and-masked FIRST, pattern by pattern, so a
+``//`` inside a URL literal never spawns a comment and a triple-quoted
+docstring is one fragment rather than an empty pair + body; comments
+are then extracted from the masked residue, block comments before line
+comments so a ``//`` inside ``/* ... */`` is not double-emitted.
+
+Documented syntactic-tier trades (deterministic, same in the DuckDB
+oracle): a quoted fragment inside a comment is emitted as a 'string'
+row (strings mask first), and a string masked inside a comment leaves
+the class token ``§`` in the emitted comment text.  Fragments keep
+their delimiters (quotes / comment markers) — they are loss-free spans
+of the original text, modulo the masking above.
+
+Scale shape: the whole extraction is one codegen projection (chained
+regexp_extract_all / regexp_replace + array HOFs) and ONE explode
+riding the scan — zero shuffles, zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.clones import S_TOK, STRING_PATTERNS
+from ..operators.codequality import COMMENT_SYNTAX
+
+
+def _fragments(content_col: str, lang_col: str, syn):
+    """(strings, comments) array Columns — the shared extraction."""
+    s = F.coalesce(F.col(content_col), F.lit(""))
+    lang = F.lower(F.coalesce(F.col(lang_col), F.lit("")))
+
+    strings = F.array().cast("array<string>")
+    cur = s
+    for pat in STRING_PATTERNS:
+        strings = F.concat(
+            strings, F.regexp_extract_all(cur, F.lit(pat), 0)
+        )
+        cur = F.regexp_replace(cur, pat, S_TOK)
+
+    empty = F.array().cast("array<string>")
+    chain = None
+    for lg, (line_pat, blk_pat) in sorted(syn.items()):
+        if blk_pat:
+            arr = F.concat(
+                F.regexp_extract_all(cur, F.lit(blk_pat), 0),
+                F.regexp_extract_all(
+                    F.regexp_replace(cur, blk_pat, ""),
+                    F.lit(line_pat),
+                    0,
+                ),
+            )
+        else:
+            arr = F.regexp_extract_all(cur, F.lit(line_pat), 0)
+        cond = lang == lg
+        chain = F.when(cond, arr) if chain is None else chain.when(cond, arr)
+    comments = chain.otherwise(empty) if chain is not None else empty
+    return strings, comments
+
+
+def embedded_text(
+    df: DataFrame,
+    id_cols: list[str],
+    content_col: str,
+    lang_col: str,
+    *,
+    syntax: dict[str, tuple[str, str | None]] | None = None,
+) -> DataFrame:
+    """``(id_cols..., kind, text)`` — one row per string literal
+    (``kind = 'string'``) and per comment (``kind = 'comment'``),
+    duplicates preserved.  Langs without a registered comment syntax
+    still yield string rows."""
+    if not id_cols:
+        raise ValueError("embedded_text needs id columns")
+    syn = syntax if syntax is not None else COMMENT_SYNTAX
+    strings, comments = _fragments(content_col, lang_col, syn)
+
+    tagged = F.concat(
+        F.transform(
+            strings,
+            lambda x: F.struct(
+                F.lit("string").alias("kind"), x.alias("text")
+            ),
+        ),
+        F.transform(
+            comments,
+            lambda x: F.struct(
+                F.lit("comment").alias("kind"), x.alias("text")
+            ),
+        ),
+    )
+    return df.select(
+        *id_cols, F.explode(tagged).alias("_f")
+    ).select(*id_cols, F.col("_f.kind").alias("kind"),
+             F.col("_f.text").alias("text"))
+
+
+def embedded_text_stats(
+    df: DataFrame,
+    id_cols: list[str],
+    content_col: str,
+    lang_col: str,
+    *,
+    syntax: dict[str, tuple[str, str | None]] | None = None,
+) -> DataFrame:
+    """Per-file channel summary: ``(id_cols..., n_strings, n_comments,
+    string_chars, comment_chars)`` — same extraction, no explode and
+    NO shuffle (one projection; counts and char sums are array HOFs
+    over the materialized fragment lists)."""
+    if not id_cols:
+        raise ValueError("embedded_text_stats needs id columns")
+    syn = syntax if syntax is not None else COMMENT_SYNTAX
+    strings, comments = _fragments(content_col, lang_col, syn)
+    base = df.select(
+        *id_cols, strings.alias("_s"), comments.alias("_c")
+    )
+
+    def chars(col):
+        return F.aggregate(
+            col, F.lit(0), lambda acc, x: acc + F.length(x)
+        )
+
+    return base.select(
+        *id_cols,
+        F.size("_s").alias("n_strings"),
+        F.size("_c").alias("n_comments"),
+        chars(F.col("_s")).alias("string_chars"),
+        chars(F.col("_c")).alias("comment_chars"),
+    )

@@ -1,0 +1,78 @@
+from __future__ import annotations
+
+from schema_validator_spark.functions.embedded import (
+    embedded_text,
+    embedded_text_stats,
+)
+
+SCHEMA = "doc_id long, lang string, content string"
+
+
+def _run(spark, rows):
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = embedded_text(df, ["doc_id"], "content", "lang").collect()
+    out: dict[int, list[tuple[str, str]]] = {}
+    for r in got:
+        out.setdefault(r["doc_id"], []).append((r["kind"], r["text"]))
+    return {k: sorted(v) for k, v in out.items()}
+
+
+def test_strings_and_comments_py(spark):
+    out = _run(spark, [
+        (0, "py", 'x = "hi"\n# note one\ny = 2  # note two\n'),
+        # triple-quoted docstring is ONE fragment, not a pair + body
+        (1, "py", '"""doc\nspans lines"""\nz = 1\n'),
+        (2, "py", "a = 1\n"),
+    ])
+    assert out[0] == sorted([
+        ("string", '"hi"'), ("comment", "# note one"),
+        ("comment", "# note two"),
+    ])
+    assert out[1] == [("string", '"""doc\nspans lines"""')]
+    assert 2 not in out
+
+
+def test_url_in_string_is_not_a_comment(spark):
+    out = _run(spark, [
+        (0, "js", 'const u = "http://x.io"; // real comment\n'),
+    ])
+    assert out[0] == sorted([
+        ("string", '"http://x.io"'), ("comment", "// real comment"),
+    ])
+
+
+def test_block_before_line_no_double_emit(spark):
+    out = _run(spark, [
+        (0, "go", "/* block // inner */\na := 1 // tail\n"),
+    ])
+    assert out[0] == sorted([
+        ("comment", "/* block // inner */"), ("comment", "// tail"),
+    ])
+
+
+def test_masking_trades_are_deterministic(spark):
+    out = _run(spark, [
+        # a quoted fragment inside a comment is a 'string' row, and
+        # the comment text carries the mask token where it sat
+        (0, "py", '# see "ref"\n'),
+    ])
+    kinds = dict(out[0])
+    assert kinds["string"] == '"ref"'
+    assert kinds["comment"] == "# see §"
+
+
+def test_stats_and_duplicates(spark):
+    rows = [
+        (0, "py", 'a = "x"\nb = "x"\n# c\n'),
+        (1, "rust", '"lit"\n// not extracted: no rust syntax\n'),
+        (2, "py", None),
+    ]
+    df = embedded_text_stats(
+        spark.createDataFrame(rows, SCHEMA), ["doc_id"], "content", "lang"
+    )
+    got = {r["doc_id"]: r for r in df.collect()}
+    assert got[0]["n_strings"] == 2 and got[0]["n_comments"] == 1
+    assert got[0]["string_chars"] == 6 and got[0]["comment_chars"] == 3
+    # unregistered lang: strings still extracted, comments zero
+    assert got[1]["n_strings"] == 1 and got[1]["n_comments"] == 0
+    assert got[2]["n_strings"] == 0 and got[2]["n_comments"] == 0
