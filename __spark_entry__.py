@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (153/153), including the approximate tiers
+EVERY query has an oracle (154/154), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -2951,6 +2951,45 @@ _EMBED_TMPL: dict[int, tuple[str, str]] = {
 }
 
 
+#: header-strip synthesis (m = doc_id % 4): py copyright header;
+#: shebang + SPDX line (shebang must survive); java block-comment
+#: Apache header; go non-license comment that must NOT be stripped.
+_STRIP_TMPL: dict[int, tuple[str, str]] = {
+    0: ("py", "# Copyright @ Acme\n# All rights reserved.\n\nv@ = 1\n"),
+    1: ("py", "#!/usr/bin/env python\n# SPDX-License-Identifier: "
+        "MIT-@\nx@ = 1\n"),
+    2: ("java", "/*\n * Licensed under the Apache License @\n */\n"
+        "class C@ {}\n"),
+    3: ("go", "// helper @\npackage p@\n"),
+}
+
+
+def q_strip_headers(spark, sf_dir):
+    """License-header stripping
+    (operators/licenses.strip_license_headers): The Stack/StarCoder
+    transform removing the leading comment block iff it carries a
+    license/copyright marker — boilerplate the model would memorize.
+    Shebangs survive; non-license comments stay.  clean_md5 pins the
+    transformed bytes exactly (the html_extract pattern)."""
+    from schema_validator_spark.operators.licenses import (
+        strip_license_headers,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    lang, content = _tmpl_cols(_STRIP_TMPL, did % 4, did.cast("string"))
+    df = docs.select(
+        did.alias("doc_id"), lang.alias("lang"), content.alias("content")
+    )
+    out = strip_license_headers(df, ["doc_id"], "content", "lang")
+    return out.select(
+        "doc_id",
+        "header_removed",
+        "header_lines",
+        F.md5(F.col("content_clean")).alias("clean_md5"),
+    )
+
+
 def q_embedded_text(spark, sf_dir):
     """Embedded natural-text extraction
     (functions/embedded.embedded_text): string literals + comments as
@@ -4153,6 +4192,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unused_imports": q_unused_imports,
         "repo_debt": q_repo_debt,
         "embedded_text": q_embedded_text,
+        "strip_headers": q_strip_headers,
     }
 
 
@@ -5213,6 +5253,78 @@ def _code_contamination_oracle_sql() -> str:
              round(cast(count(*) as double) / max(n_grams), 6) as share
       from trg join evg using (g)
       group by doc_id
+    """
+
+
+def _strip_headers_oracle_sql() -> str:
+    """Replay q_strip_headers from the SAME constants (_STRIP_TMPL via
+    _duck_splice; licenses SHEBANG_RE / _LINE_RUN_HEAD / BLOCK_HEAD_RE
+    / HEADER_MARKER_RE): per-stripe head detection, marker gate,
+    substring rebuild, md5."""
+    from schema_validator_spark.operators.licenses import (
+        BLOCK_HEAD_RE,
+        HEADER_MARKER_RE,
+        SHEBANG_RE,
+        _HEADER_SYNTAX,
+        _LINE_RUN_HEAD,
+    )
+
+    synth_lang = "\n                 ".join(
+        f"when doc_id % 4 = {i} then '{lg}'"
+        for i, (lg, _) in sorted(_STRIP_TMPL.items())
+    )
+    synth_content = "\n                 ".join(
+        f"when doc_id % 4 = {i} then ({_duck_splice(tmpl)})"
+        for i, (_, tmpl) in sorted(_STRIP_TMPL.items())
+    )
+    mk = _esc_sq(HEADER_MARKER_RE)
+
+    def head_expr(lg: str) -> str:
+        prefix, has_block = _HEADER_SYNTAX[lg]
+        run = f"regexp_extract(rest, '{_esc_sq(_LINE_RUN_HEAD[prefix])}')"
+        e = (
+            f"case when {run} <> '' and regexp_matches({run}, '{mk}')"
+            f" then {run} else '' end"
+        )
+        if has_block:
+            blk = f"regexp_extract(rest, '{_esc_sq(BLOCK_HEAD_RE)}')"
+            e = (
+                f"case when {blk} <> '' and"
+                f" regexp_matches({blk}, '{mk}') then {blk} else ({e}) end"
+            )
+        return e
+
+    head_case = "\n               ".join(
+        f"when lang = '{lg}' then ({head_expr(lg)})"
+        for lg in sorted({lg for lg, _ in _STRIP_TMPL.values()})
+    )
+    return f"""
+      with synth as (
+        select doc_id,
+               case {synth_lang} end as lang,
+               case {synth_content} end as content
+        from documents
+      ), sh as (
+        select doc_id, lang,
+               regexp_extract(content, '{_esc_sq(SHEBANG_RE)}') as she,
+               content
+        from synth
+      ), r as (
+        select doc_id, lang, she,
+               substring(content, length(she) + 1) as rest
+        from sh
+      ), h as (
+        select doc_id, she, rest,
+               case {head_case} else '' end as head
+        from r
+      )
+      select doc_id,
+             length(head) > 0 as header_removed,
+             cast(length(head)
+                  - length(replace(head, chr(10), '')) as int)
+               as header_lines,
+             md5(she || substring(rest, length(head) + 1)) as clean_md5
+      from h
     """
 
 
@@ -7272,6 +7384,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "unused_imports": _unused_imports_oracle_sql(),
         "repo_debt": _repo_debt_oracle_sql(),
         "embedded_text": _embedded_text_oracle_sql(),
+        "strip_headers": _strip_headers_oracle_sql(),
         "lang_mismatch": _LANG_MISMATCH_ORACLE_SQL,
         "notebook_cells": _NOTEBOOK_ORACLE_SQL,
         "code_imports": _imports_oracle_sql(),

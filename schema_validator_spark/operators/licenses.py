@@ -69,6 +69,102 @@ def detect_license(
     return low.withColumn(out_col, expr).drop("_low")
 
 
+#: header-strip marker: a leading comment run is a license header iff
+#: it contains one of these (case-insensitive substring; single source
+#: of truth for the oracle)
+HEADER_MARKER_RE = (
+    r"(?i)(?:copyright|licen[cs]e|spdx-license-identifier"
+    r"|all rights reserved)"
+)
+#: leading run of blank / line-comment lines, per comment prefix; each
+#: iteration consumes a whole \n-terminated line, so the run also eats
+#: the blank lines that pad a header
+_LINE_RUN_HEAD = {
+    "#": r"\A(?:[ \t]*(?:#[^\n]*)?\n)+",
+    "//": r"\A(?:[ \t]*(?://[^\n]*)?\n)+",
+}
+#: leading block comment (optionally preceded by blank lines)
+BLOCK_HEAD_RE = r"(?s)\A\s*/\*.*?\*/[ \t]*\n?"
+#: the shebang line is never part of a header (node and python
+#: scripts put it first; stripping it breaks the file)
+SHEBANG_RE = r"\A#![^\n]*\n"
+#: lang -> (line-comment prefix key, has block comments)
+_HEADER_SYNTAX: dict[str, tuple[str, bool]] = {
+    "py": ("#", False),
+    "go": ("//", True),
+    "js": ("//", True),
+    "ts": ("//", True),
+    "java": ("//", True),
+    "c": ("//", True),
+}
+
+
+def strip_license_headers(
+    df: DataFrame,
+    id_cols: list[str],
+    content_col: str,
+    lang_col: str,
+    *,
+    marker_re: str = HEADER_MARKER_RE,
+    out_col: str = "content_clean",
+) -> DataFrame:
+    """The Stack / StarCoder header-strip transform: remove the leading
+    comment block (a ``/* ... */`` block or a run of blank and
+    line-comment lines) IFF it contains a license/copyright marker —
+    boilerplate the model would otherwise memorize verbatim.  Returns
+    ``(id_cols..., out_col, header_removed, header_lines)``;
+    ``header_lines`` counts removed newlines.
+
+    A shebang first line is preserved (the header check starts after
+    it).  A module docstring is NOT a comment and is never stripped
+    (documented scope: comment-style headers only).  Unregistered
+    langs pass through unchanged.  Pure codegen projection — two
+    anchored regexp_extracts per row, zero shuffles."""
+    if not id_cols:
+        raise ValueError("strip_license_headers needs id columns")
+    s = F.coalesce(F.col(content_col), F.lit(""))
+    lang = F.lower(F.coalesce(F.col(lang_col), F.lit("")))
+    shebang = F.regexp_extract(s, SHEBANG_RE, 0)
+    rest = s.substr(F.length(shebang) + 1, F.length(s))
+
+    chain = None
+    for lg, (prefix, has_block) in sorted(_HEADER_SYNTAX.items()):
+        run = F.regexp_extract(rest, _LINE_RUN_HEAD[prefix], 0)
+        head = F.when(
+            (run != "") & run.rlike(marker_re), run
+        ).otherwise(F.lit(""))
+        if has_block:
+            blk = F.regexp_extract(rest, BLOCK_HEAD_RE, 0)
+            head = F.when(
+                (blk != "") & blk.rlike(marker_re), blk
+            ).otherwise(head)
+        cond = lang == lg
+        chain = F.when(cond, head) if chain is None else chain.when(
+            cond, head
+        )
+    head = chain.otherwise(F.lit("")) if chain is not None else F.lit("")
+
+    base = df.select(
+        *id_cols,
+        shebang.alias("_she"),
+        rest.alias("_rest"),
+        head.alias("_head"),
+    )
+    h = F.col("_head")
+    clean = F.concat(
+        F.col("_she"),
+        F.col("_rest").substr(F.length(h) + 1, F.length("_rest")),
+    )
+    return base.select(
+        *id_cols,
+        clean.alias(out_col),
+        (F.length(h) > 0).alias("header_removed"),
+        (F.length(h) - F.length(F.replace(h, F.lit("\n")))).alias(
+            "header_lines"
+        ),
+    )
+
+
 #: path regex identifying a repo's license-bearing files (LICENSE,
 #: LICENSE.md, LICENSE-MIT, LICENCE, COPYING, COPYING.LESSER, UNLICENSE
 #: at any directory level) — The Stack detects the REPO license from
