@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (154/154), including the approximate tiers
+EVERY query has an oracle (155/155), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -2990,6 +2990,76 @@ def q_strip_headers(spark, sf_dir):
     )
 
 
+#: code-neardup synthesis: two headers (both carry strip markers), a
+#: 12-distinct-bigram body, a 2-bigram tail, and a short second body.
+#: Every adjacent token pair in _NEARDUP_BODY contains the spliced key,
+#: so bodies with different keys share ZERO bigrams.
+_NEARDUP_HDR_GPL = "# Copyright Acme Corp\n# GNU General Public License v2\n\n"
+_NEARDUP_HDR_MIT = "# MIT License\n# Copyright Contributors\n\n"
+_NEARDUP_BODY = (
+    "def f@(a@, b@):\n    t@ = a@ + b@\n    u@ = t@ + a@\n"
+    "    v@ = u@ + b@\n    return v@\n"
+)
+_NEARDUP_TAIL = "print(z@)\n"
+_NEARDUP_BODY2 = "class k@:\n    def m@(self):\n        return w@\n"
+
+
+def q_code_neardup(spark, sf_dir):
+    """Code near-dup pairs (operators/codedup.near_dup_code — The Stack
+    v1.2 recipe: strip license headers, lex to lowercase alnum tokens,
+    bigram-shingle, MinHash-LSH r=2 × 16 bands, exact-Jaccard verify at
+    0.8).  Stripes over pair id p = floor(doc_id/2), p % 3:
+
+    - 0: same body, different headers + a 2-bigram tail on the odd
+      member → j = 12/14 ≈ 0.857 (found ONLY because headers strip).
+    - 1: identical GPL header, bodies keyed by doc_id (zero shared
+      bigrams) → must NOT pair: a shared license header is not
+      similarity.
+    - 2: identical body, header only on the even member → j = 1.0.
+
+    Banding P(miss) ≤ (1-0.8²)^16 < 1e-7 at the threshold and < 1e-9 at
+    the planted 0.857, so the LSH-blocked output provably equals the
+    oracle's exact all-pairs set.  Key prefixes '0'/'1'/'2' disjoint the
+    body-token namespaces across stripes."""
+    from schema_validator_spark.operators.codedup import near_dup_code
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    pid = F.floor(did / 2).cast("long")
+    member = did % 2
+    stripe = pid % 3
+    k0 = F.concat(F.lit("0"), pid.cast("string"))
+    k1 = F.concat(F.lit("1"), did.cast("string"))
+    k2 = F.concat(F.lit("2"), pid.cast("string"))
+    gpl, mit = F.lit(_NEARDUP_HDR_GPL), F.lit(_NEARDUP_HDR_MIT)
+    content = (
+        F.when(
+            (stripe == 0) & (member == 0),
+            F.concat(gpl, _clone_splice(_NEARDUP_BODY, k0)),
+        )
+        .when(
+            (stripe == 0) & (member == 1),
+            F.concat(
+                mit,
+                _clone_splice(_NEARDUP_BODY, k0),
+                _clone_splice(_NEARDUP_TAIL, k0),
+            ),
+        )
+        .when(stripe == 1, F.concat(gpl, _clone_splice(_NEARDUP_BODY, k1)))
+        .when(member == 0, F.concat(gpl, _clone_splice(_NEARDUP_BODY2, k2)))
+        .otherwise(_clone_splice(_NEARDUP_BODY2, k2))
+    )
+    df = docs.select(
+        did.alias("doc_id"),
+        F.lit("py").alias("lang"),
+        content.alias("content"),
+    )
+    return near_dup_code(
+        df, "doc_id", "content", "lang",
+        shingle_k=2, num_hashes=32, bands=16, jaccard_threshold=0.8,
+    )
+
+
 def q_embedded_text(spark, sf_dir):
     """Embedded natural-text extraction
     (functions/embedded.embedded_text): string literals + comments as
@@ -3856,6 +3926,7 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
     "drift_psi_width": (["baseline", "curr"], ["psi"]),
     "jaccard_pairs": (["id_a", "id_b"], ["jaccard"]),
     "setsim_exact": (["id_a", "id_b"], ["jaccard"]),
+    "code_neardup": (["id_a", "id_b"], ["jaccard"]),
     "quality_scores": (["doc_id"], ["quality"]),
     "minhash_lsh": (["id_a", "id_b"], ["jaccard"]),
     "embedding_neardups": (["id_a", "id_b"], ["cosine"]),
@@ -4193,6 +4264,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_debt": q_repo_debt,
         "embedded_text": q_embedded_text,
         "strip_headers": q_strip_headers,
+        "code_neardup": q_code_neardup,
     }
 
 
@@ -5325,6 +5397,89 @@ def _strip_headers_oracle_sql() -> str:
                as header_lines,
              md5(she || substring(rest, length(head) + 1)) as clean_md5
       from h
+    """
+
+
+def _code_neardup_oracle_sql() -> str:
+    """Replay q_code_neardup as EXACT all-pairs (the ground truth the
+    LSH-blocked plan must equal): synthesize the striped corpus from
+    the SAME constants, replay the py header strip
+    (licenses SHEBANG_RE / _LINE_RUN_HEAD['#'] / HEADER_MARKER_RE),
+    the codedup lexer + bigram shingles, then every (a < b) pair's
+    exact Jaccard at the 0.8 threshold."""
+    from schema_validator_spark.operators.codedup import (
+        CODE_TOKEN_SPLIT_RE,
+    )
+    from schema_validator_spark.operators.licenses import (
+        HEADER_MARKER_RE,
+        SHEBANG_RE,
+        _LINE_RUN_HEAD,
+    )
+
+    pid = "cast(floor(doc_id / 2) as bigint)"
+    k0 = f"'0' || cast({pid} as varchar)"
+    k1 = "'1' || cast(doc_id as varchar)"
+    k2 = f"'2' || cast({pid} as varchar)"
+    gpl = _duck_lit(_NEARDUP_HDR_GPL)
+    mit = _duck_lit(_NEARDUP_HDR_MIT)
+    body0 = _duck_splice(_NEARDUP_BODY, k0)
+    tail0 = _duck_splice(_NEARDUP_TAIL, k0)
+    body1 = _duck_splice(_NEARDUP_BODY, k1)
+    body2 = _duck_splice(_NEARDUP_BODY2, k2)
+    run = f"regexp_extract(rest, '{_esc_sq(_LINE_RUN_HEAD['#'])}')"
+    mk = _esc_sq(HEADER_MARKER_RE)
+    split = _esc_sq(CODE_TOKEN_SPLIT_RE)
+    return f"""
+      with synth as (
+        select doc_id,
+               case
+                 when {pid} % 3 = 0 and doc_id % 2 = 0
+                   then {gpl} || ({body0})
+                 when {pid} % 3 = 0
+                   then {mit} || ({body0}) || ({tail0})
+                 when {pid} % 3 = 1 then {gpl} || ({body1})
+                 when doc_id % 2 = 0 then {gpl} || ({body2})
+                 else ({body2})
+               end as content
+        from documents
+      ), shb as (
+        select doc_id,
+               regexp_extract(content, '{_esc_sq(SHEBANG_RE)}') as she,
+               content
+        from synth
+      ), r as (
+        select doc_id, she,
+               substring(content, length(she) + 1) as rest
+        from shb
+      ), cl as (
+        select doc_id,
+               she || substring(rest,
+                 length(case when {run} <> ''
+                              and regexp_matches({run}, '{mk}')
+                        then {run} else '' end) + 1) as c
+        from r
+      ), t as (
+        select doc_id,
+               list_filter(string_split_regex(lower(c), '{split}'),
+                           x -> x <> '') as tk
+        from cl
+      ), g as (
+        select doc_id,
+               list_distinct(
+                 case when len(tk) >= 2
+                   then list_transform(range(1, len(tk)),
+                                       i -> tk[i] || ' ' || tk[i + 1])
+                   else [array_to_string(tk, ' ')]
+                 end) as sh
+        from t
+      )
+      select id_a, id_b, jaccard from (
+        select a.doc_id as id_a, b.doc_id as id_b,
+               round(len(list_intersect(a.sh, b.sh))::double
+                     / len(list_distinct(list_concat(a.sh, b.sh))), 6)
+                 as jaccard
+        from g a join g b on a.doc_id < b.doc_id
+      ) where jaccard >= 0.8
     """
 
 
@@ -7385,6 +7540,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "repo_debt": _repo_debt_oracle_sql(),
         "embedded_text": _embedded_text_oracle_sql(),
         "strip_headers": _strip_headers_oracle_sql(),
+        "code_neardup": _code_neardup_oracle_sql(),
         "lang_mismatch": _LANG_MISMATCH_ORACLE_SQL,
         "notebook_cells": _NOTEBOOK_ORACLE_SQL,
         "code_imports": _imports_oracle_sql(),

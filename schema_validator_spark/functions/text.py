@@ -42,8 +42,8 @@ def bpe_ish_token_count(col: Column) -> Column:
     return F.size(bpe_ish_tokens(col))
 
 
-def word_shingles(col: Column, k: int = 3) -> Column:
-    """Distinct word k-grams (the MinHash input set).
+def array_shingles(toks: Column, k: int = 3) -> Column:
+    """Distinct k-grams over ANY token array (the MinHash input set).
 
     Built by chaining ``zip_with`` over k shifted views of the token
     array, so the token array EXPRESSION is referenced k+1 times total.
@@ -51,13 +51,14 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     concat_ws(' ', slice(toks, i, k)))`` — embeds ``toks`` in the lambda
     body, and higher-order functions are interpreted (never whole-stage
     codegen'd) with NO cross-lambda subexpression sharing: the full
-    trim+regex-split+filter re-ran once PER SHINGLE, i.e. O(n_tokens²)
-    per document.  Short test docs masked it; a 90-token doc paid ~89
+    token derivation re-ran once PER SHINGLE, i.e. O(n_tokens²) per
+    document.  Short test docs masked it; a 90-token doc paid ~89
     re-splits of its whole text (measured ~30 CPU-ms/doc at 200k docs —
     a per-row CPU bomb at corpus scale).  Output is byte-identical:
     shifted zip_with pads the tail with NULL, concat propagates NULL,
-    and the filter drops exactly the k-1 incomplete windows."""
-    toks = tokens(col)
+    and the filter drops exactly the k-1 incomplete windows.  An array
+    shorter than k yields ONE shingle joining all its tokens (so no
+    document ever vanishes from the signature frame)."""
     n = F.size(toks)
 
     def shingled(t: Column) -> Column:
@@ -74,6 +75,13 @@ def word_shingles(col: Column, k: int = 3) -> Column:
         F.when(n >= k, shingled(toks))
         .otherwise(F.array(F.concat_ws(" ", toks)))
     )
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct word k-grams of a text column — :func:`array_shingles`
+    over :func:`tokens` (see that docstring for the shifted-zip_with
+    rationale)."""
+    return array_shingles(tokens(col), k)
 
 
 def char_ngrams(col: Column, n: int = 4) -> Column:

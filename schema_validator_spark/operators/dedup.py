@@ -231,6 +231,7 @@ def minhash_lsh_candidates(
     jaccard_threshold: float = 0.5,
     max_bucket_size: int | None = None,
     log_dropped: bool = True,
+    grams: Column | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) with verified shingle Jaccard.
 
@@ -240,15 +241,22 @@ def minhash_lsh_candidates(
 
     ``max_bucket_size`` caps degenerate buckets (see _cap_hot_buckets) —
     set it at corpus scale, where one boilerplate bucket is quadratic.
+
+    ``grams`` overrides the gram set (default: word k-shingles of
+    ``text_col``) — the same expression feeds BOTH the signatures and
+    the exact-Jaccard verify, so the verified similarity is always the
+    Jaccard of the grams the banding blocked on (used by the code
+    near-dup tier, which shingles lexer tokens instead of words).
     """
     # Band with ONLY (id, band_id, band_hash) — 3 narrow columns through the
     # explode+shuffle.  Shipping the shingle arrays here would multiply the
     # shuffle payload by `bands`; instead candidates (a tiny set at any sane
     # threshold) re-join the shingles below.
     df = _ensure_parallelism(df)
+    if grams is None:
+        grams = X.word_shingles(F.col(text_col), shingle_k)
     with_sig = minhash_signatures_df(
-        df, id_col, X.word_shingles(F.col(text_col), shingle_k),
-        num_hashes=num_hashes,
+        df, id_col, grams, num_hashes=num_hashes,
     )
     band_cols = band_cols_expr("_sig", num_hashes, bands)
     banded = with_sig.select("_id", F.explode(band_cols).alias("b")).select(
@@ -272,10 +280,7 @@ def minhash_lsh_candidates(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    shing = df.select(
-        F.col(id_col).alias("_id"),
-        X.word_shingles(F.col(text_col), shingle_k).alias("_sh"),
-    )
+    shing = df.select(F.col(id_col).alias("_id"), grams.alias("_sh"))
     a, b = shing.alias("a"), shing.alias("b")
     jac = (
         F.size(F.array_intersect("a._sh", "b._sh"))

@@ -139,6 +139,17 @@ def test_jaccard_pairs_banding_margin(duck):
     _assert_banding_margin(duck, sql, r=2, bands=16, what="jaccard_pairs")
 
 
+def test_code_neardup_banding_margin(duck):
+    # mirrors q_code_neardup: bigram token shingles after header strip,
+    # threshold 0.8, r=2 x 16 bands; the raw oracle IS the exact
+    # all-pairs derivation, so wrap it directly
+    inner = entry_mod._code_neardup_oracle_sql()
+    sql = (
+        f"select coalesce(min(jaccard), 1.0), count(*) from ({inner})"
+    )
+    _assert_banding_margin(duck, sql, r=2, bands=16, what="code_neardup")
+
+
 def test_fuzzy_match_banding_margin(duck):
     # mirrors q_fuzzy_match: char 3-grams, threshold 0.6, r=4 x 16 bands
     sql = r"""
