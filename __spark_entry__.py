@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (155/155), including the approximate tiers
+EVERY query has an oracle (157/157), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -3060,6 +3060,72 @@ def q_code_neardup(spark, sf_dir):
     )
 
 
+#: depgraph synthesis: module midx = doc_id % 6 in repo
+#: (doc_id div 6) % 10.  The fixed intra-repo design plants a mutual
+#: import (m0<->m1), a directed triangle (m2->m3->m4->m2), an acyclic
+#: tail (m5->m0), and an external import (numpy) that must drop out.
+_DEPGRAPH_IMPORTS: dict[int, str] = {
+    0: "import m1\nimport numpy\n",
+    1: "import m0\n",
+    2: "import m3\n",
+    3: "import m4\n",
+    4: "import m2\n",
+    5: "import m0\n",
+}
+
+
+def _depgraph_edges(spark, sf_dir):
+    """Shared intra-repo module edge list for the depgraph queries
+    (operators/depgraph.module_graph over the striped synthesis)."""
+    from schema_validator_spark.operators.depgraph import module_graph
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    chain = None
+    for i, body in sorted(_DEPGRAPH_IMPORTS.items()):
+        cond = did % 6 == i
+        lit = F.lit(body)
+        chain = F.when(cond, lit) if chain is None else chain.when(cond, lit)
+    df = docs.select(
+        F.concat(
+            F.lit("r"), F.expr("(doc_id div 6) % 10").cast("string")
+        ).alias("repo"),
+        F.concat(F.lit("m"), (did % 6).cast("string")).alias("module"),
+        F.lit("py").alias("lang"),
+        chain.alias("content"),
+    )
+    return module_graph(df, "repo", "module", "content", "lang")
+
+
+def q_import_cycles(spark, sf_dir):
+    """Circular-import audit (operators/depgraph.import_cycles): mutual
+    imports and directed triangles over the intra-repo module graph —
+    the architecture smell a code-corpus health profile reports.  The
+    synthesis plants one 2-cycle and one 3-cycle per repo, an acyclic
+    tail edge, and an external import that must never reach the graph.
+    Oracle replays the extraction + semi-join + cycle joins."""
+    from schema_validator_spark.operators.depgraph import import_cycles
+
+    return import_cycles(_depgraph_edges(spark, sf_dir)).select(
+        "repo", "cycle_path", "length"
+    )
+
+
+def q_module_rank(spark, sf_dir):
+    """Module centrality (operators/depgraph.module_rank): PageRank
+    over the intra-repo import graph, ALL repos in one global run
+    (nodes keyed repo␟module keep components disconnected — no
+    per-repo loop).  3 iterations, damping 0.85, ranks rounded 6dp at
+    every iteration boundary (engine-reproducible recurrence); the
+    oracle unrolls the same iterations relationally over the same edge
+    derivation."""
+    from schema_validator_spark.operators.depgraph import module_rank
+
+    return module_rank(
+        _depgraph_edges(spark, sf_dir), iterations=3
+    ).select("repo", "module", "rank")
+
+
 def q_embedded_text(spark, sf_dir):
     """Embedded natural-text extraction
     (functions/embedded.embedded_text): string literals + comments as
@@ -3954,6 +4020,7 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
     "metric_anomaly": (["snapshot_id", "metric", "anomalous"],
                        ["value", "prev", "rel_change"]),
     "pagerank": (["node"], ["rank"]),
+    "module_rank": (["repo", "module"], ["rank"]),
     "pii_scan": (['"column"', "pii_type", "n_rows", "n_matched", "n_spans"],
                  ["match_rate"]),
     "k_anonymity": (["n_rows", "n_groups", "min_group_size",
@@ -4265,6 +4332,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedded_text": q_embedded_text,
         "strip_headers": q_strip_headers,
         "code_neardup": q_code_neardup,
+        "import_cycles": q_import_cycles,
+        "module_rank": q_module_rank,
     }
 
 
@@ -6653,15 +6722,14 @@ def _html_oracle_sql() -> str:
     """
 
 
-def _pagerank_oracle_sql(iters: int = 5) -> str:
-    """Unroll q_pagerank's recurrence: same edge derivation, same
-    per-iteration 6dp rounding, same float op order for the base term."""
-    parts = ["""
-      with e as (
-        select distinct (doc_id % 60) as src, ((doc_id // 7) % 60) as dst
-        from documents
-        where (doc_id % 60) <> ((doc_id // 7) % 60)
-      ),
+def _pagerank_unroll_sql(edges_cte: str, iters: int) -> str:
+    """Unroll operators/graph.pagerank's recurrence over ``edges_cte``
+    (the body of a CTE named ``e`` emitting distinct self-loop-free
+    (src, dst) rows): same per-iteration 6dp rounding, same float op
+    order for the base term.  Shared by the pagerank and module_rank
+    oracles."""
+    parts = [f"""
+      with e as ({edges_cte}),
       nodes as (select src as node from e union select dst from e),
       nd as (
         select n.node, coalesce(d.deg, 0) as deg
@@ -6685,6 +6753,97 @@ def _pagerank_oracle_sql(iters: int = 5) -> str:
                from nd cross join c cross join d{k}
                left join i{k} on nd.node = i{k}.node)""")
     return ",".join(parts) + f"\n      select node, rank from r{iters}"
+
+
+def _pagerank_oracle_sql(iters: int = 5) -> str:
+    """q_pagerank's recurrence: its edge derivation fed to the shared
+    unroller."""
+    return _pagerank_unroll_sql(
+        """
+        select distinct (doc_id % 60) as src, ((doc_id // 7) % 60) as dst
+        from documents
+        where (doc_id % 60) <> ((doc_id // 7) % 60)
+      """,
+        iters,
+    )
+
+
+def _depgraph_edges_sql() -> str:
+    """DuckDB replay of _depgraph_edges (shared by the import_cycles
+    and module_rank oracles): synthesize the striped module corpus,
+    replay functions/imports' py pattern via regexp_extract_all +
+    unnest, keep intra-repo non-self edges, distinct."""
+    from schema_validator_spark.functions.imports import IMPORT_PATTERNS
+
+    synth_content = "\n                 ".join(
+        f"when doc_id % 6 = {i} then {_duck_lit(body)}"
+        for i, body in sorted(_DEPGRAPH_IMPORTS.items())
+    )
+    pat, grp = IMPORT_PATTERNS["py"]
+    return f"""
+      with synth as (
+        select 'r' || cast((doc_id // 6) % 10 as varchar) as repo,
+               'm' || cast(doc_id % 6 as varchar) as module,
+               case {synth_content} end as content
+        from documents
+      ), ex as (
+        select repo, module as src_module,
+               unnest(regexp_extract_all(content,
+                                         '{_esc_sq(pat)}', {grp}))
+                 as dst_module
+        from synth
+      )
+      select distinct x.repo, x.src_module, x.dst_module
+      from ex x
+      where x.src_module <> x.dst_module
+        and exists (select 1 from synth s
+                    where s.repo = x.repo and s.module = x.dst_module)
+    """
+
+
+def _import_cycles_oracle_sql() -> str:
+    """Replay q_import_cycles: the shared edge derivation + the 2-cycle
+    mutual join and the smallest-start-rotation 3-cycle joins."""
+    return f"""
+      with edges as ({_depgraph_edges_sql()})
+      select a.repo,
+             a.src_module || '->' || a.dst_module || '->' || a.src_module
+               as cycle_path,
+             2 as length
+      from edges a
+      join edges b on a.repo = b.repo
+                  and a.dst_module = b.src_module
+                  and b.dst_module = a.src_module
+      where a.src_module < a.dst_module
+      union all
+      select a.repo,
+             a.src_module || '->' || a.dst_module || '->' || b.dst_module
+               || '->' || a.src_module as cycle_path,
+             3 as length
+      from edges a
+      join edges b on a.repo = b.repo and a.dst_module = b.src_module
+      join edges c on b.repo = c.repo and b.dst_module = c.src_module
+                  and c.dst_module = a.src_module
+      where a.src_module < a.dst_module
+        and a.src_module < b.dst_module
+        and a.dst_module <> b.dst_module
+    """
+
+
+def _module_rank_oracle_sql(iters: int = 3) -> str:
+    """Replay q_module_rank: the shared edge derivation keyed
+    repo␟module, the shared pagerank unroller, then the key split."""
+    keyed = f"""
+        select repo || chr(31) || src_module as src,
+               repo || chr(31) || dst_module as dst
+        from ({_depgraph_edges_sql()})
+      """
+    return f"""
+      select split_part(node, chr(31), 1) as repo,
+             split_part(node, chr(31), 2) as module,
+             rank
+      from ({_pagerank_unroll_sql(keyed, iters)})
+    """
 
 
 def _oracle_sql_raw() -> dict[str, str]:
@@ -7541,6 +7700,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "embedded_text": _embedded_text_oracle_sql(),
         "strip_headers": _strip_headers_oracle_sql(),
         "code_neardup": _code_neardup_oracle_sql(),
+        "import_cycles": _import_cycles_oracle_sql(),
+        "module_rank": _module_rank_oracle_sql(),
         "lang_mismatch": _LANG_MISMATCH_ORACLE_SQL,
         "notebook_cells": _NOTEBOOK_ORACLE_SQL,
         "code_imports": _imports_oracle_sql(),
