@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (157/157), including the approximate tiers
+EVERY query has an oracle (158/158), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -3126,6 +3126,23 @@ def q_module_rank(spark, sf_dir):
     ).select("repo", "module", "rank")
 
 
+def q_shard_assign(spark, sf_dir):
+    """Training-shard export manifest
+    (operators/packing.assign_shards): every file goes WHOLE to the
+    shard its global byte offset falls in, stream order = the
+    deterministic md5 rank shared with pack_sequences/sampling.
+    num_shards mode: shard_bytes = ceil(total/16) from one tiny
+    broadcast agg, so shard_id < 16 always.  Distributed prefix sum
+    (256 md5-rank ranges), no global sort; the oracle replays the
+    cumsum serially."""
+    from schema_validator_spark.operators.packing import assign_shards
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.octet_length("text").alias("n_bytes")
+    )
+    return assign_shards(docs, "doc_id", "n_bytes", num_shards=16)
+
+
 def q_embedded_text(spark, sf_dir):
     """Embedded natural-text extraction
     (functions/embedded.embedded_text): string literals + comments as
@@ -4334,6 +4351,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_neardup": q_code_neardup,
         "import_cycles": q_import_cycles,
         "module_rank": q_module_rank,
+        "shard_assign": q_shard_assign,
     }
 
 
@@ -7702,6 +7720,25 @@ def _oracle_sql_raw() -> dict[str, str]:
         "code_neardup": _code_neardup_oracle_sql(),
         "import_cycles": _import_cycles_oracle_sql(),
         "module_rank": _module_rank_oracle_sql(),
+        "shard_assign": r"""
+            with d as (
+              select doc_id, cast(strlen(text) as bigint) as n,
+                     md5(cast(doc_id as varchar) || 'v1') as h
+              from documents
+            ), k as (select * from d where n > 0),
+            t as (select cast((sum(n) + 15) // 16 as bigint) as sb from k),
+            cum as (
+              select doc_id, n,
+                     cast(coalesce(sum(n) over (
+                       order by h, doc_id
+                       rows between unbounded preceding and 1 preceding), 0)
+                       as bigint) as g
+              from k
+            )
+            select doc_id, cast(g // sb as bigint) as shard_id,
+                   g as "offset", n as "size"
+            from cum, t
+        """,
         "lang_mismatch": _LANG_MISMATCH_ORACLE_SQL,
         "notebook_cells": _NOTEBOOK_ORACLE_SQL,
         "code_imports": _imports_oracle_sql(),

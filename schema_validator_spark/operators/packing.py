@@ -134,3 +134,85 @@ def pack_sequences(
             "left_semi",
         )
     return out
+
+
+def assign_shards(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    *,
+    shard_bytes: int | None = None,
+    num_shards: int | None = None,
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic training-shard assignment — the export manifest:
+    each file goes WHOLE to the shard its global stream offset falls
+    in.  Returns ``(id_col, shard_id, offset, size)`` where ``offset``
+    is the file's exclusive byte prefix in the md5-rank stream order
+    and ``shard_id = offset div shard_bytes``.
+
+    Give exactly one of ``shard_bytes`` (fixed-size shards, count
+    floats) or ``num_shards`` (fixed count: shard_bytes = ceil(total /
+    num_shards) from one tiny agg, so shard_id < num_shards always).
+
+    Whole-file granularity means a shard can overflow its target by up
+    to one file (and a file BIGGER than shard_bytes overflows it by
+    itself) — the standard manifest trade; use :func:`pack_sequences`
+    when slices may split.  Same scale shape as packing: 256-range
+    distributed prefix sum, no global sort, nothing collected; rows
+    with NULL/non-positive size are excluded."""
+    if (shard_bytes is None) == (num_shards is None):
+        raise ValueError("give exactly one of shard_bytes / num_shards")
+    if shard_bytes is not None and shard_bytes <= 0:
+        raise ValueError("shard_bytes must be positive")
+    if num_shards is not None and num_shards <= 0:
+        raise ValueError("num_shards must be positive")
+
+    h = _hash_key(id_col, salt)
+    rng = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    docs = (
+        df.select(
+            F.col(id_col),
+            F.coalesce(F.col(size_col), F.lit(0)).cast("long").alias("_n"),
+        )
+        .filter(F.col("_n") > 0)
+        .withColumn("_h", h)
+        .withColumn("_rng", rng)
+    )
+
+    bucket_sums = docs.groupBy("_rng").agg(F.sum("_n").alias("_bsum"))
+    w_off = (
+        Window.orderBy(F.col("_rng").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bucket_sums.select(
+        "_rng", F.coalesce(F.sum("_bsum").over(w_off), F.lit(0)).alias("_roff")
+    )
+    w_local = Window.partitionBy("_rng").orderBy(
+        F.col("_h").asc(), F.col(id_col).asc()
+    )
+    cum_incl = F.sum("_n").over(
+        w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = (
+        docs.join(F.broadcast(offsets), "_rng")
+        .withColumn("_g", F.col("_roff") + cum_incl - F.col("_n"))
+    )
+    if shard_bytes is not None:
+        placed = placed.withColumn(
+            "_sb", F.lit(int(shard_bytes)).cast("long")
+        )
+    else:
+        total = docs.agg(F.sum("_n").alias("_t"))
+        placed = placed.join(F.broadcast(total)).withColumn(
+            # ceil(total / num_shards) in exact long arithmetic
+            "_sb",
+            F.expr(f"(_t + {int(num_shards)} - 1) div {int(num_shards)}"),
+        )
+    return placed.select(
+        F.col(id_col),
+        # exact long division — never float at stream-offset magnitudes
+        F.expr("_g div _sb").alias("shard_id"),
+        F.col("_g").cast("long").alias("offset"),
+        F.col("_n").alias("size"),
+    )

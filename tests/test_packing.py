@@ -103,3 +103,68 @@ def test_no_global_sort_in_plan(spark, docs):
             # the offsets window is over bucket_sums (256 rows max) —
             # identified by _bsum in its running-sum expression
             assert "_bsum" in line or "_rng" in line, line
+
+
+# --------------------------------------------------------------- shards
+
+def _serial_shards(rows, shard_bytes, salt="v1"):
+    ranked = sorted(
+        ((hashlib.md5(f"{i}{salt}".encode()).hexdigest(), i, n)
+         for i, n in rows if n and n > 0),
+        key=lambda t: (t[0], t[1]),
+    )
+    out, g = [], 0
+    for _, i, n in ranked:
+        out.append((i, g // shard_bytes, g, n))
+        g += n
+    return sorted(out)
+
+
+def test_assign_shards_matches_serial(spark, docs):
+    from schema_validator_spark.operators.packing import assign_shards
+
+    df, rows = docs
+    got = sorted(
+        tuple(r)
+        for r in assign_shards(
+            df, "doc_id", "n_tokens", shard_bytes=500
+        ).collect()
+    )
+    assert got == _serial_shards(rows, 500)
+
+
+def test_assign_shards_num_shards_mode(spark, docs):
+    from schema_validator_spark.operators.packing import assign_shards
+
+    df, rows = docs
+    out = assign_shards(df, "doc_id", "n_tokens", num_shards=7).collect()
+    total = sum(n for _, n in rows if n and n > 0)
+    sb = -(-total // 7)
+    assert sorted(tuple(r) for r in out) == _serial_shards(rows, sb)
+    assert all(0 <= r["shard_id"] < 7 for r in out)
+    # every input row with positive size is assigned exactly once
+    assert len(out) == sum(1 for _, n in rows if n and n > 0)
+
+
+def test_assign_shards_offsets_are_exact_prefix_sums(spark, docs):
+    from schema_validator_spark.operators.packing import assign_shards
+
+    df, _ = docs
+    out = sorted(
+        assign_shards(df, "doc_id", "n_tokens", shard_bytes=300).collect(),
+        key=lambda r: r["offset"],
+    )
+    g = 0
+    for r in out:
+        assert r["offset"] == g
+        g += r["size"]
+
+
+def test_assign_shards_arg_validation(spark, docs):
+    from schema_validator_spark.operators.packing import assign_shards
+
+    df, _ = docs
+    for kw in ({}, {"shard_bytes": 10, "num_shards": 2},
+               {"shard_bytes": 0}, {"num_shards": 0}):
+        with pytest.raises(ValueError):
+            assign_shards(df, "doc_id", "n_tokens", **kw)
