@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (158/158), including the approximate tiers
+EVERY query has an oracle (159/159), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -3143,6 +3143,42 @@ def q_shard_assign(spark, sf_dir):
     return assign_shards(docs, "doc_id", "n_bytes", num_shards=16)
 
 
+#: bm25 synthesis terms — underscore/digit shapes the natural-word
+#: vocabulary of documents.text cannot collide with
+_BM25_TERMS = ["serialize_v2", "mutex_guard", "qsort_3way"]
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 keyword retrieval (operators/search.bm25_search): score =
+    Σ per-term 6dp-scaled INTEGER contributions (order-independent sum
+    — any engine replaying the arithmetic reproduces score_e6
+    bit-exactly), tf via array filters in ONE codegen projection,
+    corpus stats (N, avgdl, document frequencies) in ONE broadcast agg
+    row, global top-50 via the salted two-level reduction.  Stripes
+    plant the three terms at different tf (x2 / x1 / x3) on different
+    modular grids so tf saturation, idf, and length norm all vary."""
+    from schema_validator_spark.operators.codedup import code_tokens
+    from schema_validator_spark.operators.search import bm25_search
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    content = F.concat(
+        F.col("text"),
+        F.when(did % 7 == 0, F.lit(" serialize_v2 serialize_v2"))
+        .otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.lit(" mutex_guard")).otherwise(F.lit("")),
+        F.when(
+            did % 13 == 0,
+            F.lit(" qsort_3way qsort_3way qsort_3way"),
+        ).otherwise(F.lit("")),
+    )
+    df = docs.select(did.alias("doc_id"), content.alias("content"))
+    out = bm25_search(
+        df, "doc_id", code_tokens(F.col("content")), _BM25_TERMS, top_k=50
+    )
+    return out.select("doc_id", "matched_terms", "score_e6", "rank")
+
+
 def q_embedded_text(spark, sf_dir):
     """Embedded natural-text extraction
     (functions/embedded.embedded_text): string literals + comments as
@@ -4352,6 +4388,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "import_cycles": q_import_cycles,
         "module_rank": q_module_rank,
         "shard_assign": q_shard_assign,
+        "bm25_search": q_bm25_search,
     }
 
 
@@ -6848,6 +6885,80 @@ def _import_cycles_oracle_sql() -> str:
     """
 
 
+def _bm25_oracle_sql() -> str:
+    """Replay q_bm25_search from the SAME constants (_BM25_TERMS;
+    codedup.CODE_TOKEN_SPLIT_RE): synthesis, lexer, per-term tf via
+    list filters, one corpus-stats row, the identical float op order
+    per contribution (each rounded to a 6dp-scaled bigint BEFORE the
+    order-independent integer sum), top-50 by (score_e6 desc, id)."""
+    from schema_validator_spark.operators.codedup import (
+        CODE_TOKEN_SPLIT_RE,
+    )
+
+    split = _esc_sq(CODE_TOKEN_SPLIT_RE)
+    tf_cols = ",\n               ".join(
+        f"len(list_filter(t, x -> x = '{term}')) as tf{i}"
+        for i, term in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"cast(sum(case when tf{i} > 0 then 1 else 0 end) as double)"
+        f" as df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    contribs = " + ".join(
+        f"""(case when tf{i} > 0 then cast(round(
+             ((ln((N - df{i} + 0.5) / (df{i} + 0.5) + 1.0)
+               * cast(tf{i} as double)) * (1.2 + 1.0))
+             / (cast(tf{i} as double)
+                + 1.2 * ((1.0 - 0.75)
+                         + (0.75 * cast(dl as double)) / (sumdl / N)))
+             * 1e6) as bigint) else 0 end)"""
+        for i in range(len(_BM25_TERMS))
+    )
+    matched = " + ".join(
+        f"(case when tf{i} > 0 then 1 else 0 end)"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+      with synth as (
+        select doc_id,
+               text
+               || case when doc_id % 7 = 0
+                       then ' serialize_v2 serialize_v2' else '' end
+               || case when doc_id % 11 = 0
+                       then ' mutex_guard' else '' end
+               || case when doc_id % 13 = 0
+                       then ' qsort_3way qsort_3way qsort_3way'
+                       else '' end as content
+        from documents
+      ), tk as (
+        select doc_id,
+               list_filter(string_split_regex(lower(content), '{split}'),
+                           x -> x <> '') as t
+        from synth
+      ), d as (
+        select doc_id, len(t) as dl,
+               {tf_cols}
+        from tk
+      ), s as (
+        select cast(count(*) as double) as N,
+               cast(sum(dl) as double) as sumdl,
+               {df_cols}
+        from d
+      ), c as (
+        select doc_id,
+               {matched} as matched_terms,
+               {contribs} as score_e6
+        from d, s
+      )
+      select doc_id, matched_terms, score_e6, rank from (
+        select *, row_number() over (order by score_e6 desc, doc_id)
+                 as rank
+        from c where matched_terms > 0
+      ) where rank <= 50
+    """
+
+
 def _module_rank_oracle_sql(iters: int = 3) -> str:
     """Replay q_module_rank: the shared edge derivation keyed
     repo␟module, the shared pagerank unroller, then the key split."""
@@ -7739,6 +7850,7 @@ def _oracle_sql_raw() -> dict[str, str]:
                    g as "offset", n as "size"
             from cum, t
         """,
+        "bm25_search": _bm25_oracle_sql(),
         "lang_mismatch": _LANG_MISMATCH_ORACLE_SQL,
         "notebook_cells": _NOTEBOOK_ORACLE_SQL,
         "code_imports": _imports_oracle_sql(),
