@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (159/159), including the approximate tiers
+EVERY query has an oracle (160/160), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -3179,6 +3179,67 @@ def q_bm25_search(spark, sf_dir):
     return out.select("doc_id", "matched_terms", "score_e6", "rank")
 
 
+#: function-complexity synthesis (m = doc_id % 3): decision-rich
+#: multi-unit files; the mid line repeats doc_id % 3 + 1 times so
+#: per-chunk decision counts vary per doc.
+_FCPLX_TMPL: dict[int, tuple[str, str, str, str]] = {
+    0: ("py", "def f@(x):\n", "    if x > @:\n        x = x - 1\n",
+        "    return x\n\ndef g@():\n    return 0\n"),
+    1: ("go", "package p\n\nfunc A@() int {\n",
+        "\tif x > @ && x < 9 {\n\t\tx--\n\t}\n",
+        "\treturn 0\n}\n\nfunc B@() int {\n"
+        "\tfor i := 0; i < 3; i++ {\n\t}\n\treturn 0\n}\n"),
+    2: ("js", "function a@() {\n",
+        "  if (x || x > @) { x -= 1 }\n",
+        "  return x\n}\nclass C@ {}\n"),
+}
+
+
+def q_function_complexity(spark, sf_dir):
+    """Function-grain complexity — the chunker composed with the
+    complexity metrics (the SantaCoder-style 'flag the monster
+    functions' view file-grain code_complexity can't give):
+    chunk_functions splits files into top-level units (zero-shuffle
+    HOF slicing), complexity_stats scores EACH CHUNK (per-lang
+    whole-word decision counts, &&/|| length-delta, tab-expanded max
+    indent, McCabe proxy).  The oracle composes the chunker's
+    INDEPENDENT line-window derivation with the metric arithmetic, so
+    the composition is cross-checked end-to-end."""
+    from schema_validator_spark.operators.codechunk import chunk_functions
+    from schema_validator_spark.operators.complexity import (
+        complexity_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    k = did.cast("string")
+    rep = (did % 3 + 1).cast("int")
+    lang = content = None
+    for i, (lg, head, mid, tail) in sorted(_FCPLX_TMPL.items()):
+        cond = did % 3 == i
+        body = F.concat(
+            _clone_splice(head, k),
+            F.repeat(_clone_splice(mid, k), rep),
+            _clone_splice(tail, k),
+        )
+        lg_lit = F.lit(lg)
+        lang = F.when(cond, lg_lit) if lang is None else lang.when(
+            cond, lg_lit
+        )
+        content = F.when(cond, body) if content is None else content.when(
+            cond, body
+        )
+    df = docs.select(
+        did.alias("doc_id"), lang.alias("lang"), content.alias("content")
+    )
+    ch = chunk_functions(
+        df, ["doc_id", "lang"], "content", "lang", with_sha=False
+    )
+    return complexity_stats(
+        ch, "chunk_text", "lang", keep_cols=["doc_id", "chunk_idx"]
+    )
+
+
 def q_embedded_text(spark, sf_dir):
     """Embedded natural-text extraction
     (functions/embedded.embedded_text): string literals + comments as
@@ -4074,6 +4135,11 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
                        ["value", "prev", "rel_change"]),
     "pagerank": (["node"], ["rank"]),
     "module_rank": (["repo", "module"], ["rank"]),
+    "function_complexity": (
+        ["doc_id", "chunk_idx", "n_lines", "n_decisions", "n_bool_ops",
+         "cyclomatic", "max_indent"],
+        ["decision_density"],
+    ),
     "pii_scan": (['"column"', "pii_type", "n_rows", "n_matched", "n_spans"],
                  ["match_rate"]),
     "k_anonymity": (["n_rows", "n_groups", "min_group_size",
@@ -4389,6 +4455,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "module_rank": q_module_rank,
         "shard_assign": q_shard_assign,
         "bm25_search": q_bm25_search,
+        "function_complexity": q_function_complexity,
     }
 
 
@@ -6885,6 +6952,74 @@ def _import_cycles_oracle_sql() -> str:
     """
 
 
+def _function_complexity_oracle_sql() -> str:
+    """Replay q_function_complexity by COMPOSITION: synth from the
+    shared _FCPLX_TMPL constants, the chunker's independent
+    line-window derivation (_chunks_cte_sql), then the complexity
+    arithmetic from the SAME module constants (DECISION_SYNTAX /
+    decision_pattern / TAB_WIDTH) over each chunk."""
+    from schema_validator_spark.operators.complexity import (
+        DECISION_SYNTAX,
+        TAB_WIDTH,
+        decision_pattern,
+    )
+
+    synth_lang = "\n                 ".join(
+        f"when doc_id % 3 = {i} then '{lg}'"
+        for i, (lg, _, _, _) in sorted(_FCPLX_TMPL.items())
+    )
+    synth_content = "\n                 ".join(
+        f"when doc_id % 3 = {i} then ({_duck_splice(h)})"
+        f" || repeat({_duck_splice(m)}, cast(doc_id % 3 + 1 as int))"
+        f" || ({_duck_splice(t)})"
+        for i, (_, h, m, t) in sorted(_FCPLX_TMPL.items())
+    )
+    kw_whens = "\n                 ".join(
+        "when '{lg}' then len(regexp_extract_all(chunk_text, '{pat}'))"
+        .format(lg=lg, pat=_esc_sq(decision_pattern(words)))
+        for lg, (words, _) in sorted(DECISION_SYNTAX.items())
+    )
+    op_langs = ", ".join(
+        f"'{lg}'"
+        for lg, (_, ops) in sorted(DECISION_SYNTAX.items())
+        if ops
+    )
+    return f"""
+      with synth as (
+        select doc_id,
+               case {synth_lang} end as lang,
+               case {synth_content} end as content
+        from documents
+      ), {_chunks_cte_sql()}
+      , st as (
+        select doc_id, chunk_idx,
+               len(string_split(chunk_text, chr(10))) as n_lines,
+               cast(case coalesce(lower(lang), '')
+                 {kw_whens}
+                 else 0 end as int) as n_decisions,
+               cast(case when coalesce(lower(lang), '') in ({op_langs})
+                 then (length(chunk_text)
+                       - length(replace(chunk_text, '&&', ''))
+                       + length(chunk_text)
+                       - length(replace(chunk_text, '||', ''))) / 2
+                 else 0 end as int) as n_bool_ops,
+               list_max(list_transform(
+                 string_split(replace(chunk_text, chr(9),
+                                      '{" " * TAB_WIDTH}'), chr(10)),
+                 l -> case when ltrim(l) = '' then 0
+                           else length(l) - length(ltrim(l)) end))
+                 as max_indent
+        from chunks
+      )
+      select doc_id, chunk_idx, n_lines, n_decisions, n_bool_ops,
+             n_decisions + n_bool_ops + 1 as cyclomatic,
+             max_indent,
+             round((n_decisions + n_bool_ops) / n_lines, 6)
+               as decision_density
+      from st
+    """
+
+
 def _bm25_oracle_sql() -> str:
     """Replay q_bm25_search from the SAME constants (_BM25_TERMS;
     codedup.CODE_TOKEN_SPLIT_RE): synthesis, lexer, per-term tf via
@@ -7851,6 +7986,7 @@ def _oracle_sql_raw() -> dict[str, str]:
             from cum, t
         """,
         "bm25_search": _bm25_oracle_sql(),
+        "function_complexity": _function_complexity_oracle_sql(),
         "lang_mismatch": _LANG_MISMATCH_ORACLE_SQL,
         "notebook_cells": _NOTEBOOK_ORACLE_SQL,
         "code_imports": _imports_oracle_sql(),
