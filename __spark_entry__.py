@@ -2914,10 +2914,11 @@ def q_code_contamination(spark, sf_dir):
 #: 4 -> D@ unused, C@ used, static max used.  Single-sourced for the
 #: oracle via _duck_lit.
 _UNUSED_TMPL: dict[int, tuple[str, str]] = {
-    0: ("py", "import used0\nimport dead@\nused0.go()\n"),
+    0: ("py", "import used0\nimport dead@\nused0.go()\n"
+        '"""Usage:\nimport phantom@\n"""\n'),
     1: ("py", "from m import f@, g@ as h@\nf@()\n"),
-    2: ("go", 'import "fmt"\nimport u@ "a/b@"\nimport "net/http"\n'
-        "func main() { fmt.Println(1) }\n"),
+    2: ("go", 'import (\n\t"fmt"\n\tu@ "a/b@"\n)\nimport "net/http"\n'
+        'func main() {\n\tfmt.Println(1)\n\treturn "val@"\n}\n'),
     3: ("js", "import R@ from 'react';\nconst q@ = require('qs');\n"
         "R@.x();\n"),
     4: ("java", "import a.b.C@;\nimport a.b.D@;\n"
@@ -2956,8 +2957,8 @@ _EMBED_TMPL: dict[int, tuple[str, str]] = {
 #: Apache header; go non-license comment that must NOT be stripped.
 _STRIP_TMPL: dict[int, tuple[str, str]] = {
     0: ("py", "# Copyright @ Acme\n# All rights reserved.\n\nv@ = 1\n"),
-    1: ("py", "#!/usr/bin/env python\n# SPDX-License-Identifier: "
-        "MIT-@\nx@ = 1\n"),
+    1: ("py", "#!/usr/bin/env python\n# -*- coding: latin-1 -*-\n"
+        "# SPDX-License-Identifier: MIT-@\nx@ = 1\n"),
     2: ("java", "/*\n * Licensed under the Apache License @\n */\n"
         "class C@ {}\n"),
     3: ("go", "// helper @\npackage p@\n"),
@@ -2969,8 +2970,9 @@ def q_strip_headers(spark, sf_dir):
     (operators/licenses.strip_license_headers): The Stack/StarCoder
     transform removing the leading comment block iff it carries a
     license/copyright marker — boilerplate the model would memorize.
-    Shebangs survive; non-license comments stay.  clean_md5 pins the
-    transformed bytes exactly (the html_extract pattern)."""
+    Shebangs and PEP 263 coding cookies survive; non-license comments
+    stay.  clean_md5 pins the transformed bytes exactly (the
+    html_extract pattern)."""
     from schema_validator_spark.operators.licenses import (
         strip_license_headers,
     )
@@ -5521,11 +5523,12 @@ def _code_contamination_oracle_sql() -> str:
 
 def _strip_headers_oracle_sql() -> str:
     """Replay q_strip_headers from the SAME constants (_STRIP_TMPL via
-    _duck_splice; licenses SHEBANG_RE / _LINE_RUN_HEAD / BLOCK_HEAD_RE
-    / HEADER_MARKER_RE): per-stripe head detection, marker gate,
-    substring rebuild, md5."""
+    _duck_splice; licenses SHEBANG_RE / CODING_RE / _LINE_RUN_HEAD /
+    BLOCK_HEAD_RE / HEADER_MARKER_RE): per-stripe head detection,
+    marker gate, substring rebuild, md5."""
     from schema_validator_spark.operators.licenses import (
         BLOCK_HEAD_RE,
+        CODING_RE,
         HEADER_MARKER_RE,
         SHEBANG_RE,
         _HEADER_SYNTAX,
@@ -5572,10 +5575,18 @@ def _strip_headers_oracle_sql() -> str:
                regexp_extract(content, '{_esc_sq(SHEBANG_RE)}') as she,
                content
         from synth
-      ), r as (
+      ), r0 as (
         select doc_id, lang, she,
-               substring(content, length(she) + 1) as rest
+               case when lang = 'py' then regexp_extract(
+                 substring(content, length(she) + 1),
+                 '{_esc_sq(CODING_RE)}')
+               else '' end as cod,
+               content
         from sh
+      ), r as (
+        select doc_id, lang, she || cod as she,
+               substring(content, length(she) + length(cod) + 1) as rest
+        from r0
       ), h as (
         select doc_id, she, rest,
                case {head_case} else '' end as head
@@ -5595,13 +5606,14 @@ def _code_neardup_oracle_sql() -> str:
     """Replay q_code_neardup as EXACT all-pairs (the ground truth the
     LSH-blocked plan must equal): synthesize the striped corpus from
     the SAME constants, replay the py header strip
-    (licenses SHEBANG_RE / _LINE_RUN_HEAD['#'] / HEADER_MARKER_RE),
-    the codedup lexer + bigram shingles, then every (a < b) pair's
-    exact Jaccard at the 0.8 threshold."""
+    (licenses SHEBANG_RE / CODING_RE / _LINE_RUN_HEAD['#'] /
+    HEADER_MARKER_RE), the codedup lexer + bigram shingles, then every
+    (a < b) pair's exact Jaccard at the 0.8 threshold."""
     from schema_validator_spark.operators.codedup import (
         CODE_TOKEN_SPLIT_RE,
     )
     from schema_validator_spark.operators.licenses import (
+        CODING_RE,
         HEADER_MARKER_RE,
         SHEBANG_RE,
         _LINE_RUN_HEAD,
@@ -5638,10 +5650,16 @@ def _code_neardup_oracle_sql() -> str:
                regexp_extract(content, '{_esc_sq(SHEBANG_RE)}') as she,
                content
         from synth
-      ), r as (
+      ), r0 as (
         select doc_id, she,
-               substring(content, length(she) + 1) as rest
+               regexp_extract(substring(content, length(she) + 1),
+                              '{_esc_sq(CODING_RE)}') as cod,
+               content
         from shb
+      ), r as (
+        select doc_id, she || cod as she,
+               substring(content, length(she) + length(cod) + 1) as rest
+        from r0
       ), cl as (
         select doc_id,
                she || substring(rest,
@@ -5798,7 +5816,9 @@ def _unused_imports_oracle_sql() -> str:
     lines, scan used identifiers, parse per-lang bindings with the
     identical list pipeline, and emit valid-distinct-unused bindings."""
     from schema_validator_spark.functions.imports import (
-        GO_BIND_RE,
+        GO_BLOCK_RE,
+        GO_LINE_RE,
+        GO_SINGLE_RE,
         IDENT_FULL,
         IDENT_SCAN,
         JAVA_BIND_RE,
@@ -5808,6 +5828,7 @@ def _unused_imports_oracle_sql() -> str:
         JS_REQUIRE_RE,
         PY_FROM_RE,
         PY_IMPORT_RE,
+        PY_TRIPLE_RE,
         STRIP_RES,
     )
 
@@ -5839,9 +5860,9 @@ def _unused_imports_oracle_sql() -> str:
     )
     py_bind = (
         f"list_concat("
-        f"list_transform({items('content', PY_FROM_RE)},"
+        f"list_transform({items('mc', PY_FROM_RE)},"
         f" it -> {after_as('it')}), "
-        f"list_transform({items('content', PY_IMPORT_RE)},"
+        f"list_transform({items('mc', PY_IMPORT_RE)},"
         f" it -> regexp_extract({after_as('it')},"
         f" '^([A-Za-z_][A-Za-z0-9_]*)', 1)))"
     )
@@ -5876,7 +5897,10 @@ def _unused_imports_oracle_sql() -> str:
                case {synth_content} end as content
         from documents
       ), py as (
-        select doc_id, lang, content, {strip('content', 'py')} as rest
+        select doc_id, lang,
+               regexp_replace(content, '{_esc_sq(PY_TRIPLE_RE)}', '', 'g')
+                 as mc,
+               {strip('content', 'py')} as rest
         from synth where doc_id % 5 in (0, 1)
       ), pyb as (
         select doc_id, lang, {py_bind} as bind, {used} as used from py
@@ -5885,8 +5909,20 @@ def _unused_imports_oracle_sql() -> str:
         from synth where doc_id % 5 = 2
       ), go2 as (
         select doc_id, lang, rest,
-               regexp_extract_all(content, '{_esc_sq(GO_BIND_RE)}', 1) as al,
-               regexp_extract_all(content, '{_esc_sq(GO_BIND_RE)}', 2) as pt
+               list_concat(
+                 regexp_extract_all(content,
+                   '{_esc_sq(GO_SINGLE_RE)}', 1),
+                 regexp_extract_all(
+                   array_to_string(regexp_extract_all(content,
+                     '{_esc_sq(GO_BLOCK_RE)}', 1), chr(10)),
+                   '{_esc_sq(GO_LINE_RE)}', 1)) as al,
+               list_concat(
+                 regexp_extract_all(content,
+                   '{_esc_sq(GO_SINGLE_RE)}', 2),
+                 regexp_extract_all(
+                   array_to_string(regexp_extract_all(content,
+                     '{_esc_sq(GO_BLOCK_RE)}', 1), chr(10)),
+                   '{_esc_sq(GO_LINE_RE)}', 2)) as pt
         from go1
       ), gob as (
         select doc_id, lang, {go_bind} as bind, {used} as used from go2

@@ -80,9 +80,25 @@ def extract_imports(
 #: from consideration — so the scanner under-reports, never invents.
 PY_FROM_RE = r"(?m)^[ \t]*from[ \t]+[A-Za-z_][A-Za-z0-9_.]*[ \t]+import[ \t]+([^\n#]+)"
 PY_IMPORT_RE = r"(?m)^[ \t]*import[ \t]+([^\n#]+)"
-GO_BIND_RE = (
-    r"(?m)^[ \t]*(?:import[ \t]+)?"
+#: py triple-quoted strings are MASKED before binding extraction so a
+#: docstring usage example (`import mypkg` inside \"\"\"...\"\"\") can't
+#: invent a phantom binding; an unterminated triple quote leaves the
+#: tail unmasked (syntactic-tier caveat)
+PY_TRIPLE_RE = r"(?s)\"\"\".*?\"\"\"|'''.*?'''"
+#: go bindings come ONLY from real import syntax: a `import (...)`
+#: block body or a single-line `import [alias] "path"` — never a bare
+#: `ident "string"` line (`return "v1"`, `case "alpha":` must not
+#: invent bindings).  A `)` inside an import path would end the block
+#: early; Go paths cannot contain one.
+GO_BLOCK_RE = r"(?ms)^import[ \t]*\(([^)]*)\)"
+GO_SINGLE_RE = (
+    r"(?m)^[ \t]*import[ \t]+"
     r"(?:([._A-Za-z][A-Za-z0-9_]*)[ \t]+)?\"([A-Za-z0-9_./\-]+)\""
+)
+#: per-line alias/path shape, applied ONLY to extracted block bodies
+GO_LINE_RE = (
+    r"(?m)^[ \t]*(?:([._A-Za-z][A-Za-z0-9_]*)[ \t]+)?"
+    r"\"([A-Za-z0-9_./\-]+)\""
 )
 JAVA_BIND_RE = r"(?m)^import[ \t]+(?:static[ \t]+)?([A-Za-z_][A-Za-z0-9_.]*)[ \t]*;"
 JS_DEFAULT_RE = r"import[ \t]+([A-Za-z_$][A-Za-z0-9_$]*)[ \t]*(?:,|from)"
@@ -100,7 +116,8 @@ IDENT_SCAN = r"[A-Za-z_$][A-Za-z0-9_$]*"
 STRIP_RES: dict[str, tuple[str, ...]] = {
     "py": (r"(?m)^[ \t]*(?:from|import)[ \t][^\n]*",),
     "go": (
-        r"(?m)^[ \t]*(?:import[ \t]+)?"
+        r"(?ms)^import[ \t]*\([^)]*\)",
+        r"(?m)^[ \t]*import[ \t]+"
         r"(?:[._A-Za-z][A-Za-z0-9_]*[ \t]+)?\"[A-Za-z0-9_./\-]+\"",
     ),
     "java": (r"(?m)^import[ \t][^\n]*",),
@@ -129,6 +146,10 @@ def _valid(arr):
 
 
 def _py_bindings(s):
+    # mask docstrings/triple-quoted strings: an import-shaped line
+    # inside one is prose, not a binding (usage residue stays UNmasked
+    # — a mention inside any string still counts as used)
+    s = F.regexp_replace(s, PY_TRIPLE_RE, "")
     frm = F.transform(
         _split_items(F.regexp_extract_all(s, F.lit(PY_FROM_RE), 1)),
         _after_as,
@@ -143,8 +164,17 @@ def _py_bindings(s):
 
 
 def _go_bindings(s):
-    aliases = F.regexp_extract_all(s, F.lit(GO_BIND_RE), 1)
-    paths = F.regexp_extract_all(s, F.lit(GO_BIND_RE), 2)
+    blocks = F.array_join(
+        F.regexp_extract_all(s, F.lit(GO_BLOCK_RE), 1), "\n"
+    )
+    aliases = F.concat(
+        F.regexp_extract_all(s, F.lit(GO_SINGLE_RE), 1),
+        F.regexp_extract_all(blocks, F.lit(GO_LINE_RE), 1),
+    )
+    paths = F.concat(
+        F.regexp_extract_all(s, F.lit(GO_SINGLE_RE), 2),
+        F.regexp_extract_all(blocks, F.lit(GO_LINE_RE), 2),
+    )
     bound = F.zip_with(
         aliases,
         paths,
@@ -198,8 +228,11 @@ def unused_imports(
     file after every import line is stripped.  Member access counts
     (``import a.b`` is used by ``a.b.c()`` — the scan sees ``a``); so
     do mentions in strings/comments — both err toward NOT reporting.
-    Langs: py (import / from-import / as-aliases, comma lists), go
-    (quoted paths, alias form; '_'/'.' imports excluded), js/ts
+    Langs: py (import / from-import / as-aliases, comma lists;
+    triple-quoted strings masked so docstring examples bind nothing),
+    go (single-line and block import forms ONLY — a bare
+    ``ident "string"`` line such as ``return "v1"`` is never an
+    import; '_'/'.' imports excluded), js/ts
     (default / namespace / single-line braces / simple require), java
     (last dotted segment; wildcard imports never match).
 

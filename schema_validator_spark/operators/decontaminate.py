@@ -67,10 +67,16 @@ def code_eval_gram_set(
     (one column: ``_g``).  Comment-only / empty files contribute
     nothing."""
     norm = normalize_type2(content_col, lang_col, syntax=syntax)
+    # No length(_norm) filter: PushDownPredicate would inline the full
+    # normalization chain into the filter conjunct below the Project and
+    # codegen never CSEs across operators (CLAUDE.md), doubling the
+    # dominant per-row cost.  An empty norm shingles to [''] (see
+    # array_shingles), so dropping the '' gram AFTER the explode is
+    # exactly equivalent and costs one cheap string compare per gram.
     return (
         eval_df.select(norm.alias("_norm"))
-        .filter(F.length("_norm") > 0)
         .select(F.explode(X.word_shingles(F.col("_norm"), k)).alias("_g"))
+        .filter(F.col("_g") != "")
         .distinct()
     )
 
@@ -116,9 +122,13 @@ def code_contamination(
     if broadcast:
         grams = F.broadcast(grams)
     norm = normalize_type2(content_col, lang_col, syntax=syntax)
+    # Same no-length-filter shape as code_eval_gram_set (see comment
+    # there): an empty norm shingles to [''], whose single exploded gram
+    # the _g filter drops — the row then vanishes from the groupBy, just
+    # as the row filter would have removed it, without re-deriving the
+    # normalization chain in a pushed-down filter conjunct.
     keyed = (
         train.select(*id_cols, norm.alias("_norm"))
-        .filter(F.length("_norm") > 0)
         .select(
             *id_cols,
             X.word_shingles(F.col("_norm"), k).alias("_gs"),
@@ -128,6 +138,7 @@ def code_contamination(
             F.size("_gs").alias("n_grams"),
             F.explode("_gs").alias("_g"),
         )
+        .filter(F.col("_g") != "")
     )
     return (
         keyed.join(grams, on="_g")

@@ -88,6 +88,13 @@ BLOCK_HEAD_RE = r"(?s)\A\s*/\*.*?\*/[ \t]*\n?"
 #: the shebang line is never part of a header (node and python
 #: scripts put it first; stripping it breaks the file)
 SHEBANG_RE = r"\A#![^\n]*\n"
+#: PEP 263 encoding declaration — stripping it corrupts any non-UTF-8
+#: source, so like the shebang it is preserved even when it sits inside
+#: a license comment run.  Anchored at \A of rest-after-shebang, i.e.
+#: the conventional placements (file line 1, or line 2 after a
+#: shebang); the rare legal variant BELOW a non-cookie comment line
+#: would need hoisting to survive and is documented out of scope
+CODING_RE = r"\A[ \t]*#[^\n]*coding[:=][ \t]*[-_.A-Za-z0-9]+[^\n]*\n?"
 #: lang -> (line-comment prefix key, has block comments)
 _HEADER_SYNTAX: dict[str, tuple[str, bool]] = {
     "py": ("#", False),
@@ -116,16 +123,23 @@ def strip_license_headers(
     ``header_lines`` counts removed newlines.
 
     A shebang first line is preserved (the header check starts after
-    it).  A module docstring is NOT a comment and is never stripped
-    (documented scope: comment-style headers only).  Unregistered
-    langs pass through unchanged.  Pure codegen projection — two
-    anchored regexp_extracts per row, zero shuffles."""
+    it), and so is a PEP 263 ``# -*- coding: ... -*-`` declaration on
+    a py file's line 1/2 — both break the file if removed.  A module
+    docstring is NOT a comment and is never stripped (documented
+    scope: comment-style headers only).  Unregistered langs pass
+    through unchanged.  Pure codegen projection — three anchored
+    regexp_extracts per row, zero shuffles."""
     if not id_cols:
         raise ValueError("strip_license_headers needs id columns")
     s = F.coalesce(F.col(content_col), F.lit(""))
     lang = F.lower(F.coalesce(F.col(lang_col), F.lit("")))
     shebang = F.regexp_extract(s, SHEBANG_RE, 0)
-    rest = s.substr(F.length(shebang) + 1, F.length(s))
+    after_she = s.substr(F.length(shebang) + 1, F.length(s))
+    coding = F.when(
+        lang == "py", F.regexp_extract(after_she, CODING_RE, 0)
+    ).otherwise(F.lit(""))
+    pre = F.concat(shebang, coding)
+    rest = s.substr(F.length(pre) + 1, F.length(s))
 
     chain = None
     for lg, (prefix, has_block) in sorted(_HEADER_SYNTAX.items()):
@@ -146,7 +160,7 @@ def strip_license_headers(
 
     base = df.select(
         *id_cols,
-        shebang.alias("_she"),
+        pre.alias("_she"),
         rest.alias("_rest"),
         head.alias("_head"),
     )

@@ -39,6 +39,51 @@ from pyspark.sql.window import Window
 from .sampling import _hash_key
 
 
+def _stream_offsets(
+    df: DataFrame, id_col: str, amount_col: str, salt: str
+) -> DataFrame:
+    """``(id_col, _n, _g, ...)``: each row's exclusive prefix-sum offset
+    ``_g`` of ``_n = cast(amount_col as long)`` in the deterministic
+    md5(id || salt)-rank stream order — the shared 256-range distributed
+    prefix sum (see module docstring).  Rows with NULL / non-positive
+    amounts are excluded.  Single source for pack_sequences and
+    assign_shards so the two manifests can never diverge from the same
+    stream order."""
+    h = _hash_key(id_col, salt)
+    rng = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    docs = (
+        df.select(
+            F.col(id_col),
+            F.coalesce(F.col(amount_col), F.lit(0)).cast("long").alias("_n"),
+        )
+        .filter(F.col("_n") > 0)
+        .withColumn("_h", h)
+        .withColumn("_rng", rng)
+    )
+
+    # Pass 1: per-range totals -> exclusive running offsets (256 rows).
+    bucket_sums = docs.groupBy("_rng").agg(F.sum("_n").alias("_bsum"))
+    w_off = (
+        Window.orderBy(F.col("_rng").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bucket_sums.select(
+        "_rng", F.coalesce(F.sum("_bsum").over(w_off), F.lit(0)).alias("_roff")
+    )
+
+    # Pass 2: local cumsum within each range + broadcast range offset.
+    w_local = Window.partitionBy("_rng").orderBy(
+        F.col("_h").asc(), F.col(id_col).asc()
+    )
+    cum_incl = F.sum("_n").over(
+        w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.join(F.broadcast(offsets), "_rng")
+        .withColumn("_g", F.col("_roff") + cum_incl - F.col("_n"))
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,
@@ -70,40 +115,8 @@ def pack_sequences(
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
 
-    h = _hash_key(id_col, salt)
-    rng = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
-    docs = (
-        df.select(
-            F.col(id_col),
-            F.coalesce(F.col(token_col), F.lit(0)).cast("long").alias("_n"),
-        )
-        .filter(F.col("_n") > 0)
-        .withColumn("_h", h)
-        .withColumn("_rng", rng)
-    )
-
-    # Pass 1: per-range token totals -> exclusive running offsets.
-    bucket_sums = docs.groupBy("_rng").agg(F.sum("_n").alias("_bsum"))
-    w_off = (
-        Window.orderBy(F.col("_rng").asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = bucket_sums.select(
-        "_rng", F.coalesce(F.sum("_bsum").over(w_off), F.lit(0)).alias("_roff")
-    )
-
-    # Pass 2: local cumsum within each range + broadcast range offset
-    # gives each doc its global stream offset _g (exclusive prefix).
-    w_local = Window.partitionBy("_rng").orderBy(
-        F.col("_h").asc(), F.col(id_col).asc()
-    )
-    cum_incl = F.sum("_n").over(
-        w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    placed = (
-        docs.join(F.broadcast(offsets), "_rng")
-        .withColumn("_g", F.col("_roff") + cum_incl - F.col("_n"))
-    )
+    docs = _stream_offsets(df, id_col, token_col, salt)
+    placed = docs
 
     # A doc occupying global tokens [_g, _g + _n) touches sequences
     # _g div L .. (_g + _n - 1) div L; slice arithmetic is exact long
@@ -168,42 +181,13 @@ def assign_shards(
     if num_shards is not None and num_shards <= 0:
         raise ValueError("num_shards must be positive")
 
-    h = _hash_key(id_col, salt)
-    rng = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
-    docs = (
-        df.select(
-            F.col(id_col),
-            F.coalesce(F.col(size_col), F.lit(0)).cast("long").alias("_n"),
-        )
-        .filter(F.col("_n") > 0)
-        .withColumn("_h", h)
-        .withColumn("_rng", rng)
-    )
-
-    bucket_sums = docs.groupBy("_rng").agg(F.sum("_n").alias("_bsum"))
-    w_off = (
-        Window.orderBy(F.col("_rng").asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = bucket_sums.select(
-        "_rng", F.coalesce(F.sum("_bsum").over(w_off), F.lit(0)).alias("_roff")
-    )
-    w_local = Window.partitionBy("_rng").orderBy(
-        F.col("_h").asc(), F.col(id_col).asc()
-    )
-    cum_incl = F.sum("_n").over(
-        w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    placed = (
-        docs.join(F.broadcast(offsets), "_rng")
-        .withColumn("_g", F.col("_roff") + cum_incl - F.col("_n"))
-    )
+    placed = _stream_offsets(df, id_col, size_col, salt)
     if shard_bytes is not None:
         placed = placed.withColumn(
             "_sb", F.lit(int(shard_bytes)).cast("long")
         )
     else:
-        total = docs.agg(F.sum("_n").alias("_t"))
+        total = placed.agg(F.sum("_n").alias("_t"))
         placed = placed.join(F.broadcast(total)).withColumn(
             # ceil(total / num_shards) in exact long arithmetic
             "_sb",

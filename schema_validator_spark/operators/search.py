@@ -161,7 +161,9 @@ def bm25_score_py(
                 * (k1 + 1.0)
                 / (tf + k1 * (1.0 - b + b * len(toks) / avgdl))
             )
-            s += int(round(c * 1e6))
+            # HALF_UP like Spark's F.round (c is always positive here);
+            # Python round() is half-even and differs on exact .5 ties
+            s += int(math.floor(c * 1e6 + 0.5))
         if s or any(t in toks for t in query_terms):
             out[i] = s
     return out

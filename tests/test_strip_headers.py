@@ -35,6 +35,34 @@ def test_py_header_strip_and_shebang(spark):
     assert got[3]["content_clean"].startswith('"""')
 
 
+def test_pep263_coding_cookie_survives(spark):
+    got = _run(spark, [
+        # cookie inside the license run: run stripped, cookie kept
+        (0, "py", "# -*- coding: latin-1 -*-\n# Copyright Acme\n"
+                  "x = 'café'\n"),
+        # shebang + cookie (PEP 263 line 2) both survive
+        (1, "py", "#!/usr/bin/env python\n# coding=utf-8\n"
+                  "# All rights reserved.\ny = 1\n"),
+        # documented caveat: a cookie BELOW a non-cookie comment line
+        # (legal per PEP 263 line 2) is outside the anchored preserved
+        # prefix and goes with its marker-bearing run
+        (2, "py", "# Copyright Acme\n# vim: set coding=utf-8 :\nz = 1\n"),
+        # cookie only, no marker anywhere: nothing stripped
+        (3, "py", "# -*- coding: utf-8 -*-\nimport os\n"),
+    ])
+    assert got[0]["content_clean"] == (
+        "# -*- coding: latin-1 -*-\nx = 'café'\n"
+    )
+    assert got[0]["header_removed"] and got[0]["header_lines"] == 1
+    assert got[1]["content_clean"] == (
+        "#!/usr/bin/env python\n# coding=utf-8\ny = 1\n"
+    )
+    assert got[2]["content_clean"] == "z = 1\n"
+    assert got[2]["header_lines"] == 2
+    assert not got[3]["header_removed"]
+    assert got[3]["content_clean"].startswith("# -*- coding")
+
+
 def test_block_and_line_headers(spark):
     got = _run(spark, [
         (0, "java", "/*\n * Licensed under the Apache License\n */\n"

@@ -51,6 +51,28 @@ def test_go_forms(spark):
     assert 1 not in out
 
 
+def test_never_invents_bindings(spark):
+    out = _run(spark, [
+        # go: bare `ident "string"` lines are NOT imports — no phantom
+        # 'return' / 'case' bindings, and the strings stay in the
+        # usage residue
+        (0, "go", 'import "fmt"\n'
+                  'func f() string {\n\treturn "v1"\n}\n'
+                  'func g(s string) {\n\tswitch s {\n'
+                  '\tcase "alpha":\n\t}\n\tfmt.Println(s)\n}\n'),
+        # py: an import-shaped line inside a docstring binds nothing
+        (1, "py", '"""Usage:\n    import phantom\n"""\nx = 1\n'),
+        # py: docstring import masked, real unused import still found
+        (2, "py", 'import dead\n"""Example:\nimport ghost\n"""\n'),
+        # py: single-line docstring glued around a real import
+        (3, "py", '"""mod doc"""\nimport lone\n'),
+    ])
+    assert 0 not in out
+    assert 1 not in out
+    assert out.get(2) == {"dead"}
+    assert out.get(3) == {"lone"}
+
+
 def test_js_forms(spark):
     out = _run(spark, [
         (0, "js", "import React from 'react';\n"
