@@ -3328,6 +3328,43 @@ def q_file_history(spark, sf_dir):
     return churn_stats(df, ["repo", "path"], "commit", "content")
 
 
+def q_edit_pairs(spark, sf_dir):
+    """Consecutive-version diff mining (operators/history.edit_pairs):
+    the CommitPack (before, after) pair extraction with set-based
+    line-diff stats over the (repo, path, commit) axis.  Synthesis:
+    the file_history 7x31 key grid; content is 3 lines (stable header
+    'h<key>', 's'/'t' lines keyed to floor(t/2) so every even->odd
+    step is byte-identical (changed=false) and every odd->even step
+    swaps 2 of 3 lines); every 41st doc NULL (splits as one empty
+    line).  Oracle: independent lag-window replay in DuckDB."""
+    from schema_validator_spark.operators.history import edit_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    t2 = F.floor(did / 217 / 2)
+    content = F.when(did % 41 == 0, F.lit(None).cast("string")).otherwise(
+        F.concat(
+            F.lit("h"), (did % 217).cast("string"), F.lit("\ns"),
+            (t2 % 2).cast("string"), F.lit("\nt"),
+            (t2 % 3).cast("string"),
+        )
+    )
+    df = docs.select(
+        F.concat(F.lit("r"), (did % 7).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), (did % 31).cast("string")).alias("path"),
+        did.alias("commit"),
+        content.alias("content"),
+    )
+    out = edit_pairs(df, ["repo", "path"], "commit", "content")
+    return out.select(
+        "repo", "path", "from_version", "to_version",
+        F.col("n_added").cast("long").alias("n_added"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        F.col("n_common").cast("long").alias("n_common"),
+        "line_jaccard", "changed",
+    )
+
+
 #: nlpl_pairs synthesis templates, single-sourced for the oracle via
 #: _duck_lit: stripe -> (prefix, suffix) around the doc_id insertion.
 #: Every unit ends with \n; the lead chunk the chunker produces is the
@@ -4458,6 +4495,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_assign": q_shard_assign,
         "bm25_search": q_bm25_search,
         "function_complexity": q_function_complexity,
+        "edit_pairs": q_edit_pairs,
     }
 
 
@@ -5195,6 +5233,56 @@ _FILE_HISTORY_ORACLE_SQL = """
                as churn_ratio
       from synth
       group by repo, path
+"""
+
+
+#: independent lag-window replay of q_edit_pairs (same synthesis
+#: arithmetic; the diff is derived with DuckDB list ops, not Spark's)
+_EDIT_PAIRS_ORACLE_SQL = """
+      with synth as (
+        select 'r' || cast(doc_id % 7 as varchar) as repo,
+               'p' || cast(doc_id % 31 as varchar) as path,
+               doc_id as commit_v,
+               case when doc_id % 41 = 0 then null
+                    else 'h' || cast(doc_id % 217 as varchar) || chr(10)
+                         || 's' || cast((doc_id // 217 // 2) % 2
+                                        as varchar) || chr(10)
+                         || 't' || cast((doc_id // 217 // 2) % 3
+                                        as varchar)
+               end as content
+        from documents
+      ), base as (
+        select repo, path, commit_v,
+               list_distinct(string_split(coalesce(content, ''),
+                                          chr(10))) as ln,
+               sha256(coalesce(content, '')) as sha
+        from synth
+      ), lagged as (
+        select repo, path, commit_v, ln, sha,
+               lag(commit_v) over w as pv,
+               lag(ln) over w as pl,
+               lag(sha) over w as ps,
+               row_number() over w as rn
+        from base
+        window w as (partition by repo, path
+                     order by commit_v asc, sha asc)
+      ), d as (
+        select repo, path, pv, commit_v, sha, ps,
+               len(list_filter(ln, x -> not list_contains(pl, x)))
+                 as n_added,
+               len(list_filter(pl, x -> not list_contains(ln, x)))
+                 as n_removed,
+               len(list_intersect(ln, pl)) as n_common
+        from lagged where rn >= 2
+      )
+      select repo, path, pv as from_version, commit_v as to_version,
+             cast(n_added as bigint) as n_added,
+             cast(n_removed as bigint) as n_removed,
+             cast(n_common as bigint) as n_common,
+             round(n_common / cast(n_added + n_removed + n_common
+                                   as double), 6) as line_jaccard,
+             sha <> ps as changed
+      from d
 """
 
 
@@ -8023,6 +8111,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         """,
         "bm25_search": _bm25_oracle_sql(),
         "function_complexity": _function_complexity_oracle_sql(),
+        "edit_pairs": _EDIT_PAIRS_ORACLE_SQL,
         "lang_mismatch": _LANG_MISMATCH_ORACLE_SQL,
         "notebook_cells": _NOTEBOOK_ORACLE_SQL,
         "code_imports": _imports_oracle_sql(),

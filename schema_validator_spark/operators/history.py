@@ -15,18 +15,21 @@ Reference analog: the reference validates one value at a time
 primitive those row rules can't express — arg-max per key across rows.
 
 Scale shape (PLANS.md): ONE hash shuffle on the file key for either
-function.  ``latest_files`` is a map-side-combinable ``max(struct(
+aggregate.  ``latest_files`` is a map-side-combinable ``max(struct(
 version, tiebreak, payload...))`` arg-max — no window, no sort, no hot
 reducer (a pathological file with 10^6 commits still combines
 map-side).  ``churn_stats`` rides the same groupBy; its
 count(distinct sha) is the only two-phase term and it shuffles
-(key, sha) rows, bounded by distinct versions.
+(key, sha) rows, bounded by distinct versions.  ``edit_pairs`` is the
+one window op of the family (adjacent-version pairing needs the sort);
+see its docstring for the hot-key bound.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _check_reserved(cols: list[str], key_cols: list[str]) -> None:
@@ -124,3 +127,86 @@ def churn_stats(
             1 - F.col("n_distinct_versions") / F.col("n_versions"), 6
         ).alias("churn_ratio"),
     )
+
+
+def edit_pairs(
+    df: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+    content_col: str,
+    *,
+    changed_only: bool = False,
+) -> DataFrame:
+    """Consecutive version pairs per file with set-based line-diff
+    stats — the (before, after) mining step for edit/diff training
+    data (the CommitPack shape: OctoPack, Muennighoff et al. 2023).
+    One row per adjacent (version, next version) pair of each key:
+
+    * ``from_version`` / ``to_version`` — the pair, ordered by
+      ``version_col`` (ties broken by content sha — deterministic,
+      same contract as latest_files)
+    * ``n_added`` / ``n_removed`` / ``n_common`` — DISTINCT lines of
+      the after-side not in the before-side / vice versa / shared
+    * ``line_jaccard`` — n_common over the distinct-line union, 6dp
+    * ``changed`` — whether the raw content bytes differ (a pair can
+      be unchanged while a later pair of the same key edits back)
+
+    ``changed_only=True`` keeps only real edits.  NULL content splits
+    as the empty document (one empty line).
+
+    Scale shape: ONE Exchange on the key + per-key sort by version;
+    the lag window carries (version, sha, distinct-line array) — the
+    line array is derived once per row BEFORE the window so neither
+    the lag nor the diff re-splits content.  Hot-key caveat: one
+    file's whole history sorts in a single task — bounded by VCS
+    history depth (10^3-10^5 commits), not corpus size; if a
+    degenerate key ever matters, the chunk-and-stitch pattern
+    (operators/sessions.sessionize_chunked) applies verbatim.
+    """
+    reserved = {
+        "_ln", "_sha", "_pv", "_pl", "_ps", "_rn",
+        "from_version", "to_version",
+    }
+    clash = sorted(reserved & set([*df.columns, *key_cols]))
+    if clash:
+        raise ValueError(
+            f"edit_pairs reserves these column names: {clash}"
+        )
+    s = F.coalesce(F.col(content_col), F.lit(""))
+    base = df.select(
+        *key_cols,
+        F.col(version_col),
+        F.array_distinct(F.split(s, "\n")).alias("_ln"),
+        F.sha2(s, 256).alias("_sha"),
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(version_col).asc(), F.col("_sha").asc()
+    )
+    lagged = base.select(
+        *key_cols,
+        F.col(version_col),
+        "_ln",
+        "_sha",
+        F.lag(version_col).over(w).alias("_pv"),
+        F.lag("_ln").over(w).alias("_pl"),
+        F.lag("_sha").over(w).alias("_ps"),
+        F.row_number().over(w).alias("_rn"),
+    ).filter(F.col("_rn") >= 2)
+    n_added = F.size(F.array_except("_ln", "_pl"))
+    n_removed = F.size(F.array_except("_pl", "_ln"))
+    n_common = F.size(F.array_intersect("_ln", "_pl"))
+    out = lagged.select(
+        *key_cols,
+        F.col("_pv").alias("from_version"),
+        F.col(version_col).alias("to_version"),
+        n_added.alias("n_added"),
+        n_removed.alias("n_removed"),
+        n_common.alias("n_common"),
+        F.round(
+            n_common / (n_added + n_removed + n_common), 6
+        ).alias("line_jaccard"),
+        (F.col("_sha") != F.col("_ps")).alias("changed"),
+    )
+    if changed_only:
+        out = out.filter(F.col("changed"))
+    return out

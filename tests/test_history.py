@@ -102,3 +102,81 @@ def test_one_exchange_plans(spark):
     assert n_exchanges(
         churn_stats(df, ["repo", "path"], "commit", "content")
     ) <= 2
+
+
+def test_edit_pairs_basic(spark):
+    from schema_validator_spark.operators.history import edit_pairs
+
+    rows = [
+        # f1: 1 -> 2 is a real edit (one line swapped of three),
+        # 2 -> 3 is byte-identical (changed=False)
+        ("r", "f1", 1, "py", "h\na\nb"),
+        ("r", "f1", 2, "py", "h\na\nc"),
+        ("r", "f1", 3, "py", "h\na\nc"),
+        # f2: single version -> no pair
+        ("r", "f2", 5, "py", "solo"),
+        # f3: NULL -> text (NULL splits as one empty line)
+        ("r", "f3", 1, "py", None),
+        ("r", "f3", 2, "py", "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit long, lang string,"
+        " content string"
+    )
+    got = {
+        (r["repo"], r["path"], r["from_version"], r["to_version"]):
+            r.asDict()
+        for r in edit_pairs(
+            df, ["repo", "path"], "commit", "content"
+        ).collect()
+    }
+    assert len(got) == 3
+    p12 = got[("r", "f1", 1, 2)]
+    assert (p12["n_added"], p12["n_removed"], p12["n_common"]) == (1, 1, 2)
+    assert p12["changed"] and abs(p12["line_jaccard"] - 0.5) < 1e-9
+    p23 = got[("r", "f1", 2, 3)]
+    assert not p23["changed"]
+    assert (p23["n_added"], p23["n_removed"], p23["n_common"]) == (0, 0, 3)
+    assert p23["line_jaccard"] == 1.0
+    pn = got[("r", "f3", 1, 2)]
+    # before = [''], after = ['x']: disjoint line sets
+    assert (pn["n_added"], pn["n_removed"], pn["n_common"]) == (1, 1, 0)
+    assert pn["changed"] and pn["line_jaccard"] == 0.0
+
+
+def test_edit_pairs_changed_only_and_dup_lines(spark):
+    from schema_validator_spark.operators.history import edit_pairs
+
+    rows = [
+        # duplicate lines count ONCE (distinct-line sets), but the
+        # changed flag sees the raw bytes: v2 only duplicates a line
+        ("r", "d", 1, "py", "a\nb"),
+        ("r", "d", 2, "py", "a\nb\nb"),
+        ("r", "d", 3, "py", "a\nb\nb"),
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit long, lang string,"
+        " content string"
+    )
+    out = edit_pairs(
+        df, ["repo", "path"], "commit", "content", changed_only=True
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["from_version"], r["to_version"]) == (1, 2)
+    # distinct-line diff is empty, yet the pair IS a byte change
+    assert (r["n_added"], r["n_removed"], r["n_common"]) == (0, 0, 2)
+    assert r["changed"] and r["line_jaccard"] == 1.0
+
+
+def test_edit_pairs_reserved_names(spark):
+    import pytest
+
+    from schema_validator_spark.operators.history import edit_pairs
+
+    df = spark.createDataFrame(
+        [("r", 1, "x", "y")],
+        "repo string, commit long, _sha string, content string",
+    )
+    with pytest.raises(ValueError, match="_sha"):
+        edit_pairs(df, ["repo"], "commit", "content")
