@@ -3365,6 +3365,37 @@ def q_edit_pairs(spark, sf_dir):
     )
 
 
+def q_dead_symbols(spark, sf_dir):
+    """Dead exported symbols (operators/deadcode.dead_symbols): public
+    API never referenced outside its defining file(s), repo-scoped.
+    Synthesis: py files on a (repo=did%13, class k=did%29) grid —
+    each file defines s<k> and mentions s<(k+1)%29> UNLESS that class
+    is ≡0 mod 4, so exactly the k%4==0 classes are dead in every repo
+    (gcd(13,29)=1 ⇒ every (repo, class) has def and mention files).
+    Oracle: independent DuckDB anti-join replay over the same regex
+    constants."""
+    from schema_validator_spark.operators.deadcode import dead_symbols
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    k = did % 29
+    m = (k + 1) % 29
+    content = F.concat(
+        F.lit("def s"), k.cast("string"), F.lit("():\n    return 0\n"),
+        F.when(
+            m % 4 != 0,
+            F.concat(F.lit("x = s"), m.cast("string"), F.lit("\n")),
+        ).otherwise(F.lit("")),
+    )
+    df = docs.select(
+        F.concat(F.lit("r"), (did % 13).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), did.cast("string")).alias("path"),
+        F.lit("py").alias("lang"),
+        content.alias("content"),
+    )
+    return dead_symbols(df, "repo", "path", "content", "lang")
+
+
 #: nlpl_pairs synthesis templates, single-sourced for the oracle via
 #: _duck_lit: stripe -> (prefix, suffix) around the doc_id insertion.
 #: Every unit ends with \n; the lead chunk the chunker produces is the
@@ -4496,6 +4527,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "function_complexity": q_function_complexity,
         "edit_pairs": q_edit_pairs,
+        "dead_symbols": q_dead_symbols,
     }
 
 
@@ -5234,6 +5266,62 @@ _FILE_HISTORY_ORACLE_SQL = """
       from synth
       group by repo, path
 """
+
+
+def _dead_symbols_oracle_sql() -> str:
+    """Independent anti-join replay of q_dead_symbols from the SAME
+    regex constants (publicapi.API_PATTERNS['py'], imports.IDENT_SCAN):
+    defs and per-file distinct identifier mentions, mentions restricted
+    to the repo's symbol dim, external use = mention at a non-defining
+    file, dead = defs with no external use."""
+    from schema_validator_spark.functions.imports import IDENT_SCAN
+    from schema_validator_spark.functions.publicapi import API_PATTERNS
+
+    py_pat = _esc_sq(API_PATTERNS["py"])
+    ident = _esc_sq(IDENT_SCAN)
+    return f"""
+      with synth as (
+        select 'r' || cast(doc_id % 13 as varchar) as repo,
+               'p' || cast(doc_id as varchar) as path,
+               'def s' || cast(doc_id % 29 as varchar) || '():'
+                 || chr(10) || '    return 0' || chr(10)
+                 || case when ((doc_id % 29 + 1) % 29) % 4 <> 0
+                    then 'x = s'
+                         || cast((doc_id % 29 + 1) % 29 as varchar)
+                         || chr(10)
+                    else '' end as content
+        from documents
+      ), defs as (
+        select distinct * from (
+          select repo, path,
+                 unnest(regexp_extract_all(content, '{py_pat}', 1))
+                   as symbol
+          from synth)
+      ), symdim as (
+        select distinct repo, symbol from defs
+      ), ment as (
+        select distinct * from (
+          select repo, path,
+                 unnest(list_distinct(
+                   regexp_extract_all(content, '{ident}'))) as symbol
+          from synth)
+      ), ext as (
+        select distinct m.repo, m.symbol
+        from ment m
+        join symdim sd on sd.repo = m.repo and sd.symbol = m.symbol
+        where not exists (
+          select 1 from defs d
+          where d.repo = m.repo and d.path = m.path
+            and d.symbol = m.symbol)
+      )
+      select d.repo, 'py' as lang, d.symbol,
+             cast(count(distinct d.path) as bigint) as n_def_files
+      from defs d
+      where not exists (
+        select 1 from ext e
+        where e.repo = d.repo and e.symbol = d.symbol)
+      group by d.repo, d.symbol
+    """
 
 
 #: independent lag-window replay of q_edit_pairs (same synthesis
@@ -8112,6 +8200,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "bm25_search": _bm25_oracle_sql(),
         "function_complexity": _function_complexity_oracle_sql(),
         "edit_pairs": _EDIT_PAIRS_ORACLE_SQL,
+        "dead_symbols": _dead_symbols_oracle_sql(),
         "lang_mismatch": _LANG_MISMATCH_ORACLE_SQL,
         "notebook_cells": _NOTEBOOK_ORACLE_SQL,
         "code_imports": _imports_oracle_sql(),
