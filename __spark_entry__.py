@@ -3261,6 +3261,45 @@ def q_embedded_text(spark, sf_dir):
     return embedded_text(df, ["doc_id"], "content", "lang")
 
 
+#: comment_lang_mix synthesis (m = doc_id % 5): en py comment; es js
+#: comment behind an ENGLISH string literal (the channel-separation
+#: trap — strings mask first); de go block comment; a comment-free py
+#: file (excluded from the mix); a stopword-free js comment (counted
+#: as 'unknown').  Splices sit on non-marker tokens only.
+_CMTLANG_TMPL: dict[int, tuple[str, str]] = {
+    0: ("py", "# the result is in the set for it w@\nx@ = 1\n"),
+    1: ("js", 'const s@ = "the of and to is in that";\n'
+        "// el que de la y los k@\nlet z@ = 3;\n"),
+    2: ("go", "/* der und die das ist b@ */\nvar v@ = 1\n"),
+    3: ("py", "a@ = 4\n"),
+    4: ("js", "// zzz@ qqq\nlet w@ = 1;\n"),
+}
+
+
+def q_comment_lang(spark, sf_dir):
+    """Per-repo comment-language mix
+    (functions/embedded.comment_lang_mix): natural-language ID of the
+    comment CHANNEL — the multilingual-curation signal for code (a
+    text corpus balances by document language; a code corpus by the
+    language its comments are written in).  Striped synthesis plants
+    en/es/de/unknown comments plus a comment-free file per repo; the
+    es stripe hides an English string literal that must NOT tint the
+    verdict (strings mask before comment extraction)."""
+    from schema_validator_spark.functions.embedded import (
+        comment_lang_mix,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    lang, content = _tmpl_cols(_CMTLANG_TMPL, did % 5, did.cast("string"))
+    df = docs.select(
+        F.concat(F.lit("r"), (did % 7).cast("string")).alias("repo"),
+        lang.alias("lang"),
+        content.alias("content"),
+    )
+    return comment_lang_mix(df, "repo", "content", "lang")
+
+
 def q_repo_debt(spark, sf_dir):
     """Repo-grain tech-debt rollup
     (operators/codequality.repo_debt): TODO/FIXME/HACK/XXX marker
@@ -4528,6 +4567,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "function_complexity": q_function_complexity,
         "edit_pairs": q_edit_pairs,
         "dead_symbols": q_dead_symbols,
+        "comment_lang": q_comment_lang,
     }
 
 
@@ -5934,6 +5974,111 @@ def _embedded_text_oracle_sql() -> str:
       select doc_id, 'comment' as kind,
              unnest({comment_case}) as text
       from st{n}
+    """
+
+
+def _comment_lang_oracle_sql() -> str:
+    """Replay q_comment_lang from the SAME constants (_CMTLANG_TMPL via
+    _duck_splice; clones.STRING_PATTERNS / S_TOK /
+    codequality.COMMENT_SYNTAX; text._LANG_MARKERS): staged
+    string-mask chain, per-lang comment extraction (block before
+    line), per-file comment blob, the lang_id stopword cascade
+    (sequential strict-greater argmax in _LANG_MARKERS order, CJK
+    override), then the per-repo mix with a window share."""
+    from schema_validator_spark.functions.text import _LANG_MARKERS
+    from schema_validator_spark.operators.clones import (
+        S_TOK,
+        STRING_PATTERNS,
+    )
+    from schema_validator_spark.operators.codequality import (
+        COMMENT_SYNTAX,
+    )
+
+    synth_lang = "\n                 ".join(
+        f"when doc_id % 5 = {i} then '{lg}'"
+        for i, (lg, _) in sorted(_CMTLANG_TMPL.items())
+    )
+    synth_content = "\n                 ".join(
+        f"when doc_id % 5 = {i} then ({_duck_splice(tmpl)})"
+        for i, (_, tmpl) in sorted(_CMTLANG_TMPL.items())
+    )
+    stages = []
+    for i, pat in enumerate(STRING_PATTERNS):
+        stages.append(
+            f"st{i + 1} as (select repo, lang,"
+            f" regexp_replace(e{i}, '{_esc_sq(pat)}', '{S_TOK}', 'g')"
+            f" as e{i + 1} from st{i})"
+        )
+    n = len(STRING_PATTERNS)
+    comment_whens = []
+    for lg, (line_pat, blk_pat) in sorted(COMMENT_SYNTAX.items()):
+        if blk_pat:
+            e = (
+                f"list_concat("
+                f"regexp_extract_all(e{n}, '{_esc_sq(blk_pat)}'), "
+                f"regexp_extract_all(regexp_replace(e{n},"
+                f" '{_esc_sq(blk_pat)}', '', 'g'),"
+                f" '{_esc_sq(line_pat)}'))"
+            )
+        else:
+            e = f"regexp_extract_all(e{n}, '{_esc_sq(line_pat)}')"
+        comment_whens.append(f"when lang = '{lg}' then {e}")
+    comment_case = (
+        "case " + "\n                 ".join(comment_whens)
+        + " else [] end"
+    )
+    langs = list(_LANG_MARKERS)
+    score_exprs = ",\n               ".join(
+        f"len(list_intersect(toks, ["
+        + ", ".join(f"'{w}'" for w in _LANG_MARKERS[lg])
+        + f"])) as s_{lg}"
+        for lg in langs
+    )
+    cascade = []
+    for idx in range(len(langs) - 1, -1, -1):
+        lg = langs[idx]
+        conds = [f"s_{lg} > s_{e}" for e in langs[:idx]]
+        conds.append(f"s_{lg} > 0")
+        cascade.append(f"when {' and '.join(conds)} then '{lg}'")
+    lid_case = (
+        "case when cjk * 4 > nb then 'zh'\n                  "
+        + "\n                  ".join(cascade)
+        + " else 'unknown' end"
+    )
+    return f"""
+      with st0 as (
+        select 'r' || cast(doc_id % 7 as varchar) as repo,
+               case {synth_lang} end as lang,
+               case {synth_content} end as e0
+        from documents
+      ), {", ".join(stages)}, blobs as (
+        select repo,
+               array_to_string({comment_case}, chr(10)) as b,
+               len({comment_case}) as nc
+        from st{n}
+      ), scored as (
+        select repo,
+               list_distinct(list_transform(
+                 list_filter(string_split_regex(trim(b), '\\s+'),
+                             t -> t <> ''),
+                 t -> lower(t))) as toks,
+               length(regexp_replace(b, '[^一-鿿]', '', 'g')) as cjk,
+               length(b) as nb
+        from blobs where nc > 0
+      ), hits as (
+        select repo, cjk, nb,
+               {score_exprs}
+        from scored
+      ), lid as (
+        select repo, {lid_case} as comment_lang from hits
+      ), counts as (
+        select repo, comment_lang, count(*) as n_files
+        from lid group by repo, comment_lang
+      )
+      select repo, comment_lang, n_files,
+             round(n_files / cast(sum(n_files) over
+               (partition by repo) as double), 6) as share
+      from counts
     """
 
 
@@ -8201,6 +8346,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "function_complexity": _function_complexity_oracle_sql(),
         "edit_pairs": _EDIT_PAIRS_ORACLE_SQL,
         "dead_symbols": _dead_symbols_oracle_sql(),
+        "comment_lang": _comment_lang_oracle_sql(),
         "lang_mismatch": _LANG_MISMATCH_ORACLE_SQL,
         "notebook_cells": _NOTEBOOK_ORACLE_SQL,
         "code_imports": _imports_oracle_sql(),

@@ -136,3 +136,60 @@ def embedded_text_stats(
         chars(F.col("_s")).alias("string_chars"),
         chars(F.col("_c")).alias("comment_chars"),
     )
+
+
+def comment_lang_mix(
+    df: DataFrame,
+    repo_col: str,
+    content_col: str,
+    lang_col: str,
+    *,
+    syntax: dict[str, tuple[str, str | None]] | None = None,
+) -> DataFrame:
+    """Per-repo NATURAL-language mix of the comment channel:
+    ``(repo, comment_lang, n_files, share)`` — which human language a
+    repo's comments are written in (text.lang_id stopword tier over
+    each file's comment blob; ``unknown`` rows are kept — short code
+    comments often carry no stopwords).  The multilingual-curation
+    signal: filter or rebalance a code corpus by comment language the
+    way a text corpus is balanced by document language.  String
+    literals are masked BEFORE comment extraction (the _fragments
+    contract), so an English string constant cannot tint a
+    Spanish-commented file.  Files with no comments are excluded;
+    ``share`` is within-repo over comment-bearing files, 6dp.
+
+    Scale shape: extraction is materialized ONCE as an explicit array
+    column (the shared-derivation rule — a filter or repeated lambda
+    reference would re-run the regex chain); the no-comment guard is a
+    NULL verdict dropped AFTER the groupBy so no filter conjunct ever
+    re-derives the channel.  ONE groupBy at (repo, lang) scale + the
+    license_summary-style share window over repo-scale rows."""
+    from pyspark.sql.window import Window
+
+    from .text import lang_id
+
+    syn = syntax if syntax is not None else COMMENT_SYNTAX
+    _, comments = _fragments(content_col, lang_col, syn)
+    base = df.select(
+        F.col(repo_col).alias("repo"), comments.alias("_c")
+    )
+    verdict = base.select(
+        "repo",
+        F.when(
+            F.size("_c") > 0, lang_id(F.array_join(F.col("_c"), "\n"))
+        ).alias("comment_lang"),
+    )
+    counts = (
+        verdict.groupBy("repo", "comment_lang")
+        .agg(F.count(F.lit(1)).alias("n_files"))
+        .filter(F.col("comment_lang").isNotNull())
+    )
+    w = Window.partitionBy("repo")
+    return counts.select(
+        "repo",
+        "comment_lang",
+        "n_files",
+        F.round(
+            F.col("n_files") / F.sum("n_files").over(w), 6
+        ).alias("share"),
+    )

@@ -76,3 +76,41 @@ def test_stats_and_duplicates(spark):
     # unregistered lang: strings still extracted, comments zero
     assert got[1]["n_strings"] == 1 and got[1]["n_comments"] == 0
     assert got[2]["n_strings"] == 0 and got[2]["n_comments"] == 0
+
+
+def test_comment_lang_mix(spark):
+    from schema_validator_spark.functions.embedded import (
+        comment_lang_mix,
+    )
+
+    rows = [
+        # r1: two English-commented files, one Spanish
+        ("r1", "py", "# the result is in the set for it\nx = 1\n"),
+        ("r1", "py", "# this is the value of it\ny = 2\n"),
+        ("r1", "js", "// el que de la y los\nlet z = 3;\n"),
+        # r1: no comments -> excluded from the mix entirely
+        ("r1", "py", "a = 4\n"),
+        # r2: an ENGLISH string literal must not tint the Spanish
+        # comment (strings mask before comment extraction)
+        ("r2", "js", 'const s = "the of and to is in that";\n'
+                     "// el que de la y los un una\n"),
+        # r2: stopword-free comment -> unknown, still counted
+        ("r2", "go", "// zzz qqq\nvar v = 1\n"),
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, lang string, content string"
+    )
+    got = {
+        (r["repo"], r["comment_lang"]): r.asDict()
+        for r in comment_lang_mix(
+            df, "repo", "content", "lang"
+        ).collect()
+    }
+    assert set(got) == {
+        ("r1", "en"), ("r1", "es"), ("r2", "es"), ("r2", "unknown"),
+    }
+    assert got[("r1", "en")]["n_files"] == 2
+    assert abs(got[("r1", "en")]["share"] - 2 / 3) < 1e-6
+    assert abs(got[("r1", "es")]["share"] - 1 / 3) < 1e-6
+    assert got[("r2", "es")]["n_files"] == 1
+    assert abs(got[("r2", "unknown")]["share"] - 0.5) < 1e-9
