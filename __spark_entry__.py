@@ -3435,6 +3435,59 @@ def q_dead_symbols(spark, sf_dir):
     return dead_symbols(df, "repo", "path", "content", "lang")
 
 
+def q_notebook_pairs(spark, sf_dir):
+    """Jupyter (markdown, code) instruction pairs
+    (functions/notebook.markdown_code_pairs — the StarCoder
+    "Jupyter-structured" recipe): each code cell pairs with the run of
+    markdown cells immediately preceding it, via ONE linear aggregate
+    pass per notebook (zero shuffles).  Synthesis: a 2-md-run shape
+    (cells join with a newline), a code-only shape, a raw-cell-resets
+    shape, and a corrupt stripe; the oracle REPARSES the JSON in
+    DuckDB and re-derives the pairing independently as
+    gaps-and-islands + an end-index join."""
+    from schema_validator_spark.functions.notebook import (
+        markdown_code_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    i = (did % 50).cast("string")
+    js = (
+        F.when(did % 29 == 0, F.lit("not a notebook {"))
+        .when(
+            did % 3 == 0,
+            F.concat(
+                F.lit('{"cells": [{"cell_type": "markdown", "source": '
+                      '["# t'), i,
+                F.lit('\\n"]}, {"cell_type": "markdown", "source": '
+                      '["ctx'), i,
+                F.lit('"]}, {"cell_type": "code", "source": ["x = '), i,
+                F.lit('\\n", "y = '), i,
+                F.lit('"]}, {"cell_type": "code", "source": ["z = '), i,
+                F.lit('"]}]}'),
+            ),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(
+                F.lit('{"cells": [{"cell_type": "code", "source": '
+                      '["a = '), i, F.lit('"]}]}'),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('{"cells": [{"cell_type": "markdown", "source": '
+                      '["ctx'), i,
+                F.lit('"]}, {"cell_type": "raw", "source": ["r"]}, '
+                      '{"cell_type": "code", "source": ["b = '), i,
+                F.lit('"]}]}'),
+            ),
+        )
+    )
+    df = docs.select(F.col("doc_id"), js.alias("content"))
+    return markdown_code_pairs(df, ["doc_id"], "content")
+
+
 #: nlpl_pairs synthesis templates, single-sourced for the oracle via
 #: _duck_lit: stripe -> (prefix, suffix) around the doc_id insertion.
 #: Every unit ends with \n; the lead chunk the chunker produces is the
@@ -4568,6 +4621,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_pairs": q_edit_pairs,
         "dead_symbols": q_dead_symbols,
         "comment_lang": q_comment_lang,
+        "notebook_pairs": q_notebook_pairs,
     }
 
 
@@ -6649,6 +6703,70 @@ _NOTEBOOK_ORACLE_SQL = r"""
 """
 
 
+#: independent pairing replay of q_notebook_pairs: reparse the JSON,
+#: gaps-and-islands over markdown cells, join each code cell to the
+#: island ending at its predecessor index
+_NB_PAIRS_ORACLE_SQL = r"""
+    with nb as (
+      select doc_id,
+             case when doc_id % 29 = 0 then 'not a notebook {'
+                  when doc_id % 3 = 0 then
+                    '{"cells": [{"cell_type": "markdown", "source": ["# t'
+                    || cast(doc_id % 50 as varchar)
+                    || '\n"]}, {"cell_type": "markdown", "source": ["ctx'
+                    || cast(doc_id % 50 as varchar)
+                    || '"]}, {"cell_type": "code", "source": ["x = '
+                    || cast(doc_id % 50 as varchar)
+                    || '\n", "y = ' || cast(doc_id % 50 as varchar)
+                    || '"]}, {"cell_type": "code", "source": ["z = '
+                    || cast(doc_id % 50 as varchar) || '"]}]}'
+                  when doc_id % 3 = 1 then
+                    '{"cells": [{"cell_type": "code", "source": ["a = '
+                    || cast(doc_id % 50 as varchar) || '"]}]}'
+                  else
+                    '{"cells": [{"cell_type": "markdown", "source": ["ctx'
+                    || cast(doc_id % 50 as varchar)
+                    || '"]}, {"cell_type": "raw", "source": ["r"]}, '
+                    || '{"cell_type": "code", "source": ["b = '
+                    || cast(doc_id % 50 as varchar) || '"]}]}'
+             end as js
+      from documents
+    ), good as (
+      select doc_id, js from nb where json_valid(js)
+    ), cells as (
+      select doc_id, cast(g.i as int) as cell_index,
+             json_extract_string(js,
+               '$.cells[' || g.i || '].cell_type') as cell_type,
+             json_transform(json_extract(js,
+               '$.cells[' || g.i || '].source'), '["VARCHAR"]') as src
+      from good
+           cross join (values (0),(1),(2),(3),(4),(5),(6),(7)) as g(i)
+      where g.i < json_array_length(js, '$.cells')
+    ), runs as (
+      select doc_id, cell_index,
+             cell_index - row_number() over
+               (partition by doc_id order by cell_index) as isl
+      from cells where cell_type = 'markdown' and src is not null
+    ), mdr as (
+      select c.doc_id, r.isl,
+             max(c.cell_index) as end_idx,
+             cast(count(*) as int) as n_md_cells,
+             string_agg(array_to_string(c.src, ''), chr(10)
+                        order by c.cell_index) as markdown
+      from runs r
+      join cells c on c.doc_id = r.doc_id
+                  and c.cell_index = r.cell_index
+      group by c.doc_id, r.isl
+    )
+    select c.doc_id, c.cell_index, m.n_md_cells, m.markdown,
+           array_to_string(c.src, '') as code
+    from cells c
+    join mdr m on m.doc_id = c.doc_id
+              and m.end_idx = c.cell_index - 1
+    where c.cell_type = 'code' and c.src is not null
+"""
+
+
 def _esc_sq(p: str) -> str:
     """Escape single quotes for interpolation into a DuckDB string
     literal — EVERY oracle that inlines a regex/pattern from a shared
@@ -8347,6 +8465,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "edit_pairs": _EDIT_PAIRS_ORACLE_SQL,
         "dead_symbols": _dead_symbols_oracle_sql(),
         "comment_lang": _comment_lang_oracle_sql(),
+        "notebook_pairs": _NB_PAIRS_ORACLE_SQL,
         "lang_mismatch": _LANG_MISMATCH_ORACLE_SQL,
         "notebook_cells": _NOTEBOOK_ORACLE_SQL,
         "code_imports": _imports_oracle_sql(),

@@ -89,3 +89,81 @@ def notebook_stats(
         # on the cells field itself
         cells.isNotNull().alias("parsed"),
     )
+
+
+#: pair-array element type for markdown_code_pairs' aggregate state
+_PAIR_T = (
+    "array<struct<cell_index:int,n_md_cells:int,"
+    "markdown:string,code:string>>"
+)
+
+
+def markdown_code_pairs(
+    df: DataFrame, id_cols: list[str], nb_col: str
+) -> DataFrame:
+    """(markdown, code) instruction pairs from notebooks — the
+    "Jupyter-structured" StarCoder recipe (Li et al. 2023 §3): each
+    code cell pairs with the run of markdown cells IMMEDIATELY
+    preceding it (consecutive markdown joined with a newline between
+    cells).  Returns ``(id_cols..., cell_index, n_md_cells, markdown,
+    code)``; ``cell_index`` is the CODE cell's position among all
+    cells.  A code cell with no adjacent markdown yields no pair, and
+    any non-markdown cell (including a code cell) resets the run —
+    prose two cells back is context for the cell between, not this
+    one.  Cells whose ``source`` parses as NULL (the legacy
+    string-form variant) reset the run and never pair, same contract
+    as extract_code_cells.  Unparseable notebooks yield no rows.
+
+    Scale shape: ONE forward ``aggregate`` pass per notebook carrying
+    (markdown-run buffer, emitted pairs) as HOF state — linear in
+    cells (never the quadratic scan-the-prefix-per-code-cell shape),
+    riding the scan: zero shuffles, zero Python."""
+    parsed = df.select(
+        *id_cols,
+        F.from_json(F.col(nb_col), NB_SCHEMA).alias("_nb"),
+    )
+    indexed = F.transform(
+        F.col("_nb.cells"),
+        lambda c, i: F.struct(c.alias("c"), i.alias("i")),
+    )
+
+    def merge(acc, ci):
+        c = ci["c"]
+        src_ok = c["source"].isNotNull()
+        text = F.concat_ws("", c["source"])
+        is_md = (c["cell_type"] == "markdown") & src_ok
+        is_code = (c["cell_type"] == "code") & src_ok
+        buf = acc["buf"]
+        pair = F.struct(
+            ci["i"].cast("int").alias("cell_index"),
+            F.size(buf).alias("n_md_cells"),
+            F.array_join(buf, "\n").alias("markdown"),
+            text.alias("code"),
+        )
+        new_pairs = F.when(
+            is_code & (F.size(buf) > 0),
+            F.concat(acc["pairs"], F.array(pair)),
+        ).otherwise(acc["pairs"])
+        new_buf = F.when(
+            is_md, F.concat(buf, F.array(text))
+        ).otherwise(F.array().cast("array<string>"))
+        return F.struct(new_buf.alias("buf"), new_pairs.alias("pairs"))
+
+    pairs = F.aggregate(
+        indexed,
+        F.struct(
+            F.array().cast("array<string>").alias("buf"),
+            F.array().cast(_PAIR_T).alias("pairs"),
+        ),
+        merge,
+        lambda acc: acc["pairs"],
+    )
+    return parsed.select(
+        *id_cols, F.explode(pairs).alias("_p")
+    ).select(
+        *id_cols,
+        F.col("_p.cell_index").alias("cell_index"),
+        F.col("_p.n_md_cells").alias("n_md_cells"),
+        F.col("_p.markdown").alias("markdown"),
+        F.col("_p.code").alias("code"),
+    )

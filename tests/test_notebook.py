@@ -79,3 +79,50 @@ def test_string_source_variant_skipped(spark):
     assert extract_code_cells(df, ["id"], "nb").count() == 0
     st = notebook_stats(df, ["id"], "nb").collect()[0]
     assert (st["n_cells"], st["n_code_cells"], st["n_code_lines"]) == (1, 1, 0)
+
+
+def _nb(cells) -> str:
+    import json
+
+    return json.dumps({"cells": cells})
+
+
+def _md(*lines):
+    return {"cell_type": "markdown", "source": list(lines)}
+
+
+def _code(*lines):
+    return {"cell_type": "code", "source": list(lines)}
+
+
+def test_markdown_code_pairs_basic(spark):
+    from schema_validator_spark.functions.notebook import (
+        markdown_code_pairs,
+    )
+
+    rows = [
+        # md -> code pairs; second code cell has no fresh md -> no pair
+        (0, _nb([_md("# Title\n", "intro"), _code("x = 1\n"),
+                 _code("y = 2\n")])),
+        # TWO consecutive md cells join with a newline between cells
+        (1, _nb([_md("step one"), _md("step two"), _code("go()")])),
+        # code first (no md) and md at the END pair with nothing
+        (2, _nb([_code("a = 0"), _md("trailing prose")])),
+        # raw cell BETWEEN md and code resets the run
+        (3, _nb([_md("ctx"), {"cell_type": "raw", "source": ["r"]},
+                 _code("b = 1")])),
+        # unparseable notebook: no rows
+        (4, "not json {"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    got = {}
+    for r in markdown_code_pairs(df, ["doc_id"], "content").collect():
+        got.setdefault(r["doc_id"], []).append(r.asDict())
+    assert set(got) == {0, 1}
+    [p0] = got[0]
+    assert p0["cell_index"] == 1 and p0["n_md_cells"] == 1
+    assert p0["markdown"] == "# Title\nintro" and p0["code"] == "x = 1\n"
+    [p1] = got[1]
+    assert p1["cell_index"] == 2 and p1["n_md_cells"] == 2
+    assert p1["markdown"] == "step one\nstep two"
+    assert p1["code"] == "go()"
