@@ -882,6 +882,428 @@ def run_curation_verdicts(spark, n=32_000_000):
             "sec": round(time.time() - t, 1)}
 
 
+def run_edit_pairs(spark, n=32_000_000, files=2_000_000):
+    """16 versions per file; every even version edits one line."""
+    from schema_validator_spark.operators.history import edit_pairs
+
+    i = F.col("id")
+    ver = F.expr(f"id div {files}")
+    df = spark.range(n).select(
+        F.pmod(i, files).alias("file_id"),
+        ver.alias("version"),
+        F.concat(
+            F.lit("line_a\nline_b\n"),
+            F.when(ver % 2 == 0,
+                   F.concat(F.lit("changed_"), ver.cast("string")))
+            .otherwise(F.lit("stable")),
+            F.lit("\nline_c\n"),
+        ).alias("content"),
+    )
+    t = time.time()
+    changed = edit_pairs(
+        df, ["file_id"], "version", "content", changed_only=True
+    ).count()
+    return {"op": "edit_pairs", "versions": n, "files": files,
+            "changed_pairs": changed, "sec": round(time.time() - t, 1)}
+
+
+def run_dead_symbols(spark, n=16_000_000, repos=20_000):
+    """Each file defines one exported py symbol; files at even
+    within-repo index mention the NEXT file's symbol -> odd-index
+    symbols are used, even-index ones are dead (~half)."""
+    from schema_validator_spark.operators.deadcode import dead_symbols
+
+    per_repo = n // repos
+    i = F.col("id")
+    repo = F.pmod(i, repos)
+    idx = F.expr(f"id div {repos}")
+    nxt = F.pmod(idx + 1, F.lit(per_repo))
+    sym = F.concat_ws("_", F.lit("sym"), repo, idx)
+    df = spark.range(n).select(
+        F.concat(F.lit("repo_"), repo.cast("string")).alias("repo"),
+        F.concat(F.lit("mod_"), idx.cast("string"), F.lit(".py"))
+        .alias("path"),
+        F.lit("py").alias("lang"),
+        F.concat(
+            F.lit("def "), sym, F.lit("(x):\n    return x\n"),
+            F.when(
+                idx % 2 == 0,
+                F.concat(F.lit("y = sym_"), repo.cast("string"),
+                         F.lit("_"), nxt.cast("string"), F.lit("(1)\n")),
+            ).otherwise(F.lit("")),
+        ).alias("content"),
+    )
+    t = time.time()
+    dead = dead_symbols(df, "repo", "path", "content", "lang").count()
+    return {"op": "dead_symbols", "rows": n, "repos": repos,
+            "dead": dead, "sec": round(time.time() - t, 1)}
+
+
+def run_comment_lang(spark, n=32_000_000, repos=20_000):
+    from schema_validator_spark.functions.embedded import comment_lang_mix
+
+    i = F.col("id")
+    comment = (
+        F.when(i % 3 == 0,
+               F.lit("# the quick brown fox jumped over the lazy dog"
+                     " and then some of these words were his\n"))
+        .when(i % 3 == 1,
+              F.lit("# el perro y el gato que no es de la casa pero"
+                    " se fue con los que van por una de las\n"))
+        .otherwise(F.lit(""))
+    )
+    df = spark.range(n).select(
+        F.concat(F.lit("repo_"), F.pmod(i, repos).cast("string"))
+        .alias("repo"),
+        F.lit("py").alias("lang"),
+        F.concat(comment, F.lit("x = "), i.cast("string"), F.lit("\n"))
+        .alias("content"),
+    )
+    t = time.time()
+    rows = comment_lang_mix(df, "repo", "content", "lang").count()
+    return {"op": "comment_lang", "rows": n, "mix_rows": rows,
+            "sec": round(time.time() - t, 1)}
+
+
+def run_embedded_text(spark, n=32_000_000):
+    from schema_validator_spark.functions.embedded import embedded_text
+
+    i = F.col("id")
+    df = spark.range(n).select(
+        i.alias("doc_id"),
+        F.lit("py").alias("lang"),
+        F.concat(
+            F.lit("# comment number "), i.cast("string"),
+            F.lit("\nmsg = \"literal "), i.cast("string"),
+            F.lit("\"\nx = 1  # trailing note\n"),
+        ).alias("content"),
+    )
+    t = time.time()
+    frags = embedded_text(df, ["doc_id"], "content", "lang").count()
+    return {"op": "embedded_text", "rows": n, "fragments": frags,
+            "sec": round(time.time() - t, 1)}
+
+
+def run_notebook_pairs(spark, n=8_000_000):
+    """4-cell notebooks (md, code, md, code) -> 2 pairs each."""
+    from schema_validator_spark.functions.notebook import (
+        markdown_code_pairs,
+    )
+
+    k = F.col("id").cast("string")
+    nb = F.concat(
+        F.lit('{"cells":[{"cell_type":"markdown","source":["# Title '),
+        k,
+        F.lit('"]},{"cell_type":"code","source":["x = '),
+        k,
+        F.lit('"]},{"cell_type":"markdown","source":["explain"]},'
+              '{"cell_type":"code","source":["print(x)"]}]}'),
+    )
+    df = spark.range(n).select(
+        F.col("id").alias("nb_id"), nb.alias("content")
+    )
+    t = time.time()
+    pairs = markdown_code_pairs(df, ["nb_id"], "content").count()
+    return {"op": "notebook_pairs", "notebooks": n, "pairs": pairs,
+            "sec": round(time.time() - t, 1)}
+
+
+def run_unused_imports(spark, n=32_000_000):
+    """Every file imports os, sys, json; uses os always, json on even
+    ids -> expected unused = sys always + json on odd ids (1.5n)."""
+    from schema_validator_spark.functions.imports import unused_imports
+
+    i = F.col("id")
+    df = spark.range(n).select(
+        i.alias("doc_id"),
+        F.lit("py").alias("lang"),
+        F.concat(
+            F.lit("import os, sys\nimport json\n\nprint(os.getcwd())\n"),
+            F.when(i % 2 == 0, F.lit("d = json.dumps({})\n"))
+            .otherwise(F.lit("")),
+        ).alias("content"),
+    )
+    t = time.time()
+    cnt = unused_imports(df, ["doc_id"], "content", "lang").count()
+    return {"op": "unused_imports", "rows": n, "unused": cnt,
+            "sec": round(time.time() - t, 1)}
+
+
+def run_strip_headers(spark, n=32_000_000):
+    from schema_validator_spark.operators.licenses import (
+        strip_license_headers,
+    )
+
+    i = F.xxhash64("repo", "path")
+    df = _code_files_parquet(spark, n).withColumn(
+        "content",
+        F.when(
+            F.pmod(i, 3) == 0,
+            F.concat(
+                F.lit("// Copyright 2020 The Authors\n"
+                      "// Licensed under the Apache License\n\n"),
+                F.col("content"),
+            ),
+        ).otherwise(F.col("content")),
+    )
+    t = time.time()
+    removed = (
+        strip_license_headers(df, ["repo", "path"], "content", "lang")
+        .agg(F.sum(F.col("header_removed").cast("long")).alias("r"))
+        .collect()[0]["r"]
+    )
+    return {"op": "strip_headers", "rows": n, "removed": int(removed),
+            "sec": round(time.time() - t, 1)}
+
+
+def run_code_neardup(spark, n=1_000_000, planted=10_000):
+    """ids < planted are near-copies of id + n/2 (one token swapped in
+    a ~75-token body); the rest are unique word salad."""
+    from schema_validator_spark.operators.codedup import near_dup_code
+
+    half = n // 2
+    base_key = F.when(
+        (F.col("id") >= half) & (F.pmod(F.col("id"), half) < planted),
+        F.pmod(F.col("id"), half),
+    ).otherwise(F.col("id"))
+    words = F.expr(
+        "transform(sequence(1, 75), i ->"
+        " substring(md5(cast(_bk * 100 + i as string)), 1, 7))"
+    )
+    df = (
+        spark.range(n)
+        .withColumn("_bk", base_key)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.lit("py").alias("lang"),
+            F.concat(
+                F.array_join(F.slice(words, 1, 40), " "),
+                F.when(F.col("id") >= half, F.lit(" swapped_token "))
+                .otherwise(F.lit(" original_token ")),
+                F.array_join(F.slice(words, 41, 35), " "),
+            ).alias("content"),
+        )
+    )
+    t = time.time()
+    pairs = near_dup_code(
+        df, "doc_id", "content", "lang",
+        strip_headers=False, max_bucket_size=64,
+    ).count()
+    return {"op": "code_neardup", "rows": n, "planted": planted,
+            "pairs": pairs, "sec": round(time.time() - t, 1)}
+
+
+def run_bm25_search(spark, n=8_000_000):
+    from schema_validator_spark.operators.codedup import code_tokens
+    from schema_validator_spark.operators.search import bm25_search
+
+    df = _code_files_parquet(spark, n)
+    t = time.time()
+    hits = bm25_search(
+        df, "path", code_tokens(F.col("content")),
+        ["pkg_7", "pkg_11", "func"], top_k=100,
+    ).count()
+    return {"op": "bm25_search", "rows": n, "top_k_rows": hits,
+            "sec": round(time.time() - t, 1)}
+
+
+#: a loop body structurally ABSENT from datagen's template — appended
+#: to 1% of train rows, its type-2 interior k-grams mark exactly those
+#: rows as contaminated (the generated files all share ONE normal form,
+#: so any eval gram drawn from the template would leak the whole corpus)
+_CONTAM_SNIPPET = (
+    "for i := 0; i < 10; i++ {\n\tx = x + i\n\ty = y * i\n"
+    "\tz = z - i\n}\n"
+)
+
+
+def run_code_contamination(spark, n=32_000_000, n_eval=10_000):
+    """~1% of train rows carry the eval loop body (type-2 variants of
+    it: renamed vars / changed literals normalize identically)."""
+    from schema_validator_spark.operators.decontaminate import (
+        code_contamination,
+    )
+
+    i = F.xxhash64("repo", "path")
+    train = _code_files_parquet(spark, n).withColumn(
+        "content",
+        F.when(F.pmod(i, 100) == 3,
+               F.concat(F.col("content"), F.lit("\n" + _CONTAM_SNIPPET)))
+        .otherwise(F.col("content")),
+    )
+    eval_df = spark.range(n_eval).select(
+        F.lit(_CONTAM_SNIPPET.replace("x", "a").replace("10", "99"))
+        .alias("content"),
+        F.lit("go").alias("lang"),
+    )
+    t = time.time()
+    leaked = code_contamination(
+        train, eval_df, ["repo", "path"], k=6
+    ).count()
+    return {"op": "code_contamination", "rows": n, "eval_docs": n_eval,
+            "leaked": leaked, "sec": round(time.time() - t, 1)}
+
+
+def _module_files(spark, n, repos):
+    """Per repo: modules 0..M-1 in a chain m -> m+1, plus a planted
+    2-cycle (0 <-> 1) and 3-cycle (10 -> 11 -> 12 -> 10)."""
+    per_repo = n // repos
+    i = F.col("id")
+    repo = F.pmod(i, repos)
+    m = F.expr(f"id div {repos}")
+    nxt = F.pmod(m + 1, F.lit(per_repo))
+    return spark.range(n).select(
+        F.concat(F.lit("repo_"), repo.cast("string")).alias("repo"),
+        F.concat(F.lit("mod_"), m.cast("string")).alias("module"),
+        F.lit("py").alias("lang"),
+        F.concat(
+            F.lit("import mod_"), nxt.cast("string"), F.lit("\n"),
+            F.when(m == 1, F.lit("import mod_0\n")).otherwise(F.lit("")),
+            F.when(m == 12, F.lit("import mod_10\n"))
+            .otherwise(F.lit("")),
+        ).alias("content"),
+    )
+
+
+def run_dep_graph(spark, n=4_000_000, repos=20_000):
+    from schema_validator_spark.operators.depgraph import (
+        import_cycles,
+        module_graph,
+        module_rank,
+    )
+
+    df = _module_files(spark, n, repos)
+    t = time.time()
+    edges = module_graph(
+        df, "repo", "module", "content", "lang"
+    ).localCheckpoint()
+    n_edges = edges.count()
+    t_edges = round(time.time() - t, 1)
+    t = time.time()
+    cycles = import_cycles(edges).count()
+    t_cycles = round(time.time() - t, 1)
+    t = time.time()
+    ranked = module_rank(edges, iterations=5).count()
+    t_rank = round(time.time() - t, 1)
+    return {"op": "dep_graph", "files": n, "repos": repos,
+            "edges": n_edges, "cycles": cycles, "ranked": ranked,
+            "edges_sec": t_edges, "cycles_sec": t_cycles,
+            "rank_sec": t_rank}
+
+
+def _fn_files(spark, n):
+    """Two py functions per file; f's body length varies by id % 50
+    (50 type-2 families), g is structurally constant (1 family)."""
+    i = F.col("id")
+    k = i.cast("string")
+    body = F.repeat(
+        F.concat(F.lit("    x = x + "), k, F.lit("\n")),
+        (i % 50 + 1).cast("int"),
+    )
+    return spark.range(n).select(
+        i.alias("doc_id"),
+        F.lit("py").alias("lang"),
+        F.concat(
+            F.lit("def f_"), k, F.lit("(a):\n    x = a\n"), body,
+            F.lit("    return x\n\ndef g_"), k,
+            F.lit("(b):\n    return b * "), k, F.lit("\n"),
+        ).alias("content"),
+    )
+
+
+def run_function_clones(spark, n=2_000_000):
+    from schema_validator_spark.operators.clones import type2_clone_groups
+    from schema_validator_spark.operators.codechunk import chunk_functions
+
+    df = _fn_files(spark, n)
+    t = time.time()
+    ch = chunk_functions(
+        df, ["doc_id", "lang"], "content", "lang", with_sha=False
+    ).select(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                 F.col("chunk_idx").cast("string")).alias("chunk_id"),
+        F.col("doc_id").cast("string").alias("doc"),
+        "lang",
+        "chunk_text",
+    )
+    fams = type2_clone_groups(
+        ch, "chunk_id", "chunk_text", "lang", repo_col="doc"
+    ).count()
+    return {"op": "function_clones", "rows": n, "families": fams,
+            "sec": round(time.time() - t, 1)}
+
+
+def run_function_complexity(spark, n=8_000_000):
+    from schema_validator_spark.operators.codechunk import chunk_functions
+    from schema_validator_spark.operators.complexity import (
+        complexity_stats,
+    )
+
+    df = _fn_files(spark, n)
+    t = time.time()
+    ch = chunk_functions(
+        df, ["doc_id", "lang"], "content", "lang", with_sha=False
+    )
+    rows = complexity_stats(
+        ch, "chunk_text", "lang",
+        keep_cols=["doc_id", "chunk_idx"],
+    ).count()
+    return {"op": "function_complexity", "rows": n, "chunks": rows,
+            "sec": round(time.time() - t, 1)}
+
+
+def run_indent_style(spark, n=32_000_000):
+    from schema_validator_spark.operators.complexity import indent_profile
+
+    i = F.xxhash64("repo", "path")
+    df = _code_files_parquet(spark, n).withColumn(
+        "content",
+        F.when(F.pmod(i, 2) == 0,
+               F.regexp_replace("content", "\t", "    "))
+        .otherwise(F.col("content")),
+    )
+    t = time.time()
+    rows = indent_profile(df, "content", "lang").collect()
+    return {"op": "indent_style", "rows": n, "langs": len(rows),
+            "sec": round(time.time() - t, 1)}
+
+
+def run_repo_debt(spark, n=32_000_000):
+    from schema_validator_spark.operators.codequality import repo_debt
+
+    i = F.xxhash64("repo", "path")
+    df = _code_files_parquet(spark, n).withColumn(
+        "content",
+        F.when(F.pmod(i, 100) == 7,
+               F.concat(F.col("content"),
+                        F.lit("\n// TODO: fix this properly\n")))
+        .when(F.pmod(i, 100) == 13,
+              F.concat(F.col("content"), F.lit("\n// HACK workaround\n")))
+        .otherwise(F.col("content")),
+    )
+    t = time.time()
+    rows = repo_debt(df, "repo", "content").count()
+    return {"op": "repo_debt", "rows": n, "repo_rows": rows,
+            "sec": round(time.time() - t, 1)}
+
+
+def run_shard_assign(spark, n=64_000_000):
+    from schema_validator_spark.operators.packing import assign_shards
+
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id"), 1000) + 100).alias("n_bytes"),
+    )
+    t = time.time()
+    shards = (
+        assign_shards(df, "doc_id", "n_bytes", num_shards=1024)
+        .agg(F.countDistinct("shard_id").alias("s"))
+        .collect()[0]["s"]
+    )
+    return {"op": "shard_assign", "rows": n, "shards": int(shards),
+            "sec": round(time.time() - t, 1)}
+
+
 #: op label (as printed in output / BENCH.md) -> benchmark fn
 OPS = {
     "edit_join": run_edit_join,
@@ -922,6 +1344,22 @@ OPS = {
     "tokenizer_fertility": run_tokenizer_fertility,
     "api_diff": run_api_diff,
     "curation_verdicts": run_curation_verdicts,
+    "edit_pairs": run_edit_pairs,
+    "dead_symbols": run_dead_symbols,
+    "comment_lang": run_comment_lang,
+    "embedded_text": run_embedded_text,
+    "notebook_pairs": run_notebook_pairs,
+    "unused_imports": run_unused_imports,
+    "strip_headers": run_strip_headers,
+    "code_neardup": run_code_neardup,
+    "bm25_search": run_bm25_search,
+    "code_contamination": run_code_contamination,
+    "dep_graph": run_dep_graph,
+    "function_clones": run_function_clones,
+    "function_complexity": run_function_complexity,
+    "indent_style": run_indent_style,
+    "repo_debt": run_repo_debt,
+    "shard_assign": run_shard_assign,
 }
 
 
