@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (160/160), including the approximate tiers
+EVERY query has an oracle (166/166), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -3404,6 +3404,97 @@ def q_edit_pairs(spark, sf_dir):
     )
 
 
+def q_commit_pairs(spark, sf_dir):
+    """CommitPackFT instruction-pair mining
+    (operators/history.commit_pairs): changed consecutive-version
+    pairs scored by commit-message quality (subject length, letter
+    content, merge/revert/bump/bot reject tiers — the OctoPack
+    cleaning idea).  Synthesis: (repo=did%5, path=did%17) version
+    grid; content flips with floor(did/85)%3 so ~2/3 of adjacent
+    pairs are real edits; messages cycle 7 cases (good, ^merge,
+    too-short, NULL, body Co-authored-by, Bumped-stem, good).
+    Audit mode (quality_only=False) so the oracle checks the verdict
+    itself.  Oracle: independent lag-window + regex replay (the
+    reject regex is ASCII-boundary by construction — see
+    MSG_REJECT_RE — so Java and RE2 agree)."""
+    from schema_validator_spark.operators.history import commit_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    msg = (
+        F.when(did % 7 == 0, F.lit("Fix the parser state machine"))
+        .when(did % 7 == 1, F.lit("Merge branch 'main' into dev"))
+        .when(did % 7 == 2, F.lit("fix"))
+        .when(did % 7 == 3, F.lit(None).cast("string"))
+        .when(did % 7 == 4,
+              F.lit("Improve error reporting\n\n"
+                    "Co-authored-by: bot <b@x>"))
+        .when(did % 7 == 5, F.lit("Bumped version to 2.0"))
+        .otherwise(F.lit("Add handling for empty import lists"))
+    )
+    df = docs.select(
+        F.concat(F.lit("r"), (did % 5).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), (did % 17).cast("string")).alias("path"),
+        did.alias("commit"),
+        F.concat(
+            F.lit("h\nc"), (F.floor(did / 85) % 3).cast("string")
+        ).alias("content"),
+        msg.alias("message"),
+    )
+    out = commit_pairs(
+        df, ["repo", "path"], "commit", "content", "message",
+        quality_only=False,
+    )
+    return out.select(
+        "repo", "path", "from_version", "to_version", "message",
+        F.col("n_added").cast("long").alias("n_added"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        F.col("n_common").cast("long").alias("n_common"),
+        "line_jaccard", "msg_ok",
+    )
+
+
+def q_mixture_plan(spark, sf_dir):
+    """Data-mixture planning (operators/sampling.mixture_plan): per-
+    source sampling rate + epoch count for a token budget (the
+    LLaMA/Pile mixture-table arithmetic).  Sources: documents.source
+    remapped to 4 classes incl. one UNPLANNED class ('extra') and the
+    plan names one GHOST source with no data — both audit rows must
+    survive (never silently dropped).  Budget 10^6 tokens, weights
+    1:2:5:2 (normalize to exact 6dp decimals).  The operator's NULL
+    verdicts (excluded source / unsatisfiable plan) are coalesced to
+    -1 sentinels on BOTH sides: the driver's pandas conversion turns
+    a nullable numeric column into float64 NaN, which can never
+    hash-match Spark's NULL.  Oracle: full-outer join replay of the
+    same arithmetic."""
+    from schema_validator_spark.operators.sampling import mixture_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    src = F.when(
+        did % 4 == 3, F.lit("extra")
+    ).otherwise(F.concat(F.lit("src"), (did % 4).cast("string")))
+    df = docs.select(
+        src.alias("source"),
+        F.octet_length("text").alias("n_tokens"),
+    )
+    out = mixture_plan(
+        df, "source", "n_tokens",
+        {"src0": 1.0, "src1": 2.0, "src2": 5.0, "ghost": 2.0},
+        1_000_000,
+    )
+    neg1 = F.lit(-1.0)
+    return out.select(
+        "source", "n_docs", "n_tokens",
+        F.coalesce(F.col("weight"), neg1).alias("weight"),
+        F.coalesce(F.col("target_tokens"), F.lit(-1).cast("long"))
+        .alias("target_tokens"),
+        F.coalesce(F.col("sample_rate"), neg1).alias("sample_rate"),
+        F.coalesce(F.col("epochs"), F.lit(-1).cast("int"))
+        .alias("epochs"),
+    )
+
+
 def q_dead_symbols(spark, sf_dir):
     """Dead exported symbols (operators/deadcode.dead_symbols): public
     API never referenced outside its defining file(s), repo-scoped.
@@ -4622,6 +4713,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dead_symbols": q_dead_symbols,
         "comment_lang": q_comment_lang,
         "notebook_pairs": q_notebook_pairs,
+        "commit_pairs": q_commit_pairs,
+        "mixture_plan": q_mixture_plan,
     }
 
 
@@ -5465,6 +5558,122 @@ _EDIT_PAIRS_ORACLE_SQL = """
                                    as double), 6) as line_jaccard,
              sha <> ps as changed
       from d
+"""
+
+
+#: independent replay of q_commit_pairs: same lag-window diff as the
+#: edit_pairs oracle plus the message-quality verdict (subject = first
+#: line trimmed; reject regex identical byte-for-byte to
+#: history.MSG_REJECT_RE — ASCII classes only, so RE2 == Java)
+_COMMIT_PAIRS_REJECT_RE = (
+    "(?i)(^(merge[sd]?|merging|revert(ed|ing|s)?|rollback|"
+    "cherry.?pick(ed|ing|s)?|bump(ed|ing|s)?|wip|auto|automated|"
+    "automatic)([^a-z0-9_]|$))"
+    "|(?i)(co-authored-by|signed-off-by|dependabot|renovate|\\[bot\\]|"
+    "\\[skip ci\\])"
+)
+
+_COMMIT_PAIRS_ORACLE_SQL = f"""
+      with synth as (
+        select 'r' || cast(doc_id % 5 as varchar) as repo,
+               'p' || cast(doc_id % 17 as varchar) as path,
+               doc_id as commit_v,
+               'h' || chr(10) || 'c'
+                 || cast((doc_id // 85) % 3 as varchar) as content,
+               case doc_id % 7
+                 when 0 then 'Fix the parser state machine'
+                 when 1 then 'Merge branch ''main'' into dev'
+                 when 2 then 'fix'
+                 when 3 then null
+                 when 4 then 'Improve error reporting' || chr(10)
+                             || chr(10) || 'Co-authored-by: bot <b@x>'
+                 when 5 then 'Bumped version to 2.0'
+                 else 'Add handling for empty import lists'
+               end as message
+        from documents
+      ), base as (
+        select repo, path, commit_v, message,
+               list_distinct(string_split(coalesce(content, ''),
+                                          chr(10))) as ln,
+               sha256(coalesce(content, '')) as sha
+        from synth
+      ), lagged as (
+        select repo, path, commit_v, message, ln, sha,
+               lag(commit_v) over w as pv,
+               lag(ln) over w as pl,
+               lag(sha) over w as ps,
+               row_number() over w as rn
+        from base
+        window w as (partition by repo, path
+                     order by commit_v asc, sha asc)
+      ), scored as (
+        select repo, path, pv as from_version, commit_v as to_version,
+               trim(string_split(coalesce(message, ''), chr(10))[1])
+                 as subject,
+               coalesce(message, '') as raw,
+               len(list_filter(ln, x -> not list_contains(pl, x)))
+                 as n_added,
+               len(list_filter(pl, x -> not list_contains(ln, x)))
+                 as n_removed,
+               len(list_intersect(ln, pl)) as n_common
+        from lagged where rn >= 2 and sha <> ps
+      )
+      select repo, path, from_version, to_version,
+             subject as message,
+             cast(n_added as bigint) as n_added,
+             cast(n_removed as bigint) as n_removed,
+             cast(n_common as bigint) as n_common,
+             round(n_common / cast(n_added + n_removed + n_common
+                                   as double), 6) as line_jaccard,
+             ((length(subject) between 10 and 200)
+              and regexp_matches(subject, '[A-Za-z]')
+              and not regexp_matches(raw,
+                    '{_COMMIT_PAIRS_REJECT_RE}')) as msg_ok
+      from scored
+"""
+
+
+#: full-outer-join replay of q_mixture_plan's mixture arithmetic
+#: (weights normalized to exact decimals 0.1/0.2/0.5/0.2, budget 10^6)
+_MIXTURE_PLAN_ORACLE_SQL = """
+      with synth as (
+        select case when doc_id % 4 = 3 then 'extra'
+                    else 'src' || cast(doc_id % 4 as varchar)
+               end as source,
+               strlen(text) as n_tokens
+        from documents
+      ), counted as (
+        select source, count(*) as n_docs,
+               sum(greatest(coalesce(n_tokens, 0), 0)) as n_tokens
+        from synth group by 1
+      ), plan as (
+        select * from (values
+          ('ghost', cast(0.2 as double)),
+          ('src0', cast(0.1 as double)),
+          ('src1', cast(0.2 as double)),
+          ('src2', cast(0.5 as double))) t(source, weight)
+      ), joined as (
+        select coalesce(c.source, p.source) as source,
+               coalesce(c.n_docs, 0) as n_docs,
+               coalesce(c.n_tokens, 0) as n_tokens,
+               p.weight,
+               round(1000000.0 * p.weight) as target
+        from counted c full outer join plan p on c.source = p.source
+      )
+      select source,
+             cast(n_docs as bigint) as n_docs,
+             cast(n_tokens as bigint) as n_tokens,
+             coalesce(round(weight, 6), -1.0) as weight,
+             coalesce(cast(target as bigint), -1) as target_tokens,
+             coalesce(case when n_tokens > 0
+                           then round(target / cast(n_tokens as double), 6)
+                      end, -1.0) as sample_rate,
+             coalesce(cast(ceil(case when n_tokens > 0
+                                     then round(target
+                                                / cast(n_tokens as double),
+                                                6)
+                                end) as int), -1) as epochs
+      from joined
 """
 
 
@@ -8463,6 +8672,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "bm25_search": _bm25_oracle_sql(),
         "function_complexity": _function_complexity_oracle_sql(),
         "edit_pairs": _EDIT_PAIRS_ORACLE_SQL,
+        "commit_pairs": _COMMIT_PAIRS_ORACLE_SQL,
+        "mixture_plan": _MIXTURE_PLAN_ORACLE_SQL,
         "dead_symbols": _dead_symbols_oracle_sql(),
         "comment_lang": _comment_lang_oracle_sql(),
         "notebook_pairs": _NB_PAIRS_ORACLE_SQL,

@@ -136,6 +136,7 @@ def edit_pairs(
     content_col: str,
     *,
     changed_only: bool = False,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Consecutive version pairs per file with set-based line-diff
     stats — the (before, after) mining step for edit/diff training
@@ -152,7 +153,9 @@ def edit_pairs(
       be unchanged while a later pair of the same key edits back)
 
     ``changed_only=True`` keeps only real edits.  NULL content splits
-    as the empty document (one empty line).
+    as the empty document (one empty line).  ``keep_cols`` passes
+    extra columns of the TO-side row (the edit's own commit) through
+    to the output — e.g. the commit message for :func:`commit_pairs`.
 
     Scale shape: ONE Exchange on the key + per-key sort by version;
     the lag window carries (version, sha, distinct-line array) — the
@@ -172,10 +175,12 @@ def edit_pairs(
         raise ValueError(
             f"edit_pairs reserves these column names: {clash}"
         )
+    keep_cols = list(keep_cols or [])
     s = F.coalesce(F.col(content_col), F.lit(""))
     base = df.select(
         *key_cols,
         F.col(version_col),
+        *keep_cols,
         F.array_distinct(F.split(s, "\n")).alias("_ln"),
         F.sha2(s, 256).alias("_sha"),
     )
@@ -185,6 +190,7 @@ def edit_pairs(
     lagged = base.select(
         *key_cols,
         F.col(version_col),
+        *keep_cols,
         "_ln",
         "_sha",
         F.lag(version_col).over(w).alias("_pv"),
@@ -199,6 +205,7 @@ def edit_pairs(
         *key_cols,
         F.col("_pv").alias("from_version"),
         F.col(version_col).alias("to_version"),
+        *keep_cols,
         n_added.alias("n_added"),
         n_removed.alias("n_removed"),
         n_common.alias("n_common"),
@@ -210,3 +217,100 @@ def edit_pairs(
     if changed_only:
         out = out.filter(F.col("changed"))
     return out
+
+
+#: commit-message reject tiers (case-insensitive) — the CommitPackFT
+#: cleaning idea (OctoPack, Muennighoff et al. 2023 §3/appendix):
+#: machine/process commits (merges, reverts, version bumps, bot
+#: traffic) carry no instruction signal.  Subject-anchored verbs OR
+#: anywhere-in-subject trailer/bot markers, one alternation so the
+#: filter costs a single regex pass.  ASCII classes only ([a-z0-9_]
+#: boundaries spelled explicitly, no \b) so Spark (Java, Unicode
+#:  word chars) and any RE2 oracle agree on every input.
+MSG_REJECT_RE = (
+    "(?i)(^(merge[sd]?|merging|revert(ed|ing|s)?|rollback|"
+    "cherry.?pick(ed|ing|s)?|bump(ed|ing|s)?|wip|auto|automated|"
+    "automatic)([^a-z0-9_]|$))"
+    "|(?i)(co-authored-by|signed-off-by|dependabot|renovate|\\[bot\\]|"
+    "\\[skip ci\\])"
+)
+
+
+def commit_pairs(
+    df: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+    content_col: str,
+    message_col: str,
+    *,
+    min_msg_chars: int = 10,
+    max_msg_chars: int = 200,
+    reject_re: str = MSG_REJECT_RE,
+    quality_only: bool = True,
+) -> DataFrame:
+    """(message, before, after) instruction-pair mining — the
+    CommitPackFT shape (OctoPack, Muennighoff et al. 2023): real edits
+    whose commit message reads like an instruction.  Builds on
+    :func:`edit_pairs` (``changed_only=True`` — an instruction pair
+    needs an actual edit) and scores the TO-side commit's message:
+
+    * ``message`` — the subject line (text before the first newline),
+      trimmed; NULL messages score as the empty subject
+    * ``msg_ok`` — subject length in ``[min_msg_chars,
+      max_msg_chars]``, subject contains at least one ASCII letter,
+      and the FULL raw message does not match ``reject_re`` (the ``^``
+      tier anchors at the subject's first word; the trailer/bot tier
+      matches anywhere, because Co-authored-by / bot markers live in
+      the body, not the subject — the CommitPackFT cleaning idea; the
+      default is a documented approximation of that recipe, not a
+      byte-level port)
+
+    ``quality_only=True`` (default) keeps only passing pairs and drops
+    the verdict column; ``False`` returns every changed pair with
+    ``msg_ok`` for audit.  Output: ``(key_cols..., from_version,
+    to_version, message, n_added, n_removed, n_common, line_jaccard)``
+    (+ ``msg_ok``).
+
+    Scale shape: identical to edit_pairs (ONE Exchange + per-key
+    version sort); the message rides the window as one extra carried
+    column and every filter term is a codegen predicate on the
+    already-derived subject — evaluated once, in one conjunct (the
+    PushDownPredicate rule from CLAUDE.md).
+    """
+    if min_msg_chars < 1 or max_msg_chars < min_msg_chars:
+        raise ValueError(
+            "need 1 <= min_msg_chars <= max_msg_chars"
+        )
+    clash = sorted({"message", "msg_ok"} & set([*df.columns, *key_cols]))
+    if clash and clash != [message_col]:
+        raise ValueError(
+            f"commit_pairs reserves these column names: {clash}"
+        )
+    pairs = edit_pairs(
+        df,
+        key_cols,
+        version_col,
+        content_col,
+        changed_only=True,
+        keep_cols=[message_col],
+    )
+    raw = F.coalesce(F.col(message_col), F.lit(""))
+    subject = F.trim(F.split(raw, "\n").getItem(0))
+    scored = pairs.select(
+        *key_cols,
+        "from_version",
+        "to_version",
+        subject.alias("message"),
+        "n_added",
+        "n_removed",
+        "n_common",
+        "line_jaccard",
+        (
+            F.length(subject).between(min_msg_chars, max_msg_chars)
+            & subject.rlike("[A-Za-z]")
+            & ~raw.rlike(reject_re)
+        ).alias("msg_ok"),
+    )
+    if quality_only:
+        return scored.filter(F.col("msg_ok")).drop("msg_ok")
+    return scored

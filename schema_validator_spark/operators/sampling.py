@@ -306,3 +306,80 @@ def sample_weighted(
             .filter(F.col("_rn") <= k)
         )
     return out.drop("_akey", "_tie", "_rn", "_prn")
+
+
+def mixture_plan(
+    df: DataFrame,
+    source_col: str,
+    tokens_col: str,
+    weights: dict[str, float],
+    budget_tokens: int,
+) -> DataFrame:
+    """Per-source sampling plan for a target data mixture — the step
+    between "counted every source's tokens" and "sample/pack the
+    training set": given target mixture ``weights`` and a total token
+    ``budget_tokens``, compute each source's sampling rate and epoch
+    count (the LLaMA-style mixture table: sources with rate > 1 are
+    upsampled / seen for multiple epochs; GPT-3 and The Pile publish
+    the same shape).
+
+    Returns one row per source in ``weights`` UNION the data:
+    ``(source, n_docs, n_tokens, weight, target_tokens, sample_rate,
+    epochs)`` where ``weight`` is normalized over the given weights
+    (NULL for sources present in data but absent from the plan —
+    excluded, rate 0), ``target_tokens = round(budget * weight)``,
+    ``sample_rate = target / available`` (6dp — may exceed 1), and
+    ``epochs = ceil(sample_rate)``.  A planned source with NO data
+    rows reports ``n_tokens 0`` and NULL rate — the "you budgeted for
+    a source you don't have" audit signal, never silently dropped.
+    NULL/negative token counts count as 0.
+
+    Scale shape: ONE map-side-combined groupBy on the source
+    vocabulary (plan-sized, not corpus-sized) full-outer-joined to the
+    weights literal — the corpus is scanned once and never shuffled;
+    both join sides are plan-sized, so the join itself is
+    metadata-scale (full outer joins cannot broadcast in Spark — no
+    hint on purpose).
+    Feed the rates to :func:`stratified_sample_approx` /
+    :func:`sample_token_budget` per source to materialize the sample.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w is None or w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative")
+    total_w = float(sum(weights.values()))
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+
+    tok = F.greatest(
+        F.coalesce(F.col(tokens_col).cast("long"), F.lit(0).cast("long")),
+        F.lit(0).cast("long"),
+    )
+    counted = df.groupBy(
+        F.col(source_col).cast("string").alias("source")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tok).alias("n_tokens"),
+    )
+    plan = df.sparkSession.createDataFrame(
+        [(str(k), float(v) / total_w) for k, v in sorted(weights.items())],
+        "source string, weight double",
+    )
+    joined = counted.join(plan, "source", "full_outer")
+    n_tokens = F.coalesce(F.col("n_tokens"), F.lit(0).cast("long"))
+    target = F.round(F.lit(float(budget_tokens)) * F.col("weight"))
+    rate = F.when(
+        n_tokens > 0, F.round(target / n_tokens, 6)
+    )  # NULL when the planned source has no data
+    return joined.select(
+        "source",
+        F.coalesce(F.col("n_docs"), F.lit(0).cast("long"))
+        .alias("n_docs"),
+        n_tokens.alias("n_tokens"),
+        F.round(F.col("weight"), 6).alias("weight"),
+        target.cast("long").alias("target_tokens"),
+        rate.alias("sample_rate"),
+        F.ceil(rate).cast("int").alias("epochs"),
+    )

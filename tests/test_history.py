@@ -180,3 +180,117 @@ def test_edit_pairs_reserved_names(spark):
     )
     with pytest.raises(ValueError, match="_sha"):
         edit_pairs(df, ["repo"], "commit", "content")
+
+
+# ------------------------------------------------------------ commit_pairs
+
+MSG_SCHEMA = ("repo string, path string, commit long, content string,"
+              " message string")
+
+MSG_ROWS = [
+    # f1: v1 -> v2 good message; v2 -> v3 merge commit; v3 -> v4
+    # unchanged (never a pair under changed_only)
+    ("r", "f1", 1, "a\nb", "initial import of the parser"),
+    ("r", "f1", 2, "a\nc", "Fix off-by-one in line splitting"),
+    ("r", "f1", 3, "a\nd", "Merge branch 'main' into dev"),
+    ("r", "f1", 4, "a\nd", "Rewrite everything (no-op pair)"),
+    # f2: bot trailer lives in the BODY, subject looks fine
+    ("r", "f2", 1, "x", "seed"),
+    ("r", "f2", 2, "y",
+     "Update parser tables\n\nCo-authored-by: bot <b@x>"),
+    # f3: subject too short / NULL message
+    ("r", "f3", 1, "p", "seed message here"),
+    ("r", "f3", 2, "q", "fix"),
+    ("r", "f3", 3, "r", None),
+]
+
+
+def test_commit_pairs_quality_filter(spark):
+    from schema_validator_spark.operators.history import commit_pairs
+
+    df = spark.createDataFrame(MSG_ROWS, MSG_SCHEMA)
+    got = commit_pairs(
+        df, ["repo", "path"], "commit", "content", "message"
+    ).collect()
+    # only f1 v1->v2 survives: merge rejected, f1 v3->v4 unchanged,
+    # body trailer rejected, short subject rejected, NULL rejected
+    assert len(got) == 1
+    r = got[0]
+    assert (r["path"], r["from_version"], r["to_version"]) == ("f1", 1, 2)
+    assert r["message"] == "Fix off-by-one in line splitting"
+    assert r["n_added"] == 1 and r["n_removed"] == 1
+    assert "msg_ok" not in r.asDict()
+
+
+def test_commit_pairs_audit_mode_keeps_verdict(spark):
+    from schema_validator_spark.operators.history import commit_pairs
+
+    df = spark.createDataFrame(MSG_ROWS, MSG_SCHEMA)
+    got = {
+        (r["path"], r["to_version"]): r["msg_ok"]
+        for r in commit_pairs(
+            df, ["repo", "path"], "commit", "content", "message",
+            quality_only=False,
+        ).collect()
+    }
+    # every CHANGED pair present with a verdict
+    assert got == {
+        ("f1", 2): True,
+        ("f1", 3): False,   # merge subject
+        ("f2", 2): False,   # Co-authored-by in body
+        ("f3", 2): False,   # subject below min length
+        ("f3", 3): False,   # NULL message -> empty subject
+    }
+
+
+def test_commit_pairs_subject_is_first_line(spark):
+    from schema_validator_spark.operators.history import commit_pairs
+
+    df = spark.createDataFrame(
+        [("r", "f", 1, "a", "seed"),
+         ("r", "f", 2, "b", "  Add retry logic to fetcher  \nlong body")],
+        MSG_SCHEMA,
+    )
+    got = commit_pairs(
+        df, ["repo", "path"], "commit", "content", "message"
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["message"] == "Add retry logic to fetcher"
+
+
+def test_commit_pairs_reject_word_boundaries(spark):
+    from schema_validator_spark.operators.history import commit_pairs
+
+    rows = [("r", "f", 1, "a", "seed")] + [
+        ("r", "f", i + 2, f"v{i}", m)
+        for i, m in enumerate([
+            "Bumped version to 1.2.3",       # bump stem -> reject
+            "Bumper sticker parser added",   # 'bumper' != bump + boundary
+            "Autocomplete the import list",  # 'auto' inside a word: keep
+            "auto format the whole tree",    # bare 'auto' start -> reject
+            "Reverted the cache change",     # revert stem -> reject
+        ])
+    ]
+    df = spark.createDataFrame(rows, MSG_SCHEMA)
+    kept = {
+        r["message"]
+        for r in commit_pairs(
+            df, ["repo", "path"], "commit", "content", "message"
+        ).collect()
+    }
+    assert kept == {"Bumper sticker parser added",
+                    "Autocomplete the import list"}
+
+
+def test_edit_pairs_keep_cols_passthrough(spark):
+    from schema_validator_spark.operators.history import edit_pairs
+
+    df = spark.createDataFrame(
+        [("r", "f", 1, "a", "m1"), ("r", "f", 2, "b", "m2")], MSG_SCHEMA
+    )
+    got = edit_pairs(
+        df, ["repo", "path"], "commit", "content", keep_cols=["message"]
+    ).collect()
+    assert len(got) == 1
+    # the TO side's message rides through
+    assert got[0]["message"] == "m2"
