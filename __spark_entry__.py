@@ -3410,8 +3410,10 @@ def q_commit_pairs(spark, sf_dir):
     pairs scored by commit-message quality (subject length, letter
     content, merge/revert/bump/bot reject tiers — the OctoPack
     cleaning idea).  Synthesis: (repo=did%5, path=did%17) version
-    grid; content flips with floor(did/85)%3 so ~2/3 of adjacent
-    pairs are real edits; messages cycle 7 cases (good, ^merge,
+    grid; adjacent versions of a key differ by 85 in doc_id, and
+    content flips with floor(did/170)%3 — every OTHER adjacent pair
+    is a real edit, so the changed_only exclusion inside commit_pairs
+    is exercised at driver scale; messages cycle 7 cases (good, ^merge,
     too-short, NULL, body Co-authored-by, Bumped-stem, good).
     Audit mode (quality_only=False) so the oracle checks the verdict
     itself.  Oracle: independent lag-window + regex replay (the
@@ -3437,7 +3439,7 @@ def q_commit_pairs(spark, sf_dir):
         F.concat(F.lit("p"), (did % 17).cast("string")).alias("path"),
         did.alias("commit"),
         F.concat(
-            F.lit("h\nc"), (F.floor(did / 85) % 3).cast("string")
+            F.lit("h\nc"), (F.floor(did / 170) % 3).cast("string")
         ).alias("content"),
         msg.alias("message"),
     )
@@ -5579,7 +5581,7 @@ _COMMIT_PAIRS_ORACLE_SQL = f"""
                'p' || cast(doc_id % 17 as varchar) as path,
                doc_id as commit_v,
                'h' || chr(10) || 'c'
-                 || cast((doc_id // 85) % 3 as varchar) as content,
+                 || cast((doc_id // 170) % 3 as varchar) as content,
                case doc_id % 7
                  when 0 then 'Fix the parser state machine'
                  when 1 then 'Merge branch ''main'' into dev'

@@ -32,13 +32,19 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def _check_reserved(cols: list[str], key_cols: list[str]) -> None:
-    # internal struct/agg field names: an input column named _v would
-    # make `_head._v` ambiguous; _head/_s would shadow the agg aliases
-    clash = sorted({"_v", "_s", "_head"} & set([*cols, *key_cols]))
+def _check_reserved(
+    cols: list[str],
+    key_cols: list[str],
+    *,
+    reserved: frozenset[str] = frozenset({"_v", "_s", "_head"}),
+    what: str = "history operators",
+) -> None:
+    # internal struct/agg/window column names: an input column named _v
+    # would make `_head._v` ambiguous; _head/_s would shadow aliases
+    clash = sorted(reserved & set([*cols, *key_cols]))
     if clash:
         raise ValueError(
-            "history operators reserve these column names; rename the "
+            f"{what} reserve(s) these column names; rename the "
             f"input columns: {clash}"
         )
 
@@ -155,7 +161,10 @@ def edit_pairs(
     ``changed_only=True`` keeps only real edits.  NULL content splits
     as the empty document (one empty line).  ``keep_cols`` passes
     extra columns of the TO-side row (the edit's own commit) through
-    to the output — e.g. the commit message for :func:`commit_pairs`.
+    to the output — e.g. the commit message for :func:`commit_pairs`;
+    they join the window ordering after the sha so duplicate
+    (version, content) rows with different carried values still pair
+    deterministically.
 
     Scale shape: ONE Exchange on the key + per-key sort by version;
     the lag window carries (version, sha, distinct-line array) — the
@@ -166,15 +175,14 @@ def edit_pairs(
     degenerate key ever matters, the chunk-and-stitch pattern
     (operators/sessions.sessionize_chunked) applies verbatim.
     """
-    reserved = {
-        "_ln", "_sha", "_pv", "_pl", "_ps", "_rn",
-        "from_version", "to_version",
-    }
-    clash = sorted(reserved & set([*df.columns, *key_cols]))
-    if clash:
-        raise ValueError(
-            f"edit_pairs reserves these column names: {clash}"
-        )
+    _check_reserved(
+        df.columns, key_cols,
+        reserved=frozenset({
+            "_ln", "_sha", "_pv", "_pl", "_ps", "_rn",
+            "from_version", "to_version",
+        }),
+        what="edit_pairs",
+    )
     keep_cols = list(keep_cols or [])
     s = F.coalesce(F.col(content_col), F.lit(""))
     base = df.select(
@@ -184,8 +192,13 @@ def edit_pairs(
         F.array_distinct(F.split(s, "\n")).alias("_ln"),
         F.sha2(s, 256).alias("_sha"),
     )
+    # keep_cols join the ordering so a duplicate (version, content) row
+    # with a different carried value (e.g. two identical commits with
+    # different messages) still yields ONE deterministic pairing
     w = Window.partitionBy(*key_cols).orderBy(
-        F.col(version_col).asc(), F.col("_sha").asc()
+        F.col(version_col).asc(),
+        F.col("_sha").asc(),
+        *[F.col(c).asc() for c in keep_cols],
     )
     lagged = base.select(
         *key_cols,
@@ -272,44 +285,51 @@ def commit_pairs(
     (+ ``msg_ok``).
 
     Scale shape: identical to edit_pairs (ONE Exchange + per-key
-    version sort); the message rides the window as one extra carried
-    column and every filter term is a codegen predicate on the
-    already-derived subject — evaluated once, in one conjunct (the
+    version sort); subject and verdict are derived ONCE per input row
+    in the projection BELOW the lag window and carried through it —
+    the window is a pushdown barrier, so neither the quality filter
+    nor the output projection re-derives the regexes (deriving them
+    after the window instead would run the subject split once per
+    filter conjunct plus once in the projection — the
     PushDownPredicate rule from CLAUDE.md).
     """
     if min_msg_chars < 1 or max_msg_chars < min_msg_chars:
         raise ValueError(
             "need 1 <= min_msg_chars <= max_msg_chars"
         )
-    clash = sorted({"message", "msg_ok"} & set([*df.columns, *key_cols]))
-    if clash and clash != [message_col]:
-        raise ValueError(
-            f"commit_pairs reserves these column names: {clash}"
-        )
+    _check_reserved(
+        df.columns, key_cols,
+        reserved=frozenset(
+            {"_subj", "_mok", "message", "msg_ok"} - {message_col}
+        ),
+        what="commit_pairs",
+    )
+    raw = F.coalesce(F.col(message_col), F.lit(""))
+    subject = F.trim(F.split(raw, "\n").getItem(0))
+    ok = (
+        F.length(subject).between(min_msg_chars, max_msg_chars)
+        & subject.rlike("[A-Za-z]")
+        & ~raw.rlike(reject_re)
+    )
+    src = df.select("*", subject.alias("_subj"), ok.alias("_mok"))
     pairs = edit_pairs(
-        df,
+        src,
         key_cols,
         version_col,
         content_col,
         changed_only=True,
-        keep_cols=[message_col],
+        keep_cols=["_subj", "_mok"],
     )
-    raw = F.coalesce(F.col(message_col), F.lit(""))
-    subject = F.trim(F.split(raw, "\n").getItem(0))
     scored = pairs.select(
         *key_cols,
         "from_version",
         "to_version",
-        subject.alias("message"),
+        F.col("_subj").alias("message"),
         "n_added",
         "n_removed",
         "n_common",
         "line_jaccard",
-        (
-            F.length(subject).between(min_msg_chars, max_msg_chars)
-            & subject.rlike("[A-Za-z]")
-            & ~raw.rlike(reject_re)
-        ).alias("msg_ok"),
+        F.col("_mok").alias("msg_ok"),
     )
     if quality_only:
         return scored.filter(F.col("msg_ok")).drop("msg_ok")

@@ -326,8 +326,9 @@ def mixture_plan(
     Returns one row per source in ``weights`` UNION the data:
     ``(source, n_docs, n_tokens, weight, target_tokens, sample_rate,
     epochs)`` where ``weight`` is normalized over the given weights
-    (NULL for sources present in data but absent from the plan —
-    excluded, rate 0), ``target_tokens = round(budget * weight)``,
+    (NULL weight AND NULL rate for sources present in data but absent
+    from the plan — excluded; treat NULL rate as do-not-sample),
+    ``target_tokens = round(budget * weight)``,
     ``sample_rate = target / available`` (6dp — may exceed 1), and
     ``epochs = ceil(sample_rate)``.  A planned source with NO data
     rows reports ``n_tokens 0`` and NULL rate — the "you budgeted for
