@@ -37,10 +37,17 @@ CODE_TOKEN_SPLIT_RE = r"[^a-z0-9_]+"
 def code_tokens(content: Column) -> Column:
     """Lowercased alnum/underscore token array of a code column —
     identifier/number/keyword stream, all punctuation and whitespace
-    dropped (formatting-insensitive by construction)."""
-    return F.filter(
-        F.split(F.lower(content), CODE_TOKEN_SPLIT_RE),
-        lambda t: t != "",
+    dropped (formatting-insensitive by construction).
+
+    Implementation note: the empty-token drop is ``array_remove`` and
+    NOT a lambda ``F.filter`` on purpose — lambda HOFs are
+    CodegenFallback (interpreted, excluded from whole-stage codegen
+    AND from subexpression elimination), so when CollapseProject
+    inlines a shared token column into N consumers a HOF form
+    re-tokenizes N times per row (measured 5x inside bm25_search);
+    the all-codegen form is deduped by codegen CSE."""
+    return F.array_remove(
+        F.split(F.lower(content), CODE_TOKEN_SPLIT_RE), ""
     )
 
 

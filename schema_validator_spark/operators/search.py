@@ -63,16 +63,23 @@ def bm25_search(
     base = df.select(F.col(id_col), tokens.alias("_tk")).withColumn(
         "_dl", F.size("_tk")
     )
-    def _eq(term: str):
-        # NB: a two-arg lambda would be called as (element, index) by
-        # F.filter — close over the term instead of a default arg
-        return lambda x: x == F.lit(term)
-
+    # tf as size-delta of array_remove, NOT a lambda F.filter: HOFs are
+    # CodegenFallback, so if CollapseProject inlines `tokens` into the
+    # per-term columns a HOF form re-tokenizes once PER TERM per row
+    # (measured 5x on a 3-term query); the all-codegen form keeps every
+    # inlined copy eligible for codegen subexpression elimination.
     tf_cols = [
-        F.size(F.filter("_tk", _eq(t))).alias(f"_tf{i}")
+        (F.size("_tk") - F.size(F.array_remove("_tk", t)))
+        .alias(f"_tf{i}")
         for i, t in enumerate(query_terms)
     ]
-    tfd = base.select(id_col, "_dl", *tf_cols)
+    # The tf frame feeds TWO consumers (the corpus-stats aggregate and
+    # the scoring join), so left lazy the scan + tokenization would run
+    # twice end-to-end (measured ~8x tokenization cost with the HOF
+    # form).  Materialize the NARROW (id, _dl, _tf*) frame once — no
+    # content column, ~30 B/row — the same discipline as the CC edge
+    # materialization (cluster_pairs, 7.2x).
+    tfd = base.select(id_col, "_dl", *tf_cols).localCheckpoint()
 
     stats = tfd.agg(
         F.count(F.lit(1)).alias("_N"),
