@@ -21,8 +21,16 @@ BIG_LEN = 1_000_000_000
 # ------------------------------------------------------------------ tokenizing
 
 def tokens(col: Column) -> Column:
-    """Whitespace tokens of non-empty words."""
-    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
+    """Whitespace tokens of non-empty words.
+
+    ``array_remove`` and NOT a lambda ``F.filter`` on purpose: lambda
+    HOFs are CodegenFallback (interpreted, excluded from whole-stage
+    codegen AND subexpression elimination), so inlined copies of a
+    shared token column re-tokenize once per consumer; the all-codegen
+    form is deduped by codegen CSE (same fix as codedup.code_tokens,
+    measured 5x inside bm25_search).  split never yields NULL elements,
+    so the two forms are value-identical."""
+    return F.array_remove(F.split(F.trim(col), r"\s+"), "")
 
 
 def token_count(col: Column) -> Column:
@@ -32,9 +40,12 @@ def token_count(col: Column) -> Column:
 def bpe_ish_tokens(col: Column) -> Column:
     """A BPE-ish regex tokenization: words, numbers, punctuation runs —
     the standard pre-tokenizer shape (letters | digits | single punct)."""
-    return F.filter(
-        F.split(col, r"(?=[^\p{L}\p{Nd}])|(?<=[^\p{L}\p{Nd}])"),
-        lambda t: (t != "") & (t != " "),
+    # two array_removes, not a lambda filter — see tokens() docstring
+    return F.array_remove(
+        F.array_remove(
+            F.split(col, r"(?=[^\p{L}\p{Nd}])|(?<=[^\p{L}\p{Nd}])"), ""
+        ),
+        " ",
     )
 
 
@@ -58,8 +69,15 @@ def array_shingles(toks: Column, k: int = 3) -> Column:
     shifted zip_with pads the tail with NULL, concat propagates NULL,
     and the filter drops exactly the k-1 incomplete windows.  An array
     shorter than k yields ONE shingle joining all its tokens (so no
-    document ever vanishes from the signature frame)."""
-    n = F.size(toks)
+    document ever vanishes from the signature frame).
+
+    The ``toks`` EXPRESSION is bound ONCE as a lambda variable
+    (``transform(array(toks), t -> ...)``), not referenced k+1 times
+    directly: those k+1 slice sites sit inside interpreted HOFs where
+    no CSE applies, so a heavy token derivation (split + lower over
+    file-sized content) re-ran once per reference — measured 6x at
+    k=5, 58.6s -> 12s per 100k docs inside code near-dup.  Inside the
+    lambda every reference is a bound-variable lookup."""
 
     def shingled(t: Column) -> Column:
         out = F.slice(t, 1, BIG_LEN)
@@ -71,10 +89,13 @@ def array_shingles(toks: Column, k: int = 3) -> Column:
             )
         return F.filter(out, lambda x: x.isNotNull())
 
-    return F.array_distinct(
-        F.when(n >= k, shingled(toks))
-        .otherwise(F.array(F.concat_ws(" ", toks)))
-    )
+    def one(t: Column) -> Column:
+        return F.array_distinct(
+            F.when(F.size(t) >= k, shingled(t))
+            .otherwise(F.array(F.concat_ws(" ", t)))
+        )
+
+    return F.element_at(F.transform(F.array(toks), one), 1)
 
 
 def word_shingles(col: Column, k: int = 3) -> Column:
@@ -90,10 +111,11 @@ def char_ngrams(col: Column, n: int = 4) -> Column:
     Same shifted-zip_with shape as :func:`word_shingles` (see its
     docstring): the index form re-evaluated ``lower(col)`` once per
     OUTPUT GRAM inside the interpreted lambda — O(len²) per document.
-    Here the char array is referenced n times total instead."""
-    s = F.lower(col)
-    ln = F.length(s)
-    chars = F.split(s, "")
+    Like :func:`array_shingles`, both heavy derivations are bound ONCE
+    as lambda variables (nested 1-element ``transform``): ``lower(col)``
+    at the outer level, the char-split at the inner level — the n
+    slice references inside the interpreted gram chain are then
+    bound-variable lookups, not n re-splits of the whole string."""
 
     def grams(t: Column) -> Column:
         out = F.slice(t, 1, BIG_LEN)
@@ -103,9 +125,18 @@ def char_ngrams(col: Column, n: int = 4) -> Column:
             )
         return F.filter(out, lambda x: x.isNotNull())
 
-    return F.array_distinct(
-        F.when(ln >= n, grams(chars)).otherwise(F.array(s))
-    )
+    def over_chars(s: Column, t: Column) -> Column:
+        return F.array_distinct(
+            F.when(F.length(s) >= n, grams(t)).otherwise(F.array(s))
+        )
+
+    def over_text(s: Column) -> Column:
+        return F.element_at(
+            F.transform(F.array(F.split(s, "")), lambda t: over_chars(s, t)),
+            1,
+        )
+
+    return F.element_at(F.transform(F.array(F.lower(col)), over_text), 1)
 
 
 # ------------------------------------------------------------------ quality
