@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (166/166), including the approximate tiers
+EVERY query has an oracle (168/168), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -3145,6 +3145,54 @@ def q_shard_assign(spark, sf_dir):
     return assign_shards(docs, "doc_id", "n_bytes", num_shards=16)
 
 
+def q_fim_transform(spark, sf_dir):
+    """Fill-in-the-middle transform (operators/fim.fim_transform —
+    Bavarian et al. 2022, the SantaCoder/StarCoder code-LLM training
+    augmentation): INTEGER-only md5 arithmetic picks which docs
+    transform (rate gate), the two character cut points, and PSM vs
+    SPM sentinel order — zero floats, so the oracle replays the split
+    byte-exactly.  Pure codegen, zero shuffles, rides the scan."""
+    from schema_validator_spark.operators.fim import fim_transform
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return fim_transform(docs, "doc_id", "text").select(
+        "doc_id", "fim_mode", "fim_text"
+    )
+
+
+def q_repo_context(spark, sf_dir):
+    """Repo-context ordering manifest
+    (operators/repocontext.repo_context_order — the StarCoder2 /
+    DeepSeek-Coder repo-level training format): files sort
+    dependency-first by the intra-repo FAN-IN of the module they
+    define (depgraph edges, external imports excluded), ties on path.
+    Same striped import synthesis as the depgraph queries, with a
+    globally-unique path per file."""
+    from schema_validator_spark.operators.repocontext import (
+        repo_context_order,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    chain = None
+    for i, body in sorted(_DEPGRAPH_IMPORTS.items()):
+        cond = did % 6 == i
+        lit = F.lit(body)
+        chain = F.when(cond, lit) if chain is None else chain.when(cond, lit)
+    df = docs.select(
+        F.concat(
+            F.lit("r"), F.expr("(doc_id div 6) % 10").cast("string")
+        ).alias("repo"),
+        F.concat(F.lit("f"), did.cast("string"), F.lit(".py")).alias("path"),
+        F.concat(F.lit("m"), (did % 6).cast("string")).alias("module"),
+        F.lit("py").alias("lang"),
+        chain.alias("content"),
+    )
+    return repo_context_order(
+        df, "repo", "path", "module", "content", "lang"
+    )
+
+
 #: bm25 synthesis terms — underscore/digit shapes the natural-word
 #: vocabulary of documents.text cannot collide with
 _BM25_TERMS = ["serialize_v2", "mutex_guard", "qsort_3way"]
@@ -4717,6 +4765,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "notebook_pairs": q_notebook_pairs,
         "commit_pairs": q_commit_pairs,
         "mixture_plan": q_mixture_plan,
+        "fim_transform": q_fim_transform,
+        "repo_context": q_repo_context,
     }
 
 
@@ -7609,6 +7659,94 @@ def _depgraph_edges_sql() -> str:
     """
 
 
+#: fim_transform replay: the operator's INTEGER-only md5 recipe
+#: verbatim — hex-prefix draws, pmod rate gates, char cut points,
+#: PSM/SPM sentinel assembly (operators/fim.py docstring).
+_FIM_ORACLE_SQL = """
+  with d as (
+    select doc_id, text, cast(doc_id as varchar) as sid,
+           length(text) as ln
+    from documents
+  ), h as (
+    select doc_id, text, ln,
+      ('0x' || substr(md5(sid || 'fim-v1' || '-apply'), 1, 8))::bigint
+        % 1000000 as g_apply,
+      ('0x' || substr(md5(sid || 'fim-v1' || '-mode'), 1, 8))::bigint
+        % 1000000 as g_mode,
+      ('0x' || substr(md5(sid || 'fim-v1' || '-a'), 1, 8))::bigint
+        % (ln + 1) as ca,
+      ('0x' || substr(md5(sid || 'fim-v1' || '-b'), 1, 8))::bigint
+        % (ln + 1) as cb
+    from d
+  ), c as (
+    select doc_id, text, ln, g_apply, g_mode,
+           least(ca, cb) as c1, greatest(ca, cb) as c2
+    from h
+  )
+  select doc_id,
+    case when text is null or g_apply >= 500000 then 'none'
+         when g_mode < 500000 then 'spm' else 'psm' end as fim_mode,
+    case when text is null or g_apply >= 500000 then text
+         when g_mode < 500000 then
+           '<fim_suffix>' || substr(text, c2 + 1)
+           || '<fim_prefix>' || substr(text, 1, c1)
+           || '<fim_middle>' || substr(text, c1 + 1, c2 - c1)
+         else
+           '<fim_prefix>' || substr(text, 1, c1)
+           || '<fim_suffix>' || substr(text, c2 + 1)
+           || '<fim_middle>' || substr(text, c1 + 1, c2 - c1)
+    end as fim_text
+  from c
+"""
+
+
+def _repo_context_oracle_sql() -> str:
+    """Replay q_repo_context: the striped import synthesis with
+    unique paths, the intra-repo edge derivation (same pattern source
+    as _depgraph_edges_sql), fan-in per defined module, and the
+    (fan_in DESC, path ASC) row_number manifest."""
+    from schema_validator_spark.functions.imports import IMPORT_PATTERNS
+
+    synth_content = "\n                 ".join(
+        f"when doc_id % 6 = {i} then {_duck_lit(body)}"
+        for i, body in sorted(_DEPGRAPH_IMPORTS.items())
+    )
+    pat, grp = IMPORT_PATTERNS["py"]
+    return f"""
+      with synth as (
+        select 'r' || cast((doc_id // 6) % 10 as varchar) as repo,
+               'f' || cast(doc_id as varchar) || '.py' as path,
+               'm' || cast(doc_id % 6 as varchar) as module,
+               case {synth_content} end as content
+        from documents
+      ), ex as (
+        select repo, module as src_module,
+               unnest(regexp_extract_all(content,
+                                         '{_esc_sq(pat)}', {grp}))
+                 as dst_module
+        from synth
+      ), edges as (
+        select distinct x.repo, x.src_module, x.dst_module
+        from ex x
+        where x.src_module <> x.dst_module
+          and exists (select 1 from synth s
+                      where s.repo = x.repo and s.module = x.dst_module)
+      ), fi as (
+        select repo, dst_module as module,
+               cast(count(*) as bigint) as fan_in
+        from edges group by repo, dst_module
+      )
+      select s.repo, s.path, s.module,
+             coalesce(fi.fan_in, 0) as fan_in,
+             cast(row_number() over (
+               partition by s.repo
+               order by coalesce(fi.fan_in, 0) desc, s.path asc
+             ) as int) as seq
+      from synth s
+      left join fi on fi.repo = s.repo and fi.module = s.module
+    """
+
+
 def _import_cycles_oracle_sql() -> str:
     """Replay q_import_cycles: the shared edge derivation + the 2-cycle
     mutual join and the smallest-start-rotation 3-cycle joins."""
@@ -8676,6 +8814,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "edit_pairs": _EDIT_PAIRS_ORACLE_SQL,
         "commit_pairs": _COMMIT_PAIRS_ORACLE_SQL,
         "mixture_plan": _MIXTURE_PLAN_ORACLE_SQL,
+        "fim_transform": _FIM_ORACLE_SQL,
+        "repo_context": _repo_context_oracle_sql(),
         "dead_symbols": _dead_symbols_oracle_sql(),
         "comment_lang": _comment_lang_oracle_sql(),
         "notebook_pairs": _NB_PAIRS_ORACLE_SQL,
