@@ -3193,6 +3193,74 @@ def q_repo_context(spark, sf_dir):
     )
 
 
+def q_dobf_pairs(spark, sf_dir):
+    """DOBF identifier-obfuscation pairs
+    (operators/dobf.obfuscate_identifiers — Lachaux et al. 2021): every
+    non-keyword identifier renamed to VAR_k in first-appearance order;
+    the (obfuscated source, name mapping) pair is the deobfuscation
+    training example.  Stripes cover all three keyword lists plus an
+    unregistered lang (everything renames), repeated identifiers (one
+    placeholder), digit tokens (never renamed), and a py stripe with 6
+    eligible identifiers so max_ids=4 truncation binds and the cap
+    semantics are oracle-checked."""
+    from schema_validator_spark.operators.dobf import (
+        obfuscate_identifiers,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    k = did.cast("string")
+    m3 = did % 3
+    lang = F.when(did % 13 == 0, F.lit("rust")).otherwise(
+        F.when(m3 == 0, F.lit("py"))
+        .when(m3 == 1, F.lit("go"))
+        .otherwise(F.lit("js"))
+    )
+    py = F.concat(
+        F.lit("def handler(req):\n    data = req.load(limit"),
+        k,
+        F.lit(")\n    return data, cache_key\n"),
+    )
+    go = F.concat(
+        F.lit("func Process"), k,
+        F.lit("(in chan int) int\n\tout := in\n\tsend(out, in)\n"
+              "\treturn out\n"),
+    )
+    js = F.concat(
+        F.lit("const fooBar = (x) => x * count"), k,
+        F.lit(" + window.count"), k, F.lit("\n"),
+    )
+    rust = F.concat(
+        F.lit("fn run"), k, F.lit("() -> i32 = v + 1\n"),
+    )
+    content = F.when(did % 13 == 0, rust).otherwise(
+        F.when(m3 == 0, py).when(m3 == 1, go).otherwise(js)
+    )
+    df = docs.select(
+        "doc_id", lang.alias("lang"), content.alias("content")
+    )
+    out = obfuscate_identifiers(
+        df, ["doc_id"], "content", "lang", max_ids=4
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_ids").cast("long").alias("n_ids"),
+        F.col("n_ids_total").cast("long").alias("n_ids_total"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                "id_names",
+                lambda x, i: F.concat(
+                    x, F.lit("=VAR_"), i.cast("string")
+                ),
+            ),
+        ).alias("mapping"),
+        F.md5("obf_content").alias("obf_sha"),
+    )
+
+
 #: bm25 synthesis terms — underscore/digit shapes the natural-word
 #: vocabulary of documents.text cannot collide with
 _BM25_TERMS = ["serialize_v2", "mutex_guard", "qsort_3way"]
@@ -4767,6 +4835,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan": q_mixture_plan,
         "fim_transform": q_fim_transform,
         "repo_context": q_repo_context,
+        "dobf_pairs": q_dobf_pairs,
     }
 
 
@@ -5273,6 +5342,109 @@ def _identifier_vocab_oracle_sql() -> str:
              count(distinct identifier) as n_identifiers
       from subs
       group by subtoken
+    """
+
+
+def _dobf_oracle_sql() -> str:
+    """Replay q_dobf_pairs from the SAME module constants (TOKEN_RE,
+    KEYWORDS) via an INDEPENDENT positional derivation: unnest +
+    generate_subscripts for token order, min(position) + row_number for
+    first-appearance rank (Spark uses array_distinct, which preserves
+    first-occurrence order; DuckDB's list_distinct does NOT, hence the
+    window form), cap at vid < 4, rebuild via string_agg ordered by
+    token position."""
+    from schema_validator_spark.functions.identifiers import KEYWORDS
+    from schema_validator_spark.operators.dobf import TOKEN_RE
+
+    kw_cases = "\n                 ".join(
+        "when '{lg}' then t in ({ws})".format(
+            lg=lg, ws=", ".join(f"'{w}'" for w in words)
+        )
+        for lg, words in sorted(KEYWORDS.items())
+    )
+    return rf"""
+      with synth as (
+        select doc_id,
+               case when doc_id % 13 = 0 then 'rust'
+                    when doc_id % 3 = 0 then 'py'
+                    when doc_id % 3 = 1 then 'go'
+                    else 'js' end as lang,
+               case when doc_id % 13 = 0 then
+                      'fn run' || cast(doc_id as varchar)
+                      || '() -> i32 = v + 1' || chr(10)
+                    when doc_id % 3 = 0 then
+                      'def handler(req):' || chr(10)
+                      || '    data = req.load(limit'
+                      || cast(doc_id as varchar) || ')' || chr(10)
+                      || '    return data, cache_key' || chr(10)
+                    when doc_id % 3 = 1 then
+                      'func Process' || cast(doc_id as varchar)
+                      || '(in chan int) int' || chr(10)
+                      || chr(9) || 'out := in' || chr(10)
+                      || chr(9) || 'send(out, in)' || chr(10)
+                      || chr(9) || 'return out' || chr(10)
+                    else
+                      'const fooBar = (x) => x * count'
+                      || cast(doc_id as varchar)
+                      || ' + window.count'
+                      || cast(doc_id as varchar) || chr(10)
+               end as content
+        from documents
+      ), tl as (
+        select doc_id, lang,
+               regexp_extract_all(content, '{_esc_sq(TOKEN_RE)}') as toks
+        from synth
+      ), tok as (
+        select doc_id, lang, unnest(toks) as t,
+               generate_subscripts(toks, 1) as ord
+        from tl
+      ), flag as (
+        select doc_id, t, ord,
+               (regexp_matches(t, '^[A-Za-z_]')
+                and not (case lang
+                 {kw_cases}
+                 else false end)) as is_id
+        from tok
+      ), firsts as (
+        select doc_id, t, min(ord) as fo
+        from flag where is_id group by doc_id, t
+      ), ranked as (
+        select doc_id, t,
+               row_number() over (partition by doc_id order by fo) - 1
+                 as vid
+        from firsts
+      ), capped as (
+        select * from ranked where vid < 4
+      ), rep as (
+        select f.doc_id, f.ord,
+               case when c.vid is not null
+                    then 'VAR_' || cast(c.vid as varchar)
+                    else f.t end as o
+        from flag f
+        left join capped c on f.doc_id = c.doc_id and f.t = c.t
+      ), obf as (
+        select doc_id, count(*) as n_tokens,
+               md5(string_agg(o, '' order by ord)) as obf_sha
+        from rep group by doc_id
+      ), mapping as (
+        select doc_id, count(*) as n_ids,
+               string_agg(t || '=VAR_' || cast(vid as varchar),
+                          ',' order by vid) as mapping
+        from capped group by doc_id
+      ), totals as (
+        select doc_id, count(*) as n_ids_total
+        from ranked group by doc_id
+      )
+      select s.doc_id, s.lang,
+             coalesce(o.n_tokens, 0)::bigint as n_tokens,
+             coalesce(m.n_ids, 0)::bigint as n_ids,
+             coalesce(tt.n_ids_total, 0)::bigint as n_ids_total,
+             coalesce(m.mapping, '') as mapping,
+             coalesce(o.obf_sha, md5('')) as obf_sha
+      from synth s
+      left join obf o using (doc_id)
+      left join mapping m using (doc_id)
+      left join totals tt using (doc_id)
     """
 
 
@@ -8816,6 +8988,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "mixture_plan": _MIXTURE_PLAN_ORACLE_SQL,
         "fim_transform": _FIM_ORACLE_SQL,
         "repo_context": _repo_context_oracle_sql(),
+        "dobf_pairs": _dobf_oracle_sql(),
         "dead_symbols": _dead_symbols_oracle_sql(),
         "comment_lang": _comment_lang_oracle_sql(),
         "notebook_pairs": _NB_PAIRS_ORACLE_SQL,
