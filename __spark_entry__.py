@@ -3193,21 +3193,12 @@ def q_repo_context(spark, sf_dir):
     )
 
 
-def q_dobf_pairs(spark, sf_dir):
-    """DOBF identifier-obfuscation pairs
-    (operators/dobf.obfuscate_identifiers — Lachaux et al. 2021): every
-    non-keyword identifier renamed to VAR_k in first-appearance order;
-    the (obfuscated source, name mapping) pair is the deobfuscation
-    training example.  Stripes cover all three keyword lists plus an
-    unregistered lang (everything renames), repeated identifiers (one
-    placeholder), digit tokens (never renamed), and a py stripe with 6
-    eligible identifiers so max_ids=4 truncation binds and the cap
-    semantics are oracle-checked."""
-    from schema_validator_spark.operators.dobf import (
-        obfuscate_identifiers,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
+def _code_lang_synth(docs):
+    """Shared striped (doc_id, lang, content) code synthesis for the
+    dobf_pairs and halstead_metrics queries: all three keyword lists +
+    an unregistered lang (rust), repeated identifiers, digit tokens,
+    and a py stripe with 6 eligible identifiers.  The oracles replay
+    it from _CODE_SYNTH_SQL."""
     did = F.col("doc_id")
     k = did.cast("string")
     m3 = did % 3
@@ -3236,9 +3227,26 @@ def q_dobf_pairs(spark, sf_dir):
     content = F.when(did % 13 == 0, rust).otherwise(
         F.when(m3 == 0, py).when(m3 == 1, go).otherwise(js)
     )
-    df = docs.select(
+    return docs.select(
         "doc_id", lang.alias("lang"), content.alias("content")
     )
+
+
+def q_dobf_pairs(spark, sf_dir):
+    """DOBF identifier-obfuscation pairs
+    (operators/dobf.obfuscate_identifiers — Lachaux et al. 2021): every
+    non-keyword identifier renamed to VAR_k in first-appearance order;
+    the (obfuscated source, name mapping) pair is the deobfuscation
+    training example.  Stripes cover all three keyword lists plus an
+    unregistered lang (everything renames), repeated identifiers (one
+    placeholder), digit tokens (never renamed), and a py stripe with 6
+    eligible identifiers so max_ids=4 truncation binds and the cap
+    semantics are oracle-checked."""
+    from schema_validator_spark.operators.dobf import (
+        obfuscate_identifiers,
+    )
+
+    df = _code_lang_synth(_t(spark, sf_dir, "documents"))
     out = obfuscate_identifiers(
         df, ["doc_id"], "content", "lang", max_ids=4
     )
@@ -3258,6 +3266,27 @@ def q_dobf_pairs(spark, sf_dir):
             ),
         ).alias("mapping"),
         F.md5("obf_content").alias("obf_sha"),
+    )
+
+
+def q_halstead(spark, sf_dir):
+    """Halstead software-science metrics
+    (operators/halstead.halstead_metrics): distinct/total operators
+    (keywords + punctuation operator chars) and operands (non-keyword
+    identifiers + number runs) -> vocabulary/length/volume/difficulty/
+    effort, the classic maintainability-index inputs beside the McCabe
+    proxy.  Same striped synthesis as dobf_pairs (shared keyword
+    lists); doubles compare as 6dp-scaled longs per the float-oracle
+    contract."""
+    from schema_validator_spark.operators.halstead import (
+        halstead_metrics,
+    )
+
+    df = _code_lang_synth(_t(spark, sf_dir, "documents"))
+    out = halstead_metrics(df, ["doc_id"], "content", "lang")
+    return out.select(
+        "doc_id", "lang", "n1", "n2", "big_n1", "big_n2",
+        "volume", "difficulty", "effort",
     )
 
 
@@ -4618,6 +4647,10 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
          "n_xxx", "n_debt_lines"],
         ["debt_per_kline"],
     ),
+    "halstead_metrics": (
+        ["doc_id", "lang", "n1", "n2", "big_n1", "big_n2"],
+        ["volume", "difficulty", "effort"],
+    ),
 }
 
 
@@ -4836,6 +4869,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fim_transform": q_fim_transform,
         "repo_context": q_repo_context,
         "dobf_pairs": q_dobf_pairs,
+        "halstead_metrics": q_halstead,
     }
 
 
@@ -5345,25 +5379,9 @@ def _identifier_vocab_oracle_sql() -> str:
     """
 
 
-def _dobf_oracle_sql() -> str:
-    """Replay q_dobf_pairs from the SAME module constants (TOKEN_RE,
-    KEYWORDS) via an INDEPENDENT positional derivation: unnest +
-    generate_subscripts for token order, min(position) + row_number for
-    first-appearance rank (Spark uses array_distinct, which preserves
-    first-occurrence order; DuckDB's list_distinct does NOT, hence the
-    window form), cap at vid < 4, rebuild via string_agg ordered by
-    token position."""
-    from schema_validator_spark.functions.identifiers import KEYWORDS
-    from schema_validator_spark.operators.dobf import TOKEN_RE
-
-    kw_cases = "\n                 ".join(
-        "when '{lg}' then t in ({ws})".format(
-            lg=lg, ws=", ".join(f"'{w}'" for w in words)
-        )
-        for lg, words in sorted(KEYWORDS.items())
-    )
-    return rf"""
-      with synth as (
+#: SQL replay of _code_lang_synth (shared by the dobf_pairs and
+#: halstead_metrics oracles)
+_CODE_SYNTH_SQL = """
         select doc_id,
                case when doc_id % 13 = 0 then 'rust'
                     when doc_id % 3 = 0 then 'py'
@@ -5390,6 +5408,37 @@ def _dobf_oracle_sql() -> str:
                       || cast(doc_id as varchar) || chr(10)
                end as content
         from documents
+"""
+
+
+def _kw_case_sql(var: str) -> str:
+    """``case lang when 'py' then {var} in (...) ... else false end``
+    membership test over functions/identifiers.KEYWORDS — the shared
+    stop-list replay for the dobf/halstead oracles."""
+    from schema_validator_spark.functions.identifiers import KEYWORDS
+
+    cases = "\n                 ".join(
+        "when '{lg}' then {v} in ({ws})".format(
+            lg=lg, v=var, ws=", ".join(f"'{w}'" for w in words)
+        )
+        for lg, words in sorted(KEYWORDS.items())
+    )
+    return f"case lang\n                 {cases}\n                 else false end"
+
+
+def _dobf_oracle_sql() -> str:
+    """Replay q_dobf_pairs from the SAME module constants (TOKEN_RE,
+    KEYWORDS) via an INDEPENDENT positional derivation: unnest +
+    generate_subscripts for token order, min(position) + row_number for
+    first-appearance rank (Spark uses array_distinct, which preserves
+    first-occurrence order; DuckDB's list_distinct does NOT, hence the
+    window form), cap at vid < 4, rebuild via string_agg ordered by
+    token position."""
+    from schema_validator_spark.operators.dobf import TOKEN_RE
+
+    kw_case = _kw_case_sql("t")
+    return rf"""
+      with synth as ({_CODE_SYNTH_SQL}
       ), tl as (
         select doc_id, lang,
                regexp_extract_all(content, '{_esc_sq(TOKEN_RE)}') as toks
@@ -5401,9 +5450,7 @@ def _dobf_oracle_sql() -> str:
       ), flag as (
         select doc_id, t, ord,
                (regexp_matches(t, '^[A-Za-z_]')
-                and not (case lang
-                 {kw_cases}
-                 else false end)) as is_id
+                and not ({kw_case})) as is_id
         from tok
       ), firsts as (
         select doc_id, t, min(ord) as fo
@@ -5445,6 +5492,72 @@ def _dobf_oracle_sql() -> str:
       left join obf o using (doc_id)
       left join mapping m using (doc_id)
       left join totals tt using (doc_id)
+    """
+
+
+def _halstead_oracle_sql() -> str:
+    """Replay q_halstead from the SAME module constants (dobf.TOKEN_RE,
+    halstead.OPERATOR_CHAR_RE, identifiers.KEYWORDS) via an INDEPENDENT
+    unnest + filtered-aggregate derivation (Spark uses array HOFs +
+    array_distinct); the e6 wrapper scales the three doubles on both
+    sides.  Empty files have zero unnested rows, so the left joins +
+    coalesce(0) reproduce the operator's 0-guards exactly."""
+    from schema_validator_spark.operators.dobf import TOKEN_RE
+    from schema_validator_spark.operators.halstead import OPERATOR_CHAR_RE
+
+    kw_case = _kw_case_sql("t")
+    return rf"""
+      with synth as ({_CODE_SYNTH_SQL}
+      ), tl as (
+        select doc_id, lang,
+               regexp_extract_all(coalesce(content, ''),
+                                  '{_esc_sq(TOKEN_RE)}') as toks,
+               regexp_extract_all(coalesce(content, ''),
+                                  '{_esc_sq(OPERATOR_CHAR_RE)}') as ops
+        from synth
+      ), tok as (
+        select doc_id, lang, unnest(toks) as t from tl
+      ), wordc as (
+        select doc_id,
+               count(*) filter (where regexp_matches(t, '^[A-Za-z0-9_]')
+                                and not ({kw_case})) as opnd_total,
+               count(distinct t) filter (
+                 where regexp_matches(t, '^[A-Za-z0-9_]')
+                 and not ({kw_case})) as opnd_distinct,
+               count(*) filter (where regexp_matches(t, '^[A-Za-z_]')
+                                and ({kw_case})) as kw_total,
+               count(distinct t) filter (
+                 where regexp_matches(t, '^[A-Za-z_]')
+                 and ({kw_case})) as kw_distinct
+        from tok group by doc_id, lang
+      ), opc as (
+        select doc_id, count(*) as op_total,
+               count(distinct c) as op_distinct
+        from (select doc_id, unnest(ops) as c from tl) group by doc_id
+      ), m as (
+        select tl.doc_id, tl.lang,
+               cast(coalesce(w.kw_distinct, 0)
+                    + coalesce(o.op_distinct, 0) as bigint) as n1,
+               cast(coalesce(w.opnd_distinct, 0) as bigint) as n2,
+               cast(coalesce(w.kw_total, 0)
+                    + coalesce(o.op_total, 0) as bigint) as big_n1,
+               cast(coalesce(w.opnd_total, 0) as bigint) as big_n2
+        from tl
+        left join wordc w using (doc_id)
+        left join opc o using (doc_id)
+      )
+      select doc_id, lang, n1, n2, big_n1, big_n2,
+             case when n1 + n2 > 0
+                  then (big_n1 + big_n2) * log2(n1 + n2)
+                  else 0.0 end as volume,
+             case when n2 > 0 then (n1 / 2.0) * (big_n2 / n2)
+                  else 0.0 end as difficulty,
+             (case when n2 > 0 then (n1 / 2.0) * (big_n2 / n2)
+                   else 0.0 end)
+             * (case when n1 + n2 > 0
+                     then (big_n1 + big_n2) * log2(n1 + n2)
+                     else 0.0 end) as effort
+      from m
     """
 
 
@@ -8989,6 +9102,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "fim_transform": _FIM_ORACLE_SQL,
         "repo_context": _repo_context_oracle_sql(),
         "dobf_pairs": _dobf_oracle_sql(),
+        "halstead_metrics": _halstead_oracle_sql(),
         "dead_symbols": _dead_symbols_oracle_sql(),
         "comment_lang": _comment_lang_oracle_sql(),
         "notebook_pairs": _NB_PAIRS_ORACLE_SQL,
