@@ -3290,6 +3290,86 @@ def q_halstead(spark, sf_dir):
     )
 
 
+def q_ownership(spark, sf_dir):
+    """Code ownership / bus factor
+    (operators/ownership.ownership_stats): per-file author
+    concentration over a commit-grain table — top author + share,
+    Herfindahl index, and the smallest author set strictly exceeding
+    half the commits.  Synthesis: (repo=did%7, path=did%13) file grid;
+    even-numbered paths get a skewed 'alice owns 2/3' stripe, odd
+    paths a uniform 5-author mix, and did%17==0 commits a NULL author
+    (must collapse to one real '<unknown>' author, not drop).  Oracle:
+    independent window replay (rank by count desc/author asc, running
+    cumsum vs strict majority)."""
+    from schema_validator_spark.operators.ownership import (
+        ownership_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    author = (
+        F.when(did % 17 == 0, F.lit(None).cast("string"))
+        .when(
+            (did % 13) % 2 == 0,
+            F.when(did % 3 > 0, F.lit("alice")).otherwise(
+                F.concat(F.lit("a"), (did % 4).cast("string"))
+            ),
+        )
+        .otherwise(F.concat(F.lit("a"), (did % 5).cast("string")))
+    )
+    df = docs.select(
+        F.concat(F.lit("r"), (did % 7).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), (did % 13).cast("string")).alias("path"),
+        author.alias("author"),
+    )
+    out = ownership_stats(df, ["repo", "path"], "author")
+    return out.select(
+        "repo", "path", "n_commits", "n_authors", "top_author",
+        F.col("bus_factor").cast("long").alias("bus_factor"),
+        "top_share", "hhi",
+    )
+
+
+_OWNERSHIP_ORACLE_SQL = """
+    with synth as (
+      select 'r' || cast(doc_id % 7 as varchar) as repo,
+             'p' || cast(doc_id % 13 as varchar) as path,
+             case when doc_id % 17 = 0 then '<unknown>'
+                  when (doc_id % 13) % 2 = 0 then
+                       case when doc_id % 3 > 0 then 'alice'
+                            else 'a' || cast(doc_id % 4 as varchar) end
+                  else 'a' || cast(doc_id % 5 as varchar) end as author
+      from documents
+    ), pa as (
+      select repo, path, author, count(*) as n
+      from synth group by 1, 2, 3
+    ), ranked as (
+      select repo, path, author, n,
+             row_number() over (partition by repo, path
+                                order by n desc, author asc) as rn,
+             cast(sum(n) over (partition by repo, path
+                               order by n desc, author asc
+                               rows between unbounded preceding
+                               and current row) as bigint) as cum,
+             cast(sum(n) over (partition by repo, path) as bigint)
+               as total
+      from pa
+    )
+    select repo, path,
+           max(total) as n_commits,
+           count(*) as n_authors,
+           min(case when rn = 1 then author end) as top_author,
+           cast(min(case when cum > 0.5 * total then rn end) as bigint)
+             as bus_factor,
+           round(max(case when rn = 1 then n end)
+                 / cast(max(total) as double), 6) as top_share,
+           round(sum((n / cast(total as double))
+                     * (n / cast(total as double))), 6) as hhi
+    from ranked
+    group by repo, path
+"""
+
+
 #: bm25 synthesis terms — underscore/digit shapes the natural-word
 #: vocabulary of documents.text cannot collide with
 _BM25_TERMS = ["serialize_v2", "mutex_guard", "qsort_3way"]
@@ -4651,6 +4731,11 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
         ["doc_id", "lang", "n1", "n2", "big_n1", "big_n2"],
         ["volume", "difficulty", "effort"],
     ),
+    "ownership": (
+        ["repo", "path", "n_commits", "n_authors", "top_author",
+         "bus_factor"],
+        ["top_share", "hhi"],
+    ),
 }
 
 
@@ -4870,6 +4955,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_context": q_repo_context,
         "dobf_pairs": q_dobf_pairs,
         "halstead_metrics": q_halstead,
+        "ownership": q_ownership,
     }
 
 
@@ -9103,6 +9189,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "repo_context": _repo_context_oracle_sql(),
         "dobf_pairs": _dobf_oracle_sql(),
         "halstead_metrics": _halstead_oracle_sql(),
+        "ownership": _OWNERSHIP_ORACLE_SQL,
         "dead_symbols": _dead_symbols_oracle_sql(),
         "comment_lang": _comment_lang_oracle_sql(),
         "notebook_pairs": _NB_PAIRS_ORACLE_SQL,
