@@ -2611,20 +2611,12 @@ _CPLX_SNIPPETS: dict[str, tuple[str, str, str]] = {
 }
 
 
-def q_code_complexity(spark, sf_dir):
-    """Lexical code-complexity metrics
-    (operators/complexity.complexity_stats): per-file McCabe-proxy
-    decision count (whole-word branch keywords + short-circuit
-    operators), cyclomatic estimate, and tab-expanded max-indent
-    nesting depth — the maintainability signal beside code_quality's
-    hygiene gate.  Stripes: py/go/js/unregistered-cobol with repeated
-    bodies (doc_id % 5 + 1) so metrics vary per doc; every 29th doc
-    NULL content, every 31st NULL lang."""
-    from schema_validator_spark.operators.complexity import (
-        complexity_stats,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
+def _cplx_synth(docs):
+    """Shared striped (doc_id, lang, content) synthesis for the
+    code_complexity and maintainability queries: py/go/js/unregistered-
+    cobol stripes with repeated bodies (doc_id % 5 + 1) so metrics vary
+    per doc; every 29th doc NULL content, every 31st NULL lang.  The
+    oracles replay it from _CPLX_SNIPPETS via _duck_lit."""
     did = F.col("doc_id")
     m = did % 4
     rep = (did % 5 + 1).cast("int")
@@ -2647,10 +2639,42 @@ def q_code_complexity(spark, sf_dir):
         .when(m == 2, F.lit("js"))
         .otherwise(F.lit("cobol"))
     )
-    df = docs.select(
+    return docs.select(
         "doc_id", lang.alias("lang"), content.alias("content")
     )
+
+
+def q_code_complexity(spark, sf_dir):
+    """Lexical code-complexity metrics
+    (operators/complexity.complexity_stats): per-file McCabe-proxy
+    decision count (whole-word branch keywords + short-circuit
+    operators), cyclomatic estimate, and tab-expanded max-indent
+    nesting depth — the maintainability signal beside code_quality's
+    hygiene gate.  Synthesis: _cplx_synth stripes."""
+    from schema_validator_spark.operators.complexity import (
+        complexity_stats,
+    )
+
+    df = _cplx_synth(_t(spark, sf_dir, "documents"))
     return complexity_stats(df, "content", "lang", keep_cols=["doc_id"])
+
+
+def q_maintainability(spark, sf_dir):
+    """Maintainability index
+    (operators/maintainability.maintainability_index): the Oman &
+    Hagemeister composite of Halstead volume, the McCabe cyclomatic
+    proxy, and physical LOC, rescaled to the Visual Studio 0-100 band
+    — the corpus-quality threshold metric composed from the engine's
+    two independent metric layers.  Same _cplx_synth stripes as
+    code_complexity (branchy bodies vary CC, repetition varies volume
+    and LOC, NULL content/lang edges); volume and mi compare as
+    6dp-scaled longs per the float-oracle contract."""
+    from schema_validator_spark.operators.maintainability import (
+        maintainability_index,
+    )
+
+    df = _cplx_synth(_t(spark, sf_dir, "documents"))
+    return maintainability_index(df, ["doc_id"], "content", "lang")
 
 
 def q_indent_style(spark, sf_dir):
@@ -4689,6 +4713,10 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
          "cyclomatic", "max_indent"],
         ["decision_density"],
     ),
+    "maintainability": (
+        ["doc_id", "lang", "cyclomatic", "n_lines"],
+        ["volume", "mi"],
+    ),
     "file_history": (
         ["repo", "path", "n_versions", "n_distinct_versions",
          "first_version", "last_version", "head_sha"],
@@ -4918,6 +4946,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "identifier_vocab": q_identifier_vocab,
         "repo_profile": q_repo_profile,
         "code_complexity": q_code_complexity,
+        "maintainability": q_maintainability,
         "file_history": q_file_history,
         "nlpl_pairs": q_nlpl_pairs,
         "repo_similarity": q_repo_similarity,
@@ -5850,6 +5879,124 @@ def _code_complexity_oracle_sql() -> str:
              round((n_decisions + n_bool_ops) / n_lines, 6)
                as decision_density
       from st
+    """
+
+
+def _maintainability_oracle_sql() -> str:
+    """Replay q_maintainability by composing the two INDEPENDENT
+    component derivations over the same _CPLX_SNIPPETS synthesis:
+    Halstead volume via the unnest + filtered-aggregate form (the
+    _halstead_oracle_sql derivation, not Spark's array HOFs), the
+    McCabe proxy via per-lang regexp counts + &&/|| replace-length
+    deltas, then the MI_COEFFS arithmetic with the same greatest(V, 1)
+    ln-guard and 0-floor."""
+    from schema_validator_spark.operators.complexity import (
+        DECISION_SYNTAX,
+        decision_pattern,
+    )
+    from schema_validator_spark.operators.dobf import TOKEN_RE
+    from schema_validator_spark.operators.halstead import OPERATOR_CHAR_RE
+    from schema_validator_spark.operators.maintainability import MI_COEFFS
+
+    def _stripe(lg: str) -> str:
+        head, mid, tail = _CPLX_SNIPPETS[lg]
+        if not mid:
+            return _duck_lit(head)
+        return (
+            f"{_duck_lit(head)} || repeat({_duck_lit(mid)},"
+            f" doc_id % 5 + 1) || {_duck_lit(tail)}"
+        )
+
+    kw_case = _kw_case_sql("t")
+    dec_whens = "\n                 ".join(
+        "when '{lg}' then len(regexp_extract_all(content, '{pat}'))"
+        .format(lg=lg, pat=_esc_sq(decision_pattern(words)))
+        for lg, (words, _) in sorted(DECISION_SYNTAX.items())
+    )
+    op_langs = ", ".join(
+        f"'{lg}'"
+        for lg, (_, ops) in sorted(DECISION_SYNTAX.items())
+        if ops
+    )
+    a0, av, ac, al = MI_COEFFS
+    return f"""
+      with synth as (
+        select doc_id,
+               case when doc_id % 31 = 0 then null
+                    when doc_id % 4 = 0 then 'py'
+                    when doc_id % 4 = 1 then 'go'
+                    when doc_id % 4 = 2 then 'js'
+                    else 'cobol' end as lang,
+               coalesce(case when doc_id % 29 = 0 then null
+                    when doc_id % 4 = 0 then {_stripe("py")}
+                    when doc_id % 4 = 1 then {_stripe("go")}
+                    when doc_id % 4 = 2 then {_stripe("js")}
+                    else {_stripe("cobol")} end, '') as content
+        from documents
+      ), tl as (
+        select doc_id, lang, content,
+               regexp_extract_all(content, '{_esc_sq(TOKEN_RE)}') as toks,
+               regexp_extract_all(content,
+                                  '{_esc_sq(OPERATOR_CHAR_RE)}') as ops
+        from synth
+      ), tok as (
+        select doc_id, lang, unnest(toks) as t from tl
+      ), wordc as (
+        select doc_id,
+               count(*) filter (where regexp_matches(t, '^[A-Za-z0-9_]')
+                                and not ({kw_case})) as opnd_total,
+               count(distinct t) filter (
+                 where regexp_matches(t, '^[A-Za-z0-9_]')
+                 and not ({kw_case})) as opnd_distinct,
+               count(*) filter (where regexp_matches(t, '^[A-Za-z_]')
+                                and ({kw_case})) as kw_total,
+               count(distinct t) filter (
+                 where regexp_matches(t, '^[A-Za-z_]')
+                 and ({kw_case})) as kw_distinct
+        from tok group by doc_id, lang
+      ), opc as (
+        select doc_id, count(*) as op_total,
+               count(distinct c) as op_distinct
+        from (select doc_id, unnest(ops) as c from tl) group by doc_id
+      ), vol as (
+        select tl.doc_id,
+               coalesce(w.kw_distinct, 0)
+                 + coalesce(o.op_distinct, 0) as n1,
+               coalesce(w.opnd_distinct, 0) as n2,
+               coalesce(w.kw_total, 0) + coalesce(o.op_total, 0) as big_n1,
+               coalesce(w.opnd_total, 0) as big_n2
+        from tl
+        left join wordc w using (doc_id)
+        left join opc o using (doc_id)
+      ), cc as (
+        select doc_id,
+               len(string_split(content, chr(10))) as n_lines,
+               cast(case coalesce(lower(lang), '')
+                 {dec_whens}
+                 else 0 end as int) as n_decisions,
+               cast(case when coalesce(lower(lang), '') in ({op_langs})
+                 then (length(content)
+                       - length(replace(content, '&&', ''))
+                       + length(content)
+                       - length(replace(content, '||', ''))) / 2
+                 else 0 end as int) as n_bool_ops
+        from synth
+      ), m as (
+        select s.doc_id, s.lang,
+               case when v.n1 + v.n2 > 0
+                    then (v.big_n1 + v.big_n2) * log2(v.n1 + v.n2)
+                    else 0.0 end as volume,
+               c.n_decisions + c.n_bool_ops + 1 as cyclomatic,
+               c.n_lines
+        from synth s
+        join vol v using (doc_id)
+        join cc c using (doc_id)
+      )
+      select doc_id, lang, volume, cyclomatic, n_lines,
+             greatest(0.0, 100.0 * ({a0} - {av} * ln(greatest(volume, 1.0))
+                                    - {ac} * cyclomatic
+                                    - {al} * ln(n_lines)) / {a0}) as mi
+      from m
     """
 
 
@@ -9140,6 +9287,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "identifier_vocab": _identifier_vocab_oracle_sql(),
         "repo_profile": _repo_profile_oracle_sql(),
         "code_complexity": _code_complexity_oracle_sql(),
+        "maintainability": _maintainability_oracle_sql(),
         "file_history": _FILE_HISTORY_ORACLE_SQL,
         "nlpl_pairs": _nlpl_oracle_sql(),
         "unsafe_apis": _unsafe_oracle_sql(),
