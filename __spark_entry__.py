@@ -2677,6 +2677,237 @@ def q_maintainability(spark, sf_dir):
     return maintainability_index(df, ["doc_id"], "content", "lang")
 
 
+def q_conflict_markers(spark, sf_dir):
+    """Git merge-conflict residue scan
+    (operators/codequality.conflict_markers): exact line-anchored
+    marker classification — has_conflict requires all three marker
+    kinds, so RST ``=======`` underlines and quoted fixture markers
+    never flag alone.  Stripes: real conflict block (flags), RST
+    underline (sep only), quoted + start-only marker, 8-char runs
+    (never count), clean code, NULL content."""
+    from schema_validator_spark.operators.codequality import (
+        conflict_markers,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    k = did.cast("string")
+    m = did % 5
+    conflict = F.concat(
+        F.lit("def f():\n<<<<<<< HEAD\n    return "), k,
+        F.lit("\n=======\n    return 0\n>>>>>>> feature\n"),
+    )
+    rst = F.concat(F.lit("Title\n=======\n\nbody "), k, F.lit("\n"))
+    quoted = F.concat(
+        F.lit("x = '<<<<<<< HEAD'\n<<<<<<< ours\ny = "), k, F.lit("\n"),
+    )
+    eight = F.lit("<<<<<<<<\n========\n>>>>>>>>\n")
+    clean = F.concat(F.lit("total = "), k, F.lit(" + 1\n"))
+    content = F.when(did % 29 == 0, F.lit(None).cast("string")).otherwise(
+        F.when(m == 0, conflict)
+        .when(m == 1, rst)
+        .when(m == 2, quoted)
+        .when(m == 3, eight)
+        .otherwise(clean)
+    )
+    df = docs.select("doc_id", content.alias("content"))
+    return conflict_markers(df, "content", keep_cols=["doc_id"])
+
+
+_CONFLICT_ORACLE_SQL = """
+      with synth as (
+        select doc_id,
+               case when doc_id % 29 = 0 then ''
+                    when doc_id % 5 = 0 then
+                      'def f():' || chr(10) || '<<<<<<< HEAD' || chr(10)
+                      || '    return ' || cast(doc_id as varchar)
+                      || chr(10) || '=======' || chr(10)
+                      || '    return 0' || chr(10)
+                      || '>>>>>>> feature' || chr(10)
+                    when doc_id % 5 = 1 then
+                      'Title' || chr(10) || '=======' || chr(10)
+                      || chr(10) || 'body ' || cast(doc_id as varchar)
+                      || chr(10)
+                    when doc_id % 5 = 2 then
+                      'x = ''<<<<<<< HEAD''' || chr(10)
+                      || '<<<<<<< ours' || chr(10) || 'y = '
+                      || cast(doc_id as varchar) || chr(10)
+                    when doc_id % 5 = 3 then
+                      '<<<<<<<<' || chr(10) || '========' || chr(10)
+                      || '>>>>>>>>' || chr(10)
+                    else 'total = ' || cast(doc_id as varchar)
+                         || ' + 1' || chr(10)
+               end as content
+        from documents
+      ), st as (
+        select doc_id,
+               len(list_filter(string_split(content, chr(10)),
+                   l -> l like '<<<<<<< %' or l = '<<<<<<<'))
+                 as n_conflict_starts,
+               len(list_filter(string_split(content, chr(10)),
+                   l -> l = '======='))
+                 as n_conflict_seps,
+               len(list_filter(string_split(content, chr(10)),
+                   l -> l like '>>>>>>> %' or l = '>>>>>>>'))
+                 as n_conflict_ends
+        from synth
+      )
+      select doc_id,
+             cast(n_conflict_starts as int) as n_conflict_starts,
+             cast(n_conflict_seps as int) as n_conflict_seps,
+             cast(n_conflict_ends as int) as n_conflict_ends,
+             n_conflict_starts > 0 and n_conflict_seps > 0
+               and n_conflict_ends > 0 as has_conflict
+      from st
+"""
+
+
+def q_identifier_casing(spark, sf_dir):
+    """Per-lang identifier-casing mix
+    (functions/identifiers.casing_profile): disjoint
+    SCREAMING/Pascal/snake/camel/lower/other classes over the
+    keyword-filtered identifier stream — the naming-convention
+    consistency signal (py should be snake-heavy, js camel-heavy).
+    Stripes: snake-py with an UPPER const, camel-js, Pascal+lower go,
+    other-heavy unregistered rust, NULL content/lang edges; digit
+    suffixes vary tokens per doc.  Shares compare as 6dp-scaled
+    longs."""
+    from schema_validator_spark.functions.identifiers import (
+        casing_profile,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    k = did.cast("string")
+    m = did % 4
+    py = F.concat(
+        F.lit("def load_data(arg):\n    MAX_N = 9\n    total_sum"), k,
+        F.lit(" = arg\n    return total_sum"), k, F.lit("\n"),
+    )
+    js = F.concat(
+        F.lit("function fooBar(x) { let myVar"), k,
+        F.lit(" = x; return myVar"), k, F.lit("; }\n"),
+    )
+    go = F.concat(
+        F.lit("func ProcessItem(in int) int {\n\tcount"), k,
+        F.lit(" := in\n\treturn count"), k, F.lit("\n}\n"),
+    )
+    rust = F.concat(
+        F.lit("fn _priv(v: i32) { let mid_Case"), k,
+        F.lit(" = v; }\n"),
+    )
+    content = F.when(did % 29 == 0, F.lit(None).cast("string")).otherwise(
+        F.when(m == 0, py).when(m == 1, js).when(m == 2, go)
+        .otherwise(rust)
+    )
+    lang = F.when(did % 31 == 0, F.lit(None).cast("string")).otherwise(
+        F.when(m == 0, F.lit("py")).when(m == 1, F.lit("js"))
+        .when(m == 2, F.lit("go")).otherwise(F.lit("rust"))
+    )
+    df = docs.select("doc_id", lang.alias("lang"), content.alias("content"))
+    return casing_profile(df, "content", "lang")
+
+
+def _identifier_casing_oracle_sql() -> str:
+    """Replay q_identifier_casing from the SAME module constants
+    (IDENTIFIER_RE, the five CASING_*_RE classes, KEYWORDS via
+    _kw_case_sql) through an INDEPENDENT unnest derivation (Spark
+    pre-aggregates per row with array filters; this classifies one
+    token per row and aggregates); left join keeps zero-identifier
+    langs with coalesce(0) like the operator's empty-array sums."""
+    from schema_validator_spark.functions.identifiers import (
+        CASING_CAMEL_RE,
+        CASING_LOWER_RE,
+        CASING_PASCAL_RE,
+        CASING_SNAKE_RE,
+        CASING_UPPER_RE,
+        IDENTIFIER_RE,
+    )
+
+    kw_case = _kw_case_sql("t")
+    up = _esc_sq(CASING_UPPER_RE)
+    return f"""
+      with synth as (
+        select doc_id,
+               case when doc_id % 31 = 0 then ''
+                    when doc_id % 4 = 0 then 'py'
+                    when doc_id % 4 = 1 then 'js'
+                    when doc_id % 4 = 2 then 'go'
+                    else 'rust' end as lang,
+               case when doc_id % 29 = 0 then ''
+                    when doc_id % 4 = 0 then
+                      'def load_data(arg):' || chr(10)
+                      || '    MAX_N = 9' || chr(10)
+                      || '    total_sum' || cast(doc_id as varchar)
+                      || ' = arg' || chr(10) || '    return total_sum'
+                      || cast(doc_id as varchar) || chr(10)
+                    when doc_id % 4 = 1 then
+                      'function fooBar(x) {{ let myVar'
+                      || cast(doc_id as varchar) || ' = x; return myVar'
+                      || cast(doc_id as varchar) || '; }}' || chr(10)
+                    when doc_id % 4 = 2 then
+                      'func ProcessItem(in int) int {{' || chr(10)
+                      || chr(9) || 'count' || cast(doc_id as varchar)
+                      || ' := in' || chr(10) || chr(9) || 'return count'
+                      || cast(doc_id as varchar) || chr(10) || '}}'
+                      || chr(10)
+                    else
+                      'fn _priv(v: i32) {{ let mid_Case'
+                      || cast(doc_id as varchar) || ' = v; }}' || chr(10)
+               end as content
+        from documents
+      ), tok as (
+        select lang, unnest(
+                 regexp_extract_all(content, '{_esc_sq(IDENTIFIER_RE)}')
+               ) as t
+        from synth
+      ), kept as (
+        select lang, t from tok where not ({kw_case})
+      ), cls as (
+        select lang,
+               regexp_matches(t, '{up}') as u,
+               regexp_matches(t, '{_esc_sq(CASING_PASCAL_RE)}')
+                 and not regexp_matches(t, '{up}') as p,
+               regexp_matches(t, '{_esc_sq(CASING_SNAKE_RE)}') as s,
+               regexp_matches(t, '{_esc_sq(CASING_CAMEL_RE)}') as c,
+               regexp_matches(t, '{_esc_sq(CASING_LOWER_RE)}') as l
+        from kept
+      ), agg as (
+        select lang,
+               count(*) as n_ids,
+               coalesce(sum(case when u then 1 else 0 end), 0) as n_upper,
+               coalesce(sum(case when p then 1 else 0 end), 0) as n_pascal,
+               coalesce(sum(case when s then 1 else 0 end), 0) as n_snake,
+               coalesce(sum(case when c then 1 else 0 end), 0) as n_camel,
+               coalesce(sum(case when l then 1 else 0 end), 0) as n_lower
+        from cls group by lang
+      ), langs as (
+        select distinct lang from synth
+      )
+      select g.lang,
+             cast(coalesce(a.n_ids, 0) as bigint) as n_ids,
+             cast(coalesce(a.n_upper, 0) as bigint) as n_upper,
+             cast(coalesce(a.n_pascal, 0) as bigint) as n_pascal,
+             cast(coalesce(a.n_snake, 0) as bigint) as n_snake,
+             cast(coalesce(a.n_camel, 0) as bigint) as n_camel,
+             cast(coalesce(a.n_lower, 0) as bigint) as n_lower,
+             cast(coalesce(a.n_ids, 0) - coalesce(a.n_upper, 0)
+                  - coalesce(a.n_pascal, 0) - coalesce(a.n_snake, 0)
+                  - coalesce(a.n_camel, 0) - coalesce(a.n_lower, 0)
+                  as bigint) as n_other,
+             case when coalesce(a.n_ids, 0) > 0
+                  then round(a.n_snake / cast(a.n_ids as double), 6)
+             end as snake_share,
+             case when coalesce(a.n_ids, 0) > 0
+                  then round(a.n_camel / cast(a.n_ids as double), 6)
+             end as camel_share,
+             case when coalesce(a.n_ids, 0) > 0
+                  then round(a.n_pascal / cast(a.n_ids as double), 6)
+             end as pascal_share
+      from langs g left join agg a using (lang)
+    """
+
+
 def q_indent_style(spark, sf_dir):
     """Per-lang indentation-style mix
     (operators/complexity.indent_profile): tabs/spaces/mixed shares by
@@ -4717,6 +4948,11 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
         ["doc_id", "lang", "cyclomatic", "n_lines"],
         ["volume", "mi"],
     ),
+    "identifier_casing": (
+        ["lang", "n_ids", "n_upper", "n_pascal", "n_snake", "n_camel",
+         "n_lower", "n_other"],
+        ["snake_share", "camel_share", "pascal_share"],
+    ),
     "file_history": (
         ["repo", "path", "n_versions", "n_distinct_versions",
          "first_version", "last_version", "head_sha"],
@@ -4947,6 +5183,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_profile": q_repo_profile,
         "code_complexity": q_code_complexity,
         "maintainability": q_maintainability,
+        "conflict_markers": q_conflict_markers,
+        "identifier_casing": q_identifier_casing,
         "file_history": q_file_history,
         "nlpl_pairs": q_nlpl_pairs,
         "repo_similarity": q_repo_similarity,
@@ -9288,6 +9526,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "repo_profile": _repo_profile_oracle_sql(),
         "code_complexity": _code_complexity_oracle_sql(),
         "maintainability": _maintainability_oracle_sql(),
+        "conflict_markers": _CONFLICT_ORACLE_SQL,
+        "identifier_casing": _identifier_casing_oracle_sql(),
         "file_history": _FILE_HISTORY_ORACLE_SQL,
         "nlpl_pairs": _nlpl_oracle_sql(),
         "unsafe_apis": _unsafe_oracle_sql(),

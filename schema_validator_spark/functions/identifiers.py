@@ -130,3 +130,108 @@ def identifier_vocabulary(
     if min_count > 1:
         out = out.filter(F.col("n_occ") >= min_count)
     return out
+
+
+# ------------------------------------------------------- casing profile
+
+#: disjoint casing classes in priority order (single source of truth
+#: for the oracle).  ``pascal`` is the only class needing a second
+#: (negated) pattern — ``ABC`` matches the Pascal shape too, so Pascal
+#: = shape minus the all-caps class.  RE2-safe: no lookahead.
+CASING_UPPER_RE = r"^[A-Z][A-Z0-9_]*$"
+CASING_PASCAL_RE = r"^[A-Z][A-Za-z0-9]*$"
+CASING_SNAKE_RE = r"^[a-z][a-z0-9]*(_[a-z0-9]+)+$"
+CASING_CAMEL_RE = r"^[a-z][a-z0-9]*([A-Z][A-Za-z0-9]*)+$"
+CASING_LOWER_RE = r"^[a-z][a-z0-9]*$"
+
+
+def casing_profile(
+    df: DataFrame,
+    content_col: str,
+    lang_col: str,
+    *,
+    keywords: dict[str, tuple[str, ...]] | None = None,
+) -> DataFrame:
+    """Per-lang identifier-casing mix: ``(lang, n_ids, n_upper,
+    n_pascal, n_snake, n_camel, n_lower, n_other, snake_share,
+    camel_share, pascal_share)`` — the naming-convention consistency
+    signal (a py corpus should be snake-heavy, js camel-heavy; a
+    violated mix flags mislabeled or machine-generated files).
+
+    Classes partition the identifier space: SCREAMING/all-caps,
+    PascalCase, snake_case (>=1 underscore, all lower), camelCase
+    (>=1 interior cap, no underscore), bare lowercase, other (leading
+    underscore, mixed forms).  Shares use snake+camel+pascal over
+    ``n_ids`` rounded 6dp; NULL when a lang has zero identifiers.
+
+    Scale shape: tokenization + keyword filter + five class counts are
+    per-row codegen expressions (no explode — counts pre-aggregate in
+    the row), then ONE map-side-combinable groupBy over the tiny lang
+    vocabulary.
+    """
+    kw = keywords if keywords is not None else KEYWORDS
+    s = F.coalesce(F.col(content_col), F.lit(""))
+    lang = F.lower(F.coalesce(F.col(lang_col), F.lit("")))
+    toks = F.regexp_extract_all(s, F.lit(IDENTIFIER_RE), 0)
+    chain = None
+    for lg, words in sorted(kw.items()):
+        arr = F.array(*[F.lit(w) for w in words])
+        cond = lang == lg
+        chain = F.when(cond, arr) if chain is None else chain.when(cond, arr)
+    stop = (
+        chain.otherwise(F.array().cast("array<string>"))
+        if chain is not None
+        else F.array().cast("array<string>")
+    )
+    base = df.select(
+        lang.alias("lang"),
+        F.filter(toks, lambda t: ~F.array_contains(stop, t)).alias("_ids"),
+    )
+
+    def _n(pat: str):
+        return F.size(F.filter("_ids", lambda t: t.rlike(pat)))
+
+    n_upper = _n(CASING_UPPER_RE)
+    n_pascal = F.size(
+        F.filter(
+            "_ids",
+            lambda t: t.rlike(CASING_PASCAL_RE)
+            & ~t.rlike(CASING_UPPER_RE),
+        )
+    )
+    per_row = base.select(
+        "lang",
+        F.size("_ids").alias("_n"),
+        n_upper.alias("_u"),
+        n_pascal.alias("_p"),
+        _n(CASING_SNAKE_RE).alias("_s"),
+        _n(CASING_CAMEL_RE).alias("_c"),
+        _n(CASING_LOWER_RE).alias("_l"),
+    )
+    agg = per_row.groupBy("lang").agg(
+        F.sum("_n").alias("n_ids"),
+        F.sum("_u").alias("n_upper"),
+        F.sum("_p").alias("n_pascal"),
+        F.sum("_s").alias("n_snake"),
+        F.sum("_c").alias("n_camel"),
+        F.sum("_l").alias("n_lower"),
+    )
+    n = F.col("n_ids")
+    other = n - sum(
+        (F.col(c) for c in ("n_pascal", "n_snake", "n_camel", "n_lower")),
+        F.col("n_upper"),
+    )
+    share = lambda c: F.when(n > 0, F.round(F.col(c) / n, 6))  # noqa: E731
+    return agg.select(
+        "lang",
+        "n_ids",
+        "n_upper",
+        "n_pascal",
+        "n_snake",
+        "n_camel",
+        "n_lower",
+        other.alias("n_other"),
+        share("n_snake").alias("snake_share"),
+        share("n_camel").alias("camel_share"),
+        share("n_pascal").alias("pascal_share"),
+    )
