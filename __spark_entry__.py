@@ -2677,6 +2677,134 @@ def q_maintainability(spark, sf_dir):
     return maintainability_index(df, ["doc_id"], "content", "lang")
 
 
+def q_call_graph(spark, sf_dir):
+    """Function-grain intra-repo call graph
+    (operators/callgraph.function_fanin): per defined function, the
+    distinct calling files and total call-shaped tokens minus
+    declaration tokens — fan-in for repo-context ordering and a
+    function-grain dead-code shortlist.  Stripes per repo: a py
+    definitions file (helper called once same-file, main never
+    called), a py caller file (helper twice, run never called), a
+    recursive go method; NULL content/lang edges."""
+    from schema_validator_spark.operators.callgraph import (
+        function_fanin,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    m = did % 3
+    py_a = F.lit(
+        "def helper(x):\n    return x\n\n"
+        "def main():\n    return helper(1)\n"
+    )
+    py_b = F.lit(
+        "import a\n\ndef run():\n    return helper(2) + helper(3)\n"
+    )
+    go = F.lit(
+        "func (s *T) Work(x int) int {\n\treturn Work(x - 1)\n}\n"
+    )
+    content = F.when(did % 29 == 0, F.lit(None).cast("string")).otherwise(
+        F.when(m == 0, py_a).when(m == 1, py_b).otherwise(go)
+    )
+    lang = F.when(did % 31 == 0, F.lit(None).cast("string")).otherwise(
+        F.when(m == 2, F.lit("go")).otherwise(F.lit("py"))
+    )
+    df = docs.select(
+        F.concat(F.lit("r"), (did % 20).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), did.cast("string")).alias("path"),
+        lang.alias("lang"),
+        content.alias("content"),
+    )
+    return function_fanin(df, "repo", "path", "content", "lang")
+
+
+def _call_graph_oracle_sql() -> str:
+    """Replay q_call_graph from the SAME module constants
+    (callgraph.DEF_PATTERNS, CALL_SITE_RE) via an independent
+    unnest + join derivation: def multiplicity per (repo, path,
+    symbol), call tokens restricted to the repo's definition dim,
+    edge weight = tokens - defs (> 0), fan-in with never-called
+    functions kept via left join + coalesce(0)."""
+    from schema_validator_spark.operators.callgraph import (
+        CALL_SITE_RE,
+        DEF_PATTERNS,
+    )
+
+    py_pat = _esc_sq(DEF_PATTERNS["py"])
+    go_pat = _esc_sq(DEF_PATTERNS["go"])
+    call = _esc_sq(CALL_SITE_RE)
+    py_a = (
+        "'def helper(x):' || chr(10) || '    return x' || chr(10)"
+        " || chr(10) || 'def main():' || chr(10)"
+        " || '    return helper(1)' || chr(10)"
+    )
+    py_b = (
+        "'import a' || chr(10) || chr(10) || 'def run():' || chr(10)"
+        " || '    return helper(2) + helper(3)' || chr(10)"
+    )
+    go_c = (
+        "'func (s *T) Work(x int) int {' || chr(10) || chr(9)"
+        " || 'return Work(x - 1)' || chr(10) || '}' || chr(10)"
+    )
+    return f"""
+      with synth as (
+        select 'r' || cast(doc_id % 20 as varchar) as repo,
+               'p' || cast(doc_id as varchar) as path,
+               case when doc_id % 31 = 0 then ''
+                    when doc_id % 3 = 2 then 'go'
+                    else 'py' end as lang,
+               case when doc_id % 29 = 0 then ''
+                    when doc_id % 3 = 0 then {py_a}
+                    when doc_id % 3 = 1 then {py_b}
+                    else {go_c} end as content
+        from documents
+      ), dl as (
+        select repo, path,
+               case lang
+                 when 'py' then
+                   regexp_extract_all(content, '{py_pat}', 1)
+                 when 'go' then
+                   regexp_extract_all(content, '{go_pat}', 1)
+                 else cast([] as varchar[]) end as defs,
+               regexp_extract_all(content, '{call}', 1) as callish
+        from synth
+      ), defs as (
+        select repo, path, unnest(defs) as symbol from dl
+      ), def_dim as (
+        select distinct repo, symbol from defs
+      ), def_files as (
+        select repo, symbol, count(distinct path) as n_def_files
+        from defs group by repo, symbol
+      ), def_counts as (
+        select repo, path, symbol, count(*) as nd
+        from defs group by repo, path, symbol
+      ), callt as (
+        select c.repo, c.path, c.symbol, count(*) as nt
+        from (select repo, path, unnest(callish) as symbol from dl) c
+        join def_dim dd on dd.repo = c.repo and dd.symbol = c.symbol
+        group by c.repo, c.path, c.symbol
+      ), edges as (
+        select c.repo, c.path, c.symbol,
+               c.nt - coalesce(d.nd, 0) as n_calls
+        from callt c
+        left join def_counts d
+          on d.repo = c.repo and d.path = c.path and d.symbol = c.symbol
+        where c.nt - coalesce(d.nd, 0) > 0
+      ), agg as (
+        select repo, symbol,
+               count(distinct path) as fan_in_files,
+               sum(n_calls) as n_calls
+        from edges group by repo, symbol
+      )
+      select f.repo, f.symbol,
+             cast(f.n_def_files as bigint) as n_def_files,
+             cast(coalesce(a.fan_in_files, 0) as bigint) as fan_in_files,
+             cast(coalesce(a.n_calls, 0) as bigint) as n_calls
+      from def_files f
+      left join agg a on a.repo = f.repo and a.symbol = f.symbol
+    """
+
+
 def q_conflict_markers(spark, sf_dir):
     """Git merge-conflict residue scan
     (operators/codequality.conflict_markers): exact line-anchored
@@ -5185,6 +5313,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maintainability": q_maintainability,
         "conflict_markers": q_conflict_markers,
         "identifier_casing": q_identifier_casing,
+        "call_graph": q_call_graph,
         "file_history": q_file_history,
         "nlpl_pairs": q_nlpl_pairs,
         "repo_similarity": q_repo_similarity,
@@ -9528,6 +9657,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "maintainability": _maintainability_oracle_sql(),
         "conflict_markers": _CONFLICT_ORACLE_SQL,
         "identifier_casing": _identifier_casing_oracle_sql(),
+        "call_graph": _call_graph_oracle_sql(),
         "file_history": _FILE_HISTORY_ORACLE_SQL,
         "nlpl_pairs": _nlpl_oracle_sql(),
         "unsafe_apis": _unsafe_oracle_sql(),
