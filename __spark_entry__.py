@@ -3528,6 +3528,75 @@ def q_shard_assign(spark, sf_dir):
     return assign_shards(docs, "doc_id", "n_bytes", num_shards=16)
 
 
+def q_shard_leakage(spark, sf_dir):
+    """Cross-shard contamination audit
+    (operators/packing.shard_leakage): duplicate pairs whose members
+    landed in different training shards — the split-integrity check a
+    shard-sampled eval inherits when dedup ran after sharding.
+    Composes the shard_assign manifest (same md5-rank stream) with
+    exact-duplicate pairs planted by id parity (floor(doc_id/2)
+    groups of two); counts per unordered shard pair."""
+    from schema_validator_spark.operators.packing import (
+        assign_shards,
+        shard_leakage,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.octet_length("text").alias("n_bytes")
+    )
+    shards = assign_shards(docs, "doc_id", "n_bytes", num_shards=16)
+    pid = F.floor(F.col("doc_id") / 2)
+    a = docs.select(F.col("doc_id").alias("id_a"), pid.alias("_p"))
+    b = docs.select(F.col("doc_id").alias("id_b"), pid.alias("_p"))
+    pairs = (
+        a.join(b, "_p")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    return shard_leakage(pairs, shards, id_col="doc_id")
+
+
+_SHARD_LEAKAGE_ORACLE_SQL = r"""
+      with d as (
+        select doc_id, cast(strlen(text) as bigint) as n,
+               md5(cast(doc_id as varchar) || 'v1') as h
+        from documents
+      ), k as (select * from d where n > 0),
+      t as (select cast((sum(n) + 15) // 16 as bigint) as sb from k),
+      cum as (
+        select doc_id, n,
+               cast(coalesce(sum(n) over (
+                 order by h, doc_id
+                 rows between unbounded preceding and 1 preceding), 0)
+                 as bigint) as g
+        from k
+      ), sh as (
+        select doc_id, cast(g // sb as bigint) as shard_id from cum, t
+      ), pairs as (
+        select a.doc_id as id_a, b.doc_id as id_b
+        from documents a
+        join documents b
+          on a.doc_id // 2 = b.doc_id // 2 and a.doc_id < b.doc_id
+      ), j as (
+        select sa.shard_id as s1, sb.shard_id as s2, p.id_a, p.id_b
+        from pairs p
+        join sh sa on sa.doc_id = p.id_a
+        join sh sb on sb.doc_id = p.id_b
+        where sa.shard_id <> sb.shard_id
+      ), norm as (
+        select least(s1, s2) as shard_a, greatest(s1, s2) as shard_b,
+               case when s1 > s2 then id_b else id_a end as da,
+               case when s1 > s2 then id_a else id_b end as db
+        from j
+      )
+      select shard_a, shard_b,
+             cast(count(*) as bigint) as n_pairs,
+             cast(count(distinct da) as bigint) as n_docs_a,
+             cast(count(distinct db) as bigint) as n_docs_b
+      from norm group by shard_a, shard_b
+"""
+
+
 def q_fim_transform(spark, sf_dir):
     """Fill-in-the-middle transform (operators/fim.fim_transform —
     Bavarian et al. 2022, the SantaCoder/StarCoder code-LLM training
@@ -5314,6 +5383,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conflict_markers": q_conflict_markers,
         "identifier_casing": q_identifier_casing,
         "call_graph": q_call_graph,
+        "shard_leakage": q_shard_leakage,
         "file_history": q_file_history,
         "nlpl_pairs": q_nlpl_pairs,
         "repo_similarity": q_repo_similarity,
@@ -9658,6 +9728,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "conflict_markers": _CONFLICT_ORACLE_SQL,
         "identifier_casing": _identifier_casing_oracle_sql(),
         "call_graph": _call_graph_oracle_sql(),
+        "shard_leakage": _SHARD_LEAKAGE_ORACLE_SQL,
         "file_history": _FILE_HISTORY_ORACLE_SQL,
         "nlpl_pairs": _nlpl_oracle_sql(),
         "unsafe_apis": _unsafe_oracle_sql(),

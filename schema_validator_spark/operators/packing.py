@@ -200,3 +200,57 @@ def assign_shards(
         F.col("_g").cast("long").alias("offset"),
         F.col("_n").alias("size"),
     )
+
+
+def shard_leakage(
+    pairs: DataFrame,
+    shards: DataFrame,
+    *,
+    id_col: str,
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+    shard_col: str = "shard_id",
+) -> DataFrame:
+    """Cross-shard contamination audit: given near/exact-duplicate
+    ``pairs`` and a shard ``manifest`` (:func:`assign_shards` output or
+    any ``(id, shard_id)`` frame), count duplicate pairs whose members
+    landed in DIFFERENT shards — the train/eval leakage a
+    shard-sampled split inherits when dedup ran after sharding (or not
+    at all).
+
+    Returns one row per unordered shard pair: ``(shard_a, shard_b,
+    n_pairs, n_docs_a, n_docs_b)`` with ``shard_a < shard_b``;
+    ``n_docs_a``/``n_docs_b`` are the distinct documents on each side.
+    Same-shard pairs are benign for split integrity and are excluded.
+
+    Scale shape: two keyed joins of the pair frame (near-dup-pair
+    scale — orders of magnitude below corpus scale after any dedup
+    tier) against the manifest on the id, then ONE map-side-combinable
+    groupBy over the tiny shard-pair vocabulary.  Pairs whose member
+    is absent from the manifest (zero-size files are excluded by
+    assign_shards) drop via the inner joins — absent docs cannot leak.
+    """
+    a = shards.select(
+        F.col(id_col).alias(pair_a), F.col(shard_col).alias("_sa")
+    )
+    b = shards.select(
+        F.col(id_col).alias(pair_b), F.col(shard_col).alias("_sb")
+    )
+    j = (
+        pairs.select(pair_a, pair_b)
+        .join(a, pair_a)
+        .join(b, pair_b)
+        .filter(F.col("_sa") != F.col("_sb"))
+    )
+    swap = F.col("_sa") > F.col("_sb")
+    norm = j.select(
+        F.when(swap, F.col("_sb")).otherwise(F.col("_sa")).alias("shard_a"),
+        F.when(swap, F.col("_sa")).otherwise(F.col("_sb")).alias("shard_b"),
+        F.when(swap, F.col(pair_b)).otherwise(F.col(pair_a)).alias("_da"),
+        F.when(swap, F.col(pair_a)).otherwise(F.col(pair_b)).alias("_db"),
+    )
+    return norm.groupBy("shard_a", "shard_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_distinct("_da").alias("n_docs_a"),
+        F.count_distinct("_db").alias("n_docs_b"),
+    )
