@@ -1305,6 +1305,290 @@ def run_shard_assign(spark, n=64_000_000):
 
 
 #: op label (as printed in output / BENCH.md) -> benchmark fn
+
+def run_fim(spark, n=64_000_000):
+    """Pure-codegen FIM split over ~90-char synthetic sources."""
+    from schema_validator_spark.operators.fim import fim_transform
+
+    k = F.col("id").cast("string")
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("def f"), k, F.lit("(a, b):\n    total = a + b\n"),
+            F.lit("    return total * "), k, F.lit("\n"),
+        ).alias("text"),
+    )
+    t = time.time()
+    out = fim_transform(df, "doc_id", "text")
+    transformed = out.filter(F.col("fim_mode") != "none").count()
+    return {"op": "fim_transform", "rows": n, "transformed": transformed,
+            "sec": round(time.time() - t, 1)}
+
+
+def run_dobf(spark, n=16_000_000):
+    """~12 identifier occurrences / 6 distinct per file."""
+    from schema_validator_spark.operators.dobf import (
+        obfuscate_identifiers,
+    )
+
+    k = F.col("id").cast("string")
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("py").alias("lang"),
+        F.concat(
+            F.lit("def handler"), k,
+            F.lit("(req, limit):\n    data = req.load(limit)\n"
+                  "    cache_key = data\n    return data, cache_key\n"),
+        ).alias("content"),
+    )
+    t = time.time()
+    out = obfuscate_identifiers(df, ["doc_id"], "content", "lang")
+    renamed = out.agg(F.sum(F.size("id_names"))).collect()[0][0]
+    return {"op": "dobf_pairs", "rows": n, "renamed_ids": int(renamed),
+            "sec": round(time.time() - t, 1)}
+
+
+def _metric_files(spark, n):
+    """Code-ish ~150-char py files; body repetition varies metrics."""
+    i = F.col("id")
+    k = i.cast("string")
+    body = F.repeat(
+        F.concat(F.lit("    if x and y:\n        x = x + "), k,
+                 F.lit("\n")),
+        (i % 4 + 1).cast("int"),
+    )
+    return spark.range(n).select(
+        i.alias("doc_id"),
+        F.lit("py").alias("lang"),
+        F.concat(
+            F.lit("def work"), k, F.lit("(x, y):\n"), body,
+            F.lit("    return x\n"),
+        ).alias("content"),
+    )
+
+
+def run_halstead(spark, n=32_000_000):
+    from schema_validator_spark.operators.halstead import (
+        halstead_metrics,
+    )
+
+    df = _metric_files(spark, n)
+    t = time.time()
+    out = halstead_metrics(df, ["doc_id"], "content", "lang")
+    row = out.agg(
+        F.count(F.lit(1)), F.round(F.avg("volume"), 1)
+    ).collect()[0]
+    return {"op": "halstead_metrics", "rows": int(row[0]),
+            "avg_volume": float(row[1]),
+            "sec": round(time.time() - t, 1)}
+
+
+def run_maintainability(spark, n=32_000_000):
+    from schema_validator_spark.operators.maintainability import (
+        maintainability_index,
+    )
+
+    df = _metric_files(spark, n)
+    t = time.time()
+    out = maintainability_index(df, ["doc_id"], "content", "lang")
+    row = out.agg(
+        F.count(F.lit(1)), F.round(F.avg("mi"), 1)
+    ).collect()[0]
+    return {"op": "maintainability", "rows": int(row[0]),
+            "avg_mi": float(row[1]), "sec": round(time.time() - t, 1)}
+
+
+def run_ownership(spark, n=64_000_000, files=2_000_000):
+    """32 commits/file; 60% by one hot author, rest spread over 7."""
+    from schema_validator_spark.operators.ownership import (
+        ownership_stats,
+    )
+
+    i = F.col("id")
+    df = spark.range(n).select(
+        F.pmod(i, files).alias("file_id"),
+        F.when(i % 10 < 6, F.lit("alice"))
+        .otherwise(F.concat(F.lit("dev_"), F.pmod(i, 7).cast("string")))
+        .alias("author"),
+    )
+    t = time.time()
+    rows = ownership_stats(df, ["file_id"], "author").count()
+    return {"op": "ownership", "commits": n, "files": rows,
+            "sec": round(time.time() - t, 1)}
+
+
+def run_repo_context(spark, n=4_000_000, repos=20_000):
+    """Manifest tier (the 100 TB product) over the dep-graph corpus."""
+    from schema_validator_spark.operators.repocontext import (
+        repo_context_order,
+    )
+
+    df = _module_files(spark, n, repos).withColumn(
+        "path", F.concat(F.col("module"), F.lit(".py"))
+    )
+    t = time.time()
+    rows = repo_context_order(
+        df, "repo", "path", "module", "content", "lang"
+    ).count()
+    return {"op": "repo_context", "files": n, "repos": repos,
+            "manifest_rows": rows, "sec": round(time.time() - t, 1)}
+
+
+def run_mixture_plan(spark, n=64_000_000):
+    from schema_validator_spark.operators.sampling import mixture_plan
+
+    i = F.col("id")
+    df = spark.range(n).select(
+        F.concat(F.lit("s"), F.pmod(i, 8).cast("string")).alias("source"),
+        (100 + i % 50).alias("tokens"),
+    )
+    weights = {f"s{j}": (j + 1) / 36.0 for j in range(8)}
+    t = time.time()
+    rows = mixture_plan(
+        df, "source", "tokens", weights, 10_000_000_000
+    ).count()
+    return {"op": "mixture_plan", "rows": n, "sources": rows,
+            "sec": round(time.time() - t, 1)}
+
+
+def run_commit_pairs(spark, n=32_000_000, files=2_000_000):
+    """edit_pairs corpus + a message column: every 4th to-version has
+    an instruction-grade subject, others are 'wip' (rejected)."""
+    from schema_validator_spark.operators.history import commit_pairs
+
+    i = F.col("id")
+    ver = F.expr(f"id div {files}")
+    df = spark.range(n).select(
+        F.pmod(i, files).alias("file_id"),
+        ver.alias("version"),
+        F.concat(
+            F.lit("line_a\nline_b\n"),
+            F.when(ver % 2 == 0,
+                   F.concat(F.lit("changed_"), ver.cast("string")))
+            .otherwise(F.lit("stable")),
+            F.lit("\nline_c\n"),
+        ).alias("content"),
+        F.when(
+            ver % 4 == 0,
+            F.concat(F.lit("Fix boundary handling in parser case "),
+                     ver.cast("string")),
+        ).otherwise(F.lit("wip")).alias("message"),
+    )
+    t = time.time()
+    kept = commit_pairs(
+        df, ["file_id"], "version", "content", "message"
+    ).count()
+    return {"op": "commit_pairs", "versions": n, "files": files,
+            "instruction_pairs": kept, "sec": round(time.time() - t, 1)}
+
+
+def run_conflict_markers(spark, n=64_000_000):
+    """1 in 100 files carries real conflict residue; 1 in 50 an RST
+    ======= underline that must NOT flag."""
+    from schema_validator_spark.operators.codequality import (
+        conflict_markers,
+    )
+
+    i = F.col("id")
+    k = i.cast("string")
+    conflict = F.concat(
+        F.lit("def f():\n<<<<<<< HEAD\n    return "), k,
+        F.lit("\n=======\n    return 0\n>>>>>>> feature\n"),
+    )
+    rst = F.concat(F.lit("Title\n=======\n\nbody "), k, F.lit("\n"))
+    clean = F.concat(F.lit("total = "), k, F.lit(" + 1\n"))
+    df = spark.range(n).select(
+        i.alias("doc_id"),
+        F.when(i % 100 == 0, conflict)
+        .when(i % 50 == 1, rst)
+        .otherwise(clean)
+        .alias("content"),
+    )
+    t = time.time()
+    flagged = (
+        conflict_markers(df, "content", keep_cols=["doc_id"])
+        .filter("has_conflict")
+        .count()
+    )
+    return {"op": "conflict_markers", "rows": n, "flagged": flagged,
+            "sec": round(time.time() - t, 1)}
+
+
+def run_identifier_casing(spark, n=32_000_000):
+    from schema_validator_spark.functions.identifiers import (
+        casing_profile,
+    )
+
+    i = F.col("id")
+    k = i.cast("string")
+    df = spark.range(n).select(
+        F.when(i % 2 == 0, F.lit("py")).otherwise(F.lit("js"))
+        .alias("lang"),
+        F.concat(
+            F.lit("def load_data(arg):\n    MAX_N = 9\n"
+                  "    total_sum"), k,
+            F.lit(" = arg\n    return fooBar"), k, F.lit("\n"),
+        ).alias("content"),
+    )
+    t = time.time()
+    rows = casing_profile(df, "content", "lang").count()
+    return {"op": "identifier_casing", "rows": n, "lang_rows": rows,
+            "sec": round(time.time() - t, 1)}
+
+
+def run_call_graph(spark, n=16_000_000, repos=20_000):
+    """Each file defines one function and calls the repo's next file's
+    function once -> fan-in 1 everywhere, edge frame = file scale."""
+    from schema_validator_spark.operators.callgraph import (
+        function_fanin,
+    )
+
+    per_repo = n // repos
+    i = F.col("id")
+    repo = F.pmod(i, repos)
+    idx = F.expr(f"id div {repos}")
+    nxt = F.pmod(idx + 1, F.lit(per_repo))
+    sym = F.concat_ws("_", F.lit("fn"), repo, idx)
+    nxt_sym = F.concat_ws("_", F.lit("fn"), repo, nxt)
+    df = spark.range(n).select(
+        F.concat(F.lit("repo_"), repo.cast("string")).alias("repo"),
+        F.concat(F.lit("mod_"), idx.cast("string"), F.lit(".py"))
+        .alias("path"),
+        F.lit("py").alias("lang"),
+        F.concat(
+            F.lit("def "), sym, F.lit("(x):\n    return "),
+            nxt_sym, F.lit("(x - 1)\n"),
+        ).alias("content"),
+    )
+    t = time.time()
+    rows = function_fanin(df, "repo", "path", "content", "lang").count()
+    return {"op": "call_graph", "files": n, "repos": repos,
+            "functions": rows, "sec": round(time.time() - t, 1)}
+
+
+def run_shard_leakage(spark, n=64_000_000):
+    """1024-shard manifest over 64M docs + 32M planted dup pairs."""
+    from schema_validator_spark.operators.packing import (
+        assign_shards,
+        shard_leakage,
+    )
+
+    i = F.col("id")
+    docs = spark.range(n).select(
+        i.alias("doc_id"), (50 + i % 100).alias("n_bytes")
+    )
+    pairs = spark.range(n // 2).select(
+        (i * 2).alias("id_a"), (i * 2 + 1).alias("id_b")
+    )
+    t = time.time()
+    shards = assign_shards(docs, "doc_id", "n_bytes", num_shards=1024)
+    out = shard_leakage(pairs, shards, id_col="doc_id")
+    row = out.agg(F.count(F.lit(1)), F.sum("n_pairs")).collect()[0]
+    return {"op": "shard_leakage", "docs": n, "pairs": n // 2,
+            "shard_pairs": int(row[0]), "leak_pairs": int(row[1]),
+            "sec": round(time.time() - t, 1)}
+
+
 OPS = {
     "edit_join": run_edit_join,
     "winnow_pairs": run_winnow,
@@ -1360,6 +1644,18 @@ OPS = {
     "indent_style": run_indent_style,
     "repo_debt": run_repo_debt,
     "shard_assign": run_shard_assign,
+    "fim_transform": run_fim,
+    "dobf_pairs": run_dobf,
+    "halstead_metrics": run_halstead,
+    "maintainability": run_maintainability,
+    "ownership": run_ownership,
+    "repo_context": run_repo_context,
+    "mixture_plan": run_mixture_plan,
+    "commit_pairs": run_commit_pairs,
+    "conflict_markers": run_conflict_markers,
+    "identifier_casing": run_identifier_casing,
+    "call_graph": run_call_graph,
+    "shard_leakage": run_shard_leakage,
 }
 
 
