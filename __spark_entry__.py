@@ -3496,6 +3496,92 @@ def q_import_cycles(spark, sf_dir):
     )
 
 
+def q_self_containment(spark, sf_dir):
+    """Repo import-resolution completeness
+    (operators/depgraph.repo_self_containment): fraction of a repo's
+    distinct import edges resolving to modules the repo itself defines
+    — the sample-selection signal for repo-context training (StarCoder2
+    shape: self-contained repos yield complete dependency-first
+    windows).  Same striped synthesis as the depgraph queries (the
+    stripe-0 ``import numpy`` is the planted external edge);
+    self_containment compares as a 6dp-scaled long."""
+    from schema_validator_spark.operators.depgraph import (
+        repo_self_containment,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    chain = None
+    for i, body in sorted(_DEPGRAPH_IMPORTS.items()):
+        cond = did % 6 == i
+        lit = F.lit(body)
+        chain = F.when(cond, lit) if chain is None else chain.when(cond, lit)
+    df = docs.select(
+        F.concat(
+            F.lit("r"), F.expr("(doc_id div 6) % 10").cast("string")
+        ).alias("repo"),
+        F.concat(F.lit("m"), (did % 6).cast("string")).alias("module"),
+        F.lit("py").alias("lang"),
+        chain.alias("content"),
+    )
+    return repo_self_containment(df, "repo", "module", "content", "lang")
+
+
+def _self_containment_oracle_sql() -> str:
+    """Replay q_self_containment over the shared _DEPGRAPH_IMPORTS
+    synthesis: distinct non-self import edges, internal = resolvable
+    against the repo's module dim, repo sizes from the raw file table,
+    import-free repos kept via left join + coalesce(0)."""
+    from schema_validator_spark.functions.imports import IMPORT_PATTERNS
+
+    synth_content = "\n                 ".join(
+        f"when doc_id % 6 = {i} then {_duck_lit(body)}"
+        for i, body in sorted(_DEPGRAPH_IMPORTS.items())
+    )
+    pat, grp = IMPORT_PATTERNS["py"]
+    return f"""
+      with synth as (
+        select 'r' || cast((doc_id // 6) % 10 as varchar) as repo,
+               'm' || cast(doc_id % 6 as varchar) as module,
+               case {synth_content} end as content
+        from documents
+      ), ex as (
+        select distinct repo, module as src_module,
+               unnest(regexp_extract_all(content,
+                                         '{_esc_sq(pat)}', {grp}))
+                 as dst_module
+        from synth
+      ), edges as (
+        select repo, src_module, dst_module,
+               exists (select 1 from synth s
+                       where s.repo = e.repo
+                         and s.module = e.dst_module) as internal
+        from ex e where src_module <> dst_module
+      ), per_repo as (
+        select repo, count(*) as n_import_edges,
+               sum(case when internal then 1 else 0 end) as n_internal
+        from edges group by repo
+      ), sizes as (
+        select repo, count(*) as n_files,
+               count(distinct module) as n_modules
+        from synth group by repo
+      )
+      select s.repo,
+             cast(s.n_files as bigint) as n_files,
+             cast(s.n_modules as bigint) as n_modules,
+             cast(coalesce(p.n_import_edges, 0) as bigint)
+               as n_import_edges,
+             cast(coalesce(p.n_internal, 0) as bigint) as n_internal,
+             cast(coalesce(p.n_import_edges, 0)
+                  - coalesce(p.n_internal, 0) as bigint) as n_external,
+             case when coalesce(p.n_import_edges, 0) > 0
+                  then round(p.n_internal
+                             / cast(p.n_import_edges as double), 6)
+             end as self_containment
+      from sizes s left join per_repo p on p.repo = s.repo
+    """
+
+
 def q_module_rank(spark, sf_dir):
     """Module centrality (operators/depgraph.module_rank): PageRank
     over the intra-repo import graph, ALL repos in one global run
@@ -5150,6 +5236,11 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
          "n_lower", "n_other"],
         ["snake_share", "camel_share", "pascal_share"],
     ),
+    "self_containment": (
+        ["repo", "n_files", "n_modules", "n_import_edges", "n_internal",
+         "n_external"],
+        ["self_containment"],
+    ),
     "file_history": (
         ["repo", "path", "n_versions", "n_distinct_versions",
          "first_version", "last_version", "head_sha"],
@@ -5384,6 +5475,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "identifier_casing": q_identifier_casing,
         "call_graph": q_call_graph,
         "shard_leakage": q_shard_leakage,
+        "self_containment": q_self_containment,
         "file_history": q_file_history,
         "nlpl_pairs": q_nlpl_pairs,
         "repo_similarity": q_repo_similarity,
@@ -9729,6 +9821,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "identifier_casing": _identifier_casing_oracle_sql(),
         "call_graph": _call_graph_oracle_sql(),
         "shard_leakage": _SHARD_LEAKAGE_ORACLE_SQL,
+        "self_containment": _self_containment_oracle_sql(),
         "file_history": _FILE_HISTORY_ORACLE_SQL,
         "nlpl_pairs": _nlpl_oracle_sql(),
         "unsafe_apis": _unsafe_oracle_sql(),

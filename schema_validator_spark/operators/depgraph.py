@@ -179,3 +179,84 @@ def module_rank(
         F.substring_index("node", NODE_SEP, -1).alias("module"),
         "rank",
     )
+
+
+def repo_self_containment(
+    df: DataFrame,
+    repo_col: str,
+    module_col: str,
+    content_col: str,
+    lang_col: str,
+    *,
+    patterns: dict[str, tuple[str, int]] | None = None,
+) -> DataFrame:
+    """Per-repo import-resolution completeness: ``(repo, n_files,
+    n_modules, n_import_edges, n_internal, n_external,
+    self_containment)`` — the repo-level sample-selection signal for
+    repo-context training (a repo whose imports mostly resolve
+    in-repo yields complete dependency-first context windows; one that
+    mostly imports external libraries does not).
+
+    Edges are DISTINCT ``(src_module, imported_name)`` pairs per repo;
+    an edge is internal when the imported name is defined by some file
+    of the SAME repo.  Self-edges (a module importing its own name)
+    are dropped, mirroring :func:`module_graph`, so ``n_internal``
+    agrees with that graph's edge count.  ``self_containment`` =
+    internal / total edges, 6dp, NULL for repos importing nothing.
+
+    Scale shape: same as :func:`module_graph` — extraction rides the
+    scan, the resolution test is ONE join against the (repo, module)
+    dim (distinct module names, broadcast-sized per AQE), then one
+    map-side-combinable groupBy at repo grain.
+    """
+    ex = extract_imports(
+        df.select(
+            F.col(repo_col).alias("repo"),
+            F.col(module_col).alias("src_module"),
+            F.col(content_col).alias("_content"),
+            F.col(lang_col).alias("_lang"),
+        ),
+        ["repo", "src_module"],
+        "_content",
+        "_lang",
+        patterns=patterns,
+    )
+    edges = (
+        ex.select("repo", "src_module", F.col("module").alias("dst_module"))
+        .distinct()
+        .filter(F.col("src_module") != F.col("dst_module"))
+    )
+    defined = df.select(
+        F.col(repo_col).alias("repo"),
+        F.col(module_col).alias("dst_module"),
+    ).distinct()
+    flagged = edges.join(
+        defined.withColumn("_internal", F.lit(True)),
+        ["repo", "dst_module"],
+        "left",
+    )
+    per_repo = flagged.groupBy("repo").agg(
+        F.count(F.lit(1)).alias("n_import_edges"),
+        F.sum(
+            F.when(F.col("_internal"), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_internal"),
+    )
+    sizes = df.groupBy(F.col(repo_col).alias("repo")).agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.count_distinct(F.col(module_col)).alias("n_modules"),
+    )
+    n = F.col("n_import_edges")
+    return sizes.join(per_repo, "repo", "left").select(
+        "repo",
+        "n_files",
+        "n_modules",
+        F.coalesce(n, F.lit(0)).alias("n_import_edges"),
+        F.coalesce("n_internal", F.lit(0)).alias("n_internal"),
+        (F.coalesce(n, F.lit(0)) - F.coalesce("n_internal", F.lit(0))).alias(
+            "n_external"
+        ),
+        F.when(
+            F.coalesce(n, F.lit(0)) > 0,
+            F.round(F.col("n_internal") / n, 6),
+        ).alias("self_containment"),
+    )
