@@ -113,3 +113,52 @@ def test_jaccard_pairs_has_no_nested_loop(spark):
     assert "CartesianProduct" not in kinds, kinds
     assert "BroadcastNestedLoopJoin" not in kinds, kinds
     assert kinds, "expected equi-joins in the blocked plan"
+
+
+def test_new_code_metric_ops_ride_the_scan(spark, docs):
+    """Session-8 additions pinned: maintainability + conflict_markers
+    are pure-codegen single-pass; casing_profile pays exactly its one
+    lang groupBy; none touch Python."""
+    from schema_validator_spark.functions.identifiers import (
+        casing_profile,
+    )
+    from schema_validator_spark.operators.codequality import (
+        conflict_markers,
+    )
+    from schema_validator_spark.operators.maintainability import (
+        maintainability_index,
+    )
+
+    code = docs.select(
+        "doc_id", F.lit("py").alias("lang"),
+        F.col("text").alias("content"),
+    )
+    mi = maintainability_index(code, ["doc_id"], "content", "lang")
+    P.assert_single_pass(mi)
+    assert not P.uses_python(mi)
+
+    cm = conflict_markers(code, "content", keep_cols=["doc_id"])
+    P.assert_single_pass(cm)
+    assert not P.uses_python(cm)
+
+    cp = casing_profile(code, "content", "lang")
+    assert P.n_exchanges(cp) == 1
+    assert not P.uses_python(cp)
+
+
+def test_call_graph_joins_are_equi_and_python_free(spark, docs):
+    """call_edges must stay an equi-join plan (the call-token explode
+    is tamed by the definition-dim semi-join, never a nested loop)."""
+    from schema_validator_spark.operators.callgraph import call_edges
+
+    code = docs.select(
+        (F.col("doc_id") % 10).cast("string").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("py").alias("lang"),
+        F.col("text").alias("content"),
+    )
+    ce = call_edges(code, "repo", "path", "content", "lang")
+    kinds = P.join_kinds(ce)
+    assert "CartesianProduct" not in kinds, kinds
+    assert "BroadcastNestedLoopJoin" not in kinds, kinds
+    assert not P.uses_python(ce)
