@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (177/177), including the approximate tiers
+EVERY query has an oracle (180/180), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -5090,6 +5090,109 @@ def q_curation_verdicts(spark, sf_dir):
     return curation_verdicts(df).select("repo", "path", "verdict")
 
 
+def q_owner_optout(spark, sf_dir):
+    """Opt-out takedown audit (operators/optout.optout_audit — The
+    Stack's owner/repo removal-request gate): per-repo record of what
+    filter_optout removes, with exact-repo requests winning attribution
+    over owner requests.  Both lists compile to InSet literals — the
+    gate is pure codegen, the audit ONE map-side groupBy.  Stripes: a
+    NULL repo (kept — ingest problem, not an opt-out), a separator-less
+    repo that is its own owner, and an owner that also has one exact
+    repo opted out."""
+    from schema_validator_spark.operators.optout import optout_audit
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    repo = (
+        F.when(did % 97 == 0, F.lit(None).cast("string"))
+        .when(
+            did % 50 == 0,
+            F.concat(F.lit("standalone"), (did % 4).cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("owner"), (did % 7).cast("string"),
+                F.lit("/proj"), (did % 3).cast("string"),
+            )
+        )
+    )
+    df = docs.select("doc_id", repo.alias("repo"))
+    return optout_audit(
+        df,
+        "repo",
+        owners=["owner2", "owner5", "standalone1"],
+        repos=["owner4/proj1", "owner6/proj0"],
+    )
+
+
+def q_cross_lang_pairs(spark, sf_dir):
+    """Cross-language parallel-file candidates
+    (operators/translation.cross_lang_pairs — TransCoder-style pair
+    mining): files sharing (repo, path stem) across different declared
+    langs, ONE shuffle (collect-per-stem + in-group HOF pairing, no
+    self-join).  Synthesis groups 3 docs per stem (py/go/js); every
+    11th group duplicates py (ambiguous — dropped whole by the
+    unambiguous gate) and every 13th doc declares NULL lang (excluded,
+    leaving a 2-file group that still pairs).  The oracle derives the
+    SAME pairs via an independent SQL self-join."""
+    from schema_validator_spark.operators.translation import (
+        cross_lang_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    pid = F.expr("doc_id div 3")
+    m = did % 3
+    lang = (
+        F.when(did % 13 == 0, F.lit(None).cast("string"))
+        .when(m == 0, F.lit("py"))
+        .when(m == 1, F.lit("go"))
+        .otherwise(
+            F.when(pid % 11 == 0, F.lit("py")).otherwise(F.lit("js"))
+        )
+    )
+    ext = F.when(m == 0, ".py").when(m == 1, ".go").otherwise(".js")
+    df = docs.select(
+        F.concat(F.lit("r"), (pid % 10).cast("string")).alias("repo"),
+        F.concat(
+            F.lit("src/m"), pid.cast("string"), ext
+        ).alias("path"),
+        lang.alias("lang"),
+        F.expr("repeat('a', 1 + (doc_id % 7) * 3)").alias("content"),
+    )
+    return cross_lang_pairs(df, "repo", "path", "lang", "content")
+
+
+def q_repo_tree_stats(spark, sf_dir):
+    """Per-repo directory-tree profile
+    (operators/treestats.repo_tree_stats): depth stats, root-file and
+    top-level-dir counts, and src/tests/docs convention flags — pure
+    path arithmetic plus ONE groupBy on the repo key.  Path stripes
+    cover depth 0/1/2, all three convention families, an uppercase
+    SRC (case-insensitive match), plus NULL and empty paths that count
+    toward n_files but never vote a depth."""
+    from schema_validator_spark.operators.treestats import repo_tree_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s = did.cast("string")
+    m = did % 5
+    path = (
+        F.when(did % 29 == 0, F.lit(None).cast("string"))
+        .when(did % 31 == 0, F.lit(""))
+        .when(m == 0, F.concat(F.lit("README"), s))
+        .when(m == 1, F.concat(F.lit("SRC/a"), s, F.lit(".py")))
+        .when(m == 2, F.concat(F.lit("src/core/b"), s, F.lit(".py")))
+        .when(m == 3, F.concat(F.lit("tests/t"), s, F.lit(".py")))
+        .otherwise(F.concat(F.lit("docs/guide/d"), s, F.lit(".md")))
+    )
+    df = docs.select(
+        F.concat(F.lit("repo"), (did % 8).cast("string")).alias("repo"),
+        path.alias("path"),
+    )
+    return repo_tree_stats(df, "repo", "path")
+
+
 def _check_suite_def():
     from schema_validator_spark.operators.checks import Check
 
@@ -5122,6 +5225,16 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
     "drift_stats": (["l_returnflag", "n"], ["mean", "stddev", "min", "max"]),
     "sketch_stats": (["event_type", "n"], ["vmin", "vmax"]),
     "drift_psi_width": (["baseline", "curr"], ["psi"]),
+    "cross_lang_pairs": (
+        ["repo", "stem", "lang_a", "path_a", "n_chars_a",
+         "lang_b", "path_b", "n_chars_b"],
+        ["size_ratio"],
+    ),
+    "repo_tree_stats": (
+        ["repo", "n_files", "max_depth", "n_root_files", "n_top_dirs",
+         "has_src", "has_tests", "has_docs"],
+        ["avg_depth"],
+    ),
     "jaccard_pairs": (["id_a", "id_b"], ["jaccard"]),
     "setsim_exact": (["id_a", "id_b"], ["jaccard"]),
     "code_neardup": (["id_a", "id_b"], ["jaccard"]),
@@ -5476,6 +5589,9 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "call_graph": q_call_graph,
         "shard_leakage": q_shard_leakage,
         "self_containment": q_self_containment,
+        "owner_optout": q_owner_optout,
+        "cross_lang_pairs": q_cross_lang_pairs,
+        "repo_tree_stats": q_repo_tree_stats,
         "file_history": q_file_history,
         "nlpl_pairs": q_nlpl_pairs,
         "repo_similarity": q_repo_similarity,
@@ -5578,6 +5694,134 @@ def oracle_sql() -> dict[str, str]:
     for name, (keep, dbls) in _E6_COLS.items():
         base[name] = _wrap_e6_sql(base[name], keep, dbls)
     return base
+
+
+_OWNER_OPTOUT_ORACLE_SQL = r"""
+    with synth as (
+      select case when doc_id % 97 = 0 then null
+                  when doc_id % 50 = 0 then
+                    'standalone' || cast(doc_id % 4 as varchar)
+                  else 'owner' || cast(doc_id % 7 as varchar)
+                       || '/proj' || cast(doc_id % 3 as varchar)
+             end as repo
+      from documents
+    ), flagged as (
+      select repo, split_part(repo, '/', 1) as owner,
+             case when repo in ('owner4/proj1', 'owner6/proj0') then 'repo'
+                  when split_part(repo, '/', 1)
+                       in ('owner2', 'owner5', 'standalone1') then 'owner'
+             end as reason
+      from synth
+      where repo is not null
+    )
+    select repo, owner, reason, count(*) as n_files
+    from flagged
+    where reason is not null
+    group by repo, owner, reason
+"""
+
+
+def _cross_lang_oracle_sql() -> str:
+    """Replay q_cross_lang_pairs via an INDEPENDENT derivation: a SQL
+    self-join on (repo, stem) gated by the per-stem lang-uniqueness
+    HAVING clause, instead of the engine's collect-and-HOF pairing.
+    EXT_RE is imported from the module (single source of truth)."""
+    from schema_validator_spark.operators.translation import EXT_RE
+
+    return rf"""
+    with synth as (
+      select 'r' || cast((doc_id // 3) % 10 as varchar) as repo,
+             'src/m' || cast(doc_id // 3 as varchar)
+               || case doc_id % 3 when 0 then '.py' when 1 then '.go'
+                  else '.js' end as path,
+             case when doc_id % 13 = 0 then null
+                  when doc_id % 3 = 0 then 'py'
+                  when doc_id % 3 = 1 then 'go'
+                  when (doc_id // 3) % 11 = 0 then 'py'
+                  else 'js' end as lang,
+             repeat('a', cast(1 + (doc_id % 7) * 3 as int)) as content
+      from documents
+    ), base as (
+      select repo, regexp_replace(path, '{_esc_sq(EXT_RE)}', '') as stem,
+             lang, path, cast(length(content) as int) as n_chars
+      from synth where lang is not null
+    ), elig as (
+      select repo, stem from base
+      group by repo, stem
+      having count(distinct lang) >= 2
+         and count(distinct lang) = count(*)
+    ), pairs as (
+      select a.repo, a.stem,
+             a.lang as lang_a, a.path as path_a, a.n_chars as n_chars_a,
+             b.lang as lang_b, b.path as path_b, b.n_chars as n_chars_b
+      from base a
+      join base b on a.repo = b.repo and a.stem = b.stem
+                 and a.lang < b.lang
+      join elig e on a.repo = e.repo and a.stem = e.stem
+    )
+    select repo, stem, lang_a, path_a, n_chars_a,
+           lang_b, path_b, n_chars_b,
+           case when greatest(n_chars_a, n_chars_b) > 0
+                then round(cast(least(n_chars_a, n_chars_b) as double)
+                           / greatest(n_chars_a, n_chars_b), 6)
+                else 1.0 end as size_ratio
+    from pairs
+"""
+
+
+def _tree_stats_oracle_sql() -> str:
+    """Replay q_repo_tree_stats with the convention lists imported from
+    the module (single source of truth); depth/top derivation is the
+    independent DuckDB list form (str_split + len)."""
+    from schema_validator_spark.operators.treestats import (
+        DOC_DIRS, SRC_DIRS, TEST_DIRS,
+    )
+
+    def inset(names) -> str:
+        return ", ".join(f"'{n}'" for n in names)
+
+    return f"""
+    with synth as (
+      select 'repo' || cast(doc_id % 8 as varchar) as repo,
+             case when doc_id % 29 = 0 then null
+                  when doc_id % 31 = 0 then ''
+                  when doc_id % 5 = 0 then
+                    'README' || cast(doc_id as varchar)
+                  when doc_id % 5 = 1 then
+                    'SRC/a' || cast(doc_id as varchar) || '.py'
+                  when doc_id % 5 = 2 then
+                    'src/core/b' || cast(doc_id as varchar) || '.py'
+                  when doc_id % 5 = 3 then
+                    'tests/t' || cast(doc_id as varchar) || '.py'
+                  else 'docs/guide/d' || cast(doc_id as varchar) || '.md'
+             end as path
+      from documents
+    ), d as (
+      select repo,
+             case when path is not null and path <> ''
+                  then cast(len(str_split(path, '/')) - 1 as int)
+             end as depth,
+             case when path is not null and path <> ''
+                       and len(str_split(path, '/')) > 1
+                  then lower(str_split(path, '/')[1])
+             end as top
+      from synth
+    )
+    select repo,
+           count(*) as n_files,
+           max(depth) as max_depth,
+           avg(depth) as avg_depth,
+           count(case when depth = 0 then 1 end) as n_root_files,
+           count(distinct top) as n_top_dirs,
+           cast(coalesce(max(case when top in ({inset(SRC_DIRS)})
+                             then 1 else 0 end), 0) as int) as has_src,
+           cast(coalesce(max(case when top in ({inset(TEST_DIRS)})
+                             then 1 else 0 end), 0) as int) as has_tests,
+           cast(coalesce(max(case when top in ({inset(DOC_DIRS)})
+                             then 1 else 0 end), 0) as int) as has_docs
+    from d
+    group by repo
+"""
 
 
 def _zorder_oracle_sql() -> str:
@@ -9822,6 +10066,9 @@ def _oracle_sql_raw() -> dict[str, str]:
         "call_graph": _call_graph_oracle_sql(),
         "shard_leakage": _SHARD_LEAKAGE_ORACLE_SQL,
         "self_containment": _self_containment_oracle_sql(),
+        "owner_optout": _OWNER_OPTOUT_ORACLE_SQL,
+        "cross_lang_pairs": _cross_lang_oracle_sql(),
+        "repo_tree_stats": _tree_stats_oracle_sql(),
         "file_history": _FILE_HISTORY_ORACLE_SQL,
         "nlpl_pairs": _nlpl_oracle_sql(),
         "unsafe_apis": _unsafe_oracle_sql(),

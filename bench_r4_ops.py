@@ -1589,6 +1589,99 @@ def run_shard_leakage(spark, n=64_000_000):
             "sec": round(time.time() - t, 1)}
 
 
+def run_owner_optout(spark, n=64_000_000):
+    """Opt-out gate + audit at request-list scale: 1,500 literal
+    entries (1,000 owners + 500 exact repos) over 64M files — the
+    filter must stay a codegen InSet conjunct, no join."""
+    from schema_validator_spark.operators.optout import (
+        filter_optout, optout_audit,
+    )
+
+    i = F.col("id")
+    df = spark.range(n).select(
+        F.concat(
+            F.lit("owner"), (i % 100_000).cast("string"),
+            F.lit("/proj"), (i % 5).cast("string"),
+        ).alias("repo"),
+    )
+    owners = [f"owner{k}" for k in range(0, 100_000, 100)]  # 1,000
+    repos = [f"owner{k}/proj{k % 5}" for k in range(50, 100_000, 200)]
+    t = time.time()
+    kept = filter_optout(df, "repo", owners=owners, repos=repos).count()
+    audit_rows = optout_audit(
+        df, "repo", owners=owners, repos=repos
+    ).count()
+    return {"op": "owner_optout", "rows": n, "kept": kept,
+            "audit_rows": audit_rows, "sec": round(time.time() - t, 1)}
+
+
+def run_cross_lang_pairs(spark, n=16_000_000):
+    """TransCoder pair mining over 16M files: 3-lang stems plus a
+    planted mega-stem (100k files sharing one stem) that the
+    ambiguous-mode cap must drop WHOLE without buffering pain."""
+    from schema_validator_spark.operators.translation import (
+        cross_lang_pairs,
+    )
+
+    i = F.col("id")
+    pid = F.expr("id div 3")
+    m = i % 3
+    hot = i % 160 == 7  # ~100k files collapse onto one stem
+    df = spark.range(n).select(
+        F.when(hot, F.lit("rhot")).otherwise(
+            F.concat(F.lit("r"), (pid % 100_000).cast("string"))
+        ).alias("repo"),
+        F.when(
+            hot,
+            F.concat(F.lit("vendor/index.ext"), i.cast("string")),
+        ).otherwise(
+            F.concat(
+                F.lit("src/m"), pid.cast("string"),
+                F.when(m == 0, ".py").when(m == 1, ".go").otherwise(".js"),
+            )
+        ).alias("path"),
+        F.when(m == 0, "py").when(m == 1, "go").otherwise("js")
+        .alias("lang"),
+        F.concat(F.lit("body "), i.cast("string")).alias("content"),
+    )
+    t = time.time()
+    pairs = cross_lang_pairs(
+        df, "repo", "path", "lang", "content"
+    ).count()
+    strict_sec = round(time.time() - t, 1)
+    t = time.time()
+    loose = cross_lang_pairs(
+        df, "repo", "path", "lang", "content",
+        unambiguous_only=False, max_files_per_stem=16,
+    ).count()
+    return {"op": "cross_lang_pairs", "rows": n, "pairs": pairs,
+            "sec": strict_sec, "loose_pairs": loose,
+            "loose_sec": round(time.time() - t, 1)}
+
+
+def run_repo_tree_stats(spark, n=64_000_000):
+    """Tree profile over 64M paths / 200k repos — one groupBy with a
+    single two-phase count-distinct."""
+    from schema_validator_spark.operators.treestats import repo_tree_stats
+
+    i = F.col("id")
+    k = i.cast("string")
+    m = i % 5
+    df = spark.range(n).select(
+        F.concat(F.lit("repo"), (i % 200_000).cast("string")).alias("repo"),
+        F.when(m == 0, F.concat(F.lit("README"), k))
+        .when(m == 1, F.concat(F.lit("src/a"), k, F.lit(".py")))
+        .when(m == 2, F.concat(F.lit("src/core/b"), k, F.lit(".py")))
+        .when(m == 3, F.concat(F.lit("tests/t"), k, F.lit(".py")))
+        .otherwise(F.concat(F.lit("docs/guide/d"), k, F.lit(".md")))
+        .alias("path"),
+    )
+    t = time.time()
+    repos = repo_tree_stats(df, "repo", "path").count()
+    return {"op": "repo_tree_stats", "rows": n, "repos": repos,
+            "sec": round(time.time() - t, 1)}
+
+
 OPS = {
     "edit_join": run_edit_join,
     "winnow_pairs": run_winnow,
@@ -1656,6 +1749,9 @@ OPS = {
     "identifier_casing": run_identifier_casing,
     "call_graph": run_call_graph,
     "shard_leakage": run_shard_leakage,
+    "owner_optout": run_owner_optout,
+    "cross_lang_pairs": run_cross_lang_pairs,
+    "repo_tree_stats": run_repo_tree_stats,
 }
 
 
