@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (180/180), including the approximate tiers
+EVERY query has an oracle (181/181), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -5193,6 +5193,47 @@ def q_repo_tree_stats(spark, sf_dir):
     return repo_tree_stats(df, "repo", "path")
 
 
+def q_markdown_pairs(spark, sf_dir):
+    """Markdown fenced-block instruction pairs
+    (functions/markdown.markdown_code_pairs — the README/docs analog
+    of the Jupyter md→code miner): one literal fence split
+    materialized once, codegen HOF slicing, one narrow explode, ZERO
+    shuffles.  Stripes: single info'd block, two-block doc (second
+    block info-less, prose = LAST non-empty paragraph), an unclosed
+    trailing fence (dropped), an empty code block (dropped), and
+    fence-less docs."""
+    from schema_validator_spark.functions.markdown import (
+        markdown_code_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s = did.cast("string")
+    m = did % 3
+    shape_a = F.concat(
+        F.lit("Intro "), s,
+        F.lit(".\n\nUse the API like this.\n\n```python\ncall("),
+        s, F.lit(")\n```\nafter\n"),
+    )
+    shape_b = F.concat(
+        F.lit("Old para.\n\nFresh para "), s,
+        F.lit(".\n\n```js\nlet a = "), s,
+        F.lit(";\n```\n\nNext step.\n\n```\nraw "), s, F.lit("\n```\n"),
+    )
+    shape_c = (
+        F.when(did % 5 == 0, F.concat(F.lit("Doc.\n\n```py\nbroken "), s))
+        .when(did % 7 == 0, F.lit("Doc.\n\n```py\n```\n"))
+        .otherwise(F.concat(F.lit("plain text "), s, F.lit("\n")))
+    )
+    content = F.when(m == 0, shape_a).when(m == 1, shape_b).otherwise(
+        shape_c
+    )
+    return markdown_code_pairs(
+        docs.select("doc_id", content.alias("content")), ["doc_id"],
+        "content",
+    )
+
+
 def _check_suite_def():
     from schema_validator_spark.operators.checks import Check
 
@@ -5590,6 +5631,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_leakage": q_shard_leakage,
         "self_containment": q_self_containment,
         "owner_optout": q_owner_optout,
+        "markdown_pairs": q_markdown_pairs,
         "cross_lang_pairs": q_cross_lang_pairs,
         "repo_tree_stats": q_repo_tree_stats,
         "file_history": q_file_history,
@@ -5821,6 +5863,80 @@ def _tree_stats_oracle_sql() -> str:
                              then 1 else 0 end), 0) as int) as has_docs
     from d
     group by repo
+"""
+
+
+def _markdown_oracle_sql() -> str:
+    """Replay q_markdown_pairs from the SAME module constants (FENCE,
+    PARA_SEP_RE, WS) via DuckDB's independent list machinery:
+    str_split + generate_subscripts for fence accounting, strpos/substr
+    for the info/code slice, list_filter + negative list_extract for
+    the last non-empty paragraph."""
+    from schema_validator_spark.functions.markdown import (
+        FENCE, PARA_SEP_RE, WS,
+    )
+
+    ws = "' ' || chr(9) || chr(13) || chr(10)"
+    assert WS == " \t\r\n", "oracle WS literal out of sync"
+    return f"""
+    with synth as (
+      select doc_id,
+             case when doc_id % 3 = 0 then
+                    'Intro ' || cast(doc_id as varchar) || '.'
+                    || chr(10) || chr(10) || 'Use the API like this.'
+                    || chr(10) || chr(10) || '```python' || chr(10)
+                    || 'call(' || cast(doc_id as varchar) || ')'
+                    || chr(10) || '```' || chr(10) || 'after' || chr(10)
+                  when doc_id % 3 = 1 then
+                    'Old para.' || chr(10) || chr(10) || 'Fresh para '
+                    || cast(doc_id as varchar) || '.' || chr(10)
+                    || chr(10) || '```js' || chr(10) || 'let a = '
+                    || cast(doc_id as varchar) || ';' || chr(10)
+                    || '```' || chr(10) || chr(10) || 'Next step.'
+                    || chr(10) || chr(10) || '```' || chr(10) || 'raw '
+                    || cast(doc_id as varchar) || chr(10) || '```'
+                    || chr(10)
+                  when doc_id % 5 = 0 then
+                    'Doc.' || chr(10) || chr(10) || '```py' || chr(10)
+                    || 'broken ' || cast(doc_id as varchar)
+                  when doc_id % 7 = 0 then
+                    'Doc.' || chr(10) || chr(10) || '```py' || chr(10)
+                    || '```' || chr(10)
+                  else 'plain text ' || cast(doc_id as varchar) || chr(10)
+             end as content
+      from documents
+    ), parts as (
+      select doc_id, str_split(content, '{FENCE}') as ps
+      from synth
+    ), pos as (
+      select doc_id, ps, unnest(ps) as _seg,
+             generate_subscripts(ps, 1) as p
+      from parts
+    ), blk as (
+      select doc_id, cast(p // 2 as int) as pair_index,
+             ps[p] as raw, ps[p - 1] as prev
+      from pos
+      where p % 2 = 0 and p < len(ps)
+    ), sliced as (
+      select doc_id, pair_index,
+             trim(case when strpos(raw, chr(10)) > 0
+                       then substr(raw, 1, strpos(raw, chr(10)) - 1)
+                       else raw end, {ws}) as info,
+             case when strpos(raw, chr(10)) > 0
+                  then substr(raw, strpos(raw, chr(10)) + 1)
+                  else '' end as code,
+             coalesce(
+               list_filter(
+                 list_transform(
+                   str_split_regex(prev, '{_esc_sq(PARA_SEP_RE)}'),
+                   x -> trim(x, {ws})),
+                 x -> length(x) > 0)[-1],
+               '') as prose
+      from blk
+    )
+    select doc_id, pair_index, info, prose, code
+    from sliced
+    where length(trim(code, {ws})) >= 1 and length(prose) >= 1
 """
 
 
@@ -10067,6 +10183,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "shard_leakage": _SHARD_LEAKAGE_ORACLE_SQL,
         "self_containment": _self_containment_oracle_sql(),
         "owner_optout": _OWNER_OPTOUT_ORACLE_SQL,
+        "markdown_pairs": _markdown_oracle_sql(),
         "cross_lang_pairs": _cross_lang_oracle_sql(),
         "repo_tree_stats": _tree_stats_oracle_sql(),
         "file_history": _FILE_HISTORY_ORACLE_SQL,

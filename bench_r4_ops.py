@@ -1682,6 +1682,29 @@ def run_repo_tree_stats(spark, n=64_000_000):
             "sec": round(time.time() - t, 1)}
 
 
+def run_markdown_pairs(spark, n=16_000_000):
+    """README-style docs at 16M rows: two fenced blocks + an unclosed
+    tail fence per doc — fence accounting + prose slicing all codegen."""
+    from schema_validator_spark.functions.markdown import (
+        markdown_code_pairs,
+    )
+
+    i = F.col("id")
+    k = i.cast("string")
+    md = F.concat(
+        F.lit("Intro para about call_"), k,
+        F.lit(".\n\nUse it like this.\n\n```python\ncall_"), k,
+        F.lit("(1)\nprint("), k,
+        F.lit(")\n```\n\nSecond step.\n\n```js\nlet x = "), k,
+        F.lit(";\n```\n\nTrailing prose.\n\n```py\nunclosed_"), k,
+    )
+    df = spark.range(n).select(i.alias("doc_id"), md.alias("content"))
+    t = time.time()
+    pairs = markdown_code_pairs(df, ["doc_id"], "content").count()
+    return {"op": "markdown_pairs", "rows": n, "pairs": pairs,
+            "sec": round(time.time() - t, 1)}
+
+
 OPS = {
     "edit_join": run_edit_join,
     "winnow_pairs": run_winnow,
@@ -1752,6 +1775,7 @@ OPS = {
     "owner_optout": run_owner_optout,
     "cross_lang_pairs": run_cross_lang_pairs,
     "repo_tree_stats": run_repo_tree_stats,
+    "markdown_pairs": run_markdown_pairs,
 }
 
 
