@@ -5010,6 +5010,56 @@ def q_encoding_stats(spark, sf_dir):
     )
 
 
+#: unicode_audit stripe templates — single source for the Spark synth
+#: AND the oracle's SQL literals (byte-identity matters: the verdicts
+#: hinge on exact codepoints).  \u escapes keep the file greppable.
+_UNI_STRIPES = {
+    # RLO + LRI bidi attack (CVE-2021-42574 shape)
+    "s0": "if x == 'user‮ ⁦// admin' ",
+    # ZWSP-forged identifier (CVE-2021-42694 shape)
+    "s1a": "def is​Admin",
+    # Cyrillic е homoglyph inside an ASCII identifier
+    "s2a": "def sеcure",
+    "s12b": "(): pass",
+    # legitimate all-Cyrillic comment: confusables, NO ASCII adjacency
+    "s3b": "  # проверка\n",
+    # mid-file FEFF (not a leading BOM)
+    "s5": "a = 1\n﻿b = ",
+}
+
+
+def q_unicode_audit(spark, sf_dir):
+    """Trojan-Source / invisible-character audit
+    (operators/codequality.unicode_audit): bidi-control, zero-width
+    and Latin-lookalike confusable counts + a priority verdict — the
+    data-poisoning scan a code corpus needs before training
+    (CVE-2021-42574/42694).  Stripes: a real RLO+LRI bidi attack, a
+    ZWSP-forged identifier, a Cyrillic-е homoglyph inside an ASCII
+    identifier, a LEGITIMATE all-Cyrillic comment (confusables with no
+    ASCII adjacency — must stay clean), pure ASCII, and a mid-file
+    FEFF.  Pure codegen regexp_count, zero shuffles."""
+    from schema_validator_spark.operators.codequality import unicode_audit
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    k = did.cast("string")
+    m = did % 6
+    t = _UNI_STRIPES
+    content = F.when(did % 29 == 0, F.lit(None).cast("string")).otherwise(
+        F.when(m == 0, F.concat(F.lit(t["s0"]), k))
+        .when(m == 1, F.concat(F.lit(t["s1a"]), k, F.lit(t["s12b"])))
+        .when(m == 2, F.concat(F.lit(t["s2a"]), k, F.lit(t["s12b"])))
+        .when(m == 3, F.concat(F.lit("x = "), k, F.lit(t["s3b"])))
+        .when(m == 4, F.concat(F.lit("total = "), k, F.lit(" + 1\n")))
+        .otherwise(F.concat(F.lit(t["s5"]), k))
+    )
+    return unicode_audit(
+        docs.select("doc_id", content.alias("content")),
+        "content",
+        keep_cols=["doc_id"],
+    )
+
+
 def q_code_curation(spark, sf_dir):
     """End-to-end CODE curation funnel
     (operators/curatecode.curate_code — The Stack's pipeline shape):
@@ -5536,6 +5586,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "comment_stats": q_comment_stats,
         "path_classes": q_path_classes,
         "encoding_stats": q_encoding_stats,
+        "unicode_audit": q_unicode_audit,
         "code_curation": q_code_curation,
         # boundary slot: the ~50-query driver window may cut here;
         # lang_mismatch is the simplest of the round-4 queries
@@ -8647,6 +8698,64 @@ def _encoding_oracle_sql() -> str:
     """
 
 
+def _unicode_oracle_sql() -> str:
+    """Replay q_unicode_audit: identical stripes from the SAME
+    _UNI_STRIPES templates + the SAME char classes (single source:
+    operators/codequality.BIDI_CONTROL_CHARS / ZERO_WIDTH_CHARS /
+    CONFUSABLE_CHARS) counted with regexp_extract_all, verdict by the
+    same priority chain."""
+    from schema_validator_spark.operators.codequality import (
+        BIDI_CONTROL_CHARS,
+        CONFUSABLE_CHARS,
+        ZERO_WIDTH_CHARS,
+    )
+
+    t = {key: _esc_sq(v) for key, v in _UNI_STRIPES.items()}
+    conf = CONFUSABLE_CHARS
+    mixed = f"[{conf}][A-Za-z]|[A-Za-z][{conf}]"
+    return f"""
+      with c0 as (
+        select doc_id,
+               case when doc_id % 29 = 0 then NULL
+                    when doc_id % 6 = 0 then
+                      '{t["s0"]}' || cast(doc_id as varchar)
+                    when doc_id % 6 = 1 then
+                      '{t["s1a"]}' || cast(doc_id as varchar)
+                      || '{t["s12b"]}'
+                    when doc_id % 6 = 2 then
+                      '{t["s2a"]}' || cast(doc_id as varchar)
+                      || '{t["s12b"]}'
+                    when doc_id % 6 = 3 then
+                      'x = ' || cast(doc_id as varchar) || '{t["s3b"]}'
+                    when doc_id % 6 = 4 then
+                      'total = ' || cast(doc_id as varchar)
+                      || ' + 1' || chr(10)
+                    else '{t["s5"]}' || cast(doc_id as varchar)
+               end as content
+        from documents
+      ), c as (
+        select doc_id, coalesce(content, '') as content from c0
+      ), s as (
+        select doc_id,
+               cast(len(regexp_extract_all(content,
+                    '[{BIDI_CONTROL_CHARS}]')) as int) as n_bidi,
+               cast(len(regexp_extract_all(content,
+                    '[{ZERO_WIDTH_CHARS}]')) as int) as n_zero_width,
+               cast(len(regexp_extract_all(content,
+                    '[{conf}]')) as int) as n_confusable,
+               cast(len(regexp_extract_all(content,
+                    '{mixed}')) as int) as n_mixed_script
+        from c
+      )
+      select doc_id, n_bidi, n_zero_width, n_confusable, n_mixed_script,
+             case when n_bidi > 0 then 'bidi'
+                  when n_zero_width > 0 then 'invisible'
+                  when n_mixed_script > 0 then 'mixed_script'
+                  else 'clean' end as verdict
+      from s
+    """
+
+
 #: SQL replay of _code_curation_synth — shared by the code_curation
 #: and curation_verdicts oracles (single source for the striped corpus)
 _CODE_CURATION_SYNTH_SQL = """
@@ -10245,6 +10354,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "comment_stats": _comment_stats_oracle_sql(),
         "path_classes": _pathclass_oracle_sql(),
         "encoding_stats": _encoding_oracle_sql(),
+        "unicode_audit": _unicode_oracle_sql(),
         "code_curation": _code_curation_oracle_sql(),
         "embedding_quality": """
             with p as (
