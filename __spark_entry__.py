@@ -5060,6 +5060,55 @@ def q_unicode_audit(spark, sf_dir):
     )
 
 
+#: strip_comments stripe templates — single source for Spark + oracle
+_STRIP_STRIPES = {
+    "s0a": 'url = "http://x#frag"  # c',
+    "s1a": 'u = "https://e.com/a"; // t',
+    "s2a": "a = ",
+    "s2b": ";\n/* first\n second */\nb = 2;\n",
+    "s3a": "// keep ",
+    "s4a": 'def f():\n    """d # x"""\n    return ',
+}
+
+
+def q_strip_comments(spark, sf_dir):
+    """Comment-stripping transform (functions/embedded.strip_comments):
+    the code-only training channel — comments removed, string literals
+    and layout preserved byte-for-byte via ONE leftmost-first
+    alternation regexp_replace per lang (string branches captured and
+    re-emitted through $1; both engines substitute '' for a
+    non-participating group).  Stripes: a '#' inside a URL literal
+    (protected), a '//' URL in js (protected), a multi-line go block
+    comment, an UNREGISTERED lang passing through unchanged, and a
+    docstring containing '#' (not a comment).  Pure codegen, zero
+    shuffles."""
+    from schema_validator_spark.functions.embedded import strip_comments
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    k = did.cast("string")
+    m = did % 5
+    t = _STRIP_STRIPES
+    lang = (
+        F.when(m == 0, "py")
+        .when(m == 1, "js")
+        .when(m == 2, "go")
+        .when(m == 3, "rs")
+        .otherwise("py")
+    )
+    content = F.when(did % 29 == 0, F.lit(None).cast("string")).otherwise(
+        F.when(m == 0, F.concat(F.lit(t["s0a"]), k, F.lit("\n")))
+        .when(m == 1, F.concat(F.lit(t["s1a"]), k, F.lit("\n")))
+        .when(m == 2, F.concat(F.lit(t["s2a"]), k, F.lit(t["s2b"])))
+        .when(m == 3, F.concat(F.lit(t["s3a"]), k, F.lit("\n")))
+        .otherwise(F.concat(F.lit(t["s4a"]), k, F.lit("\n")))
+    )
+    df = docs.select(
+        "doc_id", lang.alias("lang"), content.alias("content")
+    )
+    return strip_comments(df, ["doc_id", "lang"], "content", "lang")
+
+
 def q_code_curation(spark, sf_dir):
     """End-to-end CODE curation funnel
     (operators/curatecode.curate_code — The Stack's pipeline shape):
@@ -5587,6 +5636,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_classes": q_path_classes,
         "encoding_stats": q_encoding_stats,
         "unicode_audit": q_unicode_audit,
+        "strip_comments": q_strip_comments,
         "code_curation": q_code_curation,
         # boundary slot: the ~50-query driver window may cut here;
         # lang_mismatch is the simplest of the round-4 queries
@@ -8698,6 +8748,61 @@ def _encoding_oracle_sql() -> str:
     """
 
 
+def _strip_comments_oracle_sql() -> str:
+    """Replay q_strip_comments: identical stripes from _STRIP_STRIPES
+    + the SAME per-lang alternation patterns
+    (functions/embedded.strip_comment_pattern over
+    clones.STRING_PATTERNS / codequality.COMMENT_SYNTAX) applied with
+    regexp_replace(..., '\\1', 'g') — RE2 also substitutes '' for a
+    non-participating capture group."""
+    from schema_validator_spark.functions.embedded import (
+        strip_comment_pattern,
+    )
+    from schema_validator_spark.operators.codequality import COMMENT_SYNTAX
+
+    t = {key: _esc_sq(v).replace("\n", "' || chr(10) || '")
+         for key, v in _STRIP_STRIPES.items()}
+    whens = "\n                 ".join(
+        f"when '{lg}' then regexp_replace(content, "
+        f"'{_esc_sq(strip_comment_pattern(lp, bp))}', '\\1', 'g')"
+        for lg, (lp, bp) in sorted(COMMENT_SYNTAX.items())
+    )
+    return f"""
+      with c0 as (
+        select doc_id,
+               case doc_id % 5
+                 when 0 then 'py' when 1 then 'js' when 2 then 'go'
+                 when 3 then 'rs' else 'py' end as lang,
+               case when doc_id % 29 = 0 then NULL
+                    when doc_id % 5 = 0 then
+                      '{t["s0a"]}' || cast(doc_id as varchar) || chr(10)
+                    when doc_id % 5 = 1 then
+                      '{t["s1a"]}' || cast(doc_id as varchar) || chr(10)
+                    when doc_id % 5 = 2 then
+                      '{t["s2a"]}' || cast(doc_id as varchar)
+                      || '{t["s2b"]}'
+                    when doc_id % 5 = 3 then
+                      '{t["s3a"]}' || cast(doc_id as varchar) || chr(10)
+                    else
+                      '{t["s4a"]}' || cast(doc_id as varchar) || chr(10)
+               end as content
+        from documents
+      ), c as (
+        select doc_id, lang, coalesce(content, '') as content from c0
+      ), s as (
+        select doc_id, lang, content,
+               case lang
+                 {whens}
+                 else content end as content_stripped
+        from c
+      )
+      select doc_id, lang, content_stripped,
+             cast(length(content) - length(content_stripped) as int)
+               as n_comment_chars
+      from s
+    """
+
+
 def _unicode_oracle_sql() -> str:
     """Replay q_unicode_audit: identical stripes from the SAME
     _UNI_STRIPES templates + the SAME char classes (single source:
@@ -10355,6 +10460,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "path_classes": _pathclass_oracle_sql(),
         "encoding_stats": _encoding_oracle_sql(),
         "unicode_audit": _unicode_oracle_sql(),
+        "strip_comments": _strip_comments_oracle_sql(),
         "code_curation": _code_curation_oracle_sql(),
         "embedding_quality": """
             with p as (

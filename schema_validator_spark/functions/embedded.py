@@ -138,6 +138,83 @@ def embedded_text_stats(
     )
 
 
+def strip_comment_pattern(line_pat: str, blk_pat: str | None) -> str:
+    """The single-pass strip regex for one lang: a leftmost-first
+    alternation ``(?s)(strings)|(?:comments)`` — string branches
+    CAPTURED (re-emitted via ``$1``/``\\1``), comment branches not.
+    Single source of truth for the Spark transform AND the DuckDB
+    oracle (the component patterns are clones.STRING_PATTERNS /
+    codequality.COMMENT_SYNTAX, both already proven RE2-portable by
+    the type-2 oracle)."""
+    strs = "|".join(p.removeprefix("(?s)") for p in STRING_PATTERNS)
+    if blk_pat:
+        com = f"{blk_pat.removeprefix('(?s)')}|{line_pat}"
+    else:
+        com = line_pat
+    return f"(?s)({strs})|(?:{com})"
+
+
+def strip_comments(
+    df: DataFrame,
+    id_cols: list[str],
+    content_col: str,
+    lang_col: str,
+    *,
+    out_col: str = "content_stripped",
+    syntax: dict[str, tuple[str, str | None]] | None = None,
+) -> DataFrame:
+    """``(id_cols..., out_col, n_comment_chars)`` — the code-only
+    training channel: comments removed, string literals and layout
+    preserved byte-for-byte (the complement of ``embedded_text``'s
+    comment rows; code LLMs are commonly trained on both the raw and
+    the comment-stripped variant, and docstring-conditioned objectives
+    need the stripped body).
+
+    ONE regexp_replace per lang does the whole job: a leftmost-first
+    alternation matches string literals (captured, re-emitted via
+    ``$1`` — both Java regex and RE2 substitute the empty string for a
+    non-participating group) and comments (dropped).  Leftmost scan IS
+    the correct 2-token lexer: a ``//`` inside a URL literal is
+    protected because the string opened first; a quote inside a
+    comment is stripped because the comment opened first.  This
+    deliberately differs from the extraction chain's global pattern
+    priority (which masks ALL strings before looking at comments) —
+    positional priority is the lexing order; the chain's trade is
+    documented in the module docstring.  Known limit (shared with the
+    whole syntactic tier): backslash-escaped quotes end a string
+    early.
+
+    Newlines are never removed (line comments match ``[^\\n]*``; block
+    comments keep surrounding layout), so line numbers survive for
+    diff/chunk alignment.  Langs without a registered comment syntax
+    pass through unchanged with ``n_comment_chars = 0``; NULL content
+    becomes ``''``.
+
+    Scale shape: one codegen regexp_replace CASE riding the scan —
+    zero shuffles, zero Python, zero joins."""
+    if not id_cols:
+        raise ValueError("strip_comments needs id columns")
+    syn = syntax if syntax is not None else COMMENT_SYNTAX
+    s = F.coalesce(F.col(content_col), F.lit(""))
+    lang = F.lower(F.coalesce(F.col(lang_col), F.lit("")))
+    chain = None
+    for lg, (line_pat, blk_pat) in sorted(syn.items()):
+        pat = strip_comment_pattern(line_pat, blk_pat)
+        cond = lang == lg
+        stripped = F.regexp_replace(s, pat, "$1")
+        chain = (
+            F.when(cond, stripped)
+            if chain is None
+            else chain.when(cond, stripped)
+        )
+    out = chain.otherwise(s) if chain is not None else s
+    return df.select(
+        *id_cols,
+        out.alias(out_col),
+        (F.length(s) - F.length(out)).alias("n_comment_chars"),
+    )
+
+
 def comment_lang_mix(
     df: DataFrame,
     repo_col: str,
