@@ -5109,6 +5109,54 @@ def q_strip_comments(spark, sf_dir):
     return strip_comments(df, ["doc_id", "lang"], "content", "lang")
 
 
+def q_license_conflicts(spark, sf_dir):
+    """Per-repo license-consistency audit
+    (operators/licenses.license_conflicts): repo LICENSE-file verdict
+    vs per-file license HEADERS — a vendored GPL file inside an MIT
+    repo passes a repo-level allowlist but is undistributable; this is
+    the row that surfaces it.  Stripes: 12 repos cycling MIT / GPL /
+    UNKNOWN / no-license-file verdicts; source files cycling Apache /
+    MIT / GPL / bare-copyright / no header (+ NULL contents).  Apache
+    or GPL headers inside MIT repos conflict; headers in NONE repos
+    count as undeclared; UNKNOWN verdicts (rank 8) can never
+    conflict."""
+    from schema_validator_spark.operators.licenses import (
+        license_conflicts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    k = did.cast("string")
+    is_lic = (did < 12) & (did % 4 != 3)
+    lic_text = (
+        F.when(did % 4 == 0,
+               F.lit("Permission is hereby granted, free of charge"))
+        .when(did % 4 == 1, F.lit("GNU General Public License"))
+        .otherwise(F.lit("all mine"))
+    )
+    header = (
+        F.when(did % 5 == 0,
+               F.lit("// Licensed under the Apache License\n"))
+        .when(did % 5 == 1,
+              F.lit("// Permission is hereby granted, free of charge\n"))
+        .when(did % 5 == 2,
+              F.lit("// GNU General Public License\n"))
+        .when(did % 5 == 3, F.lit("// Copyright 2020 Someone\n"))
+        .otherwise(F.lit(""))
+    )
+    src_content = F.when(
+        did % 29 == 0, F.lit(None).cast("string")
+    ).otherwise(F.concat(header, F.lit("package p"), k))
+    df = docs.select(
+        F.concat(F.lit("r"), (did % 12).cast("string")).alias("repo"),
+        F.when(is_lic, F.lit("LICENSE"))
+        .otherwise(F.concat(F.lit("src/f"), k, F.lit(".go")))
+        .alias("path"),
+        F.when(is_lic, lic_text).otherwise(src_content).alias("content"),
+    )
+    return license_conflicts(df, "repo", "path", "content")
+
+
 def q_code_curation(spark, sf_dir):
     """End-to-end CODE curation funnel
     (operators/curatecode.curate_code — The Stack's pipeline shape):
@@ -5637,6 +5685,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoding_stats": q_encoding_stats,
         "unicode_audit": q_unicode_audit,
         "strip_comments": q_strip_comments,
+        "license_conflicts": q_license_conflicts,
         "code_curation": q_code_curation,
         # boundary slot: the ~50-query driver window may cut here;
         # lang_mismatch is the simplest of the round-4 queries
@@ -8803,6 +8852,113 @@ def _strip_comments_oracle_sql() -> str:
     """
 
 
+def _license_conflicts_oracle_sql() -> str:
+    """Replay q_license_conflicts from the SAME module constants
+    (LICENSE_FILE_RE, LICENSE_MARKERS, LICENSE_RANK): verdict dim via
+    rank arg-max (row_number), header detection on non-license files
+    only, conflict = header rank strictly above the verdict's, repos
+    with verdict NONE collect undeclared headers instead."""
+    from schema_validator_spark.operators.licenses import (
+        LICENSE_FILE_RE,
+        LICENSE_MARKERS,
+        LICENSE_RANK,
+    )
+
+    whens = "\n                 ".join(
+        f"when contains(low, '{_esc_sq(m)}') then '{lic}'"
+        for lic, m in LICENSE_MARKERS
+    )
+    rank_whens = "\n                 ".join(
+        f"when '{lic}' then {r}" for lic, r in LICENSE_RANK.items()
+    )
+    fre = _esc_sq(LICENSE_FILE_RE)
+    return f"""
+      with synth as (
+        select 'r' || cast(doc_id % 12 as varchar) as repo,
+               case when doc_id < 12 and doc_id % 4 <> 3 then 'LICENSE'
+                    else 'src/f' || cast(doc_id as varchar) || '.go'
+               end as path,
+               case when doc_id < 12 and doc_id % 4 <> 3 then
+                      case doc_id % 4
+                        when 0 then
+                          'Permission is hereby granted, free of charge'
+                        when 1 then 'GNU General Public License'
+                        else 'all mine' end
+                    when doc_id % 29 = 0 then NULL
+                    else
+                      case doc_id % 5
+                        when 0 then
+                          '// Licensed under the Apache License' || chr(10)
+                        when 1 then
+                          '// Permission is hereby granted, free of charge'
+                          || chr(10)
+                        when 2 then
+                          '// GNU General Public License' || chr(10)
+                        when 3 then
+                          '// Copyright 2020 Someone' || chr(10)
+                        else '' end
+                      || 'package p' || cast(doc_id as varchar)
+               end as content
+        from documents
+      ), lic as (
+        select repo,
+               case {whens}
+                    else 'UNKNOWN' end as flic
+        from (select repo, lower(coalesce(content, '')) as low
+              from synth
+              where regexp_matches(path, '{fre}'))
+      ), dim as (
+        select repo, flic as verdict from (
+          select repo, flic,
+                 row_number() over (
+                   partition by repo
+                   order by (case flic {rank_whens} else 8 end) desc,
+                            flic desc) as rn
+          from lic) where rn = 1
+      ), rows_ as (
+        select s.repo,
+               case when regexp_matches(s.path, '{fre}') then NULL
+                    else (case {whens} else NULL end)
+               end as hlic,
+               coalesce(d.verdict, 'NONE') as verdict
+        from (select repo, path,
+                     lower(coalesce(content, '')) as low
+              from synth) s
+        left join dim d using (repo)
+      ), ranked as (
+        select repo, hlic, verdict,
+               case hlic {rank_whens} else NULL end as hrank,
+               case when verdict = 'NONE' then NULL
+                    else case verdict {rank_whens} else 8 end
+               end as vrank
+        from rows_
+      ), strongest as (
+        select repo, hlic as strictest_header from (
+          select repo, hlic,
+                 row_number() over (
+                   partition by repo
+                   order by hrank desc, hlic desc) as rn
+          from ranked where hlic is not null) where rn = 1
+      ), agg as (
+        select repo,
+               max(verdict) as repo_license,
+               count(*) as n_files,
+               count(hlic) as n_header_files,
+               cast(sum(case when hlic is not null and vrank is not null
+                             and hrank > vrank then 1 else 0 end)
+                    as bigint) as n_conflicts,
+               cast(sum(case when hlic is not null and verdict = 'NONE'
+                             then 1 else 0 end) as bigint)
+                 as n_undeclared
+        from ranked group by repo
+      )
+      select a.repo, a.repo_license, a.n_files, a.n_header_files,
+             s.strictest_header, a.n_conflicts, a.n_undeclared,
+             (a.n_conflicts > 0) as has_conflict
+      from agg a left join strongest s using (repo)
+    """
+
+
 def _unicode_oracle_sql() -> str:
     """Replay q_unicode_audit: identical stripes from the SAME
     _UNI_STRIPES templates + the SAME char classes (single source:
@@ -10461,6 +10617,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "encoding_stats": _encoding_oracle_sql(),
         "unicode_audit": _unicode_oracle_sql(),
         "strip_comments": _strip_comments_oracle_sql(),
+        "license_conflicts": _license_conflicts_oracle_sql(),
         "code_curation": _code_curation_oracle_sql(),
         "embedding_quality": """
             with p as (
