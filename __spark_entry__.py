@@ -5157,6 +5157,36 @@ def q_license_conflicts(spark, sf_dir):
     return license_conflicts(df, "repo", "path", "content")
 
 
+def q_dataset_card(spark, sf_dir):
+    """Corpus datasheet at language grain
+    (operators/repoprofile.dataset_card): per-lang file/repo/char
+    counts, exact-dup load (md5 distinct), and corpus-wide shares —
+    the composition table a mixture plan and a dataset card start
+    from.  Stripes: 4 langs (incl. NULL -> 'unknown'), planted exact
+    dups (did%10>=8 share one body per lang), NULL contents."""
+    from schema_validator_spark.operators.repoprofile import dataset_card
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    k = did.cast("string")
+    lang = (
+        F.when(did % 4 == 0, "py")
+        .when(did % 4 == 1, "go")
+        .when(did % 4 == 2, "js")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    content = F.when(did % 29 == 0, F.lit(None).cast("string")).otherwise(
+        F.when(did % 10 >= 8, F.lit("shared dup body"))
+        .otherwise(F.concat(F.col("text"), F.lit(" "), k))
+    )
+    df = docs.select(
+        lang.alias("lang"),
+        F.concat(F.lit("r"), (did % 20).cast("string")).alias("repo"),
+        content.alias("content"),
+    )
+    return dataset_card(df, "lang", "repo", "content")
+
+
 def q_code_curation(spark, sf_dir):
     """End-to-end CODE curation funnel
     (operators/curatecode.curate_code — The Stack's pipeline shape):
@@ -5589,6 +5619,10 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
          "bus_factor"],
         ["top_share", "hhi"],
     ),
+    "dataset_card": (
+        ["lang", "n_files", "n_repos", "n_chars", "n_distinct"],
+        ["dup_frac", "file_share", "char_share"],
+    ),
 }
 
 
@@ -5686,6 +5720,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_audit": q_unicode_audit,
         "strip_comments": q_strip_comments,
         "license_conflicts": q_license_conflicts,
+        "dataset_card": q_dataset_card,
         "code_curation": q_code_curation,
         # boundary slot: the ~50-query driver window may cut here;
         # lang_mismatch is the simplest of the round-4 queries
@@ -8959,6 +8994,40 @@ def _license_conflicts_oracle_sql() -> str:
     """
 
 
+_DATASET_CARD_ORACLE_SQL = """
+      with synth as (
+        select case doc_id % 4
+                 when 0 then 'py' when 1 then 'go' when 2 then 'js'
+                 else NULL end as lang,
+               'r' || cast(doc_id % 20 as varchar) as repo,
+               case when doc_id % 29 = 0 then NULL
+                    when doc_id % 10 >= 8 then 'shared dup body'
+                    else text || ' ' || cast(doc_id as varchar)
+               end as content
+        from documents
+      ), base as (
+        select coalesce(lang, 'unknown') as lang, repo,
+               md5(coalesce(content, '')) as sha,
+               length(coalesce(content, '')) as len
+        from synth
+      ), agg as (
+        select lang,
+               count(*) as n_files,
+               count(distinct repo) as n_repos,
+               cast(sum(len) as bigint) as n_chars,
+               count(distinct sha) as n_distinct
+        from base group by lang
+      )
+      select lang, n_files, n_repos, n_chars, n_distinct,
+             round(1 - n_distinct / (1.0 * n_files), 6) as dup_frac,
+             round(n_files / (1.0 * sum(n_files) over ()), 6)
+               as file_share,
+             round(n_chars / (1.0 * sum(n_chars) over ()), 6)
+               as char_share
+      from agg
+    """
+
+
 def _unicode_oracle_sql() -> str:
     """Replay q_unicode_audit: identical stripes from the SAME
     _UNI_STRIPES templates + the SAME char classes (single source:
@@ -10618,6 +10687,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "unicode_audit": _unicode_oracle_sql(),
         "strip_comments": _strip_comments_oracle_sql(),
         "license_conflicts": _license_conflicts_oracle_sql(),
+        "dataset_card": _DATASET_CARD_ORACLE_SQL,
         "code_curation": _code_curation_oracle_sql(),
         "embedding_quality": """
             with p as (

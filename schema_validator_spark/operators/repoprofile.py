@@ -103,3 +103,55 @@ def repo_profile(
         "dup_share",
         F.coalesce("repo_license", F.lit("NONE")).alias("repo_license"),
     )
+
+
+def dataset_card(
+    df: DataFrame,
+    lang_col: str,
+    repo_col: str,
+    content_col: str,
+) -> DataFrame:
+    """Corpus datasheet ("datasheets for datasets", Gebru et al. 2021)
+    at language grain: ``(lang, n_files, n_repos, n_chars, n_distinct,
+    dup_frac, file_share, char_share)`` — the per-language composition
+    table a training-mixture plan and a dataset card both start from.
+    ``n_distinct`` is exact (md5 of content), so ``dup_frac`` is the
+    true exact-dup load; shares are corpus-wide fractions, 6dp.
+
+    Scale shape: ONE groupBy(lang) pass with count/sum plus two exact
+    count-distincts (Spark's two-phase distinct expansion — the grain
+    is (lang, sha) / (lang, repo), orders below file grain); the share
+    window runs over the lang-vocabulary frame (rows = #langs).  NULL
+    lang groups as 'unknown'; NULL content hashes as ''."""
+    from pyspark.sql import Window
+
+    s = F.coalesce(F.col(content_col), F.lit(""))
+    base = df.select(
+        F.coalesce(F.col(lang_col), F.lit("unknown")).alias("lang"),
+        F.col(repo_col).alias("_repo"),
+        F.md5(s).alias("_sha"),
+        F.length(s).alias("_len"),
+    )
+    agg = base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.countDistinct("_repo").alias("n_repos"),
+        F.sum("_len").alias("n_chars"),
+        F.countDistinct("_sha").alias("n_distinct"),
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "lang",
+        "n_files",
+        "n_repos",
+        "n_chars",
+        "n_distinct",
+        F.round(1 - F.col("n_distinct") / F.col("n_files"), 6).alias(
+            "dup_frac"
+        ),
+        F.round(F.col("n_files") / F.sum("n_files").over(w), 6).alias(
+            "file_share"
+        ),
+        F.round(F.col("n_chars") / F.sum("n_chars").over(w), 6).alias(
+            "char_share"
+        ),
+    )
