@@ -5187,6 +5187,47 @@ def q_dataset_card(spark, sf_dir):
     return dataset_card(df, "lang", "repo", "content")
 
 
+#: blob_stats stripe templates — single source for Spark + oracle
+_BLOB_STRIPES = {
+    "b64": "img = " + "iVBORw0KGgoAAAANSUhEUg" * 8 + "\nk = ",
+    "hex": "0xDE " * 40 + "\nk = ",
+    "uesc": 's = "' + "\\u0041" * 12 + '"\nk = ',
+    "clean": "color = 0xFF00AA\nx = ",
+    "under": "x = 1\n" * 40 + "Q" * 64 + "\nk = ",
+}
+
+
+def q_blob_stats(spark, sf_dir):
+    """Serialized-data-blob gate (operators/codequality.blob_stats):
+    the StarCoder preprocessing filters dropping files dominated by
+    base64 / hex / unicode-escape runs — embedded assets and packed
+    data pass line-length and alnum gates while being worthless as
+    code.  Stripes: a base64 blob (drops), a 40-byte hex dump (drops),
+    12 chained \\u escapes (drops), clean code with a small hex
+    constant (n_hex = 0, keeps), and a blob under the 2/5 threshold
+    (keeps).  Keep decision in integer cross-multiplication; counts
+    via aggregate HOFs over once-materialized extract arrays."""
+    from schema_validator_spark.operators.codequality import blob_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    k = did.cast("string")
+    m = did % 5
+    t = _BLOB_STRIPES
+    content = F.when(did % 29 == 0, F.lit(None).cast("string")).otherwise(
+        F.when(m == 0, F.concat(F.lit(t["b64"]), k))
+        .when(m == 1, F.concat(F.lit(t["hex"]), k))
+        .when(m == 2, F.concat(F.lit(t["uesc"]), k))
+        .when(m == 3, F.concat(F.lit(t["clean"]), k))
+        .otherwise(F.concat(F.lit(t["under"]), k))
+    )
+    return blob_stats(
+        docs.select("doc_id", content.alias("content")),
+        "content",
+        keep_cols=["doc_id"],
+    )
+
+
 def q_code_curation(spark, sf_dir):
     """End-to-end CODE curation funnel
     (operators/curatecode.curate_code — The Stack's pipeline shape):
@@ -5721,6 +5762,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_comments": q_strip_comments,
         "license_conflicts": q_license_conflicts,
         "dataset_card": q_dataset_card,
+        "blob_stats": q_blob_stats,
         "code_curation": q_code_curation,
         # boundary slot: the ~50-query driver window may cut here;
         # lang_mismatch is the simplest of the round-4 queries
@@ -9028,6 +9070,65 @@ _DATASET_CARD_ORACLE_SQL = """
     """
 
 
+def _blob_stats_oracle_sql() -> str:
+    """Replay q_blob_stats: identical stripes from _BLOB_STRIPES + the
+    SAME run patterns (codequality.BASE64_RUN_RE / HEX_RUN_RE /
+    UNICODE_ESC_RE) summed via list_transform(length), keep decision
+    as the same integer cross-multiplication against
+    DEFAULT_MAX_BLOB_FRAC."""
+    from fractions import Fraction
+
+    from schema_validator_spark.operators.codequality import (
+        BASE64_RUN_RE,
+        DEFAULT_MAX_BLOB_FRAC,
+        HEX_RUN_RE,
+        UNICODE_ESC_RE,
+    )
+
+    fr = Fraction(DEFAULT_MAX_BLOB_FRAC)
+    num, den = fr.numerator, fr.denominator
+    t = {key: _esc_sq(v).replace("\n", "' || chr(10) || '")
+         for key, v in _BLOB_STRIPES.items()}
+
+    def runsum(pat: str) -> str:
+        return (
+            "cast(coalesce(list_sum(list_transform(regexp_extract_all("
+            f"content, '{_esc_sq(pat)}'), x -> length(x))), 0) as int)"
+        )
+
+    return f"""
+      with c0 as (
+        select doc_id,
+               case when doc_id % 29 = 0 then NULL
+                    when doc_id % 5 = 0 then
+                      '{t["b64"]}' || cast(doc_id as varchar)
+                    when doc_id % 5 = 1 then
+                      '{t["hex"]}' || cast(doc_id as varchar)
+                    when doc_id % 5 = 2 then
+                      '{t["uesc"]}' || cast(doc_id as varchar)
+                    when doc_id % 5 = 3 then
+                      '{t["clean"]}' || cast(doc_id as varchar)
+                    else '{t["under"]}' || cast(doc_id as varchar)
+               end as content
+        from documents
+      ), c as (
+        select doc_id, coalesce(content, '') as content from c0
+      ), s as (
+        select doc_id,
+               cast(length(content) as int) as n_chars,
+               {runsum(BASE64_RUN_RE)} as n_base64,
+               {runsum(HEX_RUN_RE)} as n_hex,
+               {runsum(UNICODE_ESC_RE)} as n_uescape
+        from c
+      )
+      select doc_id, n_chars, n_base64, n_hex, n_uescape,
+             (n_base64 * {den} <= {num} * n_chars
+              and n_hex * {den} <= {num} * n_chars
+              and n_uescape * {den} <= {num} * n_chars) as keep
+      from s
+    """
+
+
 def _unicode_oracle_sql() -> str:
     """Replay q_unicode_audit: identical stripes from the SAME
     _UNI_STRIPES templates + the SAME char classes (single source:
@@ -10688,6 +10789,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "strip_comments": _strip_comments_oracle_sql(),
         "license_conflicts": _license_conflicts_oracle_sql(),
         "dataset_card": _DATASET_CARD_ORACLE_SQL,
+        "blob_stats": _blob_stats_oracle_sql(),
         "code_curation": _code_curation_oracle_sql(),
         "embedding_quality": """
             with p as (
