@@ -5228,6 +5228,50 @@ def q_blob_stats(spark, sf_dir):
     )
 
 
+#: script_mix stripe templates — single source for Spark + oracle
+_SCRIPT_STRIPES = {
+    "ascii": "def f(): return ",
+    "cjk": "x = 1  # 这是测试注释 ",
+    "cyrillic": "# проверка данных ",
+    "arabic": "# مرحبا بالعالم ",
+    "hangul": "# 안녕하세요 테스트 ",
+    "tie": "ab γδ ",
+    "digits": "12345 +-*/ ",
+}
+
+
+def q_script_mix(spark, sf_dir):
+    """Per-file Unicode script histogram (functions/text.script_mix):
+    the character-level multilingual-curation signal that works where
+    the stopword tier can't (CJK/Hangul/Arabic have no Latin
+    stopwords; code comments are too short for word-level ID).
+    Stripes: ascii code, CJK / Cyrillic / Arabic / Hangul comments, a
+    latin-greek TIE (class-order tie-break), digits-only -> 'none',
+    NULL contents.  Literal-range char classes — portable across Java
+    regex and RE2; one codegen projection."""
+    from schema_validator_spark.functions.text import script_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    k = did.cast("string")
+    m = did % 7
+    t = _SCRIPT_STRIPES
+    content = F.when(did % 29 == 0, F.lit(None).cast("string")).otherwise(
+        F.when(m == 0, F.concat(F.lit(t["ascii"]), k))
+        .when(m == 1, F.concat(F.lit(t["cjk"]), k))
+        .when(m == 2, F.concat(F.lit(t["cyrillic"]), k))
+        .when(m == 3, F.concat(F.lit(t["arabic"]), k))
+        .when(m == 4, F.concat(F.lit(t["hangul"]), k))
+        .when(m == 5, F.concat(F.lit(t["tie"]), k))
+        .otherwise(F.concat(F.lit(t["digits"]), k))
+    )
+    return script_mix(
+        docs.select("doc_id", content.alias("content")),
+        "content",
+        keep_cols=["doc_id"],
+    )
+
+
 def q_code_curation(spark, sf_dir):
     """End-to-end CODE curation funnel
     (operators/curatecode.curate_code — The Stack's pipeline shape):
@@ -5763,6 +5807,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "license_conflicts": q_license_conflicts,
         "dataset_card": q_dataset_card,
         "blob_stats": q_blob_stats,
+        "script_mix": q_script_mix,
         "code_curation": q_code_curation,
         # boundary slot: the ~50-query driver window may cut here;
         # lang_mismatch is the simplest of the round-4 queries
@@ -9129,6 +9174,57 @@ def _blob_stats_oracle_sql() -> str:
     """
 
 
+def _script_mix_oracle_sql() -> str:
+    """Replay q_script_mix: identical stripes from _SCRIPT_STRIPES +
+    the SAME literal-range classes (functions/text.SCRIPT_CLASSES)
+    counted via regexp_extract_all, dominant script by the same
+    greatest + class-order CASE chain."""
+    from schema_validator_spark.functions.text import SCRIPT_CLASSES
+
+    t = {key: _esc_sq(v) for key, v in _SCRIPT_STRIPES.items()}
+    counts = ",\n               ".join(
+        f"cast(len(regexp_extract_all(content, '[{body}]')) as int)"
+        f" as n_{n}"
+        for n, body in SCRIPT_CLASSES.items()
+    )
+    names = list(SCRIPT_CLASSES)
+    mx = "greatest(" + ", ".join(f"n_{n}" for n in names) + ")"
+    dom = "case when " + mx + " = 0 then 'none'\n" + "\n".join(
+        f"                  when n_{n} = {mx} then '{n}'"
+        for n in names
+    ) + " end"
+    return f"""
+      with c0 as (
+        select doc_id,
+               case when doc_id % 29 = 0 then NULL
+                    when doc_id % 7 = 0 then
+                      '{t["ascii"]}' || cast(doc_id as varchar)
+                    when doc_id % 7 = 1 then
+                      '{t["cjk"]}' || cast(doc_id as varchar)
+                    when doc_id % 7 = 2 then
+                      '{t["cyrillic"]}' || cast(doc_id as varchar)
+                    when doc_id % 7 = 3 then
+                      '{t["arabic"]}' || cast(doc_id as varchar)
+                    when doc_id % 7 = 4 then
+                      '{t["hangul"]}' || cast(doc_id as varchar)
+                    when doc_id % 7 = 5 then
+                      '{t["tie"]}' || cast(doc_id as varchar)
+                    else '{t["digits"]}' || cast(doc_id as varchar)
+               end as content
+        from documents
+      ), c as (
+        select doc_id, coalesce(content, '') as content from c0
+      ), s as (
+        select doc_id,
+               {counts}
+        from c
+      )
+      select doc_id, {", ".join(f"n_{n}" for n in names)},
+             {dom} as dominant_script
+      from s
+    """
+
+
 def _unicode_oracle_sql() -> str:
     """Replay q_unicode_audit: identical stripes from the SAME
     _UNI_STRIPES templates + the SAME char classes (single source:
@@ -10790,6 +10886,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "license_conflicts": _license_conflicts_oracle_sql(),
         "dataset_card": _DATASET_CARD_ORACLE_SQL,
         "blob_stats": _blob_stats_oracle_sql(),
+        "script_mix": _script_mix_oracle_sql(),
         "code_curation": _code_curation_oracle_sql(),
         "embedding_quality": """
             with p as (

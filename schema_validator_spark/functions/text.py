@@ -472,3 +472,55 @@ def tfidf_keywords(
         .filter(F.col("rank") <= top_k)
         .select(id_col, F.col("t").alias("token"), "tf", "score", "rank")
     )
+
+
+#: Unicode script ranges as LITERAL char-class bodies (portable: Java
+#: regex and RE2 agree on literal-endpoint ranges; \p{script=..}
+#: property names and coverage differ between engines).  Latin covers
+#: ASCII + Latin-1 letters (× ÷ excluded) + Extended-A.
+SCRIPT_CLASSES: dict[str, str] = {
+    "latin": "A-Za-zÀ-ÖØ-öø-ÿĀ-ſ",
+    "cyrillic": "Ѐ-ӿ",
+    "greek": "Ͱ-Ͽ",
+    "cjk": "一-鿿",
+    "kana": "぀-ヿ",
+    "hangul": "가-힣",
+    "arabic": "؀-ۿ",
+    "devanagari": "ऀ-ॿ",
+}
+
+
+def script_mix(
+    df,
+    content_col: str,
+    *,
+    keep_cols: list[str] | None = None,
+):
+    """Per-file Unicode SCRIPT histogram: ``(keep_cols...,
+    n_latin, n_cyrillic, n_greek, n_cjk, n_kana, n_hangul, n_arabic,
+    n_devanagari, dominant_script)`` — the character-level
+    multilingual-curation signal that works where the stopword tier
+    (``lang_id``) can't: CJK/Hangul/Arabic text has no Latin
+    stopwords, and code comments are often too short for word-level
+    ID.  ``dominant_script`` is the first script (in SCRIPT_CLASSES
+    order) holding the maximum count, ``'none'`` when no letter of any
+    tracked script appears — deterministic tie-break, identical in
+    both engines.
+
+    Scale shape: one ``regexp_count`` per script + a greatest/CASE
+    chain, all in ONE codegen projection riding the scan — zero
+    shuffles, zero Python."""
+    s = F.coalesce(F.col(content_col), F.lit(""))
+    names = list(SCRIPT_CLASSES)
+    base = df.select(
+        *(keep_cols or []),
+        *[
+            F.regexp_count(s, F.lit(f"[{body}]")).alias(f"n_{n}")
+            for n, body in SCRIPT_CLASSES.items()
+        ],
+    )
+    mx = F.greatest(*[F.col(f"n_{n}") for n in names])
+    dom = F.when(mx == 0, "none")
+    for n in names:
+        dom = dom.when(F.col(f"n_{n}") == mx, n)
+    return base.select("*", dom.alias("dominant_script"))
