@@ -1705,6 +1705,165 @@ def run_markdown_pairs(spark, n=16_000_000):
             "sec": round(time.time() - t, 1)}
 
 
+def run_unicode_audit(spark, n=64_000_000):
+    """64M files, every 1000th planting a bidi char and every 777th a
+    homoglyph — four regexp_count signals riding one scan."""
+    from schema_validator_spark.operators.codequality import unicode_audit
+
+    i = F.col("id")
+    body = F.concat(
+        F.lit("def f(): return "), i.cast("string"),
+        F.when(i % 1000 == 0, F.lit("  # x‮y")).otherwise(F.lit("")),
+        F.when(i % 777 == 0, F.lit("\nsеcure = 1")).otherwise(
+            F.lit("")
+        ),
+    )
+    df = spark.range(n).select(i.alias("doc_id"), body.alias("content"))
+    t = time.time()
+    out = unicode_audit(df, "content", keep_cols=["doc_id"])
+    flagged = out.filter(F.col("verdict") != "clean").count()
+    return {"op": "unicode_audit", "rows": n, "flagged": flagged,
+            "sec": round(time.time() - t, 1)}
+
+
+def run_strip_comments(spark, n=32_000_000):
+    """32M mixed py/js files, ~35% comment chars incl. protected URL
+    literals — one alternation regexp_replace per row."""
+    from schema_validator_spark.functions.embedded import strip_comments
+
+    i = F.col("id")
+    k = i.cast("string")
+    py = F.concat(
+        F.lit('u = "http://x/'), k, F.lit('"  # fetch the thing\n'),
+        F.lit("x = "), k, F.lit("  # add one\nreturn x\n"),
+    )
+    js = F.concat(
+        F.lit("/* header "), k, F.lit(" */\nlet u = 'http://y/'; // t\n"),
+    )
+    df = spark.range(n).select(
+        i.alias("doc_id"),
+        F.when(i % 2 == 0, F.lit("py")).otherwise(F.lit("js")).alias(
+            "lang"
+        ),
+        F.when(i % 2 == 0, py).otherwise(js).alias("content"),
+    )
+    t = time.time()
+    stripped = strip_comments(df, ["doc_id"], "content", "lang")
+    total = stripped.agg(F.sum("n_comment_chars")).collect()[0][0]
+    return {"op": "strip_comments", "rows": n,
+            "comment_chars": int(total),
+            "sec": round(time.time() - t, 1)}
+
+
+def run_license_conflicts(spark, n=16_000_000, repos=20_000):
+    """16M files / 20k repos; 1/4 of repos get a LICENSE file, every
+    97th source file carries a header — dim groupBy + broadcast join +
+    one repo groupBy."""
+    from schema_validator_spark.operators.licenses import (
+        license_conflicts,
+    )
+
+    i = F.col("id")
+    rid = (i % repos).cast("string")
+    is_lic = (i < repos) & (i % 4 == 0)
+    hdr = (
+        F.when(i % 97 == 1, F.lit("// GNU General Public License\n"))
+        .when(i % 97 == 2,
+              F.lit("// Licensed under the Apache License\n"))
+        .otherwise(F.lit(""))
+    )
+    df = spark.range(n).select(
+        F.concat(F.lit("r"), rid).alias("repo"),
+        F.when(is_lic, F.lit("LICENSE"))
+        .otherwise(F.concat(F.lit("src/f"), i.cast("string"),
+                            F.lit(".go"))).alias("path"),
+        F.when(
+            is_lic,
+            F.lit("Permission is hereby granted, free of charge"),
+        ).otherwise(
+            F.concat(hdr, F.lit("package p"), i.cast("string"))
+        ).alias("content"),
+    )
+    t = time.time()
+    out = license_conflicts(df, "repo", "path", "content")
+    n_conf = out.agg(F.sum("n_conflicts")).collect()[0][0]
+    return {"op": "license_conflicts", "rows": n, "repos": repos,
+            "conflicts": int(n_conf),
+            "sec": round(time.time() - t, 1)}
+
+
+def run_dataset_card(spark, n=64_000_000):
+    """64M files over 6 langs / 100k repos with a 10% planted dup load
+    — one groupBy(lang) with two exact count-distincts."""
+    from schema_validator_spark.operators.repoprofile import dataset_card
+
+    i = F.col("id")
+    langs = ["py", "go", "js", "java", "c", None]
+    lang = F.elt(
+        (i % 6 + 1).cast("int"),
+        *[F.lit(x).cast("string") for x in langs],
+    )
+    content = F.when(
+        i % 10 == 0, F.concat(F.lit("dup body "), (i % 6).cast("string"))
+    ).otherwise(F.concat(F.lit("body "), i.cast("string")))
+    df = spark.range(n).select(
+        lang.alias("lang"),
+        F.concat(F.lit("r"), (i % 100_000).cast("string")).alias("repo"),
+        content.alias("content"),
+    )
+    t = time.time()
+    rows = dataset_card(df, "lang", "repo", "content").collect()
+    return {"op": "dataset_card", "rows": n, "langs": len(rows),
+            "sec": round(time.time() - t, 1)}
+
+
+def run_blob_stats(spark, n=32_000_000):
+    """32M files, every 50th dominated by a base64 blob and every 97th
+    by a hex dump — three extract-array sums per row."""
+    from schema_validator_spark.operators.codequality import blob_stats
+
+    i = F.col("id")
+    blob = F.lit("iVBORw0KGgoAAAANSUhEUg" * 8)
+    hexd = F.lit("0xDE " * 40)
+    body = (
+        F.when(i % 50 == 0, blob)
+        .when(i % 97 == 0, hexd)
+        .otherwise(F.concat(F.lit("x = 1\ny = "), i.cast("string")))
+    )
+    df = spark.range(n).select(i.alias("doc_id"), body.alias("content"))
+    t = time.time()
+    dropped = blob_stats(df, "content", keep_cols=["doc_id"]).filter(
+        ~F.col("keep")
+    ).count()
+    return {"op": "blob_stats", "rows": n, "dropped": dropped,
+            "sec": round(time.time() - t, 1)}
+
+
+def run_script_mix(spark, n=32_000_000):
+    """32M files cycling ascii/CJK/Cyrillic/Arabic content — eight
+    regexp_count signals per row."""
+    from schema_validator_spark.functions.text import script_mix
+
+    i = F.col("id")
+    body = (
+        F.when(i % 4 == 1, F.lit("x = 1  # 这是测试注释 "))
+        .when(i % 4 == 2, F.lit("# проверка данных "))
+        .when(i % 4 == 3, F.lit("# مرحبا بالعالم "))
+        .otherwise(F.lit("def f(): return "))
+    )
+    df = spark.range(n).select(
+        i.alias("doc_id"),
+        F.concat(body, i.cast("string")).alias("content"),
+    )
+    t = time.time()
+    out = script_mix(df, "content", keep_cols=["doc_id"])
+    non_latin = out.filter(
+        ~F.col("dominant_script").isin("latin", "none")
+    ).count()
+    return {"op": "script_mix", "rows": n, "non_latin": non_latin,
+            "sec": round(time.time() - t, 1)}
+
+
 OPS = {
     "edit_join": run_edit_join,
     "winnow_pairs": run_winnow,
@@ -1776,6 +1935,12 @@ OPS = {
     "cross_lang_pairs": run_cross_lang_pairs,
     "repo_tree_stats": run_repo_tree_stats,
     "markdown_pairs": run_markdown_pairs,
+    "unicode_audit": run_unicode_audit,
+    "strip_comments": run_strip_comments,
+    "license_conflicts": run_license_conflicts,
+    "dataset_card": run_dataset_card,
+    "blob_stats": run_blob_stats,
+    "script_mix": run_script_mix,
 }
 
 

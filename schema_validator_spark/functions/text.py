@@ -507,15 +507,43 @@ def script_mix(
     tracked script appears — deterministic tie-break, identical in
     both engines.
 
-    Scale shape: one ``regexp_count`` per script + a greatest/CASE
-    chain, all in ONE codegen projection riding the scan — zero
-    shuffles, zero Python."""
+    Scale shape: code corpora are overwhelmingly ASCII, so eight
+    full-content regex passes would pay the engine cost 8x for
+    mostly-empty answers (measured 183s at 32M rows).  Instead the
+    ASCII bytes are stripped ONCE into a materialized residue column
+    (every tracked class except ``A-Za-z`` is entirely non-ASCII, so
+    counts over the residue equal counts over the full text), the
+    seven non-Latin counts + the Latin-extension count run over that
+    usually-empty residue, and only the ``[A-Za-z]`` count touches the
+    full text — ~2 effective passes (measured 42s, 4.3x).  Still one
+    codegen projection riding the scan — zero shuffles, zero Python.
+    The oracle counts the full classes over the FULL text — an
+    independent derivation the equality gate checks."""
+    if "_resid" in df.columns:
+        raise ValueError("script_mix: input already has a _resid column")
     s = F.coalesce(F.col(content_col), F.lit(""))
     names = list(SCRIPT_CLASSES)
-    base = df.select(
+    latin = SCRIPT_CLASSES["latin"]
+    assert latin.startswith("A-Za-z")
+    latin_ext = latin[len("A-Za-z"):]
+    staged = df.select(
+        "*",
+        F.regexp_replace(s, "[\x00-\x7f]+", "").alias("_resid"),
+    )
+    r = F.col("_resid")
+
+    def count_of(n: str, body: str):
+        if n == "latin":
+            return (
+                F.regexp_count(s, F.lit("[A-Za-z]"))
+                + F.regexp_count(r, F.lit(f"[{latin_ext}]"))
+            )
+        return F.regexp_count(r, F.lit(f"[{body}]"))
+
+    base = staged.select(
         *(keep_cols or []),
         *[
-            F.regexp_count(s, F.lit(f"[{body}]")).alias(f"n_{n}")
+            count_of(n, body).alias(f"n_{n}")
             for n, body in SCRIPT_CLASSES.items()
         ],
     )
