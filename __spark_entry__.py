@@ -3908,6 +3908,89 @@ _OWNERSHIP_ORACLE_SQL = """
 """
 
 
+#: blocked_terms synthesis blocklist — invented words the natural
+#: vocabulary of documents.text cannot collide with; NASTYBIT
+#: deliberately uppercase to exercise list-side lowercasing
+_WORDLIST_TERMS = ["vileword", "scumterm", "NASTYBIT"]
+
+
+def q_blocked_terms(spark, sf_dir):
+    """C4 word-list content gate (functions/wordlist.blocked_term_stats):
+    per-document blocklist hit statistics + keep verdict under the
+    RefinedWeb soft threshold (max_hit_rate=0.02 — a single hit keeps
+    only if the doc has >= 50 tokens, so the verdict is data-dependent,
+    not stripe-constant).  Matching is exact lowercase whitespace-token
+    membership (C4 semantics: no substring matches).  Stripes: 1-hit
+    tail append, 3-occurrence/2-distinct mix, a case+boundary stripe
+    ('Vileword' hits after lowering, 'vilewords' never), clean rows,
+    and NULL text (0 tokens, keeps).  ZERO shuffles — one codegen
+    projection; the blocklist compiles to an InSet hash probe."""
+    from schema_validator_spark.functions.wordlist import (
+        blocked_term_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    m = did % 5
+    text = F.col("text")
+    content = (
+        F.when(did % 29 == 0, F.lit(None).cast("string"))
+        .when(m == 0, F.concat(text, F.lit(" vileword")))
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("scumterm "), text, F.lit(" NASTYBIT scumterm")
+            ),
+        )
+        .when(m == 2, F.concat(text, F.lit(" Vileword and vilewords")))
+        .otherwise(text)
+    )
+    return blocked_term_stats(
+        docs.select("doc_id", content.alias("text")),
+        ["doc_id"],
+        "text",
+        _WORDLIST_TERMS,
+        max_hit_rate=0.02,
+    )
+
+
+_BLOCKED_TERMS_ORACLE_SQL = """
+    with c0 as (
+      select doc_id,
+             case when doc_id % 29 = 0 then NULL
+                  when doc_id % 5 = 0 then text || ' vileword'
+                  when doc_id % 5 = 1 then
+                       'scumterm ' || text || ' NASTYBIT scumterm'
+                  when doc_id % 5 = 2 then
+                       text || ' Vileword and vilewords'
+                  else text end as text
+      from documents
+    ), tk as (
+      select doc_id,
+             list_filter(
+               regexp_split_to_array(
+                 trim(lower(coalesce(text, ''))), '\\s+'),
+               t -> t <> '') as toks
+      from c0
+    ), h as (
+      select doc_id, toks,
+             list_filter(
+               toks,
+               t -> t in ('nastybit', 'scumterm', 'vileword')) as hits
+      from tk
+    )
+    select doc_id,
+           cast(len(toks) as int) as n_tokens,
+           cast(len(hits) as int) as n_blocked,
+           cast(len(list_distinct(hits)) as int) as n_blocked_distinct,
+           coalesce(array_to_string(list_sort(list_distinct(hits)), ','),
+                    '') as blocked_found,
+           cast(case when len(hits) * 1000000 <= 20000 * len(toks)
+                     then 1 else 0 end as int) as keep
+    from h
+"""
+
+
 #: bm25 synthesis terms — underscore/digit shapes the natural-word
 #: vocabulary of documents.text cannot collide with
 _BM25_TERMS = ["serialize_v2", "mutex_guard", "qsort_3way"]
@@ -5944,6 +6027,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dobf_pairs": q_dobf_pairs,
         "halstead_metrics": q_halstead,
         "ownership": q_ownership,
+        "blocked_terms": q_blocked_terms,
     }
 
 
@@ -10872,6 +10956,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "dobf_pairs": _dobf_oracle_sql(),
         "halstead_metrics": _halstead_oracle_sql(),
         "ownership": _OWNERSHIP_ORACLE_SQL,
+        "blocked_terms": _BLOCKED_TERMS_ORACLE_SQL,
         "dead_symbols": _dead_symbols_oracle_sql(),
         "comment_lang": _comment_lang_oracle_sql(),
         "notebook_pairs": _NB_PAIRS_ORACLE_SQL,
