@@ -3991,6 +3991,261 @@ _BLOCKED_TERMS_ORACLE_SQL = """
 """
 
 
+def q_boilerplate(spark, sf_dir):
+    """Corpus-frequency boilerplate line removal
+    (operators/boilerplate.remove_boilerplate_lines — the CCNet /
+    RefinedWeb data-driven line filter): lines whose DOCUMENT
+    frequency reaches max(min_df=2, ceil(0.2 * n_docs)) are removed
+    from every document, including the first occurrence (the exact
+    opposite keep-rule of global_line_dedup).  Stripes: a footer
+    planted on ~half the docs (m in 0,1 — and TWICE on m==0 to pin
+    all-occurrence removal), a nav banner on ~quarter (above the 0.2
+    threshold), a rare footer on doc_id%97 (below threshold — must
+    survive), NULL text.  Detection = one map-side-combined groupBy
+    over per-doc DISTINCT lines; the detected set is bounded by
+    L_avg/frac, collected under a loud guard, and removal is one
+    codegen projection with an InSet line probe."""
+    from schema_validator_spark.operators.boilerplate import (
+        remove_boilerplate_lines,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    m = did % 4
+    text = F.col("text")
+    nl = F.lit("\n")
+    foot = F.lit("// generated by makedocs")
+    nav = F.lit("### nav: home | about")
+    rare = F.lit("// rare footer")
+    content = (
+        F.when(did % 29 == 0, F.lit(None).cast("string"))
+        .when(m == 0, F.concat(foot, nl, text, nl, foot))
+        .when(m == 1, F.concat(nav, nl, text, nl, foot))
+        .when(did % 97 == 0, F.concat(text, nl, rare))
+        .otherwise(text)
+    )
+    return remove_boilerplate_lines(
+        docs.select("doc_id", content.alias("text")),
+        ["doc_id"],
+        "text",
+        min_df=2,
+        max_df_frac=0.2,
+    )
+
+
+_BOILERPLATE_ORACLE_SQL = """
+    with docs as (
+      select doc_id,
+             case when doc_id % 29 = 0 then NULL
+                  when doc_id % 4 = 0 then
+                       '// generated by makedocs' || chr(10) || text
+                       || chr(10) || '// generated by makedocs'
+                  when doc_id % 4 = 1 then
+                       '### nav: home | about' || chr(10) || text
+                       || chr(10) || '// generated by makedocs'
+                  when doc_id % 97 = 0 then
+                       text || chr(10) || '// rare footer'
+                  else text end as text
+      from documents
+    ), ls as (
+      select doc_id, str_split(coalesce(text, ''), chr(10)) as ls
+      from docs
+    ), dl as (
+      select distinct doc_id, line
+      from (select doc_id, unnest(ls) as line from ls)
+      where trim(line) <> ''
+    ), bp as (
+      select line from dl group by line
+      having count(*) >= greatest(
+        2, ceil(0.2 * (select count(*) from docs)))
+    ), bl as (
+      select coalesce(list(line), cast([] as varchar[])) as bls from bp
+    ), out as (
+      select doc_id, ls,
+             list_filter(ls, l -> not list_contains(bls, l)) as kept
+      from ls, bl
+    )
+    select doc_id,
+           cast(len(ls) as int) as n_lines,
+           cast(len(ls) - len(kept) as int) as n_removed,
+           array_to_string(kept, chr(10)) as text_clean
+    from out
+"""
+
+
+def q_chat_lint(spark, sf_dir):
+    """SFT conversation-format lint (operators/chatlint.chat_lint):
+    structural validation of chat-JSONL training rows — role
+    vocabulary, at-most-one LEADING system, user-first, strict
+    user/assistant alternation, assistant-last, no empty turns; the
+    conversation-grain analog of the reference's struct validation.
+    Nine stripes hit every first_error code (valid-with-system,
+    valid-without, invalid JSON, top-level object, [], bad role,
+    empty content, broken alternation, wrong last role) + NULL rows;
+    contents are doc-unique so nothing is constant-folded away.  One
+    codegen projection (from_json + array HOFs), zero shuffles; the
+    oracle re-derives every verdict with DuckDB's OWN JSON functions
+    over the same raw strings."""
+    from schema_validator_spark.operators.chatlint import chat_lint
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    k = did.cast("string")
+    m = did % 9
+
+    def turn(role, prefix):
+        return F.concat(
+            F.lit('{"role":"' + role + '","content":"' + prefix),
+            k,
+            F.lit('"}'),
+        )
+
+    def arr(*cols):
+        parts = [F.lit("[")]
+        for i, c in enumerate(cols):
+            if i:
+                parts.append(F.lit(","))
+            parts.append(c)
+        parts.append(F.lit("]"))
+        return F.concat(*parts)
+
+    conv = (
+        F.when(did % 29 == 0, F.lit(None).cast("string"))
+        .when(m == 0, arr(turn("system", "s"), turn("user", "u"),
+                          turn("assistant", "a"), turn("user", "u2"),
+                          turn("assistant", "a2")))
+        .when(m == 1, arr(turn("user", "u"), turn("assistant", "a")))
+        .when(m == 2, F.concat(F.lit('{"oops": '), k))
+        .when(m == 3, turn("user", "solo"))
+        .when(m == 4, F.lit("[]"))
+        .when(m == 5, arr(turn("robot", "r"), turn("assistant", "a")))
+        .when(m == 6, arr(turn("user", "u"),
+                          F.lit('{"role":"assistant","content":""}')))
+        .when(m == 7, arr(turn("user", "u"), turn("user", "u2"),
+                          turn("assistant", "a")))
+        .otherwise(arr(turn("user", "u"), turn("assistant", "a"),
+                       turn("user", "tail")))
+    )
+    return chat_lint(
+        docs.select("doc_id", conv.alias("conv")), ["doc_id"], "conv"
+    )
+
+
+_CHAT_LINT_ORACLE_SQL = """
+    with docs as (
+      select doc_id,
+             case when doc_id % 29 = 0 then NULL
+                  when doc_id % 9 = 0 then
+                    '[{"role":"system","content":"s' || doc_id || '"},'
+                    || '{"role":"user","content":"u' || doc_id || '"},'
+                    || '{"role":"assistant","content":"a' || doc_id
+                    || '"},{"role":"user","content":"u2' || doc_id
+                    || '"},{"role":"assistant","content":"a2' || doc_id
+                    || '"}]'
+                  when doc_id % 9 = 1 then
+                    '[{"role":"user","content":"u' || doc_id || '"},'
+                    || '{"role":"assistant","content":"a' || doc_id
+                    || '"}]'
+                  when doc_id % 9 = 2 then '{"oops": ' || doc_id
+                  when doc_id % 9 = 3 then
+                    '{"role":"user","content":"solo' || doc_id || '"}'
+                  when doc_id % 9 = 4 then '[]'
+                  when doc_id % 9 = 5 then
+                    '[{"role":"robot","content":"r' || doc_id || '"},'
+                    || '{"role":"assistant","content":"a' || doc_id
+                    || '"}]'
+                  when doc_id % 9 = 6 then
+                    '[{"role":"user","content":"u' || doc_id || '"},'
+                    || '{"role":"assistant","content":""}]'
+                  when doc_id % 9 = 7 then
+                    '[{"role":"user","content":"u' || doc_id || '"},'
+                    || '{"role":"user","content":"u2' || doc_id || '"},'
+                    || '{"role":"assistant","content":"a' || doc_id
+                    || '"}]'
+                  else
+                    '[{"role":"user","content":"u' || doc_id || '"},'
+                    || '{"role":"assistant","content":"a' || doc_id
+                    || '"},{"role":"user","content":"tail' || doc_id
+                    || '"}]'
+             end as conv
+      from documents
+    ), u as (
+      select doc_id, conv,
+             (conv is null or trim(conv) = '') as missing,
+             (conv is not null and trim(conv) <> ''
+              and json_valid(conv)) as parsed_ok
+      from docs
+    ), a0 as (
+      select doc_id, conv, missing, parsed_ok,
+             case when parsed_ok then json_type(conv) end as jtype
+      from u
+    ), a as (
+      select doc_id, conv, missing, parsed_ok,
+             coalesce(jtype = 'ARRAY', false) as is_arr,
+             case when coalesce(jtype = 'ARRAY', false)
+                  then cast(json_array_length(conv) as int)
+                  else 0 end as n
+      from a0
+    ), v as (
+      select doc_id, missing, parsed_ok, is_arr, n,
+             case when is_arr then list_transform(range(n),
+               i -> json_extract_string(conv, '$[' || i || '].role'))
+               else cast([] as varchar[]) end as roles,
+             case when is_arr then list_transform(range(n),
+               i -> json_extract_string(conv, '$[' || i || '].content'))
+               else cast([] as varchar[]) end as conts
+      from a
+    ), w as (
+      select *,
+             case when len(roles) > 0 and roles[1] = 'system'
+                  then roles[2:] else roles end as body
+      from v
+    ), x as (
+      select *,
+             len(list_filter(roles, r -> r is null
+                 or r not in ('system', 'user', 'assistant'))) > 0
+               as bad_role,
+             len(list_filter(conts, c -> c is null or trim(c) = '')) > 0
+               as empty_content,
+             list_contains(body, 'system') as system_not_first,
+             (len(body) > 0 and body[1] <> 'user') as not_user_first,
+             (len(body) >= 2 and len(list_filter(
+                 range(2, len(body) + 1),
+                 i -> body[i] = body[i - 1])) > 0) as no_alternation,
+             (n > 0 and roles[n] <> 'assistant') as not_assistant_last
+      from w
+    ), y as (
+      select doc_id, n, roles, conts,
+             case when missing then 'missing'
+                  when not parsed_ok then 'invalid_json'
+                  when not is_arr then 'not_an_array'
+                  when n = 0 then 'empty_conversation'
+                  when bad_role then 'bad_role'
+                  when empty_content then 'empty_content'
+                  when system_not_first then 'system_not_first'
+                  when not_user_first then 'not_user_first'
+                  when no_alternation then 'no_alternation'
+                  when not_assistant_last then 'not_assistant_last'
+                  else 'ok' end as first_error
+      from x
+    )
+    select doc_id,
+           cast(n as int) as n_turns,
+           cast(len(list_filter(roles, r -> r = 'system')) as int)
+             as n_system,
+           cast(len(list_filter(roles, r -> r = 'user')) as int)
+             as n_user,
+           cast(len(list_filter(roles, r -> r = 'assistant')) as int)
+             as n_assistant,
+           cast(len(list_filter(conts, c -> c is null or trim(c) = ''))
+                as int) as n_empty,
+           first_error,
+           cast(case when first_error = 'ok' then 1 else 0 end as int)
+             as keep
+    from y
+"""
+
+
 #: bm25 synthesis terms — underscore/digit shapes the natural-word
 #: vocabulary of documents.text cannot collide with
 _BM25_TERMS = ["serialize_v2", "mutex_guard", "qsort_3way"]
@@ -6028,6 +6283,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "halstead_metrics": q_halstead,
         "ownership": q_ownership,
         "blocked_terms": q_blocked_terms,
+        "boilerplate": q_boilerplate,
+        "chat_lint": q_chat_lint,
     }
 
 
@@ -10957,6 +11214,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "halstead_metrics": _halstead_oracle_sql(),
         "ownership": _OWNERSHIP_ORACLE_SQL,
         "blocked_terms": _BLOCKED_TERMS_ORACLE_SQL,
+        "boilerplate": _BOILERPLATE_ORACLE_SQL,
+        "chat_lint": _CHAT_LINT_ORACLE_SQL,
         "dead_symbols": _dead_symbols_oracle_sql(),
         "comment_lang": _comment_lang_oracle_sql(),
         "notebook_pairs": _NB_PAIRS_ORACLE_SQL,

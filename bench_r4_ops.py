@@ -1864,6 +1864,102 @@ def run_script_mix(spark, n=32_000_000):
             "sec": round(time.time() - t, 1)}
 
 
+def run_blocked_terms(spark, n=64_000_000, n_terms=2_000):
+    """64M ~14-token docs against a 2 000-term blocklist — the InSet
+    probe must stay O(1)/token at real (LDNOOBW-scale) list sizes;
+    every 50th doc gets a planted hit."""
+    from schema_validator_spark.functions.wordlist import (
+        blocked_term_stats,
+    )
+
+    terms = [f"blk{i}x" for i in range(n_terms)]
+    i = F.col("id")
+    words = F.expr(
+        "array_join(transform(sequence(1, 13), j ->"
+        " substring(md5(cast(id * 31 + j as string)), 1, 6)), ' ')"
+    )
+    body = F.concat(
+        words,
+        F.when(i % 50 == 0, F.lit(" blk7x")).otherwise(F.lit("")),
+    )
+    df = spark.range(n).select(i.alias("doc_id"), body.alias("text"))
+    t = time.time()
+    dropped = (
+        blocked_term_stats(df, ["doc_id"], "text", terms)
+        .filter(F.col("keep") == 0)
+        .count()
+    )
+    return {"op": "blocked_terms", "rows": n, "terms": n_terms,
+            "dropped": dropped, "sec": round(time.time() - t, 1)}
+
+
+def run_boilerplate(spark, n=16_000_000):
+    """16M 12-line docs, 10 planted boilerplate lines on every-2nd/4th
+    doc + per-doc unique lines: detection shuffles 16M-doc-scale
+    distinct (line, doc) partials, collects a tiny set, and the
+    removal projection rescans with an InSet probe."""
+    from schema_validator_spark.operators.boilerplate import (
+        remove_boilerplate_lines,
+    )
+
+    i = F.col("id")
+    uniq = F.expr(
+        "array_join(transform(sequence(1, 10), j ->"
+        " substring(md5(cast(id * 17 + j as string)), 1, 8)), '\n')"
+    )
+    body = F.concat(
+        F.when(i % 2 == 0, F.lit("// generated by makedocs\n"))
+        .otherwise(F.lit("")),
+        uniq,
+        F.when(i % 4 == 0, F.lit("\n### nav: home | about"))
+        .otherwise(F.lit("")),
+    )
+    df = spark.range(n).select(i.alias("doc_id"), body.alias("text"))
+    t = time.time()
+    removed = remove_boilerplate_lines(
+        df, ["doc_id"], "text", min_df=2, max_df_frac=0.1
+    ).agg(F.sum("n_removed")).collect()[0][0]
+    return {"op": "boilerplate", "rows": n, "lines_removed": int(removed),
+            "sec": round(time.time() - t, 1)}
+
+
+def run_chat_lint(spark, n=32_000_000):
+    """32M chat-JSONL rows (valid 6-turn, broken-alternation, and
+    empty-content stripes): from_json + the full positional rule chain
+    per row, zero shuffles."""
+    from schema_validator_spark.operators.chatlint import chat_lint
+
+    i = F.col("id")
+    k = i.cast("string")
+
+    def turn(role, prefix):
+        return F.concat(
+            F.lit('{"role":"' + role + '","content":"' + prefix),
+            k, F.lit('"}'))
+
+    valid = F.concat(
+        F.lit("["), turn("system", "s"), F.lit(","), turn("user", "u"),
+        F.lit(","), turn("assistant", "a"), F.lit(","), turn("user", "u2"),
+        F.lit(","), turn("assistant", "a2"), F.lit("]"))
+    noalt = F.concat(
+        F.lit("["), turn("user", "u"), F.lit(","), turn("user", "u2"),
+        F.lit(","), turn("assistant", "a"), F.lit("]"))
+    empt = F.concat(
+        F.lit("["), turn("user", "u"),
+        F.lit(',{"role":"assistant","content":""}]'))
+    conv = (
+        F.when(i % 17 == 0, noalt)
+        .when(i % 23 == 0, empt)
+        .otherwise(valid)
+    )
+    df = spark.range(n).select(i.alias("doc_id"), conv.alias("conv"))
+    t = time.time()
+    bad = chat_lint(df, ["doc_id"], "conv").filter(
+        F.col("keep") == 0).count()
+    return {"op": "chat_lint", "rows": n, "rejected": bad,
+            "sec": round(time.time() - t, 1)}
+
+
 OPS = {
     "edit_join": run_edit_join,
     "winnow_pairs": run_winnow,
@@ -1941,6 +2037,9 @@ OPS = {
     "dataset_card": run_dataset_card,
     "blob_stats": run_blob_stats,
     "script_mix": run_script_mix,
+    "blocked_terms": run_blocked_terms,
+    "boilerplate": run_boilerplate,
+    "chat_lint": run_chat_lint,
 }
 
 
