@@ -4246,6 +4246,193 @@ _CHAT_LINT_ORACLE_SQL = """
 """
 
 
+def q_split_assign(spark, sf_dir):
+    """Leakage-safe train/val/test split
+    (operators/split.leakage_safe_split): documents are assigned by
+    their duplicate-CLUSTER representative, so no near-dup pair can
+    straddle the train/eval fence — the constructive fix for the
+    contamination shard_leakage audits.  Pairs: (i, i+1) for i%4==0
+    plus (i+1, i+2) for i%20==0 — every 20-block is a TRANSITIVE
+    3-chain, pinning that components (not just pairs) share a split.
+    Assignment = md5(cluster_id, salt) against precomputed hex-string
+    thresholds (split_thresholds — single source with this oracle):
+    fixed-width lowercase hex compares like its numeric value, zero
+    floats, bit-exact on any engine.  CC runs at pair scale; the
+    corpus pays one left join + a codegen projection."""
+    from schema_validator_spark.operators.split import (
+        leakage_safe_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    pairs = (
+        docs.filter(did % 4 == 0)
+        .select(did.alias("id_a"), (did + 1).alias("id_b"))
+        .unionByName(
+            docs.filter(did % 20 == 0).select(
+                (did + 1).alias("id_a"), (did + 2).alias("id_b")
+            )
+        )
+    )
+    return leakage_safe_split(
+        docs.select("doc_id"),
+        "doc_id",
+        pairs,
+        ratios={"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="v1",
+    )
+
+
+def _split_assign_oracle_sql() -> str:
+    """Replay q_split_assign: identical pair construction, components
+    via a recursive-CTE min-label closure, and the SAME hex-string
+    thresholds from split_thresholds (single source)."""
+    from schema_validator_spark.operators.split import split_thresholds
+
+    b = split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    h = "substr(md5(cast(cluster_id as varchar) || 'v1'), 1, 15)"
+    case = (
+        f"case when {h} < '{b[0][1]}' then '{b[0][0]}'\n"
+        f"     when {h} < '{b[1][1]}' then '{b[1][0]}'\n"
+        f"     else '{b[2][0]}' end"
+    )
+    return f"""
+      with recursive pairs as (
+        select doc_id as id_a, doc_id + 1 as id_b
+        from documents where doc_id % 4 = 0
+        union all
+        select doc_id + 1, doc_id + 2
+        from documents where doc_id % 20 = 0
+      ), edges as (
+        select id_a as a, id_b as b from pairs
+        union
+        select id_b, id_a from pairs
+      ), reach(node, label) as (
+        select a, a from (select distinct a from edges)
+        union
+        select e.a, r.label from edges e join reach r on r.node = e.b
+      ), comp as (
+        select node, min(label) as cluster_id from reach group by node
+      ), asg as (
+        select d.doc_id,
+               coalesce(c.cluster_id, d.doc_id) as cluster_id
+        from documents d left join comp c on c.node = d.doc_id
+      )
+      select doc_id, cluster_id, {case} as split
+      from asg
+    """
+
+
+#: chat_render stripe turn lists — single source for the Spark JSON
+#: synthesis AND the oracle's turns CTE (content = prefix || doc_id,
+#: or '' when the prefix is empty — the must-stay-total edge)
+_RENDER_STRIPES = {
+    0: [("system", "s"), ("user", "u"), ("assistant", "a"),
+        ("user", "u2"), ("assistant", "a2")],
+    1: [("user", "u"), ("assistant", "a")],
+    2: [("user", "uo")],          # no assistant turn -> no rows
+    3: [("assistant", "")],       # empty content -> empty span
+}
+
+
+def q_chat_render(spark, sf_dir):
+    """Chat-template rendering + assistant loss-mask spans
+    (operators/chatrender.render_chat — the step after chat_lint in
+    an SFT pipeline): one row per assistant turn with the rendered
+    text's md5, total chars, 0-based [start, end) character offsets,
+    and span_text sliced BACK OUT of the rendered string at those
+    offsets — so the oracle's independent derivation (window cumsum
+    over per-turn piece lengths; span_text taken from the CONTENT,
+    never sliced) cross-verifies the offsets byte-for-byte.  Stripes:
+    two-span, one-span, zero-span, and empty-content conversations +
+    NULL rows.  from_json bound once, one O(n_turns) aggregate pass,
+    zero shuffles."""
+    from schema_validator_spark.operators.chatrender import render_chat
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    k = did.cast("string")
+
+    def jturn(role, prefix):
+        if prefix:
+            return F.concat(
+                F.lit('{"role":"' + role + '","content":"' + prefix),
+                k,
+                F.lit('"}'),
+            )
+        return F.lit('{"role":"' + role + '","content":""}')
+
+    def jarr(turns):
+        parts = [F.lit("[")]
+        for i, (role, prefix) in enumerate(turns):
+            if i:
+                parts.append(F.lit(","))
+            parts.append(jturn(role, prefix))
+        parts.append(F.lit("]"))
+        return F.concat(*parts)
+
+    conv = F.when(did % 29 == 0, F.lit(None).cast("string"))
+    for m, turns in _RENDER_STRIPES.items():
+        conv = conv.when(did % 4 == m, jarr(turns))
+    return render_chat(
+        docs.select("doc_id", conv.alias("conv")), ["doc_id"], "conv"
+    )
+
+
+def _chat_render_oracle_sql() -> str:
+    """Replay q_chat_render independently: turns CTE from the SAME
+    _RENDER_STRIPES, offsets via window cumsum of piece lengths,
+    span_text from the turn CONTENT (the renderer slices it from the
+    rendered string — agreement pins the offsets)."""
+    unions = []
+    for m, turns in _RENDER_STRIPES.items():
+        for i, (role, prefix) in enumerate(turns):
+            content = (
+                f"'{prefix}' || cast(doc_id as varchar)" if prefix
+                else "''"
+            )
+            unions.append(
+                f"select doc_id, {i} as i, '{role}' as role, "
+                f"{content} as content from documents "
+                f"where doc_id % 29 <> 0 and doc_id % 4 = {m}"
+            )
+    turns_sql = "\n        union all\n        ".join(unions)
+    return f"""
+      with turns as (
+        {turns_sql}
+      ), pieces as (
+        select doc_id, i, role, content,
+               5 + length(role) + length(content) + 1 as plen,
+               length(role) + 5 as header
+        from turns
+      ), pos as (
+        select *,
+               coalesce(sum(plen) over (
+                 partition by doc_id order by i
+                 rows between unbounded preceding and 1 preceding), 0)
+                 as pstart
+        from pieces
+      ), rend as (
+        select doc_id,
+               string_agg('<|' || role || '|>' || chr(10) || content
+                          || chr(10), '' order by i) as rendered
+        from pieces group by doc_id
+      )
+      select p.doc_id,
+             md5(r.rendered) as rendered_md5,
+             cast(length(r.rendered) as int) as n_chars,
+             cast(row_number() over (partition by p.doc_id
+                                     order by p.i) - 1 as bigint)
+               as span_idx,
+             cast(p.pstart + p.header as bigint) as start_char,
+             cast(p.pstart + p.header + length(p.content) as bigint)
+               as end_char,
+             p.content as span_text
+      from pos p join rend r on r.doc_id = p.doc_id
+      where p.role = 'assistant'
+    """
+
+
 #: bm25 synthesis terms — underscore/digit shapes the natural-word
 #: vocabulary of documents.text cannot collide with
 _BM25_TERMS = ["serialize_v2", "mutex_guard", "qsort_3way"]
@@ -6285,6 +6472,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocked_terms": q_blocked_terms,
         "boilerplate": q_boilerplate,
         "chat_lint": q_chat_lint,
+        "split_assign": q_split_assign,
+        "chat_render": q_chat_render,
     }
 
 
@@ -11216,6 +11405,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "blocked_terms": _BLOCKED_TERMS_ORACLE_SQL,
         "boilerplate": _BOILERPLATE_ORACLE_SQL,
         "chat_lint": _CHAT_LINT_ORACLE_SQL,
+        "split_assign": _split_assign_oracle_sql(),
+        "chat_render": _chat_render_oracle_sql(),
         "dead_symbols": _dead_symbols_oracle_sql(),
         "comment_lang": _comment_lang_oracle_sql(),
         "notebook_pairs": _NB_PAIRS_ORACLE_SQL,

@@ -1960,6 +1960,55 @@ def run_chat_lint(spark, n=32_000_000):
             "sec": round(time.time() - t, 1)}
 
 
+def run_split_assign(spark, n=64_000_000):
+    """64M docs with 8M planted dup pairs (every 8th doc pairs with
+    its neighbor): CC at pair scale, one corpus join, codegen
+    hex-threshold assignment; verifies zero leaked pairs."""
+    from schema_validator_spark.operators.split import (
+        leakage_safe_split,
+        split_leakage,
+    )
+
+    i = F.col("id")
+    docs = spark.range(n).select(i.alias("doc_id"))
+    pairs = (
+        spark.range(n).filter(i % 8 == 0)
+        .select(i.alias("id_a"), (i + 1).alias("id_b"))
+    )
+    t = time.time()
+    asg = leakage_safe_split(docs, "doc_id", pairs)
+    counts = {r["split"]: r["n"] for r in
+              asg.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    leaked = split_leakage(asg, pairs).count()
+    return {"op": "split_assign", "rows": n, "pairs": n // 8,
+            "counts": counts, "leaked": leaked,
+            "sec": round(time.time() - t, 1)}
+
+
+def run_chat_render(spark, n=32_000_000):
+    """32M 5-turn conversations -> 64M span rows: parse-once render +
+    O(n_turns) offset accumulator per row, zero shuffles."""
+    from schema_validator_spark.operators.chatrender import render_chat
+
+    i = F.col("id")
+    k = i.cast("string")
+
+    def turn(role, prefix):
+        return F.concat(
+            F.lit('{"role":"' + role + '","content":"' + prefix),
+            k, F.lit('"}'))
+
+    conv = F.concat(
+        F.lit("["), turn("system", "s"), F.lit(","), turn("user", "u"),
+        F.lit(","), turn("assistant", "a"), F.lit(","), turn("user", "u2"),
+        F.lit(","), turn("assistant", "a2"), F.lit("]"))
+    df = spark.range(n).select(i.alias("doc_id"), conv.alias("conv"))
+    t = time.time()
+    cnt = render_chat(df, ["doc_id"], "conv").count()
+    return {"op": "chat_render", "rows": n, "span_rows": cnt,
+            "sec": round(time.time() - t, 1)}
+
+
 OPS = {
     "edit_join": run_edit_join,
     "winnow_pairs": run_winnow,
@@ -2040,6 +2089,8 @@ OPS = {
     "blocked_terms": run_blocked_terms,
     "boilerplate": run_boilerplate,
     "chat_lint": run_chat_lint,
+    "split_assign": run_split_assign,
+    "chat_render": run_chat_render,
 }
 
 

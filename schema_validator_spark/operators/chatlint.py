@@ -52,6 +52,15 @@ ERROR_PRIORITY = [
 MESSAGES_SCHEMA = "array<struct<role:string,content:string>>"
 
 
+def _bound(expr: Column, fn) -> Column:
+    """Bind ``expr`` ONCE as a higher-order-function lambda variable
+    and hand it to ``fn`` — interpreted HOFs get no subexpression
+    elimination, so a heavy expression referenced N times would run N
+    times; through the binding every reference is a variable lookup
+    (see functions/text.array_shingles for the measured case)."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def chat_lint(
     df: DataFrame,
     id_cols: list[str],
@@ -76,85 +85,107 @@ def chat_lint(
             raise ValueError(f"reserved temp column {c!r} present in input")
     if not roles:
         raise ValueError("empty role vocabulary")
+    out_cols = ["n_turns", "n_system", "n_user", "n_assistant",
+                "n_empty", "first_error", "keep"]
+    clash = [c for c in out_cols if c in id_cols]
+    if clash:
+        raise ValueError(f"id_cols collide with output column(s) {clash}")
     raw = F.col(conv_col)
-    p = F.col("_p")
-    rl = F.col("_roles")
-    body = F.col("_body")
-    n = F.size(p)
-    nb = F.size(body)
 
-    structural_ok = (
-        raw.isNotNull()
-        & (F.trim(raw) != "")
-        & p.isNotNull()
-        & F.trim(raw).startswith("[")
-    )
-    bad_role = F.exists(rl, lambda r: r.isNull() | ~r.isin(*roles))
-    empty_content = F.exists(
-        p, lambda m: m["content"].isNull() | (F.trim(m["content"]) == "")
-    )
-    system_not_first = F.exists(body, lambda r: r == "system")
-    not_user_first = (nb > 0) & (F.element_at(body, 1) != "user")
-    no_alternation = F.when(
-        nb >= 2,
-        F.exists(
-            F.sequence(F.lit(2), nb),
-            lambda i: F.element_at(body, i) == F.element_at(body, i - 1),
-        ),
-    ).otherwise(F.lit(False))
-    not_assistant_last = F.element_at(rl, -1) != "assistant"
+    def build(p: Column, rl: Column, body: Column) -> Column:
+        """All outputs from ONE binding of (parsed, roles, body)."""
+        n = F.size(p)
+        nb = F.size(body)
+        structural_ok = (
+            raw.isNotNull()
+            & (F.trim(raw) != "")
+            & p.isNotNull()
+            & F.trim(raw).startswith("[")
+        )
+        bad_role = F.exists(rl, lambda r: r.isNull() | ~r.isin(*roles))
+        empty_content = F.exists(
+            p,
+            lambda m: m["content"].isNull() | (F.trim(m["content"]) == ""),
+        )
+        system_not_first = F.exists(body, lambda r: r == "system")
+        not_user_first = (nb > 0) & (F.element_at(body, 1) != "user")
+        no_alternation = F.when(
+            nb >= 2,
+            F.exists(
+                F.sequence(F.lit(2), nb),
+                lambda i: F.element_at(body, i)
+                == F.element_at(body, i - 1),
+            ),
+        ).otherwise(F.lit(False))
+        not_assistant_last = F.element_at(rl, -1) != "assistant"
 
-    first_error = (
-        F.when(raw.isNull() | (F.trim(raw) == ""), F.lit("missing"))
-        .when(p.isNull(), F.lit("invalid_json"))
-        .when(~F.trim(raw).startswith("["), F.lit("not_an_array"))
-        .when(n == 0, F.lit("empty_conversation"))
-        .when(bad_role, F.lit("bad_role"))
-        .when(empty_content, F.lit("empty_content"))
-        .when(system_not_first, F.lit("system_not_first"))
-        .when(not_user_first, F.lit("not_user_first"))
-        .when(no_alternation, F.lit("no_alternation"))
-        .when(not_assistant_last, F.lit("not_assistant_last"))
-        .otherwise(F.lit("ok"))
-    )
+        first_error = (
+            F.when(raw.isNull() | (F.trim(raw) == ""), F.lit("missing"))
+            .when(p.isNull(), F.lit("invalid_json"))
+            .when(~F.trim(raw).startswith("["), F.lit("not_an_array"))
+            .when(n == 0, F.lit("empty_conversation"))
+            .when(bad_role, F.lit("bad_role"))
+            .when(empty_content, F.lit("empty_content"))
+            .when(system_not_first, F.lit("system_not_first"))
+            .when(not_user_first, F.lit("not_user_first"))
+            .when(no_alternation, F.lit("no_alternation"))
+            .when(not_assistant_last, F.lit("not_assistant_last"))
+            .otherwise(F.lit("ok"))
+        )
 
-    def _role_count(name: str) -> Column:
-        return F.when(
-            structural_ok, F.size(F.filter(rl, lambda r: r == name))
+        def role_count(name: str) -> Column:
+            return F.when(
+                structural_ok, F.size(F.filter(rl, lambda r: r == name))
+            ).otherwise(F.lit(0))
+
+        n_empty = F.when(
+            structural_ok,
+            F.size(
+                F.filter(
+                    p,
+                    lambda m: m["content"].isNull()
+                    | (F.trim(m["content"]) == ""),
+                )
+            ),
         ).otherwise(F.lit(0))
 
-    n_empty = F.when(
-        structural_ok,
-        F.size(
-            F.filter(
-                p,
-                lambda m: m["content"].isNull()
-                | (F.trim(m["content"]) == ""),
-            )
-        ),
-    ).otherwise(F.lit(0))
+        # first_error feeds two outputs; bind it once too
+        return _bound(
+            first_error,
+            lambda fe: F.struct(
+                F.when(structural_ok, n).otherwise(F.lit(0))
+                .alias("n_turns"),
+                role_count("system").alias("n_system"),
+                role_count("user").alias("n_user"),
+                role_count("assistant").alias("n_assistant"),
+                n_empty.alias("n_empty"),
+                fe.alias("first_error"),
+                (fe == "ok").cast("int").alias("keep"),
+            ),
+        )
 
-    return (
-        df.withColumn("_p", F.from_json(raw, MESSAGES_SCHEMA))
-        .withColumn("_roles", F.transform(p, lambda m: m["role"]))
-        .withColumn(
-            "_body",
-            F.when(
-                (F.size(rl) > 0) & (F.element_at(rl, 1) == "system"),
-                F.slice(rl, 2, F.size(rl) - 1),
-            ).otherwise(rl),
-        )
-        .select(
-            *[F.col(c) for c in id_cols],
-            F.when(structural_ok, n).otherwise(F.lit(0)).alias("n_turns"),
-            _role_count("system").alias("n_system"),
-            _role_count("user").alias("n_user"),
-            _role_count("assistant").alias("n_assistant"),
-            n_empty.alias("n_empty"),
-            first_error.alias("first_error"),
-            (first_error == "ok").cast("int").alias("keep"),
-        )
+    # from_json is interpreted (CodegenFallback) and referenced by ~10
+    # downstream checks: bind the parse — and the role/body derivations
+    # — ONCE each as lambda variables (the array_shingles pattern), so
+    # every reference is a bound-variable lookup, not a re-parse.
+    verdict = _bound(
+        F.from_json(raw, MESSAGES_SCHEMA),
+        lambda p: _bound(
+            F.transform(p, lambda m: m["role"]),
+            lambda rl: _bound(
+                F.when(
+                    (F.size(rl) > 0)
+                    & (F.element_at(rl, 1) == "system"),
+                    F.slice(rl, 2, F.size(rl) - 1),
+                ).otherwise(rl),
+                lambda body: build(p, rl, body),
+            ),
+        ),
     )
+    # inline = a Generate barrier: CollapseProject cannot inline the
+    # verdict expression past it, so the struct is evaluated ONCE per
+    # row even though seven output columns read from it.
+    return df.select(*[F.col(c) for c in id_cols], F.inline(F.array(verdict)))
 
 
 def filter_valid_chats(
