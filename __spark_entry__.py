@@ -4433,6 +4433,193 @@ def _chat_render_oracle_sql() -> str:
     """
 
 
+#: normalize stripe templates — single source for Spark + oracle;
+#: note stripe 0 is DECOMPOSED (e + U+0301), stripe 4 precomposed
+_NORM_STRIPES = {
+    0: "nfd café text ",
+    1: "“q” – ‘x’ — ",
+    2: "a​b\r\nc ",
+    3: "plain ascii ",
+    4: "nfc café ",
+    5: "nb sp ",
+}
+
+
+def q_normalize(spark, sf_dir):
+    """Unicode text normalization (operators/normalize.normalize_text):
+    punctuation/whitespace unification in pure codegen (curly->ASCII
+    quotes, dashes->'-', NBSP->space, zero-width removed, CRLF->LF)
+    composed with NFC via the documented Arrow-batched Python tier
+    (Spark SQL has no UCD normalizer; ASCII rows skip the table via a
+    C-level isascii check).  Stripes: decomposed NFD accents (shrink
+    by 1 char), curly punctuation, zero-width+CRLF, plain ASCII
+    (identity), precomposed NFC (identity), NBSP, NULL.  The oracle
+    replays tier 1 from the SAME PUNCT_MAP/ZW_DELETE constants and
+    tier 2 with DuckDB's OWN nfc_normalize — two independent UCD
+    implementations must agree byte-for-byte."""
+    from schema_validator_spark.operators.normalize import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    k = did.cast("string")
+    conv = F.when(did % 29 == 0, F.lit(None).cast("string"))
+    for m, tpl in _NORM_STRIPES.items():
+        conv = conv.when(did % 6 == m, F.concat(F.lit(tpl), k))
+    return normalize_text(
+        docs.select("doc_id", conv.alias("text")), ["doc_id"], "text"
+    )
+
+
+def _normalize_oracle_sql() -> str:
+    """Replay q_normalize: identical stripes, tier 1 from the SAME
+    PUNCT_MAP/ZW_DELETE/line-ending chain, tier 2 = nfc_normalize."""
+    from schema_validator_spark.operators.normalize import (
+        PUNCT_MAP,
+        ZW_DELETE,
+    )
+
+    src = "".join(PUNCT_MAP)
+    dst = "".join(PUNCT_MAP.values())
+    def tpl_sql(t: str) -> str:
+        return (
+            _esc_sq(t)
+            .replace("\r", "' || chr(13) || '")
+            .replace("\n", "' || chr(10) || '")
+        )
+
+    cases = "\n".join(
+        f"                  when doc_id % 6 = {m} then "
+        f"'{tpl_sql(tpl)}' || cast(doc_id as varchar)"
+        for m, tpl in _NORM_STRIPES.items()
+    )
+    return f"""
+      with docs as (
+        select doc_id,
+               case when doc_id % 29 = 0 then NULL
+{cases}
+               end as text
+        from documents
+      ), t1 as (
+        select doc_id, text,
+               regexp_replace(
+                 regexp_replace(
+                   translate(text, '{_esc_sq(src)}', '{_esc_sq(dst)}'),
+                   '[{ZW_DELETE}]', '', 'g'),
+                 '\r\n|\r', chr(10), 'g') as s1
+        from docs
+      ), t2 as (
+        select doc_id, text, nfc_normalize(s1) as text_norm from t1
+      )
+      select doc_id, text_norm,
+             cast(case when text is null or text = text_norm
+                  then 0 else 1 end as int) as changed,
+             cast(coalesce(length(text), 0) as int) as n_chars_before,
+             cast(coalesce(length(text_norm), 0) as int)
+               as n_chars_after
+      from t2
+    """
+
+
+def q_preference_lint(spark, sf_dir):
+    """DPO/RLHF preference-pair gate
+    (operators/preference.preference_lint): (prompt, chosen, rejected)
+    triples carry signal only when complete and actually DIFFERENT —
+    byte-identical or fold-identical (trim + whitespace collapse +
+    lower) completions are zero-gradient comparisons.  The reference's
+    nefield cross-field rule lifted to a priority chain.  Stripes:
+    valid, byte-identical, fold-identical ('X  Y' vs ' x y '), NULL
+    prompt, empty chosen, blank rejected.  One codegen projection,
+    zero shuffles."""
+    from schema_validator_spark.operators.preference import (
+        preference_lint,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    k = did.cast("string")
+    m = did % 6
+    prompt = F.when(m == 3, F.lit(None).cast("string")).otherwise(
+        F.concat(F.lit("why "), k, F.lit("?"))
+    )
+    chosen = (
+        F.when(m == 1, F.concat(F.lit("Same ans "), k))
+        .when(m == 2, F.concat(F.lit("X  Y "), k))
+        .when(m == 4, F.lit(""))
+        .otherwise(F.concat(F.lit("good answer "), k))
+    )
+    rejected = (
+        F.when(m == 1, F.concat(F.lit("Same ans "), k))
+        .when(m == 2, F.concat(F.lit(" x y "), k))
+        .when(m == 5, F.lit("   "))
+        .otherwise(F.concat(F.lit("bad answer "), k))
+    )
+    return preference_lint(
+        docs.select(
+            "doc_id",
+            prompt.alias("prompt"),
+            chosen.alias("chosen"),
+            rejected.alias("rejected"),
+        ),
+        ["doc_id"],
+        "prompt",
+        "chosen",
+        "rejected",
+    )
+
+
+_PREFERENCE_ORACLE_SQL = r"""
+    with docs as (
+      select doc_id,
+             case when doc_id % 6 = 3 then NULL
+                  else 'why ' || cast(doc_id as varchar) || '?'
+             end as prompt,
+             case when doc_id % 6 = 1 then
+                    'Same ans ' || cast(doc_id as varchar)
+                  when doc_id % 6 = 2 then
+                    'X  Y ' || cast(doc_id as varchar)
+                  when doc_id % 6 = 4 then ''
+                  else 'good answer ' || cast(doc_id as varchar)
+             end as chosen,
+             case when doc_id % 6 = 1 then
+                    'Same ans ' || cast(doc_id as varchar)
+                  when doc_id % 6 = 2 then
+                    ' x y ' || cast(doc_id as varchar)
+                  when doc_id % 6 = 5 then '   '
+                  else 'bad answer ' || cast(doc_id as varchar)
+             end as rejected
+      from documents
+    ), v as (
+      select doc_id, prompt, chosen, rejected,
+             lower(regexp_replace(trim(chosen), '\s+', ' ', 'g'))
+               as fc,
+             lower(regexp_replace(trim(rejected), '\s+', ' ', 'g'))
+               as fr
+      from docs
+    ), e as (
+      select doc_id, prompt, chosen, rejected,
+             case when prompt is null or trim(prompt) = ''
+                    then 'missing_prompt'
+                  when chosen is null or trim(chosen) = ''
+                    then 'missing_chosen'
+                  when rejected is null or trim(rejected) = ''
+                    then 'missing_rejected'
+                  when chosen = rejected then 'identical'
+                  when fc = fr then 'identical_folded'
+                  else 'ok' end as first_error
+      from v
+    )
+    select doc_id,
+           cast(coalesce(length(prompt), 0) as int) as n_chars_prompt,
+           cast(coalesce(length(chosen), 0) as int) as n_chars_chosen,
+           cast(coalesce(length(rejected), 0) as int)
+             as n_chars_rejected,
+           first_error,
+           cast(case when first_error = 'ok' then 1 else 0 end as int)
+             as keep
+    from e
+"""
+
+
 #: bm25 synthesis terms — underscore/digit shapes the natural-word
 #: vocabulary of documents.text cannot collide with
 _BM25_TERMS = ["serialize_v2", "mutex_guard", "qsort_3way"]
@@ -6474,6 +6661,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chat_lint": q_chat_lint,
         "split_assign": q_split_assign,
         "chat_render": q_chat_render,
+        "normalize": q_normalize,
+        "preference_lint": q_preference_lint,
     }
 
 
@@ -11407,6 +11596,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "chat_lint": _CHAT_LINT_ORACLE_SQL,
         "split_assign": _split_assign_oracle_sql(),
         "chat_render": _chat_render_oracle_sql(),
+        "normalize": _normalize_oracle_sql(),
+        "preference_lint": _PREFERENCE_ORACLE_SQL,
         "dead_symbols": _dead_symbols_oracle_sql(),
         "comment_lang": _comment_lang_oracle_sql(),
         "notebook_pairs": _NB_PAIRS_ORACLE_SQL,

@@ -2009,6 +2009,29 @@ def run_chat_render(spark, n=32_000_000):
             "sec": round(time.time() - t, 1)}
 
 
+def run_normalize(spark, n=32_000_000):
+    """32M docs, 1/4 non-ASCII (NFD accents + curly punctuation), the
+    rest pure ASCII riding the isascii fast path — the realistic
+    mixed-corpus shape for the Arrow NFC tier."""
+    from schema_validator_spark.operators.normalize import normalize_text
+
+    i = F.col("id")
+    body = (
+        F.when(i % 4 == 1, F.lit("nfd café “quoted” – text "))
+        .when(i % 8 == 2, F.lit("precomposed café — dash "))
+        .otherwise(F.lit("plain ascii body with words "))
+    )
+    df = spark.range(n).select(
+        i.alias("doc_id"), F.concat(body, i.cast("string")).alias("text")
+    )
+    t = time.time()
+    changed = normalize_text(df, ["doc_id"], "text").agg(
+        F.sum("changed")
+    ).collect()[0][0]
+    return {"op": "normalize", "rows": n, "changed": int(changed),
+            "sec": round(time.time() - t, 1)}
+
+
 OPS = {
     "edit_join": run_edit_join,
     "winnow_pairs": run_winnow,
@@ -2091,6 +2114,7 @@ OPS = {
     "chat_lint": run_chat_lint,
     "split_assign": run_split_assign,
     "chat_render": run_chat_render,
+    "normalize": run_normalize,
 }
 
 
