@@ -23,14 +23,46 @@ are an O(1) hash probe per token, no join anywhere.  The single lambda
 ``filter`` that extracts hit occurrences runs ONCE over the
 materialized array (its result is itself materialized before the four
 consumers), so the interpreted-HOF cost is paid once per row.
+
+The rate comparison is integer cross-multiplication IN LONGS —
+``n_hit * 1_000_000 <= scaled_rate * n_tok`` with 32-bit operands
+overflows at ~2·10⁹ (a half-MB document's token count times the
+scaled rate), silently flipping verdicts; and the scaled rate is
+``round()``ed, not truncated, so rates whose float repr sits just
+below the decimal (0.3 -> 299999.99…) don't shift the boundary.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import text as X
+
+
+def _gate_parts(
+    text_col: str, blocked_terms: list[str], max_hit_rate: float
+):
+    """Shared (toks_expr, hits_expr, keep_predicate) for both forms —
+    keep_predicate reads the materialized ``_toks``/``_hits``."""
+    if not blocked_terms:
+        raise ValueError("empty blocklist")
+    terms = sorted({t.lower() for t in blocked_terms})
+    toks = X.tokens(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    hits = F.filter(F.col("_toks"), lambda t: t.isin(*terms))
+    n_tok = F.size(F.col("_toks")).cast("long")
+    n_hit = F.size(F.col("_hits")).cast("long")
+    scaled = int(round(max_hit_rate * 1e6))
+    ok = n_hit * F.lit(1000000).cast("long") <= F.lit(scaled).cast(
+        "long"
+    ) * n_tok
+    return toks, hits, ok
+
+
+def _check_reserved(df: DataFrame) -> None:
+    for c in ("_toks", "_hits"):
+        if c in df.columns:
+            raise ValueError(f"reserved temp column {c!r} present in input")
 
 
 def blocked_term_stats(
@@ -53,27 +85,16 @@ def blocked_term_stats(
     rule; RefinedWeb-style soft gating passes e.g. 0.001.  Empty/NULL
     text has no tokens, no hits, and keeps.
     """
-    if not blocked_terms:
-        raise ValueError("empty blocklist")
-    for c in ("_toks", "_hits"):
-        if c in df.columns:
-            raise ValueError(f"reserved temp column {c!r} present in input")
-    terms = sorted({t.lower() for t in blocked_terms})
-    toks = X.tokens(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
-    hits = F.filter(F.col("_toks"), lambda t: t.isin(*terms))
-    n_tok = F.size(F.col("_toks"))
-    n_hit = F.size(F.col("_hits"))
-    keep = F.when(
-        n_hit * F.lit(1000000) <= F.lit(int(max_hit_rate * 1e6)) * n_tok,
-        F.lit(1),
-    ).otherwise(F.lit(0))
+    _check_reserved(df)
+    toks, hits, ok = _gate_parts(text_col, blocked_terms, max_hit_rate)
+    keep = F.when(ok, F.lit(1)).otherwise(F.lit(0))
     return (
         df.withColumn("_toks", toks)
         .withColumn("_hits", hits)
         .select(
             *[F.col(c) for c in id_cols],
-            n_tok.alias("n_tokens"),
-            n_hit.alias("n_blocked"),
+            F.size(F.col("_toks")).alias("n_tokens"),
+            F.size(F.col("_hits")).alias("n_blocked"),
             F.size(F.array_distinct(F.col("_hits"))).alias(
                 "n_blocked_distinct"
             ),
@@ -94,19 +115,11 @@ def filter_blocked_terms(
     max_hit_rate: float = 0.0,
 ) -> DataFrame:
     """C4 gate form: the input rows whose documents pass the word-list
-    gate (same semantics as ``blocked_term_stats().keep == 1``), all
-    original columns preserved."""
-    if not blocked_terms:
-        raise ValueError("empty blocklist")
-    for c in ("_toks", "_hits"):
-        if c in df.columns:
-            raise ValueError(f"reserved temp column {c!r} present in input")
-    terms = sorted({t.lower() for t in blocked_terms})
-    toks = X.tokens(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
-    hits = F.filter(F.col("_toks"), lambda t: t.isin(*terms))
-    n_tok = F.size(F.col("_toks"))
-    n_hit = F.size(F.col("_hits"))
-    ok = n_hit * F.lit(1000000) <= F.lit(int(max_hit_rate * 1e6)) * n_tok
+    gate (same semantics as ``blocked_term_stats().keep == 1`` — the
+    predicate is literally the same shared expression), all original
+    columns preserved."""
+    _check_reserved(df)
+    toks, hits, ok = _gate_parts(text_col, blocked_terms, max_hit_rate)
     return (
         df.withColumn("_toks", toks)
         .withColumn("_hits", hits)

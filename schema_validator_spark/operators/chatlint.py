@@ -92,6 +92,13 @@ def chat_lint(
         raise ValueError(f"id_cols collide with output column(s) {clash}")
     raw = F.col(conv_col)
 
+    # first non-whitespace char must open an array: the JSON parser
+    # (and the oracle's json_type) skips ALL whitespace, while trim()
+    # strips spaces only — a leading tab/newline before '[' must not
+    # flip a valid conversation to not_an_array
+    def _is_array_shaped(col: Column) -> Column:
+        return F.regexp_extract(col, r"^\s*(.)", 1) == "["
+
     def build(p: Column, rl: Column, body: Column) -> Column:
         """All outputs from ONE binding of (parsed, roles, body)."""
         n = F.size(p)
@@ -100,7 +107,7 @@ def chat_lint(
             raw.isNotNull()
             & (F.trim(raw) != "")
             & p.isNotNull()
-            & F.trim(raw).startswith("[")
+            & _is_array_shaped(raw)
         )
         bad_role = F.exists(rl, lambda r: r.isNull() | ~r.isin(*roles))
         empty_content = F.exists(
@@ -122,7 +129,7 @@ def chat_lint(
         first_error = (
             F.when(raw.isNull() | (F.trim(raw) == ""), F.lit("missing"))
             .when(p.isNull(), F.lit("invalid_json"))
-            .when(~F.trim(raw).startswith("["), F.lit("not_an_array"))
+            .when(~_is_array_shaped(raw), F.lit("not_an_array"))
             .when(n == 0, F.lit("empty_conversation"))
             .when(bad_role, F.lit("bad_role"))
             .when(empty_content, F.lit("empty_content"))

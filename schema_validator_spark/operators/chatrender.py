@@ -111,9 +111,14 @@ def render_chat(
     as empty strings — lint rejects them upstream, rendering must
     still be total.
     """
-    for c in ("_r", "_sp"):
+    for c in ("_r", "_sp", "_rtext"):
         if c in df.columns:
             raise ValueError(f"reserved temp column {c!r} present in input")
+    out_cols = ["rendered_md5", "n_chars", "span_idx", "start_char",
+                "end_char", "span_text"]
+    clash = [c for c in out_cols + ["_rtext"] if c in id_cols]
+    if clash:
+        raise ValueError(f"id_cols collide with output column(s) {clash}")
     parsed = F.from_json(F.col(conv_col), MESSAGES_SCHEMA)
     r = _bound(
         F.coalesce(parsed, F.from_json(F.lit("[]"), MESSAGES_SCHEMA)),

@@ -70,17 +70,17 @@ def normalize_text(
     """``(ids..., text_norm, changed, n_chars_before, n_chars_after)``
     — ``changed = 1`` iff normalization altered the string.  NULL text
     stays NULL (changed 0, lengths 0)."""
-    for c in ("_t0", "_t1"):
+    for c in ("_t1", "_t2"):
         if c in df.columns:
             raise ValueError(f"reserved temp column {c!r} present in input")
-    import pandas as pd  # noqa: F401  (executor-side import is real)
-
-    staged = df.withColumn("_t0", F.col(text_col)).withColumn(
-        "_t1", punct_normalize(F.col(text_col))
-    )
-    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
-                       for f in staged.schema.fields)
-    out_schema = f"{fields}, _t2 string"
+    # only the punct-normalized column rides INTO Python alongside the
+    # originals, and only the NFC result rides back OUT — shipping a
+    # copy of the raw text both directions would double the Arrow
+    # transfer volume of the heaviest column for no reason
+    staged = df.withColumn("_t1", punct_normalize(F.col(text_col)))
+    out_fields = [f"{f.name} {f.dataType.simpleString()}"
+                  for f in df.schema.fields]
+    out_schema = ", ".join(out_fields + ["_t2 string"])
 
     def batches(it):
         import unicodedata
@@ -93,11 +93,12 @@ def normalize_text(
             return unicodedata.normalize("NFC", s)
 
         for pdf in it:
-            pdf = pdf.assign(_t2=pdf["_t1"].map(nfc))
-            yield pdf
+            yield pdf.assign(_t2=pdf["_t1"].map(nfc)).drop(
+                columns=["_t1"]
+            )
 
     normed = staged.mapInPandas(batches, schema=out_schema)
-    t0, t2 = F.col("_t0"), F.col("_t2")
+    t0, t2 = F.col(text_col), F.col("_t2")
     return normed.select(
         *[F.col(c) for c in id_cols],
         t2.alias("text_norm"),

@@ -138,3 +138,12 @@ def test_zero_shuffle_zero_python(spark):
     out = chat_lint(df, ["id"], "conv")
     assert n_exchanges(out) == 0
     assert not uses_python(out)
+
+
+def test_leading_whitespace_before_array_is_valid(spark):
+    # the JSON parser skips ALL whitespace; the array-shape guard must
+    # too (regression: trim() strips spaces only, so a tab/newline
+    # before '[' misreported not_an_array)
+    conv = "\t\n " + _conv(("user", "hi"), ("assistant", "yo"))
+    r = _lint(spark, [(1, conv)])[1]
+    assert r["first_error"] == "ok" and r["n_turns"] == 2

@@ -90,3 +90,10 @@ def test_zero_shuffle_zero_python(spark):
     out = render_chat(df, ["id"], "conv")
     assert n_exchanges(out) == 0
     assert not uses_python(out)
+
+
+def test_id_collision_with_output_raises(spark):
+    df = spark.createDataFrame(
+        [(1, "[]", 2)], "id long, conv string, n_chars long")
+    with pytest.raises(ValueError):
+        render_chat(df, ["id", "n_chars"], "conv")

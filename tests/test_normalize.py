@@ -74,7 +74,7 @@ def test_punct_tier_is_codegen_only(spark):
 def test_reserved_columns_raise(spark):
     df = spark.createDataFrame([(1, "x")], "id long, text string")
     with pytest.raises(ValueError):
-        normalize_text(df.withColumn("_t1", F.lit(1)), ["id"], "text")
+        normalize_text(df.withColumn("_t2", F.lit(1)), ["id"], "text")
 
 
 def test_zero_shuffle(spark):

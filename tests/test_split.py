@@ -42,7 +42,6 @@ def test_threshold_validation():
 def test_pair_members_share_split(spark):
     docs = _docs(spark, 400)
     # chains of 4: 0-1, 1-2, 2-3 then 8-9, 9-10, 10-11, ...
-    ps = [(i, i + 1) for i in range(0, 400, 8) for _ in [0]]
     ps = [(i + j, i + j + 1) for i in range(0, 392, 8) for j in range(3)]
     pairs = _pairs(spark, ps)
     out = leakage_safe_split(docs, "doc_id", pairs)

@@ -95,3 +95,26 @@ def test_empty_list_and_reserved_columns_raise(spark):
     bad = df.withColumn("_toks", F.lit("boom"))
     with pytest.raises(ValueError):
         blocked_term_stats(bad, ["id"], "text", LIST)
+
+
+def test_long_arithmetic_no_32bit_overflow(spark):
+    # ~110k tokens, zero hits: RHS 20000*110000 = 2.2e9 exceeds int32 —
+    # the verdict must still be keep (regression: wrapped negative and
+    # dropped the doc).
+    big_clean = " ".join(f"t{i}" for i in range(110_000))
+    r = _stats(spark, [(1, big_clean)], max_hit_rate=0.02)
+    assert r[1]["keep"] == 1
+    # 3000 hits: LHS 3e9 exceeds int32 — strict gate must still DROP
+    # (regression: wrapped negative and kept it).
+    many_hits = "vileword " * 3000
+    r = _stats(spark, [(2, many_hits)])
+    assert r[2]["n_blocked"] == 3000
+    assert r[2]["keep"] == 0
+
+
+def test_rate_scaling_rounds_not_truncates(spark):
+    # 3 hits / 10 tokens at max_hit_rate=0.3: 0.3*1e6 float-reprs just
+    # below 300000; truncation dropped the boundary doc.
+    text = "vileword vileword vileword " + " ".join(
+        f"t{i}" for i in range(7))
+    assert _stats(spark, [(1, text)], max_hit_rate=0.3)[1]["keep"] == 1
