@@ -4620,6 +4620,262 @@ _PREFERENCE_ORACLE_SQL = r"""
 """
 
 
+def q_rank_buckets(spark, sf_dir):
+    """CCNet head/middle/tail bucketing
+    (operators/rankbucket.rank_buckets): per-group EXACT rank by
+    (score, id) cut into thirds by integer cross-multiplication —
+    the quality-bucket stage LLaMA-class corpora select data with.
+    Distributed rank: monotone 256-way range key + per-(group, range)
+    count offsets + local row_number — the dominant group sorts as up
+    to 256 parallel tasks, never one (plan-pinned in tests).  Stripes
+    plant NULL scores (rank FIRST, nulls-first semantics) and a NULL
+    group (a legitimate group, null-safe joins).  Oracle = the serial
+    window definition the distributed form is row-identical to."""
+    from schema_validator_spark.operators.rankbucket import rank_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    d = docs.select(
+        "doc_id",
+        F.when(did % 31 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("lang")).alias("lang"),
+        F.when(did % 29 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("n_chars")).alias("score"),
+    )
+    out = rank_buckets(d, ["lang"], "score", "doc_id")
+    # NULL stays NULL through the RANKING (nulls-first pinned); only
+    # the emitted column is coalesced — a NULL bigint would ride back
+    # from DuckDB as pandas float64 and hash as '171.000000'/nan
+    return out.select(
+        "doc_id",
+        "lang",
+        F.coalesce(F.col("score"), F.lit(-1)).alias("score"),
+        "rank",
+        "group_n",
+        "bucket",
+    )
+
+
+_RANK_BUCKETS_ORACLE_SQL = """
+    with d as (
+      select doc_id,
+             case when doc_id % 31 = 0 then NULL else lang end as lang,
+             case when doc_id % 29 = 0 then NULL
+                  else cast(n_chars as bigint) end as score
+      from documents
+    ), r as (
+      select doc_id, lang, score,
+             cast(row_number() over (
+               partition by lang
+               order by score asc nulls first, doc_id asc) as bigint)
+               as rank,
+             cast(count(*) over (partition by lang) as bigint)
+               as group_n
+      from d
+    )
+    select doc_id, lang, coalesce(score, -1) as score, rank, group_n,
+           case when rank * 3 <= group_n then 'head'
+                when rank * 3 <= 2 * group_n then 'middle'
+                else 'tail' end as bucket
+    from r
+"""
+
+
+#: dsir query parameters — single source for Spark + oracle
+_DSIR_NB = 512
+_DSIR_SALT = "v1"
+
+
+def q_dsir(spark, sf_dir):
+    """DSIR importance weighting (operators/dsir.dsir_weights — Xie
+    et al. 2023): score raw docs by ln p_target - ln p_raw under two
+    hashed-n-gram bag models (unigrams + bigrams, md5 buckets,
+    add-one smoothing) — the label-free 'select web data that looks
+    like the target' recipe.  Target = every 10th document (its lang
+    mix differs from the corpus, so weights are non-trivial).  The
+    corpus never shuffles for scoring: bucket-grain model aggs ->
+    driver-built literal weight array of 6dp-scaled longs ->
+    constant-folded array probe inside one aggregate HOF.  The oracle
+    recomputes counts, ln-weights, and the per-doc integer sum
+    entirely in SQL — bucketing replayed via the same md5 prefix."""
+    from schema_validator_spark.operators.dsir import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.select("doc_id", "text")
+    tgt = docs.filter(F.col("doc_id") % 10 == 0).select("text")
+    return dsir_weights(
+        raw, ["doc_id"], "text", tgt, "text",
+        n_buckets=_DSIR_NB, salt=_DSIR_SALT,
+    )
+
+
+def _dsir_oracle_sql() -> str:
+    nb, salt = _DSIR_NB, _DSIR_SALT
+    feats = """
+        select doc_id,
+               list_concat(
+                 toks,
+                 list_transform(
+                   range(1, greatest(len(toks), 1)),
+                   i -> toks[i] || ' ' || toks[i + 1])) as feats
+        from (
+          select doc_id,
+                 list_filter(
+                   regexp_split_to_array(
+                     trim(lower(coalesce(text, ''))), '\\s+'),
+                   t -> t <> '') as toks
+          from documents)
+    """
+    return f"""
+      with fe as ({feats}),
+      fr as (
+        select doc_id,
+               cast(('0x' || substr(md5(f || '{salt}'), 1, 8))
+                    as bigint) % {nb} as b
+        from (select doc_id, unnest(feats) as f from fe)
+      ),
+      tc as (
+        select b, count(*) as c from fr
+        where doc_id % 10 = 0 group by b
+      ),
+      rc as (select b, count(*) as c from fr group by b),
+      tot as (
+        select (select coalesce(sum(c), 0) from tc) + {nb} as tt,
+               (select coalesce(sum(c), 0) from rc) + {nb} as rt
+      ),
+      w as (
+        select bb.b,
+               cast(round(1e6 * (
+                 ln((coalesce(tc.c, 0) + 1) / (1.0 * tot.tt))
+                 - ln((coalesce(rc.c, 0) + 1) / (1.0 * tot.rt))))
+                 as bigint) as w
+        from (select unnest(range({nb})) as b) bb
+        cross join tot
+        left join tc on tc.b = bb.b
+        left join rc on rc.b = bb.b
+      ),
+      scored as (
+        select fr.doc_id,
+               cast(count(*) as int) as n_features,
+               cast(sum(w.w) as bigint) as score_e6
+        from fr join w on w.b = fr.b
+        group by fr.doc_id
+      )
+      select d.doc_id,
+             coalesce(s.n_features, 0) as n_features,
+             coalesce(s.score_e6, 0) as score_e6
+      from documents d left join scored s on s.doc_id = d.doc_id
+    """
+
+
+def q_bitext_pairs(spark, sf_dir):
+    """Margin-based parallel-pair mining
+    (operators/bitext.mine_parallel_pairs — Artetxe & Schwenk 2019,
+    the LASER/CCMatrix bitext recipe behind WMT-scale corpora):
+    mutual-best margin pairs between two embedding spaces, margin =
+    cos / mean-of-both-knns computed as ONE integer-ratio division
+    over e6-scaled cosine SUMS (a float avg would sum partials in
+    nondeterministic order).  A = the first 25 embeddings; B = their
+    1.3x scaled copies (cosine exactly 1, the planted mutual best)
+    + every other embedding as distractors.  Oracle replays the whole
+    thing — both exact top-k sides, integer knn sums, margin, mutual
+    argmax — in SQL."""
+    from schema_validator_spark.operators.bitext import (
+        mine_parallel_pairs,
+    )
+
+    embs = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    a = embs.filter(F.col("vec_id") < 25)
+    b = a.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 1.3).alias(
+            "embedding"
+        ),
+    ).unionByName(embs.filter(F.col("vec_id") >= 25))
+    return mine_parallel_pairs(a, b, k=3)
+
+
+_BITEXT_ORACLE_SQL = """
+    with av as (
+      select vec_id, embedding::DOUBLE[] as v from embeddings
+      where vec_id < 25
+    ), bv as (
+      select vec_id + 1000000 as vec_id,
+             list_transform(embedding::DOUBLE[], x -> x * 1.3) as v
+      from embeddings where vec_id < 25
+      union all
+      select vec_id, embedding::DOUBLE[] from embeddings
+      where vec_id >= 25
+    ), scored as (
+      select a.vec_id as ida, b.vec_id as idb,
+             round(
+               list_sum(list_transform(range(1, len(a.v) + 1),
+                 i -> a.v[i] * b.v[i]))
+               / (sqrt(list_sum(list_transform(range(1, len(a.v) + 1),
+                    i -> a.v[i] * a.v[i])))
+                  * sqrt(list_sum(list_transform(
+                      range(1, len(b.v) + 1), i -> b.v[i] * b.v[i])))),
+               6) as cosine
+      from av a cross join bv b
+    ), fwd as (
+      select * from (
+        select ida, idb, cosine,
+               row_number() over (partition by ida
+                 order by cosine desc, idb asc) as rn
+        from scored) where rn <= 3
+    ), bwd as (
+      select * from (
+        select ida, idb, cosine,
+               row_number() over (partition by idb
+                 order by cosine desc, ida asc) as rn
+        from scored) where rn <= 3
+    ), sa as (
+      select ida, cast(sum(cast(round(cosine * 1e6) as bigint))
+                       as bigint) as s, count(*) as k
+      from fwd group by ida
+    ), sb as (
+      select idb, cast(sum(cast(round(cosine * 1e6) as bigint))
+                       as bigint) as s, count(*) as k
+      from bwd group by idb
+    ), fc as (
+      select f.ida, f.idb, f.cosine,
+             case when sa.s + sb.s > 0 then
+               cast(round(cast(round(f.cosine * 1e6) as bigint)
+                          * (sa.k + sb.k) * 1000000.0
+                          / (sa.s + sb.s)) as bigint)
+             else 0 end as margin_e6
+      from fwd f join sa on sa.ida = f.ida join sb on sb.idb = f.idb
+    ), bc as (
+      select b.ida, b.idb, b.cosine,
+             case when sa.s + sb.s > 0 then
+               cast(round(cast(round(b.cosine * 1e6) as bigint)
+                          * (sa.k + sb.k) * 1000000.0
+                          / (sa.s + sb.s)) as bigint)
+             else 0 end as margin_e6
+      from bwd b join sa on sa.ida = b.ida join sb on sb.idb = b.idb
+    ), fbest as (
+      select * from (
+        select ida, idb, cosine, margin_e6,
+               row_number() over (partition by ida
+                 order by margin_e6 desc, idb asc) as rn
+        from fc) where rn = 1
+    ), bbest as (
+      select * from (
+        select ida, idb,
+               row_number() over (partition by idb
+                 order by margin_e6 desc, ida asc) as rn
+        from bc) where rn = 1
+    )
+    select f.ida as id_a, f.idb as id_b, f.cosine, f.margin_e6
+    from fbest f
+    join bbest b on b.ida = f.ida and b.idb = f.idb
+    where f.margin_e6 > 1000000
+"""
+
+
 #: bm25 synthesis terms — underscore/digit shapes the natural-word
 #: vocabulary of documents.text cannot collide with
 _BM25_TERMS = ["serialize_v2", "mutex_guard", "qsort_3way"]
@@ -6663,6 +6919,9 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chat_render": q_chat_render,
         "normalize": q_normalize,
         "preference_lint": q_preference_lint,
+        "rank_buckets": q_rank_buckets,
+        "dsir": q_dsir,
+        "bitext_pairs": q_bitext_pairs,
     }
 
 
@@ -11598,6 +11857,9 @@ def _oracle_sql_raw() -> dict[str, str]:
         "chat_render": _chat_render_oracle_sql(),
         "normalize": _normalize_oracle_sql(),
         "preference_lint": _PREFERENCE_ORACLE_SQL,
+        "rank_buckets": _RANK_BUCKETS_ORACLE_SQL,
+        "dsir": _dsir_oracle_sql(),
+        "bitext_pairs": _BITEXT_ORACLE_SQL,
         "dead_symbols": _dead_symbols_oracle_sql(),
         "comment_lang": _comment_lang_oracle_sql(),
         "notebook_pairs": _NB_PAIRS_ORACLE_SQL,

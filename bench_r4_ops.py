@@ -2032,6 +2032,93 @@ def run_normalize(spark, n=32_000_000):
             "sec": round(time.time() - t, 1)}
 
 
+def run_rank_buckets(spark, n=64_000_000):
+    """64M docs, 90% in one dominant language — the case a naive
+    per-group window would sort in ONE task; the 256-range form keeps
+    it parallel.  Scores are md5-derived (adversarially unordered)."""
+    from schema_validator_spark.operators.rankbucket import rank_buckets
+
+    i = F.col("id")
+    df = spark.range(n).select(
+        i.alias("doc_id"),
+        F.when(i % 10 < 9, F.lit("en"))
+        .otherwise(F.lit("de")).alias("lang"),
+        F.conv(F.substring(F.md5(i.cast("string")), 1, 7), 16, 10)
+        .cast("long").alias("score"),
+    )
+    t = time.time()
+    out = rank_buckets(df, ["lang"], "score", "doc_id")
+    heads = out.filter(F.col("bucket") == "head").count()
+    return {"op": "rank_buckets", "rows": n, "head_rows": heads,
+            "sec": round(time.time() - t, 1)}
+
+
+def run_dsir(spark, n=16_000_000):
+    """16M ~14-token docs scored against a 64k-doc target sample:
+    two bucket-grain model aggs + constant-folded literal-array
+    scoring (10k buckets), corpus never shuffles."""
+    from schema_validator_spark.operators.dsir import dsir_weights
+
+    i = F.col("id")
+    words = F.expr(
+        "array_join(transform(sequence(1, 13), j ->"
+        " substring(md5(cast(id * 53 + j as string)), 1, 5)), ' ')"
+    )
+    body = F.when(i % 7 == 0,
+                  F.concat(F.lit("quantum physics flux "), words)
+                  ).otherwise(words)
+    df = spark.range(n).select(i.alias("doc_id"), body.alias("text"))
+    tgt = spark.range(64_000).select(
+        F.concat(F.lit("quantum physics flux theory paper "),
+                 F.col("id").cast("string")).alias("text"))
+    t = time.time()
+    out = dsir_weights(df, ["doc_id"], "text", tgt, "text",
+                       n_buckets=10_000)
+    sep = out.groupBy((F.col("doc_id") % 7 == 0).alias("planted")).agg(
+        F.avg("score_e6").alias("avg_e6")).collect()
+    avg = {r["planted"]: int(r["avg_e6"]) for r in sep}
+    return {"op": "dsir", "rows": n, "avg_planted_e6": avg[True],
+            "avg_other_e6": avg[False],
+            "sec": round(time.time() - t, 1)}
+
+
+def run_bitext(spark, na=500, nb=250_000):
+    """500 query vectors against 250k candidates (1.25e8 exact
+    cosines, 64-dim) + planted 1.3x copies: both top-k directions,
+    integer margins, mutual filter.  Bigger sides swap in the IVF/SRP
+    tier (mine_parallel_pairs is tier-agnostic)."""
+    from schema_validator_spark.operators.bitext import (
+        mine_parallel_pairs,
+    )
+
+    def vecs(df):
+        return df.select(
+            F.col("id").alias("vec_id"),
+            F.expr("transform(sequence(1, 64), j -> cast("
+                   "conv(substring(md5(cast(id * 67 + j as string)),"
+                   " 1, 6), 16, 10) as double))").alias("embedding"),
+        )
+
+    a = vecs(spark.range(na))
+    copies = vecs(spark.range(na)).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 1.3)
+        .alias("embedding"),
+    )
+    b = copies.unionByName(
+        vecs(spark.range(nb)).select(
+            (F.col("vec_id") + 20_000_000).alias("vec_id"), "embedding"
+        ).filter(F.col("vec_id") >= 20_000_000 + na)
+    )
+    t = time.time()
+    got = mine_parallel_pairs(a, b, k=4).collect()
+    exact = sum(1 for r in got
+                if r["id_b"] == r["id_a"] + 10_000_000)
+    return {"op": "bitext_pairs", "a": na, "b": nb, "pairs": len(got),
+            "planted_recovered": exact,
+            "sec": round(time.time() - t, 1)}
+
+
 OPS = {
     "edit_join": run_edit_join,
     "winnow_pairs": run_winnow,
@@ -2115,6 +2202,9 @@ OPS = {
     "split_assign": run_split_assign,
     "chat_render": run_chat_render,
     "normalize": run_normalize,
+    "rank_buckets": run_rank_buckets,
+    "dsir": run_dsir,
+    "bitext_pairs": run_bitext,
 }
 
 

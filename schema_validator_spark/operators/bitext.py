@@ -1,0 +1,142 @@
+"""Margin-based parallel-pair mining — Artetxe & Schwenk 2019 (the
+LASER / CCMatrix bitext recipe): to mine translation pairs from two
+monolingual embedding spaces, raw cosine is NOT enough (hubness —
+some vectors are close to everything); the ratio of a candidate's
+cosine to the mean cosine of each side's k-nearest neighbours
+("margin") is, and mutual-best filtering removes asymmetric hubs.
+This is how the WMT-scale parallel corpora behind translation-capable
+LLMs are built.
+
+``margin(a, b) = cos(a, b) / ((knnA(a) + knnB(b)) / 2)`` where
+``knnX(v)`` is the mean top-k cosine of ``v`` in the OTHER space; a
+pair is emitted iff each side is the other's best-margin candidate
+and the margin clears ``threshold``.
+
+Determinism: cosines come 6dp-rounded from ``ann.cosine_topk``; the
+margin is computed as ONE integer-ratio division —
+``cos_e6 * 2k / (SA + SB)`` with ``SA/SB`` integer SUMS of e6-scaled
+cosines (long arithmetic; a float ``avg()`` would sum partial
+aggregates in nondeterministic order and flip last-bit ties) — so
+the ranking and the emitted ``margin_e6`` are bit-identical on any
+engine replaying the same top-k.
+
+Scale shape: rides cosine_topk's salted two-level top-k in both
+directions (never a per-query hot reducer); the knn-denominator
+frames are id-grain aggregates of the top-k output (|A| and |B| rows,
+AQE broadcasts when they fit); everything after is candidate-grain
+(|A|·k rows).  For corpus sizes where exact top-k is too big, swap
+the two cosine_topk calls for ivf_topk/srp_topk — the margin/mutual
+logic is tier-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .ann import cosine_topk
+
+
+def _knn_sums(topk: DataFrame, out_id: str, out_sum: str) -> DataFrame:
+    """Integer sum of e6-scaled top-k cosines per query id."""
+    return topk.groupBy(F.col("query_id").alias(out_id)).agg(
+        F.sum(F.round(F.col("cosine") * 1e6).cast("long")).alias(out_sum),
+        F.count(F.lit(1)).alias(out_sum + "_k"),
+    )
+
+
+def mine_parallel_pairs(
+    a_df: DataFrame,
+    b_df: DataFrame,
+    *,
+    a_id: str = "vec_id",
+    b_id: str = "vec_id",
+    a_vec: str = "embedding",
+    b_vec: str = "embedding",
+    k: int = 4,
+    margin_threshold: float = 1.0,
+) -> DataFrame:
+    """Mutual-best margin pairs: ``(id_a, id_b, cosine, margin_e6)``.
+
+    ``margin_e6 = round(1e6 * cos_e6 * (k_a + k_b) /
+    (SA + SB))`` — the exact integer form of cos / mean-of-both-knns
+    (sides may have fewer than k neighbours when the other space is
+    small; the actual neighbour counts are used, never assumed k).
+    Ties in the per-side argmax break by the partner id ascending.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    fwd = cosine_topk(
+        a_df, b_df, query_id=a_id, corpus_id=b_id,
+        query_vec=a_vec, corpus_vec=b_vec, k=k,
+    )
+    bwd = cosine_topk(
+        b_df, a_df, query_id=b_id, corpus_id=a_id,
+        query_vec=b_vec, corpus_vec=a_vec, k=k,
+    )
+    ka = _knn_sums(fwd, "_ida", "_sa")
+    kb = _knn_sums(bwd, "_idb", "_sb")
+
+    def canon(topk, query_is_a: bool):
+        """Candidates in canonical (a, b) orientation + margin."""
+        if query_is_a:
+            cand = topk.select(
+                F.col("query_id").alias("_a"),
+                F.col("vec_id").alias("_b"),
+                "cosine",
+            )
+        else:
+            cand = topk.select(
+                F.col("vec_id").alias("_a"),
+                F.col("query_id").alias("_b"),
+                "cosine",
+            )
+        cand = cand.join(ka, F.col("_a") == F.col("_ida")).join(
+            kb, F.col("_b") == F.col("_idb")
+        )
+        cos_e6 = F.round(F.col("cosine") * 1e6).cast("long")
+        denom = F.col("_sa") + F.col("_sb")
+        kk = F.col("_sa_k") + F.col("_sb_k")
+        margin_e6 = F.when(
+            denom > 0,
+            F.round(cos_e6 * kk * F.lit(1000000.0) / denom)
+            .cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        return cand.select(
+            "_a", "_b", "cosine", margin_e6.alias("margin_e6")
+        )
+
+    fcand = canon(fwd, True)
+    bcand = canon(bwd, False)
+
+    wf = Window.partitionBy("_a").orderBy(
+        F.col("margin_e6").desc(), F.col("_b").asc()
+    )
+    wb = Window.partitionBy("_b").orderBy(
+        F.col("margin_e6").desc(), F.col("_a").asc()
+    )
+    fbest = (
+        fcand.withColumn("_rn", F.row_number().over(wf))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    bbest = (
+        bcand.withColumn("_rn", F.row_number().over(wb))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("_a").alias("_ba"), F.col("_b").alias("_bb"))
+    )
+    thr = int(round(margin_threshold * 1e6))
+    return (
+        fbest.join(
+            bbest,
+            (F.col("_a") == F.col("_ba"))
+            & (F.col("_b") == F.col("_bb")),
+        )
+        .filter(F.col("margin_e6") > thr)
+        .select(
+            F.col("_a").alias("id_a"),
+            F.col("_b").alias("id_b"),
+            "cosine",
+            "margin_e6",
+        )
+    )
