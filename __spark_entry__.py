@@ -4876,6 +4876,49 @@ _BITEXT_ORACLE_SQL = """
 """
 
 
+def q_pack_sweep(spark, sf_dir):
+    """Context-length planning sweep (operators/packing.pack_sweep):
+    for each candidate sequence length, truncation losses, pad waste,
+    utilization, and the packed-alternative sequence count — the
+    numbers that decide training max_len — in ONE map-side-combined
+    pass (|Ls| x 4 conditional aggregates + a stack unpivot of the
+    single result row; zero row multiplication).  Token counts =
+    whitespace tokens of documents.text; Ls = 32/128/512 straddle the
+    corpus length distribution so every stat is non-trivial."""
+    from schema_validator_spark.operators.packing import pack_sweep
+
+    docs = _t(spark, sf_dir, "documents")
+    counted = docs.select(
+        X.token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sweep(counted, "n_tokens", [32, 128, 512])
+
+
+def _pack_sweep_oracle_sql() -> str:
+    per_l = "\n      union all\n".join(f"""
+      select {L} as max_len,
+             cast(count(*) as bigint) as n_docs,
+             cast(sum(case when n > {L} then 1 else 0 end) as bigint)
+               as docs_truncated,
+             cast(sum(greatest(n - {L}, 0)) as bigint) as tokens_lost,
+             cast(sum({L} - least(n, {L})) as bigint) as pad_tokens,
+             cast(ceil(sum(n) / {L}.0) as bigint) as n_packed_seqs,
+             cast(round(sum(least(n, {L})) * 1e6
+                        / (count(*) * {L}.0)) as bigint)
+               as utilization_e6
+      from tk""" for L in (32, 128, 512))
+    return f"""
+      with tk as (
+        select cast(len(list_filter(
+                 regexp_split_to_array(
+                   trim(coalesce(text, '')), '\\s+'),
+                 t -> t <> '')) as bigint) as n
+        from documents
+      )
+      {per_l}
+    """
+
+
 #: bm25 synthesis terms — underscore/digit shapes the natural-word
 #: vocabulary of documents.text cannot collide with
 _BM25_TERMS = ["serialize_v2", "mutex_guard", "qsort_3way"]
@@ -6922,6 +6965,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_buckets": q_rank_buckets,
         "dsir": q_dsir,
         "bitext_pairs": q_bitext_pairs,
+        "pack_sweep": q_pack_sweep,
     }
 
 
@@ -11860,6 +11904,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "rank_buckets": _RANK_BUCKETS_ORACLE_SQL,
         "dsir": _dsir_oracle_sql(),
         "bitext_pairs": _BITEXT_ORACLE_SQL,
+        "pack_sweep": _pack_sweep_oracle_sql(),
         "dead_symbols": _dead_symbols_oracle_sql(),
         "comment_lang": _comment_lang_oracle_sql(),
         "notebook_pairs": _NB_PAIRS_ORACLE_SQL,

@@ -254,3 +254,71 @@ def shard_leakage(
         F.count_distinct("_da").alias("n_docs_a"),
         F.count_distinct("_db").alias("n_docs_b"),
     )
+
+
+def pack_sweep(
+    df: DataFrame,
+    token_count_col: str,
+    max_lens: list[int] | None = None,
+) -> DataFrame:
+    """Context-length planning sweep: for each candidate sequence
+    length L, the cost of training at L under the two standard
+    layouts — per-document truncate-and-pad (one doc per sequence)
+    and concat-and-chunk packing (``pack_sequences``) — in ONE pass:
+    ``(max_len, n_docs, docs_truncated, tokens_lost, pad_tokens,
+    n_packed_seqs, utilization_e6)``.
+
+    ``tokens_lost`` = tokens cut by truncation; ``pad_tokens`` = pad
+    waste when each (truncated) doc is padded to L;
+    ``utilization_e6`` = kept / (n_docs * L) at 6dp — the number that
+    actually decides L.  ``n_packed_seqs`` = ceil(total_tokens / L),
+    the packed alternative's sequence count (packing wastes at most
+    one tail sequence, which is why long-context training packs).
+
+    Scale shape: ZERO row multiplication — |max_lens| * 4 conditional
+    aggregates in ONE map-side-combined pass over the corpus, then a
+    constant-size stack unpivot of the single result row (the repo's
+    per-column-scan -> stack pattern).  NULL token counts count 0.
+    """
+    if max_lens is None:
+        max_lens = [512, 1024, 2048, 4096, 8192]
+    if not max_lens or any(l < 1 for l in max_lens):
+        raise ValueError("max_lens must be non-empty positive ints")
+    if len(set(max_lens)) != len(max_lens):
+        raise ValueError("duplicate max_lens")
+    n = F.coalesce(F.col(token_count_col), F.lit(0)).cast("long")
+    aggs = [
+        F.count(F.lit(1)).alias("_nd"),
+        F.sum(n).alias("_tot"),
+    ]
+    for L in max_lens:
+        kept = F.least(n, F.lit(L))
+        aggs += [
+            F.sum((n > L).cast("long")).alias(f"_tr_{L}"),
+            F.sum(n - kept).alias(f"_lost_{L}"),
+            F.sum(F.lit(L) - kept).alias(f"_pad_{L}"),
+            F.sum(kept).alias(f"_kept_{L}"),
+        ]
+    row = df.agg(*aggs)
+    stack = ", ".join(
+        f"{L}L, _tr_{L}, _lost_{L}, _pad_{L}, _kept_{L}"
+        for L in max_lens
+    )
+    un = row.selectExpr(
+        "_nd", "_tot",
+        f"stack({len(max_lens)}, {stack}) as "
+        "(max_len, docs_truncated, tokens_lost, pad_tokens, _kept)",
+    )
+    return un.select(
+        F.col("max_len"),
+        F.col("_nd").alias("n_docs"),
+        F.col("docs_truncated"),
+        F.col("tokens_lost"),
+        F.col("pad_tokens"),
+        F.ceil(F.col("_tot") / F.col("max_len")).cast("long").alias(
+            "n_packed_seqs"
+        ),
+        F.round(
+            F.col("_kept") * 1e6 / (F.col("_nd") * F.col("max_len"))
+        ).cast("long").alias("utilization_e6"),
+    )
