@@ -2084,7 +2084,7 @@ def run_dsir(spark, n=16_000_000):
 
 def run_bitext(spark, na=500, nb=250_000):
     """500 query vectors against 250k candidates (1.25e8 exact
-    cosines, 64-dim) + planted 1.3x copies: both top-k directions,
+    cosines, 64-dim, Arrow matmul tier) + planted 1.3x copies: both top-k directions,
     integer margins, mutual filter.  Bigger sides swap in the IVF/SRP
     tier (mine_parallel_pairs is tier-agnostic)."""
     from schema_validator_spark.operators.bitext import (
@@ -2111,7 +2111,7 @@ def run_bitext(spark, na=500, nb=250_000):
         ).filter(F.col("vec_id") >= 20_000_000 + na)
     )
     t = time.time()
-    got = mine_parallel_pairs(a, b, k=4).collect()
+    got = mine_parallel_pairs(a, b, k=4, use_arrow=True).collect()
     exact = sum(1 for r in got
                 if r["id_b"] == r["id_a"] + 10_000_000)
     return {"op": "bitext_pairs", "a": na, "b": nb, "pairs": len(got),

@@ -495,6 +495,25 @@ def ivf_pq_query(
     return _topk_two_level(exact, k)
 
 
+def _det_topk(scores, ids, top):
+    """Indices of the top-``top`` by ``(-score, id)`` — deterministic
+    under ties: argpartition finds the k-th value, then ALL indices at
+    or above it are ordered by (-score, id) and truncated, so the
+    id-smallest tied candidates win exactly as the global window's
+    ``order by cosine desc, vec_id asc`` would pick them."""
+    import numpy as np
+
+    n = scores.shape[0]
+    if top >= n:
+        cand = np.arange(n)
+    else:
+        part = np.argpartition(-scores, top - 1)[:top]
+        thr = scores[part].min()
+        cand = np.flatnonzero(scores >= thr)
+    order = np.lexsort((ids[cand], -scores[cand]))
+    return cand[order][:top]
+
+
 def cosine_topk_arrow(
     queries: DataFrame,
     corpus: DataFrame,
@@ -533,10 +552,17 @@ def cosine_topk_arrow(
             out_q, out_c, out_s = [], [], []
             top = min(k, sims.shape[0])
             for qi, qid in enumerate(qids):
-                part = np.argpartition(-sims[:, qi], top - 1)[:top]
-                out_q.extend([qid] * len(part))
-                out_c.extend(ids[part])
-                out_s.extend(np.round(sims[part, qi], 6))
+                # 6dp-rounded scores tie often (near-dups, planted
+                # copies); bare argpartition keeps an ARBITRARY tied
+                # subset, which can drop the (cosine, id)-ordered
+                # winner at batch level before the global window sees
+                # it.  Deterministic batch top-k by the SAME
+                # (-cosine, id) order the global window uses makes the
+                # union provably contain the global top-k.
+                sel = _det_topk(np.round(sims[:, qi], 6), ids, top)
+                out_q.extend([qid] * len(sel))
+                out_c.extend(ids[sel])
+                out_s.extend(np.round(sims[sel, qi], 6))
             yield pd.DataFrame(
                 {"query_id": out_q, "vec_id": out_c, "cosine": out_s}
             )

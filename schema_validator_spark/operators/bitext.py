@@ -37,6 +37,77 @@ from pyspark.sql import functions as F
 from .ann import cosine_topk
 
 
+def _both_topk_arrow(a_df, b_df, a_id, b_id, a_vec, b_vec, k):
+    """(forward, backward) top-k frames from ONE matmul pass over B.
+
+    A is collected (bounded by ann's max_query_rows guard) and rides
+    the task closure; per Arrow batch of B the sims matrix gives the
+    forward batch-local top-k per A query (reduced globally by the
+    salted two-level window) and the EXACT backward top-k per B row
+    (every A candidate is present in-closure, so no reduction is
+    needed).  Both use the deterministic (-cosine, id) tie order.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .ann import _collect_query_rows, _det_topk, _stack, \
+        _topk_two_level
+
+    qrows = _collect_query_rows(a_df, [a_id, a_vec], 100_000)
+    if not qrows:
+        raise ValueError("empty A side")
+    qids = np.asarray([r[0] for r in qrows])
+    Q = np.asarray([list(map(float, r[1])) for r in qrows])
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    n_a = len(qids)
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = _stack(pdf["_bv"])
+            Cn = C / np.maximum(
+                np.linalg.norm(C, axis=1, keepdims=True), 1e-12
+            )
+            sims = np.round(Cn @ Qn.T, 6)  # (n_batch, n_a)
+            bids = pdf["_bid"].to_numpy()
+            dirs, oq, oc, os_ = [], [], [], []
+            ftop = min(k, sims.shape[0])
+            for qi in range(n_a):
+                sel = _det_topk(sims[:, qi], bids, ftop)
+                dirs.extend(["f"] * len(sel))
+                oq.extend([qids[qi]] * len(sel))
+                oc.extend(bids[sel])
+                os_.extend(sims[sel, qi])
+            btop = min(k, n_a)
+            for bi in range(sims.shape[0]):
+                sel = _det_topk(sims[bi, :], qids, btop)
+                dirs.extend(["b"] * len(sel))
+                oq.extend([bids[bi]] * len(sel))
+                oc.extend(qids[sel])
+                os_.extend(sims[bi, sel])
+            yield pd.DataFrame(
+                {"dir": dirs, "query_id": oq, "vec_id": oc,
+                 "cosine": os_}
+            )
+
+    tagged = (
+        b_df.select(
+            F.col(b_id).alias("_bid"), F.col(b_vec).alias("_bv")
+        )
+        .mapInPandas(
+            run, "dir string, query_id long, vec_id long, cosine double"
+        )
+        # consumed by both directions: materialize the (bounded,
+        # candidate-grain) result once instead of re-running the
+        # matmul scan per consumer
+        .localCheckpoint()
+    )
+    fwd = _topk_two_level(tagged.filter(F.col("dir") == "f").drop("dir"), k)
+    bwd = tagged.filter(F.col("dir") == "b").drop("dir")
+    return fwd, bwd
+
+
 def _knn_sums(topk: DataFrame, out_id: str, out_sum: str) -> DataFrame:
     """Integer sum of e6-scaled top-k cosines per query id."""
     return topk.groupBy(F.col("query_id").alias(out_id)).agg(
@@ -55,6 +126,7 @@ def mine_parallel_pairs(
     b_vec: str = "embedding",
     k: int = 4,
     margin_threshold: float = 1.0,
+    use_arrow: bool = False,
 ) -> DataFrame:
     """Mutual-best margin pairs: ``(id_a, id_b, cosine, margin_e6)``.
 
@@ -66,14 +138,30 @@ def mine_parallel_pairs(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    fwd = cosine_topk(
-        a_df, b_df, query_id=a_id, corpus_id=b_id,
-        query_vec=a_vec, corpus_vec=b_vec, k=k,
-    )
-    bwd = cosine_topk(
-        b_df, a_df, query_id=b_id, corpus_id=a_id,
-        query_vec=b_vec, corpus_vec=a_vec, k=k,
-    )
+    # use_arrow swaps BOTH top-k directions for one numpy-matmul pass
+    # over B (A, the designated bounded side, rides in the closure):
+    # the same sims matrix yields the forward batch top-k per A query
+    # AND the exact backward top-k per B row — so the big side is
+    # never collected to the driver (a cosine_topk_arrow(b, a) call
+    # would be) and the corpus is scanned once, not twice.  Ties
+    # break by (-cosine, id) at batch level (ann._det_topk), matching
+    # the global window, so membership is deterministic.  Matmul SIMD
+    # summation can still differ from the sequential HOF sum in the
+    # last ulp of a cosine, so keep the default (exact HOF) wherever
+    # an oracle replays the arithmetic.
+    if use_arrow:
+        fwd, bwd = _both_topk_arrow(
+            a_df, b_df, a_id, b_id, a_vec, b_vec, k
+        )
+    else:
+        fwd = cosine_topk(
+            a_df, b_df, query_id=a_id, corpus_id=b_id,
+            query_vec=a_vec, corpus_vec=b_vec, k=k,
+        )
+        bwd = cosine_topk(
+            b_df, a_df, query_id=b_id, corpus_id=a_id,
+            query_vec=b_vec, corpus_vec=a_vec, k=k,
+        )
     ka = _knn_sums(fwd, "_ida", "_sa")
     kb = _knn_sums(bwd, "_idb", "_sb")
 

@@ -47,6 +47,7 @@ def rank_buckets(
     *,
     n_buckets: int = 3,
     n_ranges: int = 256,
+    max_groups: int = 2_000_000,
 ) -> DataFrame:
     """All input columns + ``(rank, group_n, bucket)``: ``rank`` is
     the exact 1-based position of the row within its group ordered by
@@ -63,6 +64,11 @@ def rank_buckets(
     for c in ("_rng", "_rk", "_off", "_mn", "_mx", "_n"):
         if c in df.columns:
             raise ValueError(f"reserved temp column {c!r} present in input")
+    clash = [c for c in ("rank", "group_n", "bucket") if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"input column(s) {clash} collide with rank_buckets outputs"
+        )
 
     s = F.col(score_col)
     # group stats: min/max span for the monotone range key + the count
@@ -71,6 +77,17 @@ def rank_buckets(
         F.max(s).alias("_mx"),
         F.count(F.lit(1)).alias("_n"),
     )
+    # the stats and offsets frames are force-broadcast below — guard
+    # group cardinality LOUDLY (the repo rule: never an opaque
+    # broadcast OOM) instead of letting #groups x n_ranges explode
+    n_groups = stats.count()
+    if n_groups > max_groups:
+        raise ValueError(
+            f"{n_groups} groups exceeds max_groups={max_groups}: the "
+            "per-group stats/offset frames are broadcast; raise "
+            "max_groups only with executor memory to match, or bucket "
+            "a coarser grouping"
+        )
     st = stats
     for c in group_cols:
         st = st.withColumnRenamed(c, f"_g_{c}")
@@ -79,13 +96,23 @@ def rank_buckets(
         *[f"_g_{c}" for c in group_cols]
     )
 
-    span = F.col("_mx") - F.col("_mn")
+    # range key in DOUBLE on purpose: long arithmetic overflows for
+    # wide spans ((s - mn) * 256 wraps past 2^63/256 ≈ 3.6e16, and
+    # mx - mn itself wraps for full-range hash scores) — ANSI mode
+    # kills the job, legacy mode silently breaks monotonicity.
+    # floor() of double math is only WEAKLY monotone in s, which is
+    # exactly what correctness needs (equal scores must share a
+    # range; nearby scores may share one too — that is just balance).
+    sd = s.cast("double")
+    mn = F.col("_mn").cast("double")
+    mx = F.col("_mx").cast("double")
+    span = mx - mn
     rng = F.when(
         s.isNull() | (span <= 0), F.lit(0)
     ).otherwise(
         F.least(
             F.lit(n_ranges - 1),
-            F.floor((s - F.col("_mn")) * n_ranges / (span + 1)),
+            F.floor((sd - mn) / span * n_ranges).cast("long"),
         )
     ).cast("int")
     withrng = withstats.withColumn("_rng", rng)

@@ -96,3 +96,12 @@ def test_k_guard(spark):
     a, b = _frames(spark)
     with pytest.raises(ValueError):
         mine_parallel_pairs(a, b, k=0)
+
+
+def test_arrow_tier_recovers_same_planted_pairs(spark):
+    a, b = _frames(spark)
+    exact = {(r["id_a"], r["id_b"]) for r in
+             mine_parallel_pairs(a, b, k=3).collect()}
+    arrow = {(r["id_a"], r["id_b"]) for r in
+             mine_parallel_pairs(a, b, k=3, use_arrow=True).collect()}
+    assert exact == arrow == {(i, 1000 + i) for i in range(8)}

@@ -105,3 +105,28 @@ def test_no_single_task_sort_for_dominant_group(spark):
     plan = rank_buckets(df, ["lang"], "score", "id")._jdf.queryExecution(
     ).optimizedPlan().toString()
     assert "_rng" in plan
+
+
+def test_wide_span_scores_no_overflow(spark):
+    # regression: long range-key math overflowed (ANSI kill / silent
+    # wrap) for hash-scale scores; double math is weakly monotone
+    rows = [(1, "en", 0), (2, "en", 3 * 2**54), (3, "en", 2**56),
+            (4, "en", -(2**62)), (5, "en", 2**62)]
+    df = _mkdf(spark, rows)
+    got = _collect_map(rank_buckets(df, ["lang"], "score", "id"))
+    want = _collect_map(_serial(spark, df, ["lang"], "score", "id"))
+    assert got == want
+    assert [got[i][0] for i in (4, 1, 2, 3, 5)] == [1, 2, 3, 4, 5]
+
+
+def test_output_collision_guard(spark):
+    df = _mkdf(spark, [(1, "en", 1)]).withColumn("rank", F.lit(9))
+    with pytest.raises(ValueError, match="collide"):
+        rank_buckets(df, ["lang"], "score", "id")
+
+
+def test_max_groups_guard(spark):
+    rows = [(i, f"g{i}", i) for i in range(10)]
+    df = _mkdf(spark, rows)
+    with pytest.raises(ValueError, match="max_groups"):
+        rank_buckets(df, ["lang"], "score", "id", max_groups=5)
