@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (198/198), including the approximate tiers
+EVERY query has an oracle (200/200), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -4919,6 +4919,155 @@ def _pack_sweep_oracle_sql() -> str:
     """
 
 
+def q_image_ahash(spark, sf_dir):
+    """Perceptual image hashing (operators/imagehash.image_hashes —
+    the aHash/pHash-family multimodal dedup tier LAION/DataComp run):
+    REAL 8x8 PNGs are generated in executors (stdlib codec,
+    functions/png.py) with the deterministic pattern
+    px(x, y) = (x*17 + y*31 + id) % 256, plus a corrupt stripe
+    (id%13: not-a-PNG bytes -> decode_ok=false, NULL hash, never
+    dropped).  The oracle derives the EXPECTED hash purely
+    arithmetically from the pattern (no image bytes anywhere in SQL) —
+    equality therefore pins the entire encode -> decode -> grayscale
+    -> integer-threshold -> bit-pack pipeline byte-exactly.  Hash bits
+    use the strict integer cross-multiply p*64 > sum (no float ever
+    decides a bit)."""
+    from schema_validator_spark.operators.imagehash import image_hashes
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from schema_validator_spark.functions import png as PNG
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 13 == 0:
+                    rows.append((did, b"JUNK" + str(did).encode()))
+                else:
+                    yy, xx = np.mgrid[0:8, 0:8]
+                    px = ((xx * 17 + yy * 31 + did) % 256).astype(
+                        "uint8"
+                    )
+                    rows.append((did, PNG.encode_png(px)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    return image_hashes(media)
+
+
+_IMAGE_AHASH_ORACLE_SQL = """
+    with ok as (
+      select doc_id from documents where doc_id % 13 <> 0
+    ), bits as (
+      select doc_id, i,
+             ((i % 8) * 17 + (i // 8) * 31 + doc_id) % 256 as p
+      from ok, unnest(range(64)) as t(i)
+    ), tot as (
+      select doc_id, sum(p) as s from bits group by doc_id
+    ), hv as (
+      select b.doc_id,
+             sum(case when b.p * 64 > t.s
+                 then (1::UBIGINT << (63 - cast(b.i as int)))
+                 else 0::UBIGINT end) as v
+      from bits b join tot t on t.doc_id = b.doc_id
+      group by b.doc_id
+    )
+    select doc_id as media_id, true as decode_ok,
+           8 as width, 8 as height,
+           lpad(lower(hex(cast(v as ubigint))), 16, '0') as ahash
+    from hv
+    union all
+    select doc_id, false, -1, -1, NULL
+    from documents where doc_id % 13 = 0
+"""
+
+
+#: image near-dup planted design: 10 groups of 4 variants; each
+#: group's rows 5-7 carry a 24-bit code with pairwise Hamming
+#: distance >= 9 (asserted below), so cross-group hashes differ by
+#: > 3 + 5 flips and only within-group pairs can pass max_hamming=3.
+_AHASH_GROUP_CODES = [
+    0x52E6B4, 0xF2A74D, 0x651327, 0x0C5C7F, 0x892F90,
+    0x5D9DC9, 0x0ED904, 0x1600A3, 0x11E20B, 0x0F21DD,
+]
+#: member m flips these bit positions (row 0) relative to the base
+_AHASH_FLIPS = {0: [], 1: [0], 2: [0, 1], 3: [0, 1, 2, 3, 4]}
+
+
+def q_image_neardups(spark, sf_dir):
+    """Perceptual near-duplicate detection
+    (operators/imagehash.image_near_dups): aHash banding (4 x 16-bit
+    bands — pigeonhole-EXACT for Hamming <= 3) + exact bit_count
+    verify, over REAL PNGs.  40 planted images: 10 groups x 4
+    variants; within a group the variants differ by exactly the
+    planted pixel flips (all pixels are 0/255, so the integer
+    threshold never moves a non-flipped bit), across groups the
+    row-5..7 code plates differ by >= 9 bits.  Expected pair set +
+    Hamming values are therefore CONSTANTS the oracle enumerates
+    arithmetically — no image bytes anywhere in SQL."""
+    import itertools
+
+    for a, b in itertools.combinations(_AHASH_GROUP_CODES, 2):
+        assert bin(a ^ b).count("1") >= 9, (hex(a), hex(b))
+    from schema_validator_spark.operators.imagehash import (
+        image_hashes,
+        image_near_dups,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 40
+    ).select("doc_id")
+    codes = _AHASH_GROUP_CODES
+    flips = _AHASH_FLIPS
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from schema_validator_spark.functions import png as PNG
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g, m = did // 4, did % 4
+                px = np.zeros((8, 8), dtype="uint8")
+                px[0:5, 4:8] = 255
+                code = codes[g]
+                for j in range(24):
+                    if (code >> j) & 1:
+                        px[5 + j // 8, j % 8] = 255
+                for bit in flips[m]:
+                    y, x = bit // 8, bit % 8
+                    px[y, x] = 255 - px[y, x]
+                rows.append((did, PNG.encode_png(px)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    return image_near_dups(image_hashes(media), max_hamming=3)
+
+
+_IMAGE_NEARDUP_ORACLE_SQL = """
+    with g as (select unnest(range(10)) as g)
+    select cast(4 * g + 0 as bigint) as id_a,
+           cast(4 * g + 1 as bigint) as id_b, 1 as hamming from g
+    union all
+    select cast(4 * g + 0 as bigint), cast(4 * g + 2 as bigint), 2
+    from g
+    union all
+    select cast(4 * g + 1 as bigint), cast(4 * g + 2 as bigint), 1
+    from g
+    union all
+    select cast(4 * g + 2 as bigint), cast(4 * g + 3 as bigint), 3
+    from g
+"""
+
+
 #: bm25 synthesis terms — underscore/digit shapes the natural-word
 #: vocabulary of documents.text cannot collide with
 _BM25_TERMS = ["serialize_v2", "mutex_guard", "qsort_3way"]
@@ -6966,6 +7115,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir": q_dsir,
         "bitext_pairs": q_bitext_pairs,
         "pack_sweep": q_pack_sweep,
+        "image_ahash": q_image_ahash,
+        "image_neardups": q_image_neardups,
     }
 
 
@@ -11905,6 +12056,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "dsir": _dsir_oracle_sql(),
         "bitext_pairs": _BITEXT_ORACLE_SQL,
         "pack_sweep": _pack_sweep_oracle_sql(),
+        "image_ahash": _IMAGE_AHASH_ORACLE_SQL,
+        "image_neardups": _IMAGE_NEARDUP_ORACLE_SQL,
         "dead_symbols": _dead_symbols_oracle_sql(),
         "comment_lang": _comment_lang_oracle_sql(),
         "notebook_pairs": _NB_PAIRS_ORACLE_SQL,

@@ -2119,6 +2119,52 @@ def run_bitext(spark, na=500, nb=250_000):
             "sec": round(time.time() - t, 1)}
 
 
+def run_image_hash(spark, n=2_000_000):
+    """2M REAL 8x8 PNGs encoded+decoded+hashed through the stdlib
+    codec (Arrow batches): each even/odd id pair shares an
+    md5-random 63-bit plate, the odd one flips ONE pixel — so the
+    near-dup tier must find exactly n/2 planted hamming-1 pairs
+    (random cross pairs at <= 3 bits of 63 are ~4.7e-15/pair)."""
+    from schema_validator_spark.operators.imagehash import (
+        image_hashes,
+        image_near_dups,
+    )
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from schema_validator_spark.functions import png as PNG
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                base = mid // 2
+                d = hashlib.md5(str(base).encode()).digest()[:8]
+                bits = np.unpackbits(
+                    np.frombuffer(d, dtype=np.uint8)
+                )
+                px = (bits.reshape(8, 8) * 255).astype("uint8")
+                if mid % 2 == 1:
+                    px[7, 7] = 255 - px[7, 7]
+                rows.append((mid, PNG.encode_png(px)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    df = spark.range(n).mapInPandas(gen, "media_id long, payload binary")
+    t = time.time()
+    hashes = image_hashes(df).localCheckpoint()
+    n_ok = hashes.filter("decode_ok").count()
+    t_hash = round(time.time() - t, 1)
+    t2 = time.time()
+    pairs = image_near_dups(hashes, max_hamming=3).count()
+    return {"op": "image_hash", "rows": n, "decoded": n_ok,
+            "pairs": pairs, "hash_sec": t_hash,
+            "pairs_sec": round(time.time() - t2, 1)}
+
+
 OPS = {
     "edit_join": run_edit_join,
     "winnow_pairs": run_winnow,
@@ -2205,6 +2251,7 @@ OPS = {
     "rank_buckets": run_rank_buckets,
     "dsir": run_dsir,
     "bitext_pairs": run_bitext,
+    "image_hash": run_image_hash,
 }
 
 
