@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (200/200), including the approximate tiers
+EVERY query has an oracle (201/201), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -5068,6 +5068,83 @@ _IMAGE_NEARDUP_ORACLE_SQL = """
 """
 
 
+def q_audio_envelope(spark, sf_dir):
+    """Audio energy-envelope fingerprinting
+    (operators/audiohash.audio_fingerprints — the audio-modality
+    aHash: 64 windows, bit = window energy above the clip mean by
+    strict integer cross-multiply): REAL 16-bit PCM WAVs are
+    generated in executors (stdlib wave) with window-constant
+    amplitudes a_w = ((w*13 + id) % 8) * 1000, plus a corrupt stripe
+    (id%13 -> not-a-WAV, decode_ok=false, NULL fingerprint).  The
+    oracle derives the EXPECTED fingerprint purely arithmetically
+    (energy_w = 16·a_w², bit iff a_w²·64 > Σa²) — equality pins the
+    whole WAV-encode -> parse -> window-energy -> bit-pack pipeline
+    with no audio bytes in SQL."""
+    from schema_validator_spark.operators.audiohash import (
+        audio_fingerprints,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import io
+        import wave as wavmod
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 13 == 0:
+                    rows.append((did, b"NOTWAV" + str(did).encode()))
+                    continue
+                amps = np.array(
+                    [((w * 13 + did) % 8) * 1000 for w in range(64)],
+                    dtype="<i2",
+                )
+                samples = np.repeat(amps, 16)
+                bio = io.BytesIO()
+                with wavmod.open(bio, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(8000)
+                    wf.writeframes(samples.tobytes())
+                rows.append((did, bio.getvalue()))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    return audio_fingerprints(media)
+
+
+_AUDIO_ENVELOPE_ORACLE_SQL = """
+    with ok as (
+      select doc_id from documents where doc_id % 13 <> 0
+    ), wins as (
+      select doc_id, w,
+             cast(((w * 13 + doc_id) % 8) * 1000 as bigint) as a
+      from ok, unnest(range(64)) as t(w)
+    ), tot as (
+      select doc_id, sum(a * a) as s from wins group by doc_id
+    ), hv as (
+      select wn.doc_id,
+             sum(case when wn.a * wn.a * 64 > t.s
+                 then (1::UBIGINT << (63 - cast(wn.w as int)))
+                 else 0::UBIGINT end) as v
+      from wins wn join tot t on t.doc_id = wn.doc_id
+      group by wn.doc_id
+    )
+    select doc_id as media_id, true as decode_ok,
+           1024 as n_frames, 8000 as sample_rate,
+           lpad(lower(hex(cast(v as ubigint))), 16, '0') as fingerprint
+    from hv
+    union all
+    select doc_id, false, -1, -1, NULL
+    from documents where doc_id % 13 = 0
+"""
+
+
 #: bm25 synthesis terms — underscore/digit shapes the natural-word
 #: vocabulary of documents.text cannot collide with
 _BM25_TERMS = ["serialize_v2", "mutex_guard", "qsort_3way"]
@@ -7117,6 +7194,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sweep": q_pack_sweep,
         "image_ahash": q_image_ahash,
         "image_neardups": q_image_neardups,
+        "audio_envelope": q_audio_envelope,
     }
 
 
@@ -12058,6 +12136,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "pack_sweep": _pack_sweep_oracle_sql(),
         "image_ahash": _IMAGE_AHASH_ORACLE_SQL,
         "image_neardups": _IMAGE_NEARDUP_ORACLE_SQL,
+        "audio_envelope": _AUDIO_ENVELOPE_ORACLE_SQL,
         "dead_symbols": _dead_symbols_oracle_sql(),
         "comment_lang": _comment_lang_oracle_sql(),
         "notebook_pairs": _NB_PAIRS_ORACLE_SQL,

@@ -2165,6 +2165,57 @@ def run_image_hash(spark, n=2_000_000):
             "pairs_sec": round(time.time() - t2, 1)}
 
 
+def run_audio_hash(spark, n=1_000_000):
+    """1M REAL 1024-sample WAVs encoded+parsed+fingerprinted through
+    the stdlib codec; even/odd pairs share md5-random window
+    amplitudes with one window flipped loud -> near-dup tier must
+    find ~n/2 planted low-hamming pairs."""
+    from schema_validator_spark.operators.audiohash import (
+        audio_fingerprints,
+        audio_near_dups,
+    )
+
+    def gen(batches):
+        import hashlib
+        import io
+        import wave as wavmod
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                base = mid // 2
+                d = hashlib.md5(str(base).encode()).digest()
+                amps = np.array(
+                    [((d[w % 16] >> (w // 16)) & 0x7) * 1000
+                     for w in range(64)], dtype="<i2")
+                if mid % 2 == 1:
+                    amps[0] = 7000
+                samples = np.repeat(amps, 16)
+                bio = io.BytesIO()
+                with wavmod.open(bio, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(8000)
+                    wf.writeframes(samples.tobytes())
+                rows.append((mid, bio.getvalue()))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    df = spark.range(n).mapInPandas(gen, "media_id long, payload binary")
+    t = time.time()
+    fps = audio_fingerprints(df).localCheckpoint()
+    n_ok = fps.filter("decode_ok").count()
+    t_hash = round(time.time() - t, 1)
+    t2 = time.time()
+    pairs = audio_near_dups(fps, max_hamming=3).count()
+    return {"op": "audio_hash", "rows": n, "decoded": n_ok,
+            "pairs": pairs, "hash_sec": t_hash,
+            "pairs_sec": round(time.time() - t2, 1)}
+
+
 OPS = {
     "edit_join": run_edit_join,
     "winnow_pairs": run_winnow,
@@ -2252,6 +2303,7 @@ OPS = {
     "dsir": run_dsir,
     "bitext_pairs": run_bitext,
     "image_hash": run_image_hash,
+    "audio_hash": run_audio_hash,
 }
 
 
