@@ -37,15 +37,19 @@ from pyspark.sql import functions as F
 from .ann import cosine_topk
 
 
-def _both_topk_arrow(a_df, b_df, a_id, b_id, a_vec, b_vec, k):
+def _both_topk_arrow(a_df, b_df, a_id, b_id, a_vec, b_vec, k,
+                     max_query_rows):
     """(forward, backward) top-k frames from ONE matmul pass over B.
 
-    A is collected (bounded by ann's max_query_rows guard) and rides
-    the task closure; per Arrow batch of B the sims matrix gives the
-    forward batch-local top-k per A query (reduced globally by the
-    salted two-level window) and the EXACT backward top-k per B row
-    (every A candidate is present in-closure, so no reduction is
-    needed).  Both use the deterministic (-cosine, id) tie order.
+    A is collected (bounded by ``max_query_rows``) and rides the task
+    closure; per Arrow batch of B the sims matrix gives the forward
+    batch-local top-k per A query and the exact backward top-k per B
+    ROW (every A candidate is in-closure).  BOTH directions then pass
+    the salted two-level window — forward to merge batches, backward
+    to merge duplicate b-side ids to exactly k entries (identical
+    semantics to the HOF tier's per-id window).  All tie-breaks use
+    the deterministic (-cosine, id) order.  An empty A yields empty
+    frames (the HOF tier's semantics), never an error.
     """
     import numpy as np
     import pandas as pd
@@ -53,9 +57,14 @@ def _both_topk_arrow(a_df, b_df, a_id, b_id, a_vec, b_vec, k):
     from .ann import _collect_query_rows, _det_topk, _stack, \
         _topk_two_level
 
-    qrows = _collect_query_rows(a_df, [a_id, a_vec], 100_000)
+    qrows = _collect_query_rows(a_df, [a_id, a_vec], max_query_rows)
     if not qrows:
-        raise ValueError("empty A side")
+        # empty A = empty mining result (same semantics as the HOF
+        # tier, where an empty query side yields no candidates)
+        empty = a_df.sparkSession.createDataFrame(
+            [], "query_id long, vec_id long, cosine double, rank int"
+        )
+        return empty, empty.drop("rank")
     qids = np.asarray([r[0] for r in qrows])
     Q = np.asarray([list(map(float, r[1])) for r in qrows])
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
@@ -104,7 +113,10 @@ def _both_topk_arrow(a_df, b_df, a_id, b_id, a_vec, b_vec, k):
         .localCheckpoint()
     )
     fwd = _topk_two_level(tagged.filter(F.col("dir") == "f").drop("dir"), k)
-    bwd = tagged.filter(F.col("dir") == "b").drop("dir")
+    # backward rows are exact per B ROW; reduce to per B ID through
+    # the same two-level window so duplicate b-side ids keep exactly
+    # k entries — identical semantics to the HOF tier's per-id window
+    bwd = _topk_two_level(tagged.filter(F.col("dir") == "b").drop("dir"), k)
     return fwd, bwd
 
 
@@ -127,6 +139,7 @@ def mine_parallel_pairs(
     k: int = 4,
     margin_threshold: float = 1.0,
     use_arrow: bool = False,
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Mutual-best margin pairs: ``(id_a, id_b, cosine, margin_e6)``.
 
@@ -151,7 +164,7 @@ def mine_parallel_pairs(
     # an oracle replays the arithmetic.
     if use_arrow:
         fwd, bwd = _both_topk_arrow(
-            a_df, b_df, a_id, b_id, a_vec, b_vec, k
+            a_df, b_df, a_id, b_id, a_vec, b_vec, k, max_query_rows
         )
     else:
         fwd = cosine_topk(

@@ -127,11 +127,13 @@ def image_near_dups(
     ``max_hamming`` over the hash frame from :func:`image_hashes`.
 
     EXACT for ``max_hamming <= N_BANDS - 1`` (pigeonhole: <= 3 flipped
-    bits cannot touch all 4 bands); higher thresholds are recall-bound
-    by banding like any LSH tier.  Hot buckets (degenerate corpora:
-    all-black thumbnails share one hash) are capped at ``max_bucket``
-    members with a LOUD warning column in logs — the SimHash tier's
-    documented drop semantics.
+    bits cannot touch all 4 bands) — EXCEPT members of over-size
+    buckets: a (band, key) bucket larger than ``max_bucket`` is
+    DROPPED ENTIRELY from pair generation with its drop count logged
+    (the SimHash tier's documented semantics, dedup._cap_hot_buckets
+    — a degenerate bucket like 2M all-black thumbnails would
+    otherwise go quadratic; dedupe such monoculture by EXACT hash
+    equality first, which needs no pair generation at all).
     """
     if not 0 <= max_hamming <= 64:
         raise ValueError("max_hamming in [0, 64]")

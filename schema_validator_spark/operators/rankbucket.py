@@ -47,7 +47,7 @@ def rank_buckets(
     *,
     n_buckets: int = 3,
     n_ranges: int = 256,
-    max_groups: int = 2_000_000,
+    max_groups: int = 32_768,
 ) -> DataFrame:
     """All input columns + ``(rank, group_n, bucket)``: ``rank`` is
     the exact 1-based position of the row within its group ordered by
@@ -78,15 +78,22 @@ def rank_buckets(
         F.count(F.lit(1)).alias("_n"),
     )
     # the stats and offsets frames are force-broadcast below — guard
-    # group cardinality LOUDLY (the repo rule: never an opaque
-    # broadcast OOM) instead of letting #groups x n_ranges explode
+    # the BROADCAST VOLUME loudly (the repo rule: never an opaque
+    # broadcast OOM).  The offsets frame is up to n_groups x n_ranges
+    # rows, so the bound is on the product, not the group count; the
+    # stats frame is materialized once (localCheckpoint) so the guard
+    # count and the join below share one aggregation pass
+    # (_cap_hot_buckets precedent).
+    stats = stats.localCheckpoint()
     n_groups = stats.count()
-    if n_groups > max_groups:
+    budget = max_groups * 256  # ~8.4M offset rows at the default
+    if n_groups * n_ranges > budget:
         raise ValueError(
-            f"{n_groups} groups exceeds max_groups={max_groups}: the "
-            "per-group stats/offset frames are broadcast; raise "
-            "max_groups only with executor memory to match, or bucket "
-            "a coarser grouping"
+            f"{n_groups} groups x {n_ranges} ranges exceeds the "
+            f"broadcast budget ({budget} offset rows): lower "
+            "n_ranges for high-cardinality groupings, bucket a "
+            "coarser grouping, or raise max_groups only with "
+            "executor memory to match"
         )
     st = stats
     for c in group_cols:

@@ -105,3 +105,21 @@ def test_arrow_tier_recovers_same_planted_pairs(spark):
     arrow = {(r["id_a"], r["id_b"]) for r in
              mine_parallel_pairs(a, b, k=3, use_arrow=True).collect()}
     assert exact == arrow == {(i, 1000 + i) for i in range(8)}
+
+
+def test_arrow_empty_a_returns_empty(spark):
+    a = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    _, b = _frames(spark)
+    assert mine_parallel_pairs(a, b, k=3, use_arrow=True).count() == 0
+    assert mine_parallel_pairs(a, b, k=3).count() == 0
+
+
+def test_arrow_duplicate_b_ids_match_hof_tier(spark):
+    a, b = _frames(spark)
+    b_dup = b.unionByName(b.filter(F.col("vec_id") == 1000))
+    exact = {(r["id_a"], r["id_b"]): r["margin_e6"] for r in
+             mine_parallel_pairs(a, b_dup, k=3).collect()}
+    arrow = {(r["id_a"], r["id_b"]): r["margin_e6"] for r in
+             mine_parallel_pairs(a, b_dup, k=3,
+                                 use_arrow=True).collect()}
+    assert set(exact) == set(arrow)
