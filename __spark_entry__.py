@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (201/201), including the approximate tiers
+EVERY query has an oracle (202/202), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -5068,6 +5068,42 @@ _IMAGE_NEARDUP_ORACLE_SQL = """
 """
 
 
+def q_semantic_contamination(spark, sf_dir):
+    """Embedding-space eval-overlap audit
+    (operators/semcontam.semantic_contamination — the decontamination
+    tier n-gram sweeps miss: paraphrased/reformatted benchmark items
+    share no 8-gram but keep their direction).  Eval set = two planted
+    stripes of embeddings: vec_id%10==0 scaled x2 (cosine exactly 1.0,
+    scale-invariance) and vec_id%10==5 with the first element tripled
+    (cosine >= 0.866 by the (1+2t)/sqrt(1+8t) bound).  Natural
+    off-diagonal cosine in this table tops out ~0.51, so threshold 0.8
+    flags EXACTLY the planted stripes with >0.06 margin either side.
+    Zero shuffles: per-row argmax over the broadcast eval literal."""
+    from schema_validator_spark.operators.semcontam import (
+        semantic_contamination,
+    )
+
+    embs = _t(spark, sf_dir, "embeddings")
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    ev = (
+        embs.filter(F.col("vec_id") % 10 == 0)
+        .select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.transform(dv, lambda x: x * 2.0).alias("embedding"),
+        )
+        .unionByName(
+            embs.filter(F.col("vec_id") % 10 == 5).select(
+                (F.col("vec_id") + 2000000).alias("vec_id"),
+                F.concat(
+                    F.array(F.element_at(dv, 1) * 3.0),
+                    F.slice(dv, 2, F.size(dv) - 1),
+                ).alias("embedding"),
+            )
+        )
+    )
+    return semantic_contamination(embs, ev, threshold=0.8)
+
+
 def q_audio_envelope(spark, sf_dir):
     """Audio energy-envelope fingerprinting
     (operators/audiohash.audio_fingerprints — the audio-modality
@@ -5116,6 +5152,52 @@ def q_audio_envelope(spark, sf_dir):
 
     media = docs.mapInPandas(gen, "media_id long, payload binary")
     return audio_fingerprints(media)
+
+
+# Independent replay of q_semantic_contamination: rebuild both eval
+# stripes, exact cosine in sequential-double arithmetic (same fold
+# order as the Spark HOF tier), argmax via row_number (cosine desc,
+# eval_id asc) = the engine's max-struct over (cosine, -eval_id).
+_SEMCONTAM_ORACLE_SQL = """
+    with ev as (
+      select vec_id + 1000000 as eval_id,
+             list_transform(embedding::DOUBLE[], x -> x * 2.0) as v
+      from embeddings where vec_id % 10 = 0
+      union all
+      select vec_id + 2000000,
+             list_prepend(embedding[1]::DOUBLE * 3.0,
+                          (embedding::DOUBLE[])[2:])
+      from embeddings where vec_id % 10 = 5
+    ),
+    evn as (
+      select eval_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) as ne
+      from ev
+    ),
+    tr as (
+      select vec_id, embedding::DOUBLE[] as tv,
+             sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                          x -> x * x))) as nt
+      from embeddings
+    ),
+    scored as (
+      select tr.vec_id, evn.eval_id,
+             round(
+               list_sum(list_transform(range(1, len(tv) + 1),
+                                       i -> tv[i] * v[i]))
+               / (nt * ne), 6) as cosine
+      from tr cross join evn
+      where nt > 0
+    ),
+    best as (
+      select vec_id, eval_id, cosine,
+             row_number() over (partition by vec_id
+                                order by cosine desc, eval_id asc) as rn
+      from scored
+    )
+    select vec_id, eval_id, cosine from best
+    where rn = 1 and cosine >= 0.8
+"""
 
 
 _AUDIO_ENVELOPE_ORACLE_SQL = """
@@ -6781,6 +6863,7 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
     "quality_scores": (["doc_id"], ["quality"]),
     "minhash_lsh": (["id_a", "id_b"], ["jaccard"]),
     "embedding_neardups": (["id_a", "id_b"], ["cosine"]),
+    "semantic_contamination": (["vec_id", "eval_id"], ["cosine"]),
     "drift_psi": (["baseline", "curr"], ["psi"]),
     "snapshot_drift": (["baseline", "curr"], ["psi"]),
     "gopher_quality": (
@@ -7195,6 +7278,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_ahash": q_image_ahash,
         "image_neardups": q_image_neardups,
         "audio_envelope": q_audio_envelope,
+        "semantic_contamination": q_semantic_contamination,
     }
 
 
@@ -12137,6 +12221,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "image_ahash": _IMAGE_AHASH_ORACLE_SQL,
         "image_neardups": _IMAGE_NEARDUP_ORACLE_SQL,
         "audio_envelope": _AUDIO_ENVELOPE_ORACLE_SQL,
+        "semantic_contamination": _SEMCONTAM_ORACLE_SQL,
         "dead_symbols": _dead_symbols_oracle_sql(),
         "comment_lang": _comment_lang_oracle_sql(),
         "notebook_pairs": _NB_PAIRS_ORACLE_SQL,

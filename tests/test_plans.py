@@ -162,3 +162,23 @@ def test_call_graph_joins_are_equi_and_python_free(spark, docs):
     assert "CartesianProduct" not in kinds, kinds
     assert "BroadcastNestedLoopJoin" not in kinds, kinds
     assert not P.uses_python(ce)
+
+
+def test_semantic_overlap_hof_is_one_map_only_pass(spark):
+    """The HOF decontamination tier must ride the corpus scan: eval set
+    constant-folded into the projection — zero Exchanges, zero joins,
+    zero Python (the per-row argmax is an expression, not a groupBy)."""
+    from schema_validator_spark.operators.semcontam import semantic_overlap
+
+    train = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") % (i + 3)).cast("double")
+                  for i in range(8)]).alias("embedding"),
+    )
+    ev = spark.createDataFrame(
+        [(1000 + i, [float(i + j) for j in range(8)]) for i in range(4)],
+        "vec_id long, embedding array<double>")
+    out = semantic_overlap(train, ev)
+    assert P.n_exchanges(out) == 0
+    assert P.join_kinds(out) == []
+    assert not P.uses_python(out)
