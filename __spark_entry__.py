@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (202/202), including the approximate tiers
+EVERY query has an oracle (203/203), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -5104,6 +5104,44 @@ def q_semantic_contamination(spark, sf_dir):
     return semantic_contamination(embs, ev, threshold=0.8)
 
 
+def q_synthetic_text(spark, sf_dir):
+    """AI-generated-content detection
+    (functions/synthtext.synthetic_text_stats — the post-2023 curation
+    stage: phrase tier catches pasted chatbot disclaimers, the
+    statistical tier catches slop-lexicon-dense uniform-sentence text).
+    Stripes: doc_id%13 appends a disclaimer (phrase flag); %17 replaces
+    the doc with 6 identical slop sentences (cv=0, 300 slop/1k — the
+    statistical flag); natural docs have no sentence punctuation
+    (n_sents=1) so neither tier fires on them.  Zero shuffles; the
+    oracle replays tokenization, phrase probes, edge-punct slop
+    membership, and the byte-length CV arithmetic independently."""
+    from schema_validator_spark.functions.synthtext import (
+        synthetic_text_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    sent = F.concat(
+        F.lit("We delve into the vibrant tapestry of region "),
+        (did % 7).cast("string"),
+        F.lit(" results. "),
+    )
+    content = (
+        F.when(
+            did % 13 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" As an AI language model, I cannot continue."),
+            ),
+        )
+        .when(did % 17 == 0, F.repeat(sent, 6))
+        .otherwise(F.col("text"))
+    )
+    return synthetic_text_stats(
+        docs.select("doc_id", content.alias("text")), ["doc_id"], "text"
+    )
+
+
 def q_audio_envelope(spark, sf_dir):
     """Audio energy-envelope fingerprinting
     (operators/audiohash.audio_fingerprints — the audio-modality
@@ -5152,6 +5190,90 @@ def q_audio_envelope(spark, sf_dir):
 
     media = docs.mapInPandas(gen, "media_id long, payload binary")
     return audio_fingerprints(media)
+
+
+def _synthtext_oracle_sql() -> str:
+    """Replay q_synthetic_text: same stripes, then an independent
+    implementation of tokenization (string_split_regex + filter),
+    phrase substring probes, edge-punct slop membership, and the
+    population-CV over sentence OCTET lengths.  Phrase/slop/punct
+    constants import from the module — single source of truth."""
+    from schema_validator_spark.functions.synthtext import (
+        DEFAULT_PHRASES,
+        DEFAULT_SLOP_TERMS,
+        _EDGE_PUNCT,
+    )
+
+    phrase_sum = " + ".join(
+        f"(case when contains(lt, '{p}') then 1 else 0 end)"
+        for p in DEFAULT_PHRASES
+    )
+    slop_list = ", ".join(f"'{t}'" for t in sorted(DEFAULT_SLOP_TERMS))
+    return rf"""
+    with synth as (
+      select doc_id,
+             case when doc_id % 13 = 0 then
+                    text || ' As an AI language model, I cannot continue.'
+                  when doc_id % 17 = 0 then
+                    repeat('We delve into the vibrant tapestry of region '
+                           || cast(doc_id % 7 as varchar) || ' results. ', 6)
+                  else text end as text
+      from documents
+    ),
+    base as (
+      select doc_id, lower(coalesce(text, '')) as lt from synth
+    ),
+    arrs as (
+      select doc_id, lt,
+             list_filter(string_split_regex(trim(lt), '\s+'),
+                         x -> x <> '') as tk,
+             list_filter(
+               list_transform(string_split_regex(lt, '[.!?]+'),
+                              s -> strlen(trim(s))),
+               n -> n > 0) as slens
+      from base
+    ),
+    m as (
+      select doc_id,
+             len(tk) as n_tokens,
+             len(slens) as n_sents,
+             ({phrase_sum}) as phrase_hits,
+             len(list_filter(tk,
+                 t -> trim(t, '{_EDGE_PUNCT}') in ({slop_list})))
+               as slop_hits,
+             coalesce(list_sum(slens), 0) as s1,
+             coalesce(list_sum(list_transform(slens, x -> x * x)), 0) as s2
+      from arrs
+    ),
+    cv as (
+      select *,
+             case when n_sents > 0
+               then cast(s1 as double) / cast(n_sents as double)
+               else 0.0 end as mean_len
+      from m
+    ),
+    fin as (
+      select doc_id, n_tokens, n_sents, phrase_hits, slop_hits,
+             case when n_tokens > 0
+               then cast(slop_hits as double) * 1000.0
+                    / cast(n_tokens as double)
+               else 0.0 end as slop_per_1k,
+             case when n_sents > 0 and mean_len > 0
+               then sqrt(greatest(0.0,
+                      cast(s2 as double) / cast(n_sents as double)
+                      - mean_len * mean_len)) / mean_len
+               else 0.0 end as sent_len_cv
+      from cv
+    )
+    select doc_id, n_tokens, n_sents, phrase_hits, slop_hits,
+           slop_per_1k, sent_len_cv,
+           case when phrase_hits > 0
+                  or (n_sents >= 5 and n_tokens > 0
+                      and slop_hits * 1000000 >= 15000 * n_tokens
+                      and sent_len_cv <= 0.35)
+                then 1 else 0 end as ai_flag
+    from fin
+"""
 
 
 # Independent replay of q_semantic_contamination: rebuild both eval
@@ -6864,6 +6986,11 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
     "minhash_lsh": (["id_a", "id_b"], ["jaccard"]),
     "embedding_neardups": (["id_a", "id_b"], ["cosine"]),
     "semantic_contamination": (["vec_id", "eval_id"], ["cosine"]),
+    "synthetic_text": (
+        ["doc_id", "n_tokens", "n_sents", "phrase_hits", "slop_hits",
+         "ai_flag"],
+        ["slop_per_1k", "sent_len_cv"],
+    ),
     "drift_psi": (["baseline", "curr"], ["psi"]),
     "snapshot_drift": (["baseline", "curr"], ["psi"]),
     "gopher_quality": (
@@ -7279,6 +7406,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_neardups": q_image_neardups,
         "audio_envelope": q_audio_envelope,
         "semantic_contamination": q_semantic_contamination,
+        "synthetic_text": q_synthetic_text,
     }
 
 
@@ -12222,6 +12350,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "image_neardups": _IMAGE_NEARDUP_ORACLE_SQL,
         "audio_envelope": _AUDIO_ENVELOPE_ORACLE_SQL,
         "semantic_contamination": _SEMCONTAM_ORACLE_SQL,
+        "synthetic_text": _synthtext_oracle_sql(),
         "dead_symbols": _dead_symbols_oracle_sql(),
         "comment_lang": _comment_lang_oracle_sql(),
         "notebook_pairs": _NB_PAIRS_ORACLE_SQL,

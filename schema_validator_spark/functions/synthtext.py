@@ -1,0 +1,192 @@
+"""Synthetic-text (AI-generated-content) detection — the post-2023
+curation stage: web crawls now contain machine-generated pages, and
+training on them recursively distills model output (the "model
+collapse" concern), so modern pipelines gate on it.  Heuristic,
+deterministic core of the published detectors:
+
+* **phrase tier** — assistant-disclaimer phrases that only appear in
+  pasted chatbot output ("as an ai language model", "regenerate
+  response", ...).  One substring probe per phrase; any hit flags.
+* **slop-lexicon rate** — over-represented "LLM slop" words per 1000
+  tokens (the delve/tapestry/multifaceted lexicon documented in
+  corpus studies of ChatGPT-era text).
+* **burstiness** — coefficient of variation of sentence lengths:
+  human text is bursty (Gehrmann et al. 2019 GLTR line of work);
+  machine text is uniform.  Low CV + high slop rate flags.
+
+The statistical tier only fires with ``min_sentences`` of evidence —
+a two-sentence doc is never judged on uniformity.
+
+Scale shape: ZERO shuffles, zero Python — one projection per row.
+The lowered text and token array are materialized once (lambda-CSE
+pitfall, CLAUDE.md); sentence-length moments are integer sums over a
+cheap split (the plain-column form, NOT the inline/Generate barrier —
+wrapping cheap array ops measured slower, see CLAUDE.md boilerplate
+A/B).  Rate thresholds compare by integer cross-multiplication in
+longs (no float boundary, no 32-bit wrap).
+
+Verdict semantics: ``ai_flag = 1`` iff any phrase hit, OR
+(n_sents >= min_sentences AND slop rate >= slop_per_1k AND
+sentence-length CV <= cv_max).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import text as X
+
+# Disclaimer phrases (lowercase, matched as substrings of the lowered
+# text).  Hard chatbot tells only — no generic idioms.
+DEFAULT_PHRASES = [
+    "as an ai language model",
+    "as a large language model",
+    "as an ai assistant",
+    "i cannot fulfill that request",
+    "as of my last knowledge update",
+    "regenerate response",
+    "i am an ai developed by",
+]
+
+# Slop lexicon: words whose frequency jumped in ChatGPT-era text
+# (public corpus studies); exact lowercase token membership after
+# edge-punctuation strip — "delver" or "class" never match.
+DEFAULT_SLOP_TERMS = [
+    "delve", "delves", "delving", "tapestry", "multifaceted",
+    "furthermore", "moreover", "additionally", "landscape", "pivotal",
+    "underscore", "underscores", "vibrant", "intricate", "fostering",
+    "leveraging", "realm", "testament", "boasts", "seamless",
+    "holistic", "showcasing", "paramount", "commendable", "meticulous",
+]
+
+# Edge punctuation stripped from tokens before slop membership (ASCII
+# only on purpose: Java and RE2/DuckDB agree byte-for-byte).
+_EDGE_PUNCT = ".,;:!?\"()[]{}*-_`"
+
+
+def synthetic_text_stats(
+    df: DataFrame,
+    id_cols: list[str],
+    text_col: str,
+    *,
+    phrases: list[str] | None = None,
+    slop_terms: list[str] | None = None,
+    slop_per_1k: float = 15.0,
+    cv_max: float = 0.35,
+    min_sentences: int = 5,
+) -> DataFrame:
+    """Per-document synthetic-text audit: ``(ids..., n_tokens, n_sents,
+    phrase_hits, slop_hits, slop_per_1k, sent_len_cv, ai_flag)``.
+
+    ``slop_per_1k`` (output) = occurrences * 1000 / tokens;
+    ``sent_len_cv`` = population-stddev / mean of per-sentence OCTET
+    lengths (bytes, not chars — engine-portable), sentences split on
+    ``[.!?]+`` runs, trimmed, empties dropped.  NULL/empty text: zero
+    tokens, zero sentences, never flagged.
+    """
+    phrases = DEFAULT_PHRASES if phrases is None else phrases
+    slop = sorted({t.lower() for t in
+                   (DEFAULT_SLOP_TERMS if slop_terms is None else slop_terms)})
+    if not phrases or not slop:
+        raise ValueError("phrases and slop_terms must be non-empty")
+    if min_sentences < 2:
+        raise ValueError("min_sentences must be >= 2 (CV needs spread)")
+    for c in ("_lt", "_toks", "_slens", "_ph", "_sh", "_nt", "_ns", "_cv"):
+        if c in df.columns:
+            raise ValueError(f"reserved temp column {c!r} present in input")
+    out_names = {"n_tokens", "n_sents", "phrase_hits", "slop_hits",
+                 "slop_per_1k", "sent_len_cv", "ai_flag"}
+    clash = out_names & set(id_cols)
+    if clash:
+        raise ValueError(f"id columns collide with output names: {clash}")
+
+    lt = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    toks = X.tokens(F.col("_lt"))
+    slens = F.filter(
+        F.transform(
+            F.split(F.col("_lt"), r"[.!?]+"),
+            lambda s: F.octet_length(F.trim(s)),
+        ),
+        lambda n: n > 0,
+    )
+
+    phrase_hits = sum(
+        (F.contains(F.col("_lt"), F.lit(p.lower())).cast("int")
+         for p in phrases),
+        F.lit(0),
+    )
+    slop_hits = F.size(
+        F.filter(
+            F.col("_toks"),
+            lambda t: F.btrim(t, F.lit(_EDGE_PUNCT)).isin(*slop),
+        )
+    )
+    n_tok = F.size(F.col("_toks")).cast("long")
+    n_sents = F.size(F.col("_slens")).cast("long")
+    s1 = F.aggregate(F.col("_slens"), F.lit(0).cast("long"),
+                     lambda a, x: a + x)
+    s2 = F.aggregate(F.col("_slens"), F.lit(0).cast("long"),
+                     lambda a, x: a + x.cast("long") * x)
+    mean = s1.cast("double") / n_sents.cast("double")
+    var = F.greatest(
+        F.lit(0.0), s2.cast("double") / n_sents.cast("double") - mean * mean
+    )
+    cv = F.when((n_sents > 0) & (mean > 0), F.sqrt(var) / mean).otherwise(
+        F.lit(0.0)
+    )
+    rate = F.when(
+        n_tok > 0,
+        F.col("_sh").cast("double") * 1000.0 / n_tok.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+    # integer cross-multiply: slop_hits * 1e6 >= thr_milli * n_tokens
+    # where thr_milli = slop_per_1k scaled to per-1e6-token hits
+    thr_milli = int(round(slop_per_1k * 1000))
+    stat_flag = (
+        (F.col("_ns") >= min_sentences)
+        & (F.col("_sh").cast("long") * F.lit(1000000).cast("long")
+           >= F.lit(thr_milli).cast("long") * F.col("_nt"))
+        & (F.col("_nt") > 0)
+        & (F.col("_cv") <= F.lit(float(cv_max)))
+    )
+    flag = F.when((F.col("_ph") > 0) | stat_flag, F.lit(1)).otherwise(
+        F.lit(0)
+    )
+
+    return (
+        df.withColumn("_lt", lt)
+        .withColumn("_toks", toks)
+        .withColumn("_slens", slens)
+        .withColumn("_ph", phrase_hits)
+        .withColumn("_sh", slop_hits)
+        .withColumn("_nt", n_tok)
+        .withColumn("_ns", n_sents)
+        .withColumn("_cv", cv)
+        .select(
+            *[F.col(c) for c in id_cols],
+            F.col("_nt").alias("n_tokens"),
+            F.col("_ns").alias("n_sents"),
+            F.col("_ph").alias("phrase_hits"),
+            F.col("_sh").cast("long").alias("slop_hits"),
+            rate.alias("slop_per_1k"),
+            F.col("_cv").alias("sent_len_cv"),
+            flag.alias("ai_flag"),
+        )
+    )
+
+
+def filter_synthetic_text(
+    df: DataFrame,
+    text_col: str,
+    **kwargs,
+) -> DataFrame:
+    """Gate form: input rows whose documents are NOT flagged (all
+    original columns preserved) — join-free: the verdict rides the
+    same projection and the temp columns are dropped after the
+    filter.  Exactly the rows ``synthetic_text_stats(...).ai_flag ==
+    0`` would keep (shared expression chain)."""
+    stats = synthetic_text_stats(
+        df.select("*"), list(df.columns), text_col, **kwargs
+    )
+    return stats.filter(F.col("ai_flag") == 0).select(*df.columns)

@@ -182,3 +182,14 @@ def test_semantic_overlap_hof_is_one_map_only_pass(spark):
     assert P.n_exchanges(out) == 0
     assert P.join_kinds(out) == []
     assert not P.uses_python(out)
+
+
+def test_synthetic_text_is_shuffle_and_python_free(spark, docs):
+    from schema_validator_spark.functions.synthtext import (
+        synthetic_text_stats,
+    )
+
+    out = synthetic_text_stats(docs, ["doc_id"], "text")
+    assert P.n_exchanges(out) == 0
+    assert P.join_kinds(out) == []
+    assert not P.uses_python(out)
