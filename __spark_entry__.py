@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (203/203), including the approximate tiers
+EVERY query has an oracle (204/204), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -5142,6 +5142,34 @@ def q_synthetic_text(spark, sf_dir):
     )
 
 
+def q_ngram_saturation(spark, sf_dir):
+    """Per-doc n-gram saturation (operators/saturation.ngram_saturation
+    — the memorization-risk score between doc-level and span-level
+    dedup: fraction of a doc's distinct word 5-grams appearing in >= 2
+    docs corpus-wide).  Stripe: doc_id%5 appends one shared 10-token
+    anchor — its 6 interior 5-grams become corpus-common for the whole
+    stripe while the doc-boundary grams stay unique, so stripe docs get
+    a small positive saturation and the oracle replays the exact
+    fraction.  Oracle = independent shingle + doc-frequency + join
+    replay in SQL (the k=5 form of the k-specific slice template)."""
+    from schema_validator_spark.operators.saturation import (
+        ngram_saturation,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    content = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" anchor one two three four five six seven eight nine"),
+        ),
+    ).otherwise(F.col("text"))
+    return ngram_saturation(
+        docs.select("doc_id", content.alias("text")),
+        "doc_id", "text", k=5, min_df=2,
+    )
+
+
 def q_audio_envelope(spark, sf_dir):
     """Audio energy-envelope fingerprinting
     (operators/audiohash.audio_fingerprints — the audio-modality
@@ -5190,6 +5218,49 @@ def q_audio_envelope(spark, sf_dir):
 
     media = docs.mapInPandas(gen, "media_id long, payload binary")
     return audio_fingerprints(media)
+
+
+# Independent replay of q_ngram_saturation: k=5 shingles (the
+# k-specific inclusive-slice template: starts range(1, n-3), slice
+# w[i:i+4]; arrays shorter than k join to ONE gram so no doc
+# vanishes), doc frequency by plain count over per-doc-distinct
+# grams, then the per-doc common fraction.
+_NGRAM_SATURATION_ORACLE_SQL = r"""
+    with synth as (
+      select doc_id,
+             case when doc_id % 5 = 0 then
+               text || ' anchor one two three four five six seven eight nine'
+             else text end as text
+      from documents
+    ),
+    w as (
+      select doc_id,
+             list_filter(string_split_regex(trim(coalesce(text, '')),
+                                            '\s+'),
+                         t -> t <> '') as w
+      from synth
+    ),
+    g as (
+      select doc_id,
+             case when len(w) >= 5
+               then list_distinct(list_transform(range(1, len(w) - 3),
+                      i -> array_to_string(w[i:i+4], ' ')))
+               else [array_to_string(w, ' ')] end as gs
+      from w
+    ),
+    pairs as (
+      select doc_id, len(gs) as n_grams, unnest(gs) as g from g
+    ),
+    dfreq as (select g, count(*) as df from pairs group by g)
+    select doc_id,
+           cast(max(n_grams) as bigint) as n_grams,
+           cast(sum(case when df >= 2 then 1 else 0 end) as bigint)
+             as n_common,
+           round(cast(sum(case when df >= 2 then 1 else 0 end) as double)
+                 / max(n_grams), 6) as saturation
+    from pairs join dfreq using (g)
+    group by doc_id
+"""
 
 
 def _synthtext_oracle_sql() -> str:
@@ -6991,6 +7062,7 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
          "ai_flag"],
         ["slop_per_1k", "sent_len_cv"],
     ),
+    "ngram_saturation": (["doc_id", "n_grams", "n_common"], ["saturation"]),
     "drift_psi": (["baseline", "curr"], ["psi"]),
     "snapshot_drift": (["baseline", "curr"], ["psi"]),
     "gopher_quality": (
@@ -7407,6 +7479,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_envelope": q_audio_envelope,
         "semantic_contamination": q_semantic_contamination,
         "synthetic_text": q_synthetic_text,
+        "ngram_saturation": q_ngram_saturation,
     }
 
 
@@ -12351,6 +12424,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "audio_envelope": _AUDIO_ENVELOPE_ORACLE_SQL,
         "semantic_contamination": _SEMCONTAM_ORACLE_SQL,
         "synthetic_text": _synthtext_oracle_sql(),
+        "ngram_saturation": _NGRAM_SATURATION_ORACLE_SQL,
         "dead_symbols": _dead_symbols_oracle_sql(),
         "comment_lang": _comment_lang_oracle_sql(),
         "notebook_pairs": _NB_PAIRS_ORACLE_SQL,
