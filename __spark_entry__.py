@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (204/204), including the approximate tiers
+EVERY query has an oracle (205/205), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -5170,6 +5170,48 @@ def q_ngram_saturation(spark, sf_dir):
     )
 
 
+def q_jsonspec_drift(spark, sf_dir):
+    """Semi-structured schema drift
+    (operators/jsonspec.json_spec_drift — added/removed keys, dominant
+    type changes, presence movement between two corpus versions of a
+    JSON column; the json_spec analog of snapshot drift).  Sides split
+    events by event_id parity; the current side renames ``legacy`` ->
+    ``fresh`` (removed+added), turns ``k`` from int to string (the
+    classic silent producer change), varies presence by user stripe,
+    and keeps the corrupt stripe (%97) on both sides so n_obj is
+    exercised.  Oracle replays both sides' VARIANT walks via DuckDB
+    JSON and joins the key-grain frames independently."""
+    from schema_validator_spark.operators.jsonspec import json_spec_drift
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    i = (eid % 100).cast("string")
+    u3 = (F.col("user_id") % 3).cast("string")
+    bjs = F.when(eid % 97 == 0, F.lit("not json")).otherwise(
+        F.concat(
+            F.lit('{"k": '), i, F.lit(', "device": "m'), u3,
+            F.when(
+                F.col("user_id") % 3 == 0, F.lit('", "legacy": true}')
+            ).otherwise(F.lit('"}')),
+        )
+    )
+    cjs = F.when(eid % 97 == 0, F.lit("not json")).otherwise(
+        F.concat(
+            F.lit('{"k": "'), i, F.lit('", "device": "m'), u3,
+            F.when(
+                F.col("user_id") % 3 <= 1,
+                F.concat(
+                    F.lit('", "fresh": '), (eid % 9).cast("string"),
+                    F.lit(".5}"),
+                ),
+            ).otherwise(F.lit('"}')),
+        )
+    )
+    base = ev.filter(eid % 2 == 0).select(bjs.alias("js"))
+    curr = ev.filter(eid % 2 == 1).select(cjs.alias("js"))
+    return json_spec_drift(base, curr, "js")
+
+
 def q_audio_envelope(spark, sf_dir):
     """Audio energy-envelope fingerprinting
     (operators/audiohash.audio_fingerprints — the audio-modality
@@ -5218,6 +5260,88 @@ def q_audio_envelope(spark, sf_dir):
 
     media = docs.mapInPandas(gen, "media_id long, payload binary")
     return audio_fingerprints(media)
+
+
+def _jsonspec_drift_oracle_sql() -> str:
+    """Replay q_jsonspec_drift: both sides' JSON synthesis + VARIANT
+    type walk (DuckDB JSON functions, same canon mapping as the
+    json_spec oracle), reduced to key grain (majority type with
+    (n_type desc, vtype asc) ties; 6dp presence), full-outer-joined."""
+    canon = """
+        case json_type(v, '$.' || key)
+          when 'OBJECT' then 'object'
+          when 'ARRAY' then 'array'
+          when 'VARCHAR' then 'string'
+          when 'BOOLEAN' then 'bool'
+          when 'NULL' then 'null'
+          when 'DOUBLE' then 'float'
+          when 'BIGINT' then 'int'
+          when 'UBIGINT' then 'int'
+          else lower(json_type(v, '$.' || key))
+        end"""
+    bjs = """case when event_id % 97 = 0 then 'not json' else
+          '{"k": ' || (event_id % 100) || ', "device": "m'
+          || (user_id % 3)
+          || (case when user_id % 3 = 0 then '", "legacy": true}'
+              else '"}' end) end"""
+    cjs = """case when event_id % 97 = 0 then 'not json' else
+          '{"k": "' || (event_id % 100) || '", "device": "m'
+          || (user_id % 3)
+          || (case when user_id % 3 <= 1
+              then '", "fresh": ' || (event_id % 9) || '.5}'
+              else '"}' end) end"""
+
+    def side(name, js, par, pfx):
+        return f"""
+    {name}_j as (
+      select {js} as js from events where event_id % 2 = {par}
+    ),
+    {name}_p as (select js, try_cast(js as json) as v from {name}_j),
+    {name}_tot as (
+      select cast(count(*) filter (where json_type(v) = 'OBJECT')
+                  as bigint) as n_obj
+      from {name}_p
+    ),
+    {name}_kv as (
+      select unnest(json_keys(v)) as key, v
+      from {name}_p where json_type(v) = 'OBJECT'
+    ),
+    {name}_counts as (
+      select key, vtype, cast(count(*) as bigint) as n_type from (
+        select key, {canon} as vtype from {name}_kv
+      ) group by 1, 2
+    ),
+    {name}_grain as (
+      select key, vtype as {pfx}_type,
+             round(cast(n_key as double) / n_obj, 6) as {pfx}_presence
+      from (
+        select key, vtype, n_type,
+               row_number() over (partition by key
+                                  order by n_type desc, vtype asc) as rn,
+               cast(sum(n_type) over (partition by key) as bigint)
+                 as n_key
+        from {name}_counts
+      ) w cross join {name}_tot
+      where rn = 1
+    )"""
+
+    return f"""
+    with {side('b', bjs, 0, 'base')},
+    {side('c', cjs, 1, 'curr')}
+    select coalesce(b.key, c.key) as key,
+           case when b.key is null then 'added'
+                when c.key is null then 'removed'
+                else 'common' end as status,
+           base_type, curr_type,
+           case when base_type is not null and curr_type is not null
+                     and base_type <> curr_type
+                then 1 else 0 end as type_changed,
+           coalesce(base_presence, 0.0) as base_presence,
+           coalesce(curr_presence, 0.0) as curr_presence,
+           round(coalesce(curr_presence, 0.0)
+                 - coalesce(base_presence, 0.0), 6) as presence_delta
+    from b_grain b full outer join c_grain c on b.key = c.key
+"""
 
 
 # Independent replay of q_ngram_saturation: k=5 shingles (the
@@ -7063,6 +7187,10 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
         ["slop_per_1k", "sent_len_cv"],
     ),
     "ngram_saturation": (["doc_id", "n_grams", "n_common"], ["saturation"]),
+    "jsonspec_drift": (
+        ["key", "status", "base_type", "curr_type", "type_changed"],
+        ["base_presence", "curr_presence", "presence_delta"],
+    ),
     "drift_psi": (["baseline", "curr"], ["psi"]),
     "snapshot_drift": (["baseline", "curr"], ["psi"]),
     "gopher_quality": (
@@ -7480,6 +7608,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_contamination": q_semantic_contamination,
         "synthetic_text": q_synthetic_text,
         "ngram_saturation": q_ngram_saturation,
+        "jsonspec_drift": q_jsonspec_drift,
     }
 
 
@@ -12425,6 +12554,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "semantic_contamination": _SEMCONTAM_ORACLE_SQL,
         "synthetic_text": _synthtext_oracle_sql(),
         "ngram_saturation": _NGRAM_SATURATION_ORACLE_SQL,
+        "jsonspec_drift": _jsonspec_drift_oracle_sql(),
         "dead_symbols": _dead_symbols_oracle_sql(),
         "comment_lang": _comment_lang_oracle_sql(),
         "notebook_pairs": _NB_PAIRS_ORACLE_SQL,

@@ -123,3 +123,90 @@ def infer_json_spec(
         )
     )
     return out
+
+
+def json_spec_drift(
+    base: DataFrame,
+    curr: DataFrame,
+    json_col: str,
+    *,
+    dominance: float = 0.95,
+) -> DataFrame:
+    """Schema drift between two corpus versions of a JSON column — the
+    semi-structured analog of the snapshot drift family: which
+    top-level keys were ADDED, REMOVED, or changed their dominant type
+    between the ``base`` and ``curr`` frames, plus presence-rate
+    movement.
+
+    One row per key observed on EITHER side:
+
+    - ``key, status``             — 'added' (curr only), 'removed'
+                                    (base only), or 'common'
+    - ``base_type, curr_type``    — the side's majority type (ties
+                                    break by type name ascending);
+                                    NULL on the missing side
+    - ``type_changed``            — 1 iff common and the dominant
+                                    types differ
+    - ``base_presence, curr_presence, presence_delta`` — 6dp-rounded
+                                    key presence per side (0.0 on the
+                                    missing side), and curr - base
+
+    Scale shape: both sides reduce to key-vocabulary-grain frames
+    inside :func:`infer_json_spec` (bounded by the schema, not the row
+    count); the drift join is a full outer equi-join of those tiny
+    frames — the corpora themselves are scanned once each and never
+    joined row-to-row.
+    """
+
+    def key_grain(df, pfx):
+        spec = infer_json_spec(df, json_col, dominance=dominance)
+        # majority type with deterministic ties: min over
+        # (-n_type, vtype) = largest count, then smallest type name
+        return (
+            spec.groupBy("key")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("n_type")).alias("nn"),
+                        F.col("vtype").alias("t"),
+                    )
+                ).alias("_b"),
+                F.max("n_key").alias("_nk"),
+                F.max("n_obj").alias("_no"),
+            )
+            .select(
+                "key",
+                F.col("_b")["t"].alias(f"{pfx}_type"),
+                F.round(F.col("_nk") / F.col("_no"), 6).alias(
+                    f"{pfx}_presence"
+                ),
+            )
+        )
+
+    b = key_grain(base, "base")
+    c = key_grain(curr, "curr")
+    joined = b.join(c, on="key", how="full_outer")
+    status = (
+        F.when(F.col("base_type").isNull(), F.lit("added"))
+        .when(F.col("curr_type").isNull(), F.lit("removed"))
+        .otherwise(F.lit("common"))
+    )
+    bp = F.coalesce(F.col("base_presence"), F.lit(0.0))
+    cp = F.coalesce(F.col("curr_presence"), F.lit(0.0))
+    return joined.select(
+        "key",
+        status.alias("status"),
+        "base_type",
+        "curr_type",
+        F.when(
+            F.col("base_type").isNotNull()
+            & F.col("curr_type").isNotNull()
+            & (F.col("base_type") != F.col("curr_type")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("type_changed"),
+        bp.alias("base_presence"),
+        cp.alias("curr_presence"),
+        F.round(cp - bp, 6).alias("presence_delta"),
+    )

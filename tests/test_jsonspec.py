@@ -58,3 +58,53 @@ def test_validation(spark):
     df = spark.createDataFrame([(1, "{}")], "id long, js string")
     with pytest.raises(ValueError):
         infer_json_spec(df, "js", dominance=0.4)
+
+
+class TestJsonSpecDrift:
+    def _drift(self, spark, base_rows, curr_rows):
+        from schema_validator_spark.operators.jsonspec import (
+            json_spec_drift,
+        )
+
+        b = spark.createDataFrame([(r,) for r in base_rows], "js string")
+        c = spark.createDataFrame([(r,) for r in curr_rows], "js string")
+        return {r["key"]: r for r in json_spec_drift(b, c, "js").collect()}
+
+    def test_added_removed_common_and_type_change(self, spark):
+        base = ['{"k": 1, "legacy": true}'] * 4
+        curr = ['{"k": "1", "fresh": 1.5}'] * 4
+        got = self._drift(spark, base, curr)
+        assert got["legacy"]["status"] == "removed"
+        assert got["legacy"]["curr_type"] is None
+        assert got["fresh"]["status"] == "added"
+        assert got["fresh"]["curr_type"] == "float"
+        assert got["k"]["status"] == "common"
+        assert got["k"]["base_type"] == "int"
+        assert got["k"]["curr_type"] == "string"
+        assert got["k"]["type_changed"] == 1
+
+    def test_presence_delta(self, spark):
+        base = ['{"a": 1}', '{"a": 2}', '{"b": 1}', '{"b": 2}']
+        curr = ['{"a": 1}', '{"b": 1}', '{"b": 2}', '{"b": 3}']
+        got = self._drift(spark, base, curr)
+        assert got["a"]["base_presence"] == 0.5
+        assert got["a"]["curr_presence"] == 0.25
+        assert got["a"]["presence_delta"] == -0.25
+        assert got["a"]["type_changed"] == 0
+
+    def test_majority_tie_breaks_by_type_name(self, spark):
+        # k is int in 2 rows, string in 2 rows on the same side:
+        # tie -> 'int' < 'string'
+        base = ['{"k": 1}', '{"k": 2}', '{"k": "x"}', '{"k": "y"}']
+        curr = ['{"k": true}']
+        got = self._drift(spark, base, curr)
+        assert got["k"]["base_type"] == "int"
+        assert got["k"]["curr_type"] == "bool"
+        assert got["k"]["type_changed"] == 1
+
+    def test_corrupt_rows_do_not_create_keys(self, spark):
+        base = ['{"k": 1}', "not json", None]
+        curr = ['{"k": 1}']
+        got = self._drift(spark, base, curr)
+        assert set(got) == {"k"}
+        assert got["k"]["base_presence"] == 1.0  # of the 1 object row
