@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (205/205), including the approximate tiers
+EVERY query has an oracle (207/207), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -5212,6 +5212,56 @@ def q_jsonspec_drift(spark, sf_dir):
     return json_spec_drift(base, curr, "js")
 
 
+def q_domain_caps(spark, sf_dir):
+    """Per-domain contribution cap
+    (operators/groupcap.cap_per_group — the FineWeb "no domain
+    dominates" stage): groups over the cap keep a deterministic
+    md5-rank subset, under-cap groups pass through UNTOUCHED (no rank,
+    no window), NULL domains are never capped.  Stripes: %3 -> the hot
+    domain (~n/3 rows, over cap 20), %41 -> NULL domain, else 37 cold
+    domains (~9 rows each, under cap).  Output = every kept row —
+    equality pins the exact md5-rank selection, not just the counts."""
+    from schema_validator_spark.operators.groupcap import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    dom = (
+        F.when(did % 41 == 0, F.lit(None).cast("string"))
+        .when(did % 3 == 0, F.lit("hot.com"))
+        .otherwise(
+            F.concat(F.lit("d"), (did % 37).cast("string"), F.lit(".com"))
+        )
+    )
+    return cap_per_group(
+        docs.select("doc_id", dom.alias("reg_domain")),
+        "reg_domain", "doc_id", cap=20,
+    )
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for retrieval training
+    (operators/negatives.mine_hard_negatives — DPR-style contrastive
+    data): exact top-5 cosine neighbors per query EXCLUDING the
+    query's own label group (its positives), exclusion applied before
+    ranking, salted two-level top-k.  Queries = vec_id < 6 with their
+    labels; the embeddings table's label column is the positive-group
+    key.  Oracle replays cosine + the label exclusion + the
+    (cosine desc, id asc) ranking."""
+    from schema_validator_spark.operators.negatives import (
+        mine_hard_negatives,
+    )
+
+    embs = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    )
+    queries = embs.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    return mine_hard_negatives(queries, embs, k=5)
+
+
 def q_audio_envelope(spark, sf_dir):
     """Audio energy-envelope fingerprinting
     (operators/audiohash.audio_fingerprints — the audio-modality
@@ -5341,6 +5391,71 @@ def _jsonspec_drift_oracle_sql() -> str:
            round(coalesce(curr_presence, 0.0)
                  - coalesce(base_presence, 0.0), 6) as presence_delta
     from b_grain b full outer join c_grain c on b.key = c.key
+"""
+
+
+# Independent replay of q_domain_caps: group counts + md5-rank
+# row_number over the over-cap groups only; under-cap and NULL-domain
+# rows pass through by construction.
+_DOMAIN_CAPS_ORACLE_SQL = """
+    with synth as (
+      select doc_id,
+             case when doc_id % 41 = 0 then null
+                  when doc_id % 3 = 0 then 'hot.com'
+                  else 'd' || cast(doc_id % 37 as varchar) || '.com'
+             end as reg_domain
+      from documents
+    ),
+    counts as (
+      select reg_domain, count(*) as n from synth
+      where reg_domain is not null group by 1
+    ),
+    ranked as (
+      select s.doc_id, s.reg_domain, n,
+             row_number() over (
+               partition by s.reg_domain
+               order by md5(cast(s.doc_id as varchar)), s.doc_id
+             ) as rn
+      from synth s join counts using (reg_domain)
+      where s.reg_domain is not null
+    )
+    select doc_id, reg_domain from ranked where n <= 20 or rn <= 20
+    union all
+    select doc_id, reg_domain from synth where reg_domain is null
+"""
+
+
+# Independent replay of q_hard_negatives: exact cosine (sequential
+# double fold, same association as the Spark HOF), label exclusion
+# BEFORE ranking, (cosine desc, vec_id asc) row_number.
+_HARD_NEGATIVES_ORACLE_SQL = """
+    with q as (
+      select vec_id as query_id, embedding::DOUBLE[] as qv,
+             label as ql
+      from embeddings where vec_id < 6
+    ),
+    c as (
+      select vec_id, embedding::DOUBLE[] as cv, label as cl
+      from embeddings
+    ),
+    scored as (
+      select query_id, vec_id,
+             round(
+               list_sum(list_transform(range(1, len(qv) + 1),
+                                       i -> qv[i] * cv[i]))
+               / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                  * sqrt(list_sum(list_transform(cv, x -> x * x)))),
+               6) as cosine
+      from q cross join c
+      where ql is null or cl is null or ql <> cl
+    )
+    select query_id, vec_id, cosine, rank from (
+      select query_id, vec_id, cosine,
+             row_number() over (partition by query_id
+                                order by cosine desc, vec_id asc)
+               as rank
+      from scored
+    ) where rank <= 5
 """
 
 
@@ -7191,6 +7306,7 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
         ["key", "status", "base_type", "curr_type", "type_changed"],
         ["base_presence", "curr_presence", "presence_delta"],
     ),
+    "hard_negatives": (["query_id", "vec_id", "rank"], ["cosine"]),
     "drift_psi": (["baseline", "curr"], ["psi"]),
     "snapshot_drift": (["baseline", "curr"], ["psi"]),
     "gopher_quality": (
@@ -7609,6 +7725,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synthetic_text": q_synthetic_text,
         "ngram_saturation": q_ngram_saturation,
         "jsonspec_drift": q_jsonspec_drift,
+        "domain_caps": q_domain_caps,
+        "hard_negatives": q_hard_negatives,
     }
 
 
@@ -12555,6 +12673,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "synthetic_text": _synthtext_oracle_sql(),
         "ngram_saturation": _NGRAM_SATURATION_ORACLE_SQL,
         "jsonspec_drift": _jsonspec_drift_oracle_sql(),
+        "domain_caps": _DOMAIN_CAPS_ORACLE_SQL,
+        "hard_negatives": _HARD_NEGATIVES_ORACLE_SQL,
         "dead_symbols": _dead_symbols_oracle_sql(),
         "comment_lang": _comment_lang_oracle_sql(),
         "notebook_pairs": _NB_PAIRS_ORACLE_SQL,

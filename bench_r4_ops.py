@@ -2216,6 +2216,141 @@ def run_audio_hash(spark, n=1_000_000):
             "pairs_sec": round(time.time() - t2, 1)}
 
 
+
+def run_semantic_contamination(spark, n=2_000_000, n_eval=10_000):
+    """2M 64-d corpus vectors vs a 10k-item eval set (Arrow tier:
+    eval matrix in closure, one matmul pass, zero shuffles).  Every
+    200th corpus vector has a x2-scaled copy planted in the eval set,
+    so threshold 0.999 must flag exactly n/200 rows (random 64-d
+    hash-vectors concentrate near cosine 0)."""
+    from schema_validator_spark.operators.semcontam import (
+        semantic_contamination,
+    )
+
+    vec = F.expr(
+        "transform(sequence(1, 64), i ->"
+        " cast(pmod(hash(id, i), 1000) as double) - 500.0)"
+    )
+    train = spark.range(n).select(F.col("id").alias("vec_id"),
+                                  vec.alias("embedding"))
+    ev = train.filter(F.col("vec_id") % 200 == 0).select(
+        (F.col("vec_id") + 100_000_000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 2.0).alias(
+            "embedding"
+        ),
+    )
+    t = time.time()
+    flagged = semantic_contamination(
+        train, ev, threshold=0.999, use_arrow=True
+    ).count()
+    return {"op": "semantic_contamination", "rows": n, "eval": n_eval,
+            "flagged": flagged, "expect": n // 200,
+            "sec": round(time.time() - t, 1)}
+
+
+def run_synthetic_text(spark, n=32_000_000):
+    """32M multi-sentence docs through the full detector (codegen
+    only): %13 stripe appends a disclaimer (phrase tier), %17 stripe
+    is 6 uniform slop sentences (statistical tier)."""
+    from schema_validator_spark.functions.synthtext import (
+        synthetic_text_stats,
+    )
+
+    words = F.expr(
+        "transform(sequence(1, 30), i ->"
+        " substring(md5(cast(id * 37 + i as string)), 1, 6))"
+    )
+    base = F.concat(
+        F.array_join(F.slice(words, 1, 8), " "), F.lit(". "),
+        F.array_join(F.slice(words, 9, F.col("id") % 12 + 4), " "),
+        F.lit("! "),
+        F.array_join(F.slice(words, 21, 10), " "), F.lit("."),
+    )
+    slop = F.concat(
+        F.lit("We delve into the vibrant tapestry of region "),
+        (F.col("id") % 7).cast("string"), F.lit(" results. "),
+    )
+    text = (
+        F.when(F.col("id") % 13 == 0,
+               F.concat(base, F.lit(" As an AI language model, "
+                                    "I cannot continue.")))
+        .when(F.col("id") % 17 == 0, F.repeat(slop, 6))
+        .otherwise(base)
+    )
+    df = spark.range(n).select(F.col("id").alias("doc_id"),
+                               text.alias("text"))
+    t = time.time()
+    row = (
+        synthetic_text_stats(df, ["doc_id"], "text")
+        .agg(F.sum("ai_flag").alias("flagged"),
+             F.count(F.lit(1)).alias("rows"))
+        .collect()[0]
+    )
+    return {"op": "synthetic_text", "rows": row["rows"],
+            "flagged": row["flagged"],
+            "sec": round(time.time() - t, 1)}
+
+
+def run_ngram_saturation(spark, n=8_000_000):
+    """8M 40-token docs -> ~290M (doc, 5-gram) pairs through doc-freq
+    + score join + rollup; the %5 stripe shares a 10-token anchor so
+    its interior grams are corpus-common."""
+    from schema_validator_spark.operators.saturation import (
+        ngram_saturation,
+    )
+
+    words = F.expr(
+        "transform(sequence(1, 40), i ->"
+        " substring(md5(cast(id * 53 + i as string)), 1, 6))"
+    )
+    text = F.when(
+        F.col("id") % 5 == 0,
+        F.concat(F.array_join(words, " "),
+                 F.lit(" anchor one two three four five six seven"
+                       " eight nine")),
+    ).otherwise(F.array_join(words, " "))
+    df = spark.range(n).select(F.col("id").alias("doc_id"),
+                               text.alias("text"))
+    t = time.time()
+    common = (
+        ngram_saturation(df, "doc_id", "text")
+        .filter(F.col("n_common") > 0)
+        .count()
+    )
+    return {"op": "ngram_saturation", "rows": n,
+            "docs_with_common_grams": common, "expect": n // 5,
+            "sec": round(time.time() - t, 1)}
+
+
+def run_jsonspec_drift(spark, n=32_000_000):
+    """16M JSON rows per side through two VARIANT walks + the
+    key-grain drift join (the q_jsonspec_drift shapes at scale)."""
+    from schema_validator_spark.operators.jsonspec import json_spec_drift
+
+    eid = F.col("id")
+    i = (eid % 100).cast("string")
+    u3 = (eid % 3).cast("string")
+    bjs = F.when(eid % 97 == 0, F.lit("not json")).otherwise(
+        F.concat(F.lit('{"k": '), i, F.lit(', "device": "m'), u3,
+                 F.when(eid % 3 == 0, F.lit('", "legacy": true}'))
+                 .otherwise(F.lit('"}'))))
+    cjs = F.when(eid % 97 == 0, F.lit("not json")).otherwise(
+        F.concat(F.lit('{"k": "'), i, F.lit('", "device": "m'), u3,
+                 F.when(eid % 3 <= 1,
+                        F.concat(F.lit('", "fresh": '),
+                                 (eid % 9).cast("string"),
+                                 F.lit(".5}")))
+                 .otherwise(F.lit('"}'))))
+    base = spark.range(0, n, 2).select(bjs.alias("js"))
+    curr = spark.range(1, n, 2).select(cjs.alias("js"))
+    t = time.time()
+    rows = json_spec_drift(base, curr, "js").collect()
+    changed = sum(r["type_changed"] for r in rows)
+    return {"op": "jsonspec_drift", "rows": n, "keys": len(rows),
+            "type_changed": changed,
+            "sec": round(time.time() - t, 1)}
+
+
 OPS = {
     "edit_join": run_edit_join,
     "winnow_pairs": run_winnow,
@@ -2304,6 +2439,10 @@ OPS = {
     "bitext_pairs": run_bitext,
     "image_hash": run_image_hash,
     "audio_hash": run_audio_hash,
+    "semantic_contamination": run_semantic_contamination,
+    "synthetic_text": run_synthetic_text,
+    "ngram_saturation": run_ngram_saturation,
+    "jsonspec_drift": run_jsonspec_drift,
 }
 
 

@@ -19,8 +19,8 @@ output is |train| rows (or just the flagged subset).
 
 Determinism: cosines are rounded to 6dp before the argmax on both
 tiers; ties at 6dp break by eval_id ascending (HOF: max-struct over
-``(cosine, -eval_id)``; Arrow: ``ann._det_topk``'s ``(-score, id)``
-lexsort) — so both tiers, and a SQL replay ordering by
+``(cosine, -eval_id)``; Arrow: vectorized masked-min over eval ids at
+the row max) — so both tiers, and a SQL replay ordering by
 ``cosine desc, eval_id asc``, pick the identical neighbor.
 
 The HOF tier computes ``dot/(norm_t * norm_e)`` with sequential
@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .ann import _collect_query_rows, _det_topk, _stack
+from .ann import _collect_query_rows, _stack
 from ._util import ensure_parallelism
 
 # n_eval * dim budget for the HOF tier's literal eval array: beyond
@@ -165,15 +165,20 @@ def semantic_overlap(
     )
 
 
-def _overlap_arrow(train, id_col, vec_col, ev):
+def _overlap_arrow(train, id_col, vec_col, ev, eval_block: int = 2048):
     import numpy as np
     import pandas as pd
 
+    # ascending eval_id order makes the cross-block tie rule trivial:
+    # a later block can only replace the running best on a STRICTLY
+    # larger cosine, so equal-cosine ties always keep the smaller id
+    ev = sorted(ev, key=lambda e: e[0])
     eids = np.asarray([e[0] for e in ev], dtype=np.int64)
     E = np.asarray([e[1] for e in ev], dtype=np.float64)
     En = E / np.linalg.norm(E, axis=1, keepdims=True)  # norms > 0 by _collect_eval
 
     def run(batches):
+        big = np.iinfo(np.int64).max
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -181,13 +186,22 @@ def _overlap_arrow(train, id_col, vec_col, ev):
             V = _stack(pdf["_v"])
             norms = np.linalg.norm(V, axis=1, keepdims=True)
             Vn = V / np.maximum(norms, 1e-300)  # zero rows stay zero
-            sims = np.round(Vn @ En.T, 6)
-            oe = np.empty(len(ids), dtype=np.int64)
-            oc = np.empty(len(ids), dtype=np.float64)
-            for i in range(len(ids)):
-                sel = _det_topk(sims[i, :], eids, 1)[0]
-                oe[i] = eids[sel]
-                oc[i] = sims[i, sel]
+            # block the eval side so the sims matrix stays
+            # rows x eval_block (a 10k-item eval set against a 10k-row
+            # Arrow batch would otherwise materialize 800 MB per task)
+            oc = np.full(len(ids), -np.inf)
+            oe = np.full(len(ids), big, dtype=np.int64)
+            for lo in range(0, En.shape[0], eval_block):
+                Eb = En[lo:lo + eval_block]
+                eb = eids[lo:lo + eval_block]
+                sims = np.round(Vn @ Eb.T, 6)
+                # vectorized deterministic top-1 within the block:
+                # max cosine, ties -> smallest eval_id
+                bbest = sims.max(axis=1, keepdims=True)
+                beid = np.where(sims == bbest, eb[None, :], big).min(axis=1)
+                take = bbest[:, 0] > oc
+                oc = np.where(take, bbest[:, 0], oc)
+                oe = np.where(take, beid, oe)
             yield pd.DataFrame({id_col: ids, "eval_id": oe, "cosine": oc})
 
     src = ensure_parallelism(train).select(
