@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (207/207), including the approximate tiers
+EVERY query has an oracle (209/209), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -5262,6 +5262,93 @@ def q_hard_negatives(spark, sf_dir):
     return mine_hard_negatives(queries, embs, k=5)
 
 
+def _landmark_media(spark, sf_dir):
+    """Deterministic tone-frame WAVs for the spectral-landmark queries:
+    16 frames of 64 samples; frame w of doc d holds a pure sine at
+    integer bin 3 + ((w*5 + d) % 13) (amplitude 8000), so the rFFT
+    argmax per frame is the bin by construction; doc_id%17 is a
+    corrupt (not-a-WAV) stripe."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import io
+        import wave as wavmod
+
+        import numpy as np
+        import pandas as pd
+
+        t = np.arange(64)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 17 == 0:
+                    rows.append((did, b"NOTWAV" + str(did).encode()))
+                    continue
+                frames = [
+                    np.round(
+                        8000 * np.sin(2 * np.pi * (3 + ((w * 5 + did) % 13))
+                                      * t / 64)
+                    )
+                    for w in range(16)
+                ]
+                x = np.concatenate(frames).astype("<i2")
+                bio = io.BytesIO()
+                with wavmod.open(bio, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(8000)
+                    wf.writeframes(x.tobytes())
+                rows.append((did, bio.getvalue()))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return docs.mapInPandas(gen, "media_id long, payload binary")
+
+
+def q_audio_landmarks(spark, sf_dir):
+    """Spectral landmark extraction
+    (operators/audiolandmark.audio_landmarks — the real-FFT tier above
+    the envelope hash: per-frame rFFT peak bins packed into Shazam-
+    style (binA, binB, dt) pair hashes).  The oracle derives every
+    landmark PURELY ARITHMETICALLY from the planted integer tone bins
+    — equality pins WAV-encode -> wave-parse -> rFFT -> argmax ->
+    bit-packing with no audio bytes in SQL.  Corrupt stripe flagged,
+    never dropped."""
+    from schema_validator_spark.operators.audiolandmark import (
+        audio_landmarks,
+    )
+
+    media = _landmark_media(spark, sf_dir)
+    out = audio_landmarks(media)
+    # corrupt rows keep one sentinel landmark row (-1, not NULL: a
+    # NULL in a BIGINT column decays to float64 through the oracle's
+    # pandas bridge and the value-hash would compare 16787201.0 vs
+    # 16787201)
+    return out.select(
+        "media_id", "decode_ok", "n_windows",
+        F.explode_outer("landmarks").alias("_lm"),
+    ).select(
+        "media_id", "decode_ok", "n_windows",
+        F.coalesce(F.col("_lm"), F.lit(-1).cast("long")).alias("landmark"),
+    )
+
+
+def q_audio_matches(spark, sf_dir):
+    """Landmark matching (operators/audiolandmark.landmark_matches —
+    the snippet-containment join): clips sharing >= 5 landmarks pair
+    up via the capped equi-join; docs with equal d%13 have identical
+    bin sequences, so every same-class non-corrupt pair must appear
+    with n_shared = |class hash set|, and the oracle replays the whole
+    explode -> join -> count from the arithmetic hash lists."""
+    from schema_validator_spark.operators.audiolandmark import (
+        audio_landmarks,
+        landmark_matches,
+    )
+
+    media = _landmark_media(spark, sf_dir)
+    return landmark_matches(audio_landmarks(media), min_shared=5)
+
+
 def q_audio_envelope(spark, sf_dir):
     """Audio energy-envelope fingerprinting
     (operators/audiohash.audio_fingerprints — the audio-modality
@@ -5391,6 +5478,49 @@ def _jsonspec_drift_oracle_sql() -> str:
            round(coalesce(curr_presence, 0.0)
                  - coalesce(base_presence, 0.0), 6) as presence_delta
     from b_grain b full outer join c_grain c on b.key = c.key
+"""
+
+
+# Arithmetic replay of the spectral-landmark queries: expected rFFT
+# peak bins ARE the planted tone bins, so the landmark sets derive in
+# closed form (ks[t+1] is 1-based: element t of the bin list); the
+# match oracle replays explode -> join -> count over those lists (all
+# buckets are far below the Spark tier's cap, so capped == uncapped).
+_LANDMARK_BASE_SQL = """
+    with base as (select doc_id from documents),
+    k as (
+      select doc_id,
+             list_transform(range(0, 16),
+                            w -> 3 + ((w * 5 + doc_id) % 13)) as ks
+      from base where doc_id % 17 <> 0
+    ),
+    h as (
+      select doc_id,
+             list_sort(list_distinct(flatten(list_transform([1, 2, 3],
+               dt -> list_transform(range(0, 16 - dt),
+                 t -> cast(ks[t+1] * 1048576 + ks[t+dt+1] * 256 + dt
+                           as bigint)))))) as hs
+      from k
+    )
+"""
+
+_AUDIO_LANDMARKS_ORACLE_SQL = _LANDMARK_BASE_SQL + """
+    select doc_id as media_id, true as decode_ok,
+           16 as n_windows, unnest(hs) as landmark
+    from h
+    union all
+    select doc_id as media_id, false as decode_ok,
+           -1 as n_windows, cast(-1 as bigint) as landmark
+    from base where doc_id % 17 = 0
+"""
+
+_AUDIO_MATCHES_ORACLE_SQL = _LANDMARK_BASE_SQL + """
+    , ex as (select doc_id, unnest(hs) as lh from h)
+    select a.doc_id as id_a, b.doc_id as id_b,
+           cast(count(*) as bigint) as n_shared
+    from ex a join ex b on a.lh = b.lh and a.doc_id < b.doc_id
+    group by 1, 2
+    having count(*) >= 5
 """
 
 
@@ -7727,6 +7857,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonspec_drift": q_jsonspec_drift,
         "domain_caps": q_domain_caps,
         "hard_negatives": q_hard_negatives,
+        "audio_landmarks": q_audio_landmarks,
+        "audio_matches": q_audio_matches,
     }
 
 
@@ -12675,6 +12807,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "jsonspec_drift": _jsonspec_drift_oracle_sql(),
         "domain_caps": _DOMAIN_CAPS_ORACLE_SQL,
         "hard_negatives": _HARD_NEGATIVES_ORACLE_SQL,
+        "audio_landmarks": _AUDIO_LANDMARKS_ORACLE_SQL,
+        "audio_matches": _AUDIO_MATCHES_ORACLE_SQL,
         "dead_symbols": _dead_symbols_oracle_sql(),
         "comment_lang": _comment_lang_oracle_sql(),
         "notebook_pairs": _NB_PAIRS_ORACLE_SQL,

@@ -2351,6 +2351,126 @@ def run_jsonspec_drift(spark, n=32_000_000):
             "sec": round(time.time() - t, 1)}
 
 
+
+def run_domain_caps(spark, n=64_000_000, cap=100_000):
+    """64M rows, 20% in one hot domain (12.8M, over cap 100k), the
+    rest across 100k cold domains (under cap, pass-through): only the
+    hot rows pay the salted two-level rank."""
+    from schema_validator_spark.operators.groupcap import (
+        cap_per_group,
+        group_cap_report,
+    )
+
+    dom = F.when(F.col("id") % 5 == 0, F.lit("hot.com")).otherwise(
+        F.concat(F.lit("d"), (F.col("id") % 100_000).cast("string"))
+    )
+    df = spark.range(n).select(F.col("id").alias("doc_id"),
+                               dom.alias("domain"))
+    t = time.time()
+    kept = cap_per_group(df, "domain", "doc_id", cap=cap).count()
+    t_cap = round(time.time() - t, 1)
+    t2 = time.time()
+    rep = group_cap_report(df, "domain", cap=cap)
+    dropped = rep.agg(F.sum("n_dropped")).collect()[0][0]
+    return {"op": "domain_caps", "rows": n, "kept": kept,
+            "dropped": dropped, "cap_sec": t_cap,
+            "report_sec": round(time.time() - t2, 1)}
+
+
+def run_hard_negatives(spark, n=1_000_000, n_q=64, k=10):
+    """64 queries against a 1M x 64-d corpus (exact tier): label
+    groups of 10 exclude each query's positives; planted copies
+    (query vec = corpus vec of another label) must rank 1."""
+    from schema_validator_spark.operators.negatives import (
+        mine_hard_negatives,
+    )
+
+    vec = F.expr(
+        "transform(sequence(1, 64), i ->"
+        " cast(pmod(hash(id, i), 1000) as double) - 500.0)"
+    )
+    corpus = spark.range(n).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding"),
+        (F.col("id") % 100_000).alias("label"),
+    )
+    queries = corpus.filter(
+        (F.col("vec_id") % (n // n_q) == 0)
+    ).select(
+        F.col("vec_id").alias("query_id"), "embedding",
+        # shift the label so each query's planted twin (same vector,
+        # different label) is NOT excluded and must rank 1
+        (F.col("label") + 1).alias("label"),
+    )
+    t = time.time()
+    out = mine_hard_negatives(queries, corpus, k=k).collect()
+    top1 = sum(1 for r in out if r["rank"] == 1
+               and r["cosine"] >= 0.999999)
+    return {"op": "hard_negatives", "corpus": n, "queries": n_q,
+            "k": k, "rows_out": len(out), "exact_top1": top1,
+            "sec": round(time.time() - t, 1)}
+
+
+
+def run_audio_landmarks(spark, n=200_000):
+    """200k REAL 32k-sample WAVs (16 frames x 2048 samples) through
+    wave-parse + per-frame rFFT (1024 bins) + landmark packing, then
+    the capped match join.  Bin sequences come from sha256 bytes
+    (~10^6-value hash space — the sparsity real audio landmarking
+    depends on); even/odd twins share the full sequence, so
+    min_shared=35 must find exactly n/2 planted pairs."""
+    from schema_validator_spark.operators.audiolandmark import (
+        audio_landmarks,
+        landmark_matches,
+    )
+
+    W = 2048
+
+    def gen(batches):
+        import hashlib
+        import io
+        import wave as wavmod
+
+        import numpy as np
+        import pandas as pd
+
+        t = np.arange(W)
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                base = mid // 2
+                d = hashlib.sha256(str(base).encode()).digest()
+                frames = [
+                    np.round(8000 * np.sin(
+                        2 * np.pi
+                        * (3 + (((d[2 * w] << 8) | d[2 * w + 1]) % 1000))
+                        * t / W))
+                    for w in range(16)
+                ]
+                x = np.concatenate(frames).astype("<i2")
+                bio = io.BytesIO()
+                with wavmod.open(bio, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(8000)
+                    wf.writeframes(x.tobytes())
+                rows.append((mid, bio.getvalue()))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    df = spark.range(n).mapInPandas(gen, "media_id long, payload binary")
+    t0 = time.time()
+    lms = audio_landmarks(df, window=W).localCheckpoint()
+    n_ok = lms.filter("decode_ok").count()
+    t_fp = round(time.time() - t0, 1)
+    t1 = time.time()
+    # full-overlap twins share all ~40 landmarks; random cross-clip
+    # collisions at a ~3M-value hash space stay far below 35
+    pairs = landmark_matches(lms, min_shared=35, max_bucket=10_000).count()
+    return {"op": "audio_landmarks", "rows": n, "decoded": n_ok,
+            "pairs": pairs, "expect_pairs": n // 2, "fp_sec": t_fp,
+            "match_sec": round(time.time() - t1, 1)}
+
+
 OPS = {
     "edit_join": run_edit_join,
     "winnow_pairs": run_winnow,
@@ -2443,6 +2563,9 @@ OPS = {
     "synthetic_text": run_synthetic_text,
     "ngram_saturation": run_ngram_saturation,
     "jsonspec_drift": run_jsonspec_drift,
+    "domain_caps": run_domain_caps,
+    "hard_negatives": run_hard_negatives,
+    "audio_landmarks": run_audio_landmarks,
 }
 
 
