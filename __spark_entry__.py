@@ -5265,9 +5265,14 @@ def q_hard_negatives(spark, sf_dir):
 def _landmark_media(spark, sf_dir):
     """Deterministic tone-frame WAVs for the spectral-landmark queries:
     16 frames of 64 samples; frame w of doc d holds a pure sine at
-    integer bin 3 + ((w*5 + d) % 13) (amplitude 8000), so the rFFT
-    argmax per frame is the bin by construction; doc_id%17 is a
-    corrupt (not-a-WAV) stripe."""
+    integer bin 3 + ((w*(c+2) + c) % 29) with c = d % 23 (amplitude
+    8000), so the rFFT argmax per frame is the bin by construction and
+    docs of the same class c share the WHOLE sequence.  The per-class
+    stride c+2 (coprime with 29) makes the bin DIFFERENCE inside every
+    landmark pair dt*(c+2) mod 29 — invertible per dt — so each
+    landmark hash belongs to EXACTLY ONE class: buckets are class-
+    sized (~n/23, far under the cap at every SF) and cross-class pairs
+    share zero landmarks.  doc_id%17 is a corrupt (not-a-WAV) stripe."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
 
     def gen(batches):
@@ -5285,10 +5290,14 @@ def _landmark_media(spark, sf_dir):
                 if did % 17 == 0:
                     rows.append((did, b"NOTWAV" + str(did).encode()))
                     continue
+                cls = did % 23
                 frames = [
                     np.round(
-                        8000 * np.sin(2 * np.pi * (3 + ((w * 5 + did) % 13))
-                                      * t / 64)
+                        8000 * np.sin(
+                            2 * np.pi
+                            * (3 + ((w * (cls + 2) + cls) % 29))
+                            * t / 64
+                        )
                     )
                     for w in range(16)
                 ]
@@ -5336,10 +5345,12 @@ def q_audio_landmarks(spark, sf_dir):
 def q_audio_matches(spark, sf_dir):
     """Landmark matching (operators/audiolandmark.landmark_matches —
     the snippet-containment join): clips sharing >= 5 landmarks pair
-    up via the capped equi-join; docs with equal d%13 have identical
+    up via the capped equi-join; docs with equal d%23 have identical
     bin sequences, so every same-class non-corrupt pair must appear
-    with n_shared = |class hash set|, and the oracle replays the whole
-    explode -> join -> count from the arithmetic hash lists."""
+    with n_shared = 42 (15+14+13 pair-landmarks), cross-class pairs
+    share ZERO landmarks by the stride construction, and the oracle
+    replays the whole explode -> join -> count from the arithmetic
+    hash lists."""
     from schema_validator_spark.operators.audiolandmark import (
         audio_landmarks,
         landmark_matches,
@@ -5484,14 +5495,17 @@ def _jsonspec_drift_oracle_sql() -> str:
 # Arithmetic replay of the spectral-landmark queries: expected rFFT
 # peak bins ARE the planted tone bins, so the landmark sets derive in
 # closed form (ks[t+1] is 1-based: element t of the bin list); the
-# match oracle replays explode -> join -> count over those lists (all
-# buckets are far below the Spark tier's cap, so capped == uncapped).
+# match oracle replays explode -> join -> count over those lists.
+# Every landmark hash belongs to exactly one d%23 class (the stride
+# argument in _landmark_media's docstring), so buckets are class-sized
+# — far below the Spark tier's cap at every SF, capped == uncapped.
 _LANDMARK_BASE_SQL = """
     with base as (select doc_id from documents),
     k as (
       select doc_id,
              list_transform(range(0, 16),
-                            w -> 3 + ((w * 5 + doc_id) % 13)) as ks
+                            w -> 3 + ((w * ((doc_id % 23) + 2)
+                                       + (doc_id % 23)) % 29)) as ks
       from base where doc_id % 17 <> 0
     ),
     h as (

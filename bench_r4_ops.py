@@ -2218,6 +2218,7 @@ def run_audio_hash(spark, n=1_000_000):
 
 
 def run_semantic_contamination(spark, n=2_000_000, n_eval=10_000):
+    stride = max(1, n // n_eval)
     """2M 64-d corpus vectors vs a 10k-item eval set (Arrow tier:
     eval matrix in closure, one matmul pass, zero shuffles).  Every
     200th corpus vector has a x2-scaled copy planted in the eval set,
@@ -2233,7 +2234,7 @@ def run_semantic_contamination(spark, n=2_000_000, n_eval=10_000):
     )
     train = spark.range(n).select(F.col("id").alias("vec_id"),
                                   vec.alias("embedding"))
-    ev = train.filter(F.col("vec_id") % 200 == 0).select(
+    ev = train.filter(F.col("vec_id") % stride == 0).select(
         (F.col("vec_id") + 100_000_000).alias("vec_id"),
         F.transform(F.col("embedding"), lambda x: x * 2.0).alias(
             "embedding"
@@ -2243,8 +2244,9 @@ def run_semantic_contamination(spark, n=2_000_000, n_eval=10_000):
     flagged = semantic_contamination(
         train, ev, threshold=0.999, use_arrow=True
     ).count()
-    return {"op": "semantic_contamination", "rows": n, "eval": n_eval,
-            "flagged": flagged, "expect": n // 200,
+    n_ev = (n + stride - 1) // stride
+    return {"op": "semantic_contamination", "rows": n, "eval": n_ev,
+            "flagged": flagged, "expect": n_ev,
             "sec": round(time.time() - t, 1)}
 
 

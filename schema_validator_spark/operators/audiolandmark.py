@@ -142,16 +142,33 @@ def landmark_matches(
     ``(id_a, id_b, n_shared)`` with ``id_a < id_b``.
 
     Landmarks appearing in more than ``max_bucket`` clips are excluded
-    from pair generation and LOUDLY counted (``n_hot_landmarks`` in
-    the Spark logs via an Observation-free count — callers needing the
-    number programmatically use :func:`hot_landmarks`)."""
+    from pair generation and LOUDLY counted (a WARNING log with the
+    drop count, computed eagerly off the materialized landmark frame;
+    :func:`hot_landmarks` returns the same set programmatically).
+
+    The exploded frame is localCheckpoint-ed: it embeds the upstream
+    Arrow decode+rFFT pass, which would otherwise re-run for the
+    bucket-size aggregate AND both self-join sides (the
+    dedup._cap_hot_buckets / cluster_pairs lesson)."""
     if min_shared < 1:
         raise ValueError("min_shared must be >= 1")
     ex = (
         landmarks.filter(F.col("decode_ok"))
         .select("media_id", F.explode("landmarks").alias("_h"))
+        .localCheckpoint()
     )
-    sizes = ex.groupBy("_h").agg(F.count(F.lit(1)).alias("_n"))
+    sizes = ex.groupBy("_h").agg(
+        F.count(F.lit(1)).alias("_n")
+    ).localCheckpoint()
+    n_hot = sizes.filter(F.col("_n") > max_bucket).count()
+    if n_hot:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "landmark_matches: %d landmark(s) above max_bucket=%d "
+            "excluded from pair generation (hot_landmarks() lists them)",
+            n_hot, max_bucket,
+        )
     ok = ex.join(
         sizes.filter(F.col("_n") <= max_bucket).select("_h"), on="_h"
     )

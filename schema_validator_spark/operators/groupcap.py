@@ -48,7 +48,7 @@ def cap_per_group(
     ``(md5(id), id)``.  NULL-group rows always pass through."""
     if cap < 1:
         raise ValueError("cap must be >= 1")
-    for c in ("_gn", "_rk", "_salt", "_rn"):
+    for c in ("_gn", "_gc", "_rn"):
         if c in df.columns:
             raise ValueError(f"reserved temp column {c!r} present in input")
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gn"))

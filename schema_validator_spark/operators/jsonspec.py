@@ -129,8 +129,6 @@ def json_spec_drift(
     base: DataFrame,
     curr: DataFrame,
     json_col: str,
-    *,
-    dominance: float = 0.95,
 ) -> DataFrame:
     """Schema drift between two corpus versions of a JSON column — the
     semi-structured analog of the snapshot drift family: which
@@ -159,7 +157,11 @@ def json_spec_drift(
     """
 
     def key_grain(df, pfx):
-        spec = infer_json_spec(df, json_col, dominance=dominance)
+        # the dominant-type verdict is recomputed below with explicit
+        # tie-breaks, so infer_json_spec's own `dominance` bar (which
+        # only shapes its boolean column) is irrelevant here — no
+        # dominance parameter is exposed on purpose
+        spec = infer_json_spec(df, json_col)
         # majority type with deterministic ties: min over
         # (-n_type, vtype) = largest count, then smallest type name
         return (

@@ -211,12 +211,19 @@ def _overlap_arrow(train, id_col, vec_col, ev, eval_block: int = 2048):
             F.array().cast("array<double>"),
         ).alias("_v"),
     )
-    # NULL / empty vectors: _stack would fail on ragged input — give
-    # them an all-zero vector of the eval dim (cosine 0.0, same as HOF)
+    # NULL / ragged / NULL-element vectors: _stack would fail on
+    # ragged input and a NULL element becomes NaN that poisons the
+    # matmul (every block comparison false -> the -inf/int64-max init
+    # sentinels would leak out) — give all three an all-zero vector of
+    # the eval dim (cosine 0.0, smallest eval_id: the HOF tier's
+    # convention for exactly these rows)
     dim = En.shape[1]
+    clean = (F.size("_v") == dim) & ~F.exists(
+        F.col("_v"), lambda x: x.isNull()
+    )
     src = src.select(
         "_id",
-        F.when(F.size("_v") == dim, F.col("_v"))
+        F.when(clean, F.col("_v"))
         .otherwise(F.array(*[F.lit(0.0)] * dim))
         .alias("_v"),
     )

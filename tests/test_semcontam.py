@@ -57,7 +57,8 @@ def test_tie_breaks_by_smallest_eval_id(spark):
 
 def test_null_zero_and_ragged_vectors_score_zero(spark):
     train = spark.createDataFrame(
-        [(1, None), (2, [0.0] * 8), (3, [1.0, 2.0])],
+        [(1, None), (2, [0.0] * 8), (3, [1.0, 2.0]),
+         (4, [1.0, None] + [1.0] * 6)],  # NULL element, correct dim
         "vec_id long, embedding array<double>")
     ev = spark.createDataFrame(
         [(100, _vec(1)), (101, _vec(2))],
@@ -65,7 +66,7 @@ def test_null_zero_and_ragged_vectors_score_zero(spark):
     for use_arrow in (False, True):
         rows = {r["vec_id"]: r for r in semantic_overlap(
             train, ev, use_arrow=use_arrow).collect()}
-        assert len(rows) == 3
+        assert len(rows) == 4
         for r in rows.values():
             assert r["cosine"] == 0.0
             assert r["eval_id"] == 100  # smallest eval id wins the tie
