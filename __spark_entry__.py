@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (209/209), including the approximate tiers
+EVERY query has an oracle (210/210), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -5360,6 +5360,26 @@ def q_audio_matches(spark, sf_dir):
     return landmark_matches(audio_landmarks(media), min_shared=5)
 
 
+def q_readability(spark, sf_dir):
+    """Flesch readability scoring
+    (functions/synthtext.readability_stats — the education-level
+    feature of phi-style quality classifiers): words/sentences/
+    vowel-group syllables + Flesch reading ease + FK grade, one
+    codegen projection.  Sentences synthesized by turning ' the '
+    into sentence breaks; the oracle replays tokenization, the
+    sentence splitter, the [aeiouy]+ syllable count, and the exact
+    left-associated formula arithmetic."""
+    from schema_validator_spark.functions.synthtext import (
+        readability_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    content = F.replace(F.col("text"), F.lit(" the "), F.lit(". "))
+    return readability_stats(
+        docs.select("doc_id", content.alias("text")), ["doc_id"], "text"
+    )
+
+
 def q_audio_envelope(spark, sf_dir):
     """Audio energy-envelope fingerprinting
     (operators/audiohash.audio_fingerprints — the audio-modality
@@ -5489,6 +5509,44 @@ def _jsonspec_drift_oracle_sql() -> str:
            round(coalesce(curr_presence, 0.0)
                  - coalesce(base_presence, 0.0), 6) as presence_delta
     from b_grain b full outer join c_grain c on b.key = c.key
+"""
+
+
+# Independent replay of q_readability: same synthesis, independent
+# tokenization/sentence/syllable derivations, identical
+# left-associated Flesch arithmetic.
+_READABILITY_ORACLE_SQL = r"""
+    with synth as (
+      select doc_id, replace(text, ' the ', '. ') as text
+      from documents
+    ),
+    b as (select doc_id, lower(coalesce(text, '')) as lt from synth),
+    m as (
+      select doc_id,
+             cast(len(list_filter(string_split_regex(trim(lt), '\s+'),
+                                  x -> x <> '')) as bigint) as n_words,
+             cast(len(list_filter(
+                    list_transform(string_split_regex(lt, '[.!?]+'),
+                                   s -> strlen(trim(s))),
+                    n -> n > 0)) as bigint) as n_sents,
+             cast(len(regexp_extract_all(lt, '[aeiouy]+')) as bigint)
+               as n_syllables
+      from b
+    )
+    select doc_id, n_words, n_sents, n_syllables,
+           case when n_words > 0 and n_sents > 0 then
+             206.835
+             - 1.015 * (cast(n_words as double) / cast(n_sents as double))
+             - 84.6 * (cast(n_syllables as double)
+                       / cast(n_words as double))
+           else 0.0 end as flesch,
+           case when n_words > 0 and n_sents > 0 then
+             0.39 * (cast(n_words as double) / cast(n_sents as double))
+             + 11.8 * (cast(n_syllables as double)
+                       / cast(n_words as double))
+             - 15.59
+           else 0.0 end as fk_grade
+    from m
 """
 
 
@@ -7451,6 +7509,10 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
         ["base_presence", "curr_presence", "presence_delta"],
     ),
     "hard_negatives": (["query_id", "vec_id", "rank"], ["cosine"]),
+    "readability": (
+        ["doc_id", "n_words", "n_sents", "n_syllables"],
+        ["flesch", "fk_grade"],
+    ),
     "drift_psi": (["baseline", "curr"], ["psi"]),
     "snapshot_drift": (["baseline", "curr"], ["psi"]),
     "gopher_quality": (
@@ -7873,6 +7935,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "audio_landmarks": q_audio_landmarks,
         "audio_matches": q_audio_matches,
+        "readability": q_readability,
     }
 
 
@@ -12823,6 +12886,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "hard_negatives": _HARD_NEGATIVES_ORACLE_SQL,
         "audio_landmarks": _AUDIO_LANDMARKS_ORACLE_SQL,
         "audio_matches": _AUDIO_MATCHES_ORACLE_SQL,
+        "readability": _READABILITY_ORACLE_SQL,
         "dead_symbols": _dead_symbols_oracle_sql(),
         "comment_lang": _comment_lang_oracle_sql(),
         "notebook_pairs": _NB_PAIRS_ORACLE_SQL,

@@ -190,3 +190,69 @@ def filter_synthetic_text(
         df.select("*"), list(df.columns), text_col, **kwargs
     )
     return stats.filter(F.col("ai_flag") == 0).select(*df.columns)
+
+
+def readability_stats(
+    df: DataFrame,
+    id_cols: list[str],
+    text_col: str,
+) -> DataFrame:
+    """Flesch readability per document — the classic education-level
+    feature of quality classifiers (phi-style "textbook quality" uses
+    exactly these signals): ``(ids..., n_words, n_sents, n_syllables,
+    flesch, fk_grade)``.
+
+    - words = whitespace tokens; sentences = non-empty ``[.!?]+``
+      splits (the synthetic_text_stats splitter); syllables = the
+      standard vowel-group approximation, ``[aeiouy]+`` runs of the
+      lowered text.
+    - ``flesch = 206.835 - 1.015*(W/S) - 84.6*(Y/W)``;
+      ``fk_grade = 0.39*(W/S) + 11.8*(Y/W) - 15.59``; both 0.0 when
+      the doc has no words (nothing to grade).
+
+    Zero shuffles, zero Python — one codegen projection per row; the
+    same expression sequence replays in any SQL engine (regexp_count
+    over an ASCII class is Java/RE2-identical)."""
+    for c in ("_lt", "_nw", "_ns", "_ny"):
+        if c in df.columns:
+            raise ValueError(f"reserved temp column {c!r} present in input")
+    clash = {"n_words", "n_sents", "n_syllables", "flesch",
+             "fk_grade"} & set(id_cols)
+    if clash:
+        raise ValueError(f"id columns collide with output names: {clash}")
+    lt = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    nw = F.size(X.tokens(F.col("_lt"))).cast("long")
+    ns = F.size(
+        F.filter(
+            F.transform(F.split(F.col("_lt"), r"[.!?]+"),
+                        lambda s: F.octet_length(F.trim(s))),
+            lambda n: n > 0,
+        )
+    ).cast("long")
+    ny = F.regexp_count(F.col("_lt"), F.lit("[aeiouy]+")).cast("long")
+    w = F.col("_nw").cast("double")
+    s = F.col("_ns").cast("double")
+    y = F.col("_ny").cast("double")
+    has = (F.col("_nw") > 0) & (F.col("_ns") > 0)
+    flesch = F.when(
+        has, F.lit(206.835) - F.lit(1.015) * (w / s)
+        - F.lit(84.6) * (y / w)
+    ).otherwise(F.lit(0.0))
+    grade = F.when(
+        has, F.lit(0.39) * (w / s) + F.lit(11.8) * (y / w)
+        - F.lit(15.59)
+    ).otherwise(F.lit(0.0))
+    return (
+        df.withColumn("_lt", lt)
+        .withColumn("_nw", nw)
+        .withColumn("_ns", ns)
+        .withColumn("_ny", ny)
+        .select(
+            *[F.col(c) for c in id_cols],
+            F.col("_nw").alias("n_words"),
+            F.col("_ns").alias("n_sents"),
+            F.col("_ny").alias("n_syllables"),
+            flesch.alias("flesch"),
+            grade.alias("fk_grade"),
+        )
+    )

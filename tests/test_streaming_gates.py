@@ -72,3 +72,25 @@ def test_normalize_streams(spark, gate_dir):
     # NFD row composes to the same bytes as the NFC row
     assert got[3]["text_norm"] == got[1]["text_norm"] == "caf\u00e9"
     assert got[3]["changed"] == 1 and got[1]["changed"] == 0
+
+
+def test_synthetic_text_gate_streams(spark, gate_dir):
+    from schema_validator_spark.functions.synthtext import (
+        synthetic_text_stats,
+    )
+
+    s = _read(spark, gate_dir)
+    flagged = synthetic_text_stats(
+        s.withColumn(
+            "text",
+            F.when(
+                F.col("id") == 2,
+                F.lit("As an AI language model, I cannot chat."),
+            ).otherwise(F.col("text")),
+        ),
+        ["id"], "text",
+    )
+    run_to_memory(flagged, "t_gate_synth")
+    got = {r["id"]: r["ai_flag"] for r in
+           spark.sql("select * from t_gate_synth").collect()}
+    assert got == {1: 0, 2: 1, 3: 0}

@@ -99,3 +99,36 @@ def test_guards(spark):
     bad2 = df.withColumnRenamed("doc_id", "ai_flag")
     with pytest.raises(ValueError, match="collide"):
         synthetic_text_stats(bad2, ["ai_flag"], "text")
+
+
+def test_readability_hand_computed(spark):
+    from schema_validator_spark.functions.synthtext import (
+        readability_stats,
+    )
+
+    # "the cat sat. it ran away fast." -> W=7, S=2, Y: the(1) cat(1)
+    # sat(1) it(1) ran(1) away(2: a, ay) fast(1) = 8
+    df = spark.createDataFrame(
+        [(1, "The cat sat. It ran away fast."), (2, ""), (3, None)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           readability_stats(df, ["doc_id"], "text").collect()}
+    r = got[1]
+    assert (r["n_words"], r["n_sents"], r["n_syllables"]) == (7, 2, 8)
+    ws, yw = 7 / 2, 8 / 7
+    assert r["flesch"] == pytest.approx(206.835 - 1.015 * ws - 84.6 * yw,
+                                        abs=1e-9)
+    assert r["fk_grade"] == pytest.approx(0.39 * ws + 11.8 * yw - 15.59,
+                                          abs=1e-9)
+    for i in (2, 3):
+        assert got[i]["flesch"] == 0.0 and got[i]["n_words"] == 0
+
+
+def test_readability_guards(spark):
+    from schema_validator_spark.functions.synthtext import (
+        readability_stats,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "flesch long, text string")
+    with pytest.raises(ValueError, match="collide"):
+        readability_stats(df, ["flesch"], "text")
