@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (210/210), including the approximate tiers
+EVERY query has an oracle (211/211), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -5380,6 +5380,28 @@ def q_readability(spark, sf_dir):
     )
 
 
+_VOCAB_REF = [
+    "the", "a", "data", "join", "sort", "merge", "key", "row", "line",
+    "table", "stream", "batch", "window", "filter", "group", "query",
+    "scan", "agg", "column", "value",
+]
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Vocabulary-coverage audit
+    (functions/wordlist.vocab_coverage_stats — the tokenizer-migration
+    / UNK-rate check): per-doc token count, out-of-vocabulary count,
+    and OOV rate against a reference vocabulary (exact lowercase
+    token membership, InSet probe, zero shuffles).  The oracle replays
+    tokenization + NOT IN membership + the rate division."""
+    from schema_validator_spark.functions.wordlist import (
+        vocab_coverage_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_coverage_stats(docs, ["doc_id"], "text", _VOCAB_REF)
+
+
 def q_audio_envelope(spark, sf_dir):
     """Audio energy-envelope fingerprinting
     (operators/audiohash.audio_fingerprints — the audio-modality
@@ -5509,6 +5531,30 @@ def _jsonspec_drift_oracle_sql() -> str:
            round(coalesce(curr_presence, 0.0)
                  - coalesce(base_presence, 0.0), 6) as presence_delta
     from b_grain b full outer join c_grain c on b.key = c.key
+"""
+
+
+def _vocab_coverage_oracle_sql() -> str:
+    """Replay q_vocab_coverage from the same _VOCAB_REF constant:
+    independent tokenization + NOT IN membership + rate division."""
+    terms = ", ".join(f"'{t}'" for t in sorted(set(_VOCAB_REF)))
+    return rf"""
+    with b as (
+      select doc_id,
+             list_filter(string_split_regex(
+                 trim(lower(coalesce(text, ''))), '\s+'),
+               x -> x <> '') as tk
+      from documents
+    )
+    select doc_id,
+           cast(len(tk) as bigint) as n_tokens,
+           cast(len(list_filter(tk, t -> t not in ({terms})))
+                as bigint) as n_oov,
+           case when len(tk) > 0 then
+             cast(len(list_filter(tk, t -> t not in ({terms})))
+                  as double) / cast(len(tk) as double)
+           else 0.0 end as oov_rate
+    from b
 """
 
 
@@ -7513,6 +7559,7 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
         ["doc_id", "n_words", "n_sents", "n_syllables"],
         ["flesch", "fk_grade"],
     ),
+    "vocab_coverage": (["doc_id", "n_tokens", "n_oov"], ["oov_rate"]),
     "drift_psi": (["baseline", "curr"], ["psi"]),
     "snapshot_drift": (["baseline", "curr"], ["psi"]),
     "gopher_quality": (
@@ -7936,6 +7983,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_landmarks": q_audio_landmarks,
         "audio_matches": q_audio_matches,
         "readability": q_readability,
+        "vocab_coverage": q_vocab_coverage,
     }
 
 
@@ -12887,6 +12935,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "audio_landmarks": _AUDIO_LANDMARKS_ORACLE_SQL,
         "audio_matches": _AUDIO_MATCHES_ORACLE_SQL,
         "readability": _READABILITY_ORACLE_SQL,
+        "vocab_coverage": _vocab_coverage_oracle_sql(),
         "dead_symbols": _dead_symbols_oracle_sql(),
         "comment_lang": _comment_lang_oracle_sql(),
         "notebook_pairs": _NB_PAIRS_ORACLE_SQL,

@@ -126,3 +126,70 @@ def filter_blocked_terms(
         .filter(ok)
         .drop("_toks", "_hits")
     )
+
+
+def vocab_coverage_stats(
+    df: DataFrame,
+    id_cols: list[str],
+    text_col: str,
+    vocab: list[str],
+) -> DataFrame:
+    """Per-document vocabulary coverage — the tokenizer-migration /
+    UNK-rate audit (how much of the corpus falls outside a reference
+    vocabulary): ``(ids..., n_tokens, n_oov, oov_rate)`` where
+    matching is exact lowercase whitespace-token membership (the same
+    InSet probe as the blocklist gate — O(1) per token for any vocab
+    size that fits the closure).
+
+    Zero shuffles, zero Python; NULL/empty text has no tokens and
+    ``oov_rate = 0.0``.
+    """
+    _check_reserved(df)
+    if not vocab:
+        raise ValueError("empty vocab")
+    terms = sorted({t.lower() for t in vocab})
+    toks = X.tokens(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    oov = F.filter(F.col("_toks"), lambda t: ~t.isin(*terms))
+    n_tok = F.size(F.col("_toks")).cast("long")
+    n_oov = F.size(F.col("_hits")).cast("long")
+    rate = F.when(
+        n_tok > 0, n_oov.cast("double") / n_tok.cast("double")
+    ).otherwise(F.lit(0.0))
+    return (
+        df.withColumn("_toks", toks)
+        .withColumn("_hits", oov)
+        .select(
+            *[F.col(c) for c in id_cols],
+            n_tok.alias("n_tokens"),
+            n_oov.alias("n_oov"),
+            rate.alias("oov_rate"),
+        )
+    )
+
+
+def top_oov_terms(
+    df: DataFrame,
+    text_col: str,
+    vocab: list[str],
+    *,
+    top_k: int = 20,
+) -> DataFrame:
+    """Corpus-grain OOV ranking: the ``top_k`` most frequent
+    out-of-vocabulary tokens ``(token, n)`` — what a tokenizer
+    retrain would add first.  One map-side-combinable groupBy over
+    the exploded OOV tokens; deterministic ties (n desc, token asc)."""
+    if not vocab:
+        raise ValueError("empty vocab")
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    terms = sorted({t.lower() for t in vocab})
+    toks = X.tokens(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    ex = df.select(F.explode(toks).alias("token")).filter(
+        ~F.col("token").isin(*terms)
+    )
+    return (
+        ex.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(top_k)
+    )

@@ -118,3 +118,47 @@ def test_rate_scaling_rounds_not_truncates(spark):
     text = "vileword vileword vileword " + " ".join(
         f"t{i}" for i in range(7))
     assert _stats(spark, [(1, text)], max_hit_rate=0.3)[1]["keep"] == 1
+
+
+class TestVocabCoverage:
+    def test_doc_grain(self, spark):
+        from schema_validator_spark.functions.wordlist import (
+            vocab_coverage_stats,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "The cat SAT on zorp"), (2, ""), (3, None),
+             (4, "zorp blip zorp")],
+            "doc_id long, text string")
+        got = {r["doc_id"]: r for r in vocab_coverage_stats(
+            df, ["doc_id"], "text", ["the", "cat", "sat", "on"]).collect()}
+        assert (got[1]["n_tokens"], got[1]["n_oov"]) == (5, 1)
+        assert got[1]["oov_rate"] == 0.2
+        assert got[2]["n_oov"] == 0 and got[2]["oov_rate"] == 0.0
+        assert got[3]["n_oov"] == 0
+        assert (got[4]["n_oov"], got[4]["oov_rate"]) == (3, 1.0)
+
+    def test_top_oov(self, spark):
+        from schema_validator_spark.functions.wordlist import (
+            top_oov_terms,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "zorp blip zorp aaa"), (2, "blip zorp ok")],
+            "doc_id long, text string")
+        got = [(r["token"], r["n"]) for r in
+               top_oov_terms(df, "text", ["ok"], top_k=2).collect()]
+        assert got == [("zorp", 3), ("blip", 2)]
+
+    def test_guards(self, spark):
+        from schema_validator_spark.functions.wordlist import (
+            top_oov_terms,
+            vocab_coverage_stats,
+        )
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        import pytest as _pt
+        with _pt.raises(ValueError, match="vocab"):
+            vocab_coverage_stats(df, ["doc_id"], "text", [])
+        with _pt.raises(ValueError, match="top_k"):
+            top_oov_terms(df, "text", ["a"], top_k=0)
