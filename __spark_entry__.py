@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (211/211), including the approximate tiers
+EVERY query has an oracle (212/212), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -5402,6 +5402,47 @@ def q_vocab_coverage(spark, sf_dir):
     return vocab_coverage_stats(docs, ["doc_id"], "text", _VOCAB_REF)
 
 
+def q_image_dhash(spark, sf_dir):
+    """Gradient (difference) image hashing
+    (operators/imagehash.image_dhashes — the brightness-shift-robust
+    twin of the aHash tier: every bit is a LOCAL pixel gradient, so
+    the re-encode artifacts that flip mean-relative aHash bits leave
+    it untouched).  REAL 8x9 grayscale PNGs are generated in
+    executors with pixel (r,c) = (r*37 + c*kd*13) % 251, kd = 1 +
+    doc%7; the oracle rebuilds the EXPECTED hash purely
+    arithmetically (bit = p(r,c) < p(r,c+1), packed as two 32-bit
+    halves) — equality pins encode -> decode -> gradient -> bit-pack
+    with no image bytes in SQL.  doc_id%19 is a corrupt stripe."""
+    from schema_validator_spark.operators.imagehash import image_dhashes
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from schema_validator_spark.functions.png import encode_png
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 19 == 0:
+                    rows.append((did, b"NOTPNG" + str(did).encode()))
+                    continue
+                kd = 1 + did % 7
+                px = np.asarray(
+                    [(r * 37 + c * kd * 13) % 251
+                     for r in range(8) for c in range(9)],
+                    dtype=np.uint8,
+                ).reshape(8, 9)
+                rows.append((did, encode_png(px)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    return image_dhashes(media)
+
+
 def q_audio_envelope(spark, sf_dir):
     """Audio energy-envelope fingerprinting
     (operators/audiohash.audio_fingerprints — the audio-modality
@@ -5593,6 +5634,41 @@ _READABILITY_ORACLE_SQL = r"""
              - 15.59
            else 0.0 end as fk_grade
     from m
+"""
+
+
+# Arithmetic replay of q_image_dhash: bit (r,c) = p(r,c) < p(r,c+1)
+# over the planted pixel formula; rows 0-3 pack into the high 32-bit
+# half, rows 4-7 into the low (1::BIGINT << 63 would overflow), hex
+# via printf.
+_IMAGE_DHASH_ORACLE_SQL = """
+    with base as (select doc_id from documents),
+    ok as (
+      select doc_id, 1 + doc_id % 7 as kd
+      from base where doc_id % 19 <> 0
+    ),
+    halves as (
+      select doc_id,
+        cast(list_sum(flatten(list_transform(range(0, 4), r ->
+          list_transform(range(0, 8), c ->
+            case when ((r*37 + c*kd*13) % 251)
+                      < ((r*37 + (c+1)*kd*13) % 251)
+              then 1::bigint << (31 - (r*8 + c)) else 0 end))))
+          as bigint) as hi,
+        cast(list_sum(flatten(list_transform(range(4, 8), r ->
+          list_transform(range(0, 8), c ->
+            case when ((r*37 + c*kd*13) % 251)
+                      < ((r*37 + (c+1)*kd*13) % 251)
+              then 1::bigint << (63 - (r*8 + c)) else 0 end))))
+          as bigint) as lo
+      from ok
+    )
+    select doc_id as media_id, true as decode_ok, 9 as width,
+           8 as height, printf('%08x%08x', hi, lo) as dhash
+    from halves
+    union all
+    select doc_id, false, -1, -1, cast(null as varchar)
+    from base where doc_id % 19 = 0
 """
 
 
@@ -7984,6 +8060,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_matches": q_audio_matches,
         "readability": q_readability,
         "vocab_coverage": q_vocab_coverage,
+        "image_dhash": q_image_dhash,
     }
 
 
@@ -12936,6 +13013,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "audio_matches": _AUDIO_MATCHES_ORACLE_SQL,
         "readability": _READABILITY_ORACLE_SQL,
         "vocab_coverage": _vocab_coverage_oracle_sql(),
+        "image_dhash": _IMAGE_DHASH_ORACLE_SQL,
         "dead_symbols": _dead_symbols_oracle_sql(),
         "comment_lang": _comment_lang_oracle_sql(),
         "notebook_pairs": _NB_PAIRS_ORACLE_SQL,

@@ -176,3 +176,77 @@ def image_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def dhash64_pixels(px) -> int:
+    """The integer-only dHash (difference/gradient hash) of a decoded
+    pixel array: grayscale, nearest resize to 9 wide x 8 tall, bit
+    (r, c) row-major MSB-first = 1 iff pixel[r][c] < pixel[r][c+1].
+    Pure integer comparisons — no mean, no float; and because every
+    bit is a LOCAL gradient, a global brightness shift (the classic
+    re-encode artifact that flips aHash bits near the mean) leaves
+    dHash untouched.  Run both tiers and OR the candidate sets for
+    the robust near-dup pass."""
+    import numpy as np
+
+    a = np.asarray(px, dtype=np.int64)
+    if a.ndim == 3:
+        a = a.sum(axis=2) // a.shape[2]
+    if a.shape != (8, 9):
+        from ..functions.png import resize_nearest
+
+        a = np.asarray(
+            resize_nearest(a.astype("uint8"), 9, 8), dtype=np.int64
+        )
+        if a.ndim == 3:
+            a = a.reshape(8, 9)
+    v = 0
+    i = 0
+    for r in range(8):
+        for c in range(8):
+            if a[r, c] < a[r, c + 1]:
+                v |= 1 << (63 - i)
+            i += 1
+    return v
+
+
+def image_dhashes(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """``(media_id, decode_ok, width, height, dhash)`` — the gradient
+    twin of :func:`image_hashes`; near-dup detection reuses the same
+    banding machinery on the renamed frame:
+    ``image_near_dups(image_dhashes(df).withColumnRenamed('dhash',
+    'ahash'))``."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import png as PNG
+
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf[id_col], pdf[payload_col]):
+                buf = bytes(buf) if buf is not None else b""
+                try:
+                    w, h, _ch, px = PNG.decode_png(buf)
+                    rows.append(
+                        (int(mid), True, w, h,
+                         format(dhash64_pixels(px), "016x"))
+                    )
+                except PNG.PngError:
+                    rows.append((int(mid), False, -1, -1, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "decode_ok", "width", "height",
+                         "dhash"],
+            )
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(payload_col)
+    ).mapInPandas(
+        run,
+        "media_id long, decode_ok boolean, width int, height int, "
+        "dhash string",
+    )

@@ -119,3 +119,68 @@ def test_near_dup_guard(spark):
         " width int, height int, ahash string")
     with pytest.raises(ValueError):
         image_near_dups(df, max_hamming=65)
+
+
+class TestDHash:
+    def test_hand_computed_bits(self):
+        import numpy as np
+
+        from schema_validator_spark.operators.imagehash import (
+            dhash64_pixels,
+        )
+
+        px = np.zeros((8, 9), dtype=np.uint8)
+        px[0, 1] = 10  # (0,0)<(0,1) -> bit 0 set; (0,1)>(0,2) -> bit 1 clear
+        px[7, 8] = 5   # (7,7)<(7,8) -> bit 63 set
+        v = dhash64_pixels(px)
+        assert v >> 63 == 1
+        assert (v >> 62) & 1 == 0
+        assert v & 1 == 1
+
+    def test_brightness_shift_invariance(self):
+        import numpy as np
+
+        from schema_validator_spark.operators.imagehash import (
+            ahash64_pixels,
+            dhash64_pixels,
+        )
+
+        rng = [(r * 37 + c * 13) % 200 for r in range(8) for c in range(9)]
+        px = np.asarray(rng, dtype=np.uint8).reshape(8, 9)
+        shifted = px + 40  # no clipping (max 199+40)
+        assert dhash64_pixels(px) == dhash64_pixels(shifted)
+        # aHash is mean-relative: same here by linearity of the mean,
+        # but dHash's guarantee is per-bit local, not distributional
+        assert isinstance(ahash64_pixels(px[:, :8]), int)
+
+    def test_frame_and_near_dups(self, spark):
+        import numpy as np
+
+        from schema_validator_spark.functions.png import encode_png
+        from schema_validator_spark.operators.imagehash import (
+            image_dhashes,
+            image_near_dups,
+        )
+
+        rows = []
+        for i in range(6):
+            base = i // 2
+            px = np.asarray(
+                [(r * 37 + c * 13 + base * 7) % 200
+                 for r in range(8) for c in range(9)],
+                dtype=np.uint8).reshape(8, 9)
+            if i % 2 == 1:
+                px = px + 30  # brightness shift: same dhash
+            rows.append((i, bytearray(encode_png(px))))
+        rows.append((99, bytearray(b"NOTPNG")))
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        got = {r["media_id"]: r for r in image_dhashes(df).collect()}
+        assert not got[99]["decode_ok"] and got[99]["dhash"] is None
+        for b in range(3):
+            assert got[2 * b]["dhash"] == got[2 * b + 1]["dhash"]
+        pairs = image_near_dups(
+            image_dhashes(df).withColumnRenamed("dhash", "ahash"),
+            max_hamming=0,
+        )
+        assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} >= \
+            {(0, 1), (2, 3), (4, 5)}
