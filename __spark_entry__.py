@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (212/212), including the approximate tiers
+EVERY query has an oracle (213/213), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -5443,6 +5443,49 @@ def q_image_dhash(spark, sf_dir):
     return image_dhashes(media)
 
 
+def q_dedup_eval(spark, sf_dir):
+    """Dedup-tier precision/recall audit
+    (operators/paireval.pair_metrics — the runtime version of every
+    tier's pinned exactness argument: score a candidate-pair frame
+    against an exact ground truth on a sample).  Predicted pairs =
+    fingerprint-equal docs (case/space-blind); truth = byte-equal
+    docs.  Stripes: doc pairs (2k, 2k+1) are byte-identical for
+    k%5==0 (true dups) and fingerprint-equal-only for k%5==1 (the
+    tier's deliberate false positives) — so precision lands near 0.5
+    and recall at 1.0, exercising every metric.  Oracle replays both
+    self-joins and the metric arithmetic."""
+    from schema_validator_spark.operators.paireval import pair_metrics
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    k = F.floor(did / 2)
+    ks = k.cast("string")
+    text = (
+        F.when(k % 5 == 0, F.concat(F.lit("copy text block "), ks))
+        .when(
+            (k % 5 == 1) & (did % 2 == 0),
+            F.concat(F.lit("near text block "), ks),
+        )
+        .when(
+            (k % 5 == 1) & (did % 2 == 1),
+            F.concat(F.lit("Near  TEXT block "), ks),
+        )
+        .otherwise(F.concat(F.lit("unique "), did.cast("string")))
+    )
+    d = docs.select("doc_id", text.alias("text"), X.fingerprint(text).alias("fp"))
+    a = d.select(F.col("doc_id").alias("id_a"),
+                 F.col("text").alias("_ta"), F.col("fp").alias("_fa"))
+    b = d.select(F.col("doc_id").alias("id_b"),
+                 F.col("text").alias("_tb"), F.col("fp").alias("_fb"))
+    pred = a.join(
+        b, (F.col("_fa") == F.col("_fb")) & (F.col("id_a") < F.col("id_b"))
+    ).select("id_a", "id_b")
+    truth = a.join(
+        b, (F.col("_ta") == F.col("_tb")) & (F.col("id_a") < F.col("id_b"))
+    ).select("id_a", "id_b")
+    return pair_metrics(pred, truth)
+
+
 def q_audio_envelope(spark, sf_dir):
     """Audio energy-envelope fingerprinting
     (operators/audiohash.audio_fingerprints — the audio-modality
@@ -5634,6 +5677,69 @@ _READABILITY_ORACLE_SQL = r"""
              - 15.59
            else 0.0 end as fk_grade
     from m
+"""
+
+
+# Independent replay of q_dedup_eval: same synthesis, both self-joins
+# (DuckDB's own md5 of the normalized form vs byte equality), then the
+# canonical-pair full outer and the metric arithmetic in the same
+# left-associated order.
+_DEDUP_EVAL_ORACLE_SQL = r"""
+    with synth as (
+      select doc_id,
+             case when (doc_id // 2) % 5 = 0 then
+                    'copy text block ' || cast(doc_id // 2 as varchar)
+                  when (doc_id // 2) % 5 = 1 and doc_id % 2 = 0 then
+                    'near text block ' || cast(doc_id // 2 as varchar)
+                  when (doc_id // 2) % 5 = 1 and doc_id % 2 = 1 then
+                    'Near  TEXT block ' || cast(doc_id // 2 as varchar)
+                  else 'unique ' || cast(doc_id as varchar)
+             end as text
+      from documents
+    ),
+    fp as (
+      select doc_id, text,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^\p{L}\p{Nd}\s]', '', 'g'), '\s+', ' ', 'g'))) as f
+      from synth
+    ),
+    pred as (
+      select distinct a.doc_id as pa, b.doc_id as pb
+      from fp a join fp b on a.f = b.f and a.doc_id < b.doc_id
+    ),
+    truth as (
+      select distinct a.doc_id as pa, b.doc_id as pb
+      from synth a join synth b
+        on a.text = b.text and a.doc_id < b.doc_id
+    ),
+    j as (
+      select p.pa as ppa, t.pa as tpa
+      from pred p full outer join truth t
+        on p.pa = t.pa and p.pb = t.pb
+    ),
+    m as (
+      select cast(count(ppa) as bigint) as n_pred,
+             cast(count(tpa) as bigint) as n_true,
+             cast(count(*) filter (where ppa is not null
+                                   and tpa is not null) as bigint)
+               as n_hit
+      from j
+    ),
+    pr as (
+      select n_pred, n_true, n_hit,
+             case when n_pred > 0 then
+               cast(n_hit as double) / cast(n_pred as double)
+             else 0.0 end as precision,
+             case when n_true > 0 then
+               cast(n_hit as double) / cast(n_true as double)
+             else 0.0 end as recall
+      from m
+    )
+    select n_pred, n_true, n_hit, precision, recall,
+           case when precision + recall > 0 then
+             2.0 * precision * recall / (precision + recall)
+           else 0.0 end as f1
+    from pr
 """
 
 
@@ -7636,6 +7742,9 @@ _E6_COLS: dict[str, tuple[list[str], list[str]]] = {
         ["flesch", "fk_grade"],
     ),
     "vocab_coverage": (["doc_id", "n_tokens", "n_oov"], ["oov_rate"]),
+    "dedup_eval": (
+        ["n_pred", "n_true", "n_hit"], ["precision", "recall", "f1"]
+    ),
     "drift_psi": (["baseline", "curr"], ["psi"]),
     "snapshot_drift": (["baseline", "curr"], ["psi"]),
     "gopher_quality": (
@@ -8061,6 +8170,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "vocab_coverage": q_vocab_coverage,
         "image_dhash": q_image_dhash,
+        "dedup_eval": q_dedup_eval,
     }
 
 
@@ -13014,6 +13124,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "readability": _READABILITY_ORACLE_SQL,
         "vocab_coverage": _vocab_coverage_oracle_sql(),
         "image_dhash": _IMAGE_DHASH_ORACLE_SQL,
+        "dedup_eval": _DEDUP_EVAL_ORACLE_SQL,
         "dead_symbols": _dead_symbols_oracle_sql(),
         "comment_lang": _comment_lang_oracle_sql(),
         "notebook_pairs": _NB_PAIRS_ORACLE_SQL,
