@@ -10,7 +10,7 @@ drift, dedup tiers, ANN, text analysis).  Each callable takes
 corresponding ``oracle_sql()`` exactly.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL over the same parquet views.
-EVERY query has an oracle (213/213), including the approximate tiers
+EVERY query has an oracle (214/214), including the approximate tiers
 (MinHash LSH, SimHash, SRP/IVF ANN, PSI): each is deterministic and its
 ground truth is re-derived exactly in SQL — see the per-query docstrings
 for why the approximate result provably equals the exact set here.
@@ -5486,6 +5486,50 @@ def q_dedup_eval(spark, sf_dir):
     return pair_metrics(pred, truth)
 
 
+def q_web_curation(spark, sf_dir):
+    """End-to-end web-corpus funnel
+    (operators/curateweb.curate_web — synthetic-text gate -> word-list
+    gate -> n-gram saturation cap -> per-domain cap, one lazy plan).
+    Stripes (precedence %13 > %7 > %11): disclaimer append (stage-1
+    drop), ' vileword' append (stage-2), identical shared paragraph
+    (saturation 1.0, stage-3); domains: %41 NULL (never capped), %3
+    hot.com (over cap 20), else 37 cold domains.  The oracle replays
+    every stage: phrase gate (the statistical tier provably cannot
+    fire — no synthesized doc reaches 5 sentences), exact token
+    membership, the full shingle/doc-freq/cross-multiply saturation
+    over stage-2 SURVIVORS, and the md5-rank domain cap."""
+    from schema_validator_spark.operators.curateweb import curate_web
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    text = (
+        F.when(
+            did % 13 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" As an AI language model, I cannot continue."),
+            ),
+        )
+        .when(did % 7 == 0, F.concat(F.col("text"), F.lit(" vileword")))
+        .when(
+            did % 11 == 0,
+            F.lit("common shared paragraph block alpha beta gamma "
+                  "delta epsilon zeta eta theta"),
+        )
+        .otherwise(F.col("text"))
+    )
+    domain = (
+        F.when(did % 41 == 0, F.lit(None).cast("string"))
+        .when(did % 3 == 0, F.lit("hot.com"))
+        .otherwise(
+            F.concat(F.lit("d"), (did % 37).cast("string"), F.lit(".com"))
+        )
+    )
+    df = docs.select("doc_id", text.alias("text"), domain.alias("domain"))
+    out = curate_web(df, blocked_terms=["vileword"], domain_cap=20)
+    return out.select("doc_id", "domain")
+
+
 def q_audio_envelope(spark, sf_dir):
     """Audio energy-envelope fingerprinting
     (operators/audiohash.audio_fingerprints — the audio-modality
@@ -5677,6 +5721,95 @@ _READABILITY_ORACLE_SQL = r"""
              - 15.59
            else 0.0 end as fk_grade
     from m
+"""
+
+
+def _web_curation_oracle_sql() -> str:
+    """Replay q_web_curation stage by stage.  Stage 1 replays the
+    phrase tier only: the statistical tier requires >= 5 sentences
+    and the synthesized corpus provably never reaches 2 (the word-
+    salad documents text contains no [.!?]; the only periods come
+    from the appended disclaimer) — phrase containment IS the flag.
+    Stages 2-4 are full replays: exact token membership, the k=5
+    shingle + doc-frequency + strict cross-multiply saturation over
+    stage-2 survivors, and the md5-rank domain cap."""
+    from schema_validator_spark.functions.synthtext import (
+        DEFAULT_PHRASES,
+    )
+
+    no_phrase = " and ".join(
+        f"not contains(lower(text), '{p}')" for p in DEFAULT_PHRASES
+    )
+    return rf"""
+    with synth as (
+      select doc_id,
+             case when doc_id % 13 = 0 then
+                    text || ' As an AI language model, I cannot continue.'
+                  when doc_id % 7 = 0 then text || ' vileword'
+                  when doc_id % 11 = 0 then
+                    'common shared paragraph block alpha beta gamma '
+                    || 'delta epsilon zeta eta theta'
+                  else text end as text,
+             case when doc_id % 41 = 0 then null
+                  when doc_id % 3 = 0 then 'hot.com'
+                  else 'd' || cast(doc_id % 37 as varchar) || '.com'
+             end as domain
+      from documents
+    ),
+    s1 as (select * from synth where {no_phrase}),
+    s2 as (
+      select * from s1
+      where not list_contains(
+        list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                    x -> x <> ''),
+        'vileword')
+    ),
+    w as (
+      select doc_id, domain,
+             list_filter(string_split_regex(trim(coalesce(text, '')),
+                                            '\s+'),
+                         t -> t <> '') as w
+      from s2
+    ),
+    g as (
+      select doc_id, domain,
+             case when len(w) >= 5
+               then list_distinct(list_transform(range(1, len(w) - 3),
+                      i -> array_to_string(w[i:i+4], ' ')))
+               else [array_to_string(w, ' ')] end as gs
+      from w
+    ),
+    pairsg as (
+      select doc_id, domain, len(gs) as n_grams, unnest(gs) as g from g
+    ),
+    dfreq as (select g, count(*) as df from pairsg group by g),
+    sat as (
+      select doc_id, max(domain) as domain,
+             max(n_grams) as n_grams,
+             sum(case when df >= 2 then 1 else 0 end) as n_common
+      from pairsg join dfreq using (g)
+      group by doc_id
+    ),
+    s3 as (
+      select doc_id, domain from sat
+      where not (n_common * 1000000 > 500000 * n_grams)
+    ),
+    counts as (
+      select domain, count(*) as n from s3
+      where domain is not null group by 1
+    ),
+    ranked as (
+      select s.doc_id, s.domain, n,
+             row_number() over (
+               partition by s.domain
+               order by md5(cast(s.doc_id as varchar)), s.doc_id
+             ) as rn
+      from s3 s join counts using (domain)
+      where s.domain is not null
+    )
+    select doc_id, domain from ranked where n <= 20 or rn <= 20
+    union all
+    select doc_id, domain from s3 where domain is null
 """
 
 
@@ -8171,6 +8304,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "image_dhash": q_image_dhash,
         "dedup_eval": q_dedup_eval,
+        "web_curation": q_web_curation,
     }
 
 
@@ -13125,6 +13259,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "vocab_coverage": _vocab_coverage_oracle_sql(),
         "image_dhash": _IMAGE_DHASH_ORACLE_SQL,
         "dedup_eval": _DEDUP_EVAL_ORACLE_SQL,
+        "web_curation": _web_curation_oracle_sql(),
         "dead_symbols": _dead_symbols_oracle_sql(),
         "comment_lang": _comment_lang_oracle_sql(),
         "notebook_pairs": _NB_PAIRS_ORACLE_SQL,

@@ -2473,6 +2473,126 @@ def run_audio_landmarks(spark, n=200_000):
             "match_sec": round(time.time() - t1, 1)}
 
 
+
+def run_text_scores(spark, n=64_000_000):
+    """64M docs through BOTH zero-shuffle scorers back-to-back:
+    readability (tokens + sentence split + syllable regexp) and
+    vocab coverage (InSet membership) — the cheap-projection tier's
+    throughput ceiling."""
+    from schema_validator_spark.functions.synthtext import (
+        readability_stats,
+    )
+    from schema_validator_spark.functions.wordlist import (
+        vocab_coverage_stats,
+    )
+
+    words = F.expr(
+        "transform(sequence(1, 20), i ->"
+        " substring(md5(cast(id * 41 + i as string)), 1, 6))"
+    )
+    text = F.concat(
+        F.array_join(F.slice(words, 1, 8), " "), F.lit(". the "),
+        F.array_join(F.slice(words, 9, 12), " "), F.lit("."),
+    )
+    df = spark.range(n).select(F.col("id").alias("doc_id"),
+                               text.alias("text"))
+    t0 = time.time()
+    r = (
+        readability_stats(df, ["doc_id"], "text")
+        .agg(F.sum("n_syllables")).collect()[0][0]
+    )
+    t_read = round(time.time() - t0, 1)
+    t1 = time.time()
+    v = (
+        vocab_coverage_stats(df, ["doc_id"], "text",
+                             ["the", "a", "of", "and"])
+        .agg(F.sum("n_oov")).collect()[0][0]
+    )
+    return {"op": "text_scores", "rows": n, "syllables": r,
+            "oov_tokens": v, "readability_sec": t_read,
+            "vocab_sec": round(time.time() - t1, 1)}
+
+
+def run_image_dhash(spark, n=2_000_000):
+    """2M REAL 8x9 PNGs through encode+decode+gradient-hash (Arrow
+    codec tier); even/odd twins differ by a +30 brightness shift, so
+    every planted pair must share its dHash EXACTLY (the shift-
+    invariance the aHash tier cannot give)."""
+    from schema_validator_spark.operators.imagehash import image_dhashes
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from schema_validator_spark.functions import png as PNG
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                base = mid // 2
+                import hashlib
+
+                d = (hashlib.sha512(str(base).encode()).digest()
+                     + hashlib.md5(str(base).encode()).digest())
+                px = (np.frombuffer(d[:72], dtype=np.uint8)
+                      .reshape(8, 9) % 200).astype(np.uint8)
+                if mid % 2 == 1:
+                    px = px + 30  # no uint8 wrap: values <= 229
+                rows.append((mid, PNG.encode_png(px)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    df = spark.range(n).mapInPandas(gen, "media_id long, payload binary")
+    t0 = time.time()
+    h = image_dhashes(df).localCheckpoint()
+    n_ok = h.filter("decode_ok").count()
+    t_hash = round(time.time() - t0, 1)
+    t1 = time.time()
+    same = (
+        h.groupBy("dhash").count().filter("count >= 2")
+        .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2))
+        .collect()[0][0]
+    )
+    return {"op": "image_dhash", "rows": n, "decoded": n_ok,
+            "twin_pairs": int(same or 0),
+            "expect_pairs": n // 2, "hash_sec": t_hash,
+            "pair_check_sec": round(time.time() - t1, 1)}
+
+
+
+def run_web_curation(spark, n=8_000_000):
+    """8M docs through the four-stage web funnel in ONE lazy plan
+    (survivor count only — no per-stage actions): %13 disclaimer,
+    %7 blocked term, %11 shared paragraph (saturated), 20% hot
+    domain over cap 100k."""
+    from schema_validator_spark.operators.curateweb import curate_web
+
+    words = F.expr(
+        "transform(sequence(1, 30), i ->"
+        " substring(md5(cast(id * 61 + i as string)), 1, 6))"
+    )
+    base = F.array_join(words, " ")
+    text = (
+        F.when(F.col("id") % 13 == 0,
+               F.concat(base, F.lit(" As an AI language model, no.")))
+        .when(F.col("id") % 7 == 0, F.concat(base, F.lit(" vileword")))
+        .when(F.col("id") % 11 == 0,
+              F.lit("common shared paragraph block alpha beta gamma "
+                    "delta epsilon zeta eta theta"))
+        .otherwise(base)
+    )
+    dom = F.when(F.col("id") % 5 == 0, F.lit("hot.com")).otherwise(
+        F.concat(F.lit("d"), (F.col("id") % 100_000).cast("string"))
+    )
+    df = spark.range(n).select(F.col("id").alias("doc_id"),
+                               text.alias("text"), dom.alias("domain"))
+    t = time.time()
+    kept = curate_web(df, blocked_terms=["vileword"],
+                      domain_cap=100_000).count()
+    return {"op": "web_curation", "rows": n, "kept": kept,
+            "sec": round(time.time() - t, 1)}
+
+
 OPS = {
     "edit_join": run_edit_join,
     "winnow_pairs": run_winnow,
@@ -2568,6 +2688,9 @@ OPS = {
     "domain_caps": run_domain_caps,
     "hard_negatives": run_hard_negatives,
     "audio_landmarks": run_audio_landmarks,
+    "text_scores": run_text_scores,
+    "image_dhash": run_image_dhash,
+    "web_curation": run_web_curation,
 }
 
 
