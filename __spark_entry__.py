@@ -5085,14 +5085,19 @@ def q_semantic_contamination(spark, sf_dir):
 
     embs = _t(spark, sf_dir, "embeddings")
     dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # eval stripes bounded to vec_id < 1000: identical results at the
+    # gate SFs (all ids < 500 there) while keeping the HOF literal's
+    # expression-tree analysis cost flat at larger SFs
     ev = (
-        embs.filter(F.col("vec_id") % 10 == 0)
+        embs.filter((F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 1000))
         .select(
             (F.col("vec_id") + 1000000).alias("vec_id"),
             F.transform(dv, lambda x: x * 2.0).alias("embedding"),
         )
         .unionByName(
-            embs.filter(F.col("vec_id") % 10 == 5).select(
+            embs.filter(
+                (F.col("vec_id") % 10 == 5) & (F.col("vec_id") < 1000)
+            ).select(
                 (F.col("vec_id") + 2000000).alias("vec_id"),
                 F.concat(
                     F.array(F.element_at(dv, 1) * 3.0),
@@ -6157,12 +6162,12 @@ _SEMCONTAM_ORACLE_SQL = """
     with ev as (
       select vec_id + 1000000 as eval_id,
              list_transform(embedding::DOUBLE[], x -> x * 2.0) as v
-      from embeddings where vec_id % 10 = 0
+      from embeddings where vec_id % 10 = 0 and vec_id < 1000
       union all
       select vec_id + 2000000,
              list_prepend(embedding[1]::DOUBLE * 3.0,
                           (embedding::DOUBLE[])[2:])
-      from embeddings where vec_id % 10 = 5
+      from embeddings where vec_id % 10 = 5 and vec_id < 1000
     ),
     evn as (
       select eval_id, v,
