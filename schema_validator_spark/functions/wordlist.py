@@ -147,6 +147,9 @@ def vocab_coverage_stats(
     _check_reserved(df)
     if not vocab:
         raise ValueError("empty vocab")
+    clash = {"n_tokens", "n_oov", "oov_rate"} & set(id_cols)
+    if clash:
+        raise ValueError(f"id columns collide with output names: {clash}")
     terms = sorted({t.lower() for t in vocab})
     toks = X.tokens(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
     oov = F.filter(F.col("_toks"), lambda t: ~t.isin(*terms))

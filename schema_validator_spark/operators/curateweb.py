@@ -61,16 +61,25 @@ def curate_web(
     audits."""
     s1 = filter_synthetic_text(docs, text_col, **(synth_kwargs or {}))
     s2 = filter_blocked_terms(s1, [id_col], text_col, blocked_terms)
+    if report is not None:
+        # audit mode: materialize the expensive stage boundaries so
+        # the five counting actions (and the caller's own action on
+        # the returned frame) do not re-run the upstream funnel —
+        # saturation alone is 3 shuffles
+        s2 = s2.localCheckpoint()
     s3 = filter_saturated(
         s2, id_col, text_col,
         k=saturation_k, min_df=saturation_min_df,
         max_saturation=max_saturation,
     )
+    if report is not None:
+        s3 = s3.localCheckpoint()
     out = cap_per_group(s3, domain_col, id_col, cap=domain_cap)
     if report is not None:
         report.counts["input"] = docs.count()
         report.counts["synthetic_text"] = s1.count()
         report.counts["blocked_terms"] = s2.count()
         report.counts["saturation"] = s3.count()
+        out = out.localCheckpoint()
         report.counts["domain_cap"] = out.count()
     return out

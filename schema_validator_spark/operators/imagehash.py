@@ -198,8 +198,6 @@ def dhash64_pixels(px) -> int:
         a = np.asarray(
             resize_nearest(a.astype("uint8"), 9, 8), dtype=np.int64
         )
-        if a.ndim == 3:
-            a = a.reshape(8, 9)
     v = 0
     i = 0
     for r in range(8):

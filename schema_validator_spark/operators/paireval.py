@@ -49,18 +49,20 @@ def pair_metrics(
     p = _canon(pred, id_a, id_b).withColumn("_p", F.lit(1))
     t = _canon(truth, id_a, id_b).withColumn("_t", F.lit(1))
     j = p.join(t, on=["_pa", "_pb"], how="full_outer")
+    # coalesce AFTER the sums too: over a fully-empty join F.sum
+    # yields NULL, and the audit must report zeros (count() semantics)
     agg = j.agg(
-        F.sum(F.coalesce(F.col("_p"), F.lit(0))).cast("long").alias(
-            "n_pred"
-        ),
-        F.sum(F.coalesce(F.col("_t"), F.lit(0))).cast("long").alias(
-            "n_true"
-        ),
-        F.sum(
-            (F.col("_p").isNotNull() & F.col("_t").isNotNull()).cast(
-                "long"
-            )
-        ).alias("n_hit"),
+        F.coalesce(F.sum(F.coalesce(F.col("_p"), F.lit(0))), F.lit(0))
+        .cast("long").alias("n_pred"),
+        F.coalesce(F.sum(F.coalesce(F.col("_t"), F.lit(0))), F.lit(0))
+        .cast("long").alias("n_true"),
+        F.coalesce(
+            F.sum(
+                (F.col("_p").isNotNull()
+                 & F.col("_t").isNotNull()).cast("long")
+            ),
+            F.lit(0),
+        ).cast("long").alias("n_hit"),
     )
     hit = F.col("n_hit").cast("double")
     prec = F.when(

@@ -37,3 +37,10 @@ def test_empty_sides(spark):
     r2 = pair_metrics(some, empty).collect()[0]
     assert (r2["n_pred"], r2["n_true"]) == (1, 0)
     assert r2["recall"] == 0.0 and r2["f1"] == 0.0
+
+
+def test_both_empty_returns_zeros(spark):
+    empty = _pairs(spark, []).filter("id_a is not null")
+    r = pair_metrics(empty, empty).collect()[0]
+    assert (r["n_pred"], r["n_true"], r["n_hit"]) == (0, 0, 0)
+    assert r["precision"] == 0.0 and r["recall"] == 0.0 and r["f1"] == 0.0
