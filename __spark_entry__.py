@@ -8085,12 +8085,103 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver correctness gate checks ~50 queries per
-    # round IN DICT ORDER.  Tier 1 = the 31 queries no driver round has
-    # ever checked (r03 took the first 50, r02 a different 49) + queries
-    # new this round; tier 2 = the 26 checked only in r02; tier 3 = the
-    # 50 green in CORRECTNESS_r03.  See VERDICT.md round 3, order #1.
+    # round IN DICT ORDER.  Round-5 rotation (VERDICT.md round 4, order
+    # #1): tier A = 50 of the 88 queries never driver-checked in r01-r04
+    # (code-table + round-4 families); tier B = the remaining 38
+    # never-checked (r06 rotation / wider windows); tier C = the 126
+    # queries already driver-green in r01-r04, prior order preserved.
     return {
-        # --- tier 1: never driver-checked before round 4 ---------------
+        # --- tier A: never driver-checked (r05 target window, 50) -------
+        "strip_comments": q_strip_comments,
+        "license_conflicts": q_license_conflicts,
+        "dataset_card": q_dataset_card,
+        "blob_stats": q_blob_stats,
+        "script_mix": q_script_mix,
+        "code_curation": q_code_curation,
+        "lang_mismatch": q_lang_mismatch,
+        "repo_license": q_repo_license,
+        "code_chunks": q_code_chunks,
+        "function_clones": q_function_clones,
+        "identifier_vocab": q_identifier_vocab,
+        "repo_profile": q_repo_profile,
+        "code_complexity": q_code_complexity,
+        "maintainability": q_maintainability,
+        "conflict_markers": q_conflict_markers,
+        "identifier_casing": q_identifier_casing,
+        "call_graph": q_call_graph,
+        "shard_leakage": q_shard_leakage,
+        "self_containment": q_self_containment,
+        "owner_optout": q_owner_optout,
+        "markdown_pairs": q_markdown_pairs,
+        "cross_lang_pairs": q_cross_lang_pairs,
+        "repo_tree_stats": q_repo_tree_stats,
+        "file_history": q_file_history,
+        "nlpl_pairs": q_nlpl_pairs,
+        "repo_similarity": q_repo_similarity,
+        "unsafe_apis": q_unsafe_apis,
+        "manifest_deps": q_manifest_deps,
+        "public_api": q_public_api,
+        "docstring_coverage": q_docstring_coverage,
+        "test_mapping": q_test_mapping,
+        "lang_detect": q_lang_detect,
+        "fork_dedup": q_fork_dedup,
+        "indent_style": q_indent_style,
+        "type2_clones": q_type2_clones,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "api_diff": q_api_diff,
+        "entropy_secrets": q_entropy_secrets,
+        "curation_verdicts": q_curation_verdicts,
+        "code_contamination": q_code_contamination,
+        "unused_imports": q_unused_imports,
+        "repo_debt": q_repo_debt,
+        "embedded_text": q_embedded_text,
+        "strip_headers": q_strip_headers,
+        "code_neardup": q_code_neardup,
+        "import_cycles": q_import_cycles,
+        "module_rank": q_module_rank,
+        "shard_assign": q_shard_assign,
+        "bm25_search": q_bm25_search,
+        "function_complexity": q_function_complexity,
+        # --- tier B: never driver-checked, remaining 38 -----------------
+        "edit_pairs": q_edit_pairs,
+        "dead_symbols": q_dead_symbols,
+        "comment_lang": q_comment_lang,
+        "notebook_pairs": q_notebook_pairs,
+        "commit_pairs": q_commit_pairs,
+        "mixture_plan": q_mixture_plan,
+        "fim_transform": q_fim_transform,
+        "repo_context": q_repo_context,
+        "dobf_pairs": q_dobf_pairs,
+        "halstead_metrics": q_halstead,
+        "ownership": q_ownership,
+        "blocked_terms": q_blocked_terms,
+        "boilerplate": q_boilerplate,
+        "chat_lint": q_chat_lint,
+        "split_assign": q_split_assign,
+        "chat_render": q_chat_render,
+        "normalize": q_normalize,
+        "preference_lint": q_preference_lint,
+        "rank_buckets": q_rank_buckets,
+        "dsir": q_dsir,
+        "bitext_pairs": q_bitext_pairs,
+        "pack_sweep": q_pack_sweep,
+        "image_ahash": q_image_ahash,
+        "image_neardups": q_image_neardups,
+        "audio_envelope": q_audio_envelope,
+        "semantic_contamination": q_semantic_contamination,
+        "synthetic_text": q_synthetic_text,
+        "ngram_saturation": q_ngram_saturation,
+        "jsonspec_drift": q_jsonspec_drift,
+        "domain_caps": q_domain_caps,
+        "hard_negatives": q_hard_negatives,
+        "audio_landmarks": q_audio_landmarks,
+        "audio_matches": q_audio_matches,
+        "readability": q_readability,
+        "vocab_coverage": q_vocab_coverage,
+        "image_dhash": q_image_dhash,
+        "dedup_eval": q_dedup_eval,
+        "web_curation": q_web_curation,
+        # --- tier C: driver-green in r01-r04 (126) ----------------------
         "semdedup": q_semdedup,
         "temperature_sample": q_temperature_sample,
         "time_rollup": q_time_rollup,
@@ -8122,7 +8213,6 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "heavy_hitters": q_heavy_hitters,
         "merge_upsert": q_merge_upsert,
-        # --- tier 1b: new in round 4 ------------------------------------
         "ivf_pq_ann": q_ivf_pq_ann,
         "edit_join": q_edit_join,
         "check_suite": q_check_suite,
@@ -8142,16 +8232,6 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_classes": q_path_classes,
         "encoding_stats": q_encoding_stats,
         "unicode_audit": q_unicode_audit,
-        "strip_comments": q_strip_comments,
-        "license_conflicts": q_license_conflicts,
-        "dataset_card": q_dataset_card,
-        "blob_stats": q_blob_stats,
-        "script_mix": q_script_mix,
-        "code_curation": q_code_curation,
-        # boundary slot: the ~50-query driver window may cut here;
-        # lang_mismatch is the simplest of the round-4 queries
-        "lang_mismatch": q_lang_mismatch,
-        # --- tier 2: checked only in CORRECTNESS_r02 --------------------
         "lang_id_counts": q_lang_id_counts,
         "quality_scores": q_quality_scores,
         "violation_messages": q_violation_messages,
@@ -8178,7 +8258,6 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_check": q_fd_check,
         "schema_evolution": q_schema_evolution,
         "psi_report": q_psi_report,
-        # --- tier 3: green in CORRECTNESS_r03 ---------------------------
         "rule_violations": q_rule_violations,
         "partition_summary": q_partition_summary,
         "sha256_invariant": q_sha256_invariant,
@@ -8229,87 +8308,6 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setsim_exact": q_setsim_exact,
         "ann_topk": q_ann_topk,
         "text_profile": q_text_profile,
-        "repo_license": q_repo_license,
-        "code_chunks": q_code_chunks,
-        "function_clones": q_function_clones,
-        "identifier_vocab": q_identifier_vocab,
-        "repo_profile": q_repo_profile,
-        "code_complexity": q_code_complexity,
-        "maintainability": q_maintainability,
-        "conflict_markers": q_conflict_markers,
-        "identifier_casing": q_identifier_casing,
-        "call_graph": q_call_graph,
-        "shard_leakage": q_shard_leakage,
-        "self_containment": q_self_containment,
-        "owner_optout": q_owner_optout,
-        "markdown_pairs": q_markdown_pairs,
-        "cross_lang_pairs": q_cross_lang_pairs,
-        "repo_tree_stats": q_repo_tree_stats,
-        "file_history": q_file_history,
-        "nlpl_pairs": q_nlpl_pairs,
-        "repo_similarity": q_repo_similarity,
-        "unsafe_apis": q_unsafe_apis,
-        "manifest_deps": q_manifest_deps,
-        "public_api": q_public_api,
-        "docstring_coverage": q_docstring_coverage,
-        "test_mapping": q_test_mapping,
-        "lang_detect": q_lang_detect,
-        "fork_dedup": q_fork_dedup,
-        "indent_style": q_indent_style,
-        "type2_clones": q_type2_clones,
-        "tokenizer_fertility": q_tokenizer_fertility,
-        "api_diff": q_api_diff,
-        "entropy_secrets": q_entropy_secrets,
-        "curation_verdicts": q_curation_verdicts,
-        "code_contamination": q_code_contamination,
-        "unused_imports": q_unused_imports,
-        "repo_debt": q_repo_debt,
-        "embedded_text": q_embedded_text,
-        "strip_headers": q_strip_headers,
-        "code_neardup": q_code_neardup,
-        "import_cycles": q_import_cycles,
-        "module_rank": q_module_rank,
-        "shard_assign": q_shard_assign,
-        "bm25_search": q_bm25_search,
-        "function_complexity": q_function_complexity,
-        "edit_pairs": q_edit_pairs,
-        "dead_symbols": q_dead_symbols,
-        "comment_lang": q_comment_lang,
-        "notebook_pairs": q_notebook_pairs,
-        "commit_pairs": q_commit_pairs,
-        "mixture_plan": q_mixture_plan,
-        "fim_transform": q_fim_transform,
-        "repo_context": q_repo_context,
-        "dobf_pairs": q_dobf_pairs,
-        "halstead_metrics": q_halstead,
-        "ownership": q_ownership,
-        "blocked_terms": q_blocked_terms,
-        "boilerplate": q_boilerplate,
-        "chat_lint": q_chat_lint,
-        "split_assign": q_split_assign,
-        "chat_render": q_chat_render,
-        "normalize": q_normalize,
-        "preference_lint": q_preference_lint,
-        "rank_buckets": q_rank_buckets,
-        "dsir": q_dsir,
-        "bitext_pairs": q_bitext_pairs,
-        "pack_sweep": q_pack_sweep,
-        "image_ahash": q_image_ahash,
-        "image_neardups": q_image_neardups,
-        "audio_envelope": q_audio_envelope,
-        "semantic_contamination": q_semantic_contamination,
-        "synthetic_text": q_synthetic_text,
-        "ngram_saturation": q_ngram_saturation,
-        "jsonspec_drift": q_jsonspec_drift,
-        "domain_caps": q_domain_caps,
-        "hard_negatives": q_hard_negatives,
-        "audio_landmarks": q_audio_landmarks,
-        "audio_matches": q_audio_matches,
-        "readability": q_readability,
-        "vocab_coverage": q_vocab_coverage,
-        "image_dhash": q_image_dhash,
-        "dedup_eval": q_dedup_eval,
-        "web_curation": q_web_curation,
     }
 
 
