@@ -5078,7 +5078,14 @@ def q_semantic_contamination(spark, sf_dir):
     (cosine >= 0.866 by the (1+2t)/sqrt(1+8t) bound).  Natural
     off-diagonal cosine in this table tops out ~0.51, so threshold 0.8
     flags EXACTLY the planted stripes with >0.06 margin either side.
-    Zero shuffles: per-row argmax over the broadcast eval literal."""
+    Zero shuffles: per-row argmax over the broadcast eval set.
+
+    Tier: ``use_arrow=True`` — the 100 TB path (Arrow-batched matmul),
+    ~10x the HOF tier's bench stripe at sf0.1 (0.7s vs 9s) and
+    verified e6-identical to this oracle at sf0.001/0.01/0.1 (the
+    planted-stripe margins dwarf the matmul-ulp / rounding-mode
+    caveats in semcontam.py's docstring); the HOF tier remains the
+    oracle-exact cross-check via the equivalence tests."""
     from schema_validator_spark.operators.semcontam import (
         semantic_contamination,
     )
@@ -5106,7 +5113,7 @@ def q_semantic_contamination(spark, sf_dir):
             )
         )
     )
-    return semantic_contamination(embs, ev, threshold=0.8)
+    return semantic_contamination(embs, ev, threshold=0.8, use_arrow=True)
 
 
 def q_synthetic_text(spark, sf_dir):
@@ -6170,9 +6177,15 @@ _SEMCONTAM_ORACLE_SQL = """
       from embeddings where vec_id % 10 = 5 and vec_id < 1000
     ),
     evn as (
-      select eval_id, v,
-             sqrt(list_sum(list_transform(v, x -> x * x))) as ne
-      from ev
+      -- ne > 0 mirrors the engine's _collect_eval zero-norm drop: a
+      -- zero eval vector would otherwise yield 0/0 = NaN cosines and
+      -- could corrupt the argmax (no such vector at any shipped SF;
+      -- filter kept for robustness to future data).
+      select eval_id, v, ne from (
+        select eval_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) as ne
+        from ev
+      ) where ne > 0
     ),
     tr as (
       select vec_id, embedding::DOUBLE[] as tv,

@@ -107,6 +107,30 @@ def _stack(series):
         return np.asarray([list(map(float, v)) for v in vals])
 
 
+def _train_sample_matrix(corpus, corpus_id, corpus_vec, train_sample, seed):
+    """Bounded k-means training sample in ONE job (no ``corpus.count()``).
+
+    ``orderBy(xxhash64(id, seed)).limit(n)`` plans as
+    TakeOrderedAndProject: each task keeps an n-row heap over the hash
+    of the row id and the driver merges heaps — a deterministic,
+    partitioning-independent pseudo-random sample that never
+    materializes more than ``train_sample`` rows anywhere, and drops
+    the extra count() job the old frac-based ``sample()`` needed to
+    size its fraction (one job per index build instead of two)."""
+    import numpy as np
+
+    rows = (
+        corpus.select(
+            F.col(corpus_vec).alias("_v"),
+            F.xxhash64(F.col(corpus_id).cast("string"), F.lit(seed)).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(train_sample)
+        .collect()
+    )
+    return np.asarray([list(map(float, r["_v"])) for r in rows])
+
+
 def _spherical_kmeans(X, nlist: int, iters: int, seed: int):
     """Driver-side spherical k-means on a (sampled) vector matrix —
     deterministic (hash-seeded init, fixed iteration count).  This is the
@@ -147,9 +171,7 @@ def ivf_build(
     """
     import numpy as np
 
-    frac = min(1.0, train_sample / max(corpus.count(), 1))
-    sample = corpus.select(corpus_vec).sample(frac, seed=seed).collect()
-    X = np.asarray([list(map(float, r[0])) for r in sample])
+    X = _train_sample_matrix(corpus, corpus_id, corpus_vec, train_sample, seed)
     cent = _spherical_kmeans(X, nlist, iters, seed)
 
     def assign(batches):
@@ -325,9 +347,7 @@ def ivf_pq_build(
     bounded sample; encoding is one Arrow mapInPandas pass."""
     import numpy as np
 
-    frac = min(1.0, train_sample / max(corpus.count(), 1))
-    sample = corpus.select(corpus_vec).sample(frac, seed=seed).collect()
-    X = np.asarray([list(map(float, r[0])) for r in sample])
+    X = _train_sample_matrix(corpus, corpus_id, corpus_vec, train_sample, seed)
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     cent = _spherical_kmeans(X, nlist, iters, seed)
     books = _pq_train(Xn, m, ksub, iters, seed)

@@ -171,9 +171,9 @@ def edit_pairs(
     line array is derived once per row BEFORE the window so neither
     the lag nor the diff re-splits content.  Hot-key caveat: one
     file's whole history sorts in a single task — bounded by VCS
-    history depth (10^3-10^5 commits), not corpus size; if a
-    degenerate key ever matters, the chunk-and-stitch pattern
-    (operators/sessions.sessionize_chunked) applies verbatim.
+    history depth (10^3-10^5 commits), not corpus size; for a
+    degenerate key (a 10^5-version lockfile) use
+    :func:`edit_pairs_chunked` — identical rows, bounded tasks.
     """
     _check_reserved(
         df.columns, key_cols,
@@ -211,6 +211,22 @@ def edit_pairs(
         F.lag("_sha").over(w).alias("_ps"),
         F.row_number().over(w).alias("_rn"),
     ).filter(F.col("_rn") >= 2)
+    return _pairs_from_lagged(
+        lagged, key_cols, version_col, keep_cols, changed_only
+    )
+
+
+def _pairs_from_lagged(
+    lagged: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+    keep_cols: list[str],
+    changed_only: bool,
+) -> DataFrame:
+    """Diff projection shared by the serial and chunked pairers: input
+    rows carry the current row (version, keeps, _ln, _sha) plus its
+    predecessor (_pv, _pl, _ps); rows with no predecessor are already
+    dropped."""
     n_added = F.size(F.array_except("_ln", "_pl"))
     n_removed = F.size(F.array_except("_pl", "_ln"))
     n_common = F.size(F.array_intersect("_ln", "_pl"))
@@ -230,6 +246,151 @@ def edit_pairs(
     if changed_only:
         out = out.filter(F.col("changed"))
     return out
+
+
+def edit_pairs_chunked(
+    df: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+    content_col: str,
+    *,
+    changed_only: bool = False,
+    keep_cols: list[str] | None = None,
+    chunk_width: int = 1000,
+) -> DataFrame:
+    """Hot-key-safe :func:`edit_pairs`: identical rows, bounded tasks.
+
+    The serial pairer sorts a key's WHOLE history in one task — fine at
+    VCS depth (10^3-10^5), a stalled reducer for a degenerate key (a
+    lockfile rewritten by a bot 10^5+ times).  This variant windows by
+    ``(key, chunk)`` where ``chunk = floor(version / chunk_width)``
+    (monotone in the version, so chunking preserves the serial order;
+    version ties share a chunk by construction) and stitches chunk
+    boundaries with ONE lag over the per-(key, chunk) summary:
+
+    * within a chunk, each row lags its in-chunk predecessor — same
+      expression as the serial window;
+    * the FIRST row of a chunk pairs with the LAST row of the previous
+      NON-EMPTY chunk (summary = map-side-combinable ``max(struct(
+      version, sha, keeps..., lines))``; the struct comparison reaches
+      the array field only on full (version, sha, keeps) ties, where
+      the arrays are equal by construction since the sha pins the
+      content) — empty chunks between two populated ones are skipped
+      by the summary lag, unlike sessionize_chunked where chunk > gap
+      makes adjacency sufficient;
+    * the globally first row of a key has a NULL stitched predecessor
+      and is dropped, matching the serial ``_rn >= 2``.
+
+    ``version_col`` must be numeric or timestamp (cast to double for
+    chunking; the pair columns keep the original type).  NULL versions
+    all land in the NULL chunk, which sorts first — same relative
+    order as the serial window's nulls-first — but they do share one
+    task; a key whose hot axis is NULL-version rows is data corruption,
+    not history.
+
+    Shuffle budget: one hash partitioning by (key, chunk) reused by
+    the window and the summary groupBy, one tiny shuffle of summary
+    rows (≤ versions/chunk_width per key), one join of summaries back
+    on (key, chunk).  A 10^5-version key at the default width is 100
+    summary rows and 100 bounded tasks, never one.
+    """
+    if chunk_width < 2:
+        raise ValueError("chunk_width must be >= 2")
+    _check_reserved(
+        df.columns, key_cols,
+        reserved=frozenset({
+            "_ln", "_sha", "_pv", "_pl", "_ps", "_rn", "_chunk",
+            "_vnum", "_last", "_prev", "from_version", "to_version",
+        }),
+        what="edit_pairs_chunked",
+    )
+    vtype = dict(df.dtypes)[version_col]
+    if vtype.split("(")[0] not in {
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+        "decimal", "date", "timestamp", "timestamp_ntz",
+    }:
+        raise ValueError(
+            f"edit_pairs_chunked needs a numeric/timestamp version "
+            f"column to chunk on; got {version_col}: {vtype}. Map the "
+            f"version to its commit index first, or use edit_pairs."
+        )
+    keep_cols = list(keep_cols or [])
+    s = F.coalesce(F.col(content_col), F.lit(""))
+    vnum = (
+        F.col(version_col).cast("timestamp").cast("double")
+        if vtype.startswith(("date", "timestamp"))
+        else F.col(version_col).cast("double")
+    )
+    base = df.select(
+        *key_cols,
+        F.col(version_col),
+        *keep_cols,
+        F.array_distinct(F.split(s, "\n")).alias("_ln"),
+        F.sha2(s, 256).alias("_sha"),
+        F.floor(vnum / F.lit(chunk_width)).alias("_chunk"),
+    )
+    order = [
+        F.col(version_col).asc(),
+        F.col("_sha").asc(),
+        *[F.col(c).asc() for c in keep_cols],
+    ]
+    w = Window.partitionBy(*key_cols, "_chunk").orderBy(*order)
+    lagged = base.select(
+        *key_cols,
+        F.col(version_col),
+        *keep_cols,
+        "_ln",
+        "_sha",
+        "_chunk",
+        F.lag(version_col).over(w).alias("_pv"),
+        F.lag("_ln").over(w).alias("_pl"),
+        F.lag("_sha").over(w).alias("_ps"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    # last row of each (key, chunk), then each chunk's predecessor-chunk
+    # last row via one lag over summaries (NULL chunk sorts first, same
+    # as the serial window's nulls-first version order)
+    summ = base.groupBy(*key_cols, "_chunk").agg(
+        F.max(
+            F.struct(
+                F.col(version_col).alias("_v"),
+                F.col("_sha").alias("_s"),
+                *[F.col(c).alias(c) for c in keep_cols],
+                F.col("_ln").alias("_l"),
+            )
+        ).alias("_last")
+    )
+    ws = Window.partitionBy(*key_cols).orderBy(F.col("_chunk").asc())
+    prev = summ.select(
+        *key_cols,
+        "_chunk",
+        F.lag("_last").over(ws).alias("_prev"),
+    )
+    joined = lagged.join(prev, [*key_cols, "_chunk"], "left")
+    stitched = (
+        joined.withColumn(
+            "_pv",
+            F.when(F.col("_rn") >= 2, F.col("_pv"))
+            .otherwise(F.col("_prev._v")),
+        )
+        .withColumn(
+            "_pl",
+            F.when(F.col("_rn") >= 2, F.col("_pl"))
+            .otherwise(F.col("_prev._l")),
+        )
+        .withColumn(
+            "_ps",
+            F.when(F.col("_rn") >= 2, F.col("_ps"))
+            .otherwise(F.col("_prev._s")),
+        )
+        # globally-first row: no in-chunk predecessor and no prior
+        # chunk — _ps is the non-NULL witness (_pv can be a real NULL
+        # version)
+        .filter(F.col("_ps").isNotNull())
+    )
+    return _pairs_from_lagged(
+        stitched, key_cols, version_col, keep_cols, changed_only
+    )
 
 
 #: commit-message reject tiers (case-insensitive) — the CommitPackFT

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..functions import similarity as V
 from ._util import ensure_parallelism
-from .ann import _topk_two_level
+from .ann import _MAX_DRIVER_QUERY_ROWS, _topk_two_level
 
 
 def mine_hard_negatives(
@@ -43,6 +43,7 @@ def mine_hard_negatives(
     corpus_vec: str = "embedding",
     k: int = 10,
     n_salts: int = 64,
+    max_query_rows: int = _MAX_DRIVER_QUERY_ROWS,
 ) -> DataFrame:
     """Exact top-k non-positive neighbors per query:
     ``(query_id, vec_id, cosine, rank)``.
@@ -59,6 +60,17 @@ def mine_hard_negatives(
         F.col(query_vec).alias("_qv"),
         F.col(query_label).alias("_ql"),
     )
+    # Fail-fast cardinality guard (same contract as ann._collect_query_rows):
+    # the query side is broadcast, so an unbounded query frame would OOM
+    # executors silently instead of raising.  limit(max+1) bounds the probe.
+    n_q = q.limit(max_query_rows + 1).count()
+    if n_q > max_query_rows:
+        raise ValueError(
+            f"query set exceeds max_query_rows={max_query_rows}: the query "
+            f"side is broadcast to every executor. Chunk the query DataFrame "
+            f"and call once per chunk, or raise max_query_rows if executor "
+            f"memory allows."
+        )
     c = ensure_parallelism(corpus).select(
         F.col(corpus_id).alias("vec_id"),
         F.col(corpus_vec).alias("_cv"),

@@ -28,7 +28,13 @@ left-to-right folds — the same association a DuckDB ``list_sum``
 replay uses — so an oracle matches it exactly; the Arrow tier's numpy
 matmul may differ in the last ulp before rounding (same caveat as
 operators/bitext.py) and is the 100 TB path, equivalence-tested
-against the HOF tier.
+against the HOF tier.  The tiers also differ in ROUNDING MODE at the
+6dp boundary: ``F.round`` (HOF) is HALF_UP over the double's shortest
+decimal repr (java BigDecimal.valueOf), ``np.round`` (Arrow) is
+half-to-even over the binary value — a cosine landing exactly on a
+.5 ulp at 6dp can diverge by rounding mode, not just association.
+Both caveats affect only values within one ulp of a decision
+boundary; the equivalence test pins identity on real data.
 """
 
 from __future__ import annotations

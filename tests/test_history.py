@@ -294,3 +294,155 @@ def test_edit_pairs_keep_cols_passthrough(spark):
     assert len(got) == 1
     # the TO side's message rides through
     assert got[0]["message"] == "m2"
+
+
+# ---------------------------------------------------------------------------
+# edit_pairs_chunked (hot-key-safe tier)
+
+
+def _pairs_sorted(df):
+    # None-safe sort key (NULL from_version rows are legal output)
+    return sorted(
+        tuple("<null>" if v is None else str(v) for v in r)
+        for r in df.collect()
+    )
+
+
+def test_edit_pairs_chunked_row_identical(spark):
+    from schema_validator_spark.operators.history import (
+        edit_pairs,
+        edit_pairs_chunked,
+    )
+
+    # versions span many width-3 chunks with gaps (empty chunks between
+    # populated ones), version ties, NULL content, multiple keys
+    rows = [
+        ("r", "f1", 1, "py", "h\na"),
+        ("r", "f1", 2, "py", "h\nb"),
+        ("r", "f1", 3, "py", "h\nb"),      # boundary: chunk 1 starts at 3
+        ("r", "f1", 11, "py", "h\nc"),     # empty chunks 2 skipped
+        ("r", "f1", 11, "py", "x\nc"),     # version tie
+        ("r", "f1", 29, "py", None),       # NULL content far chunk
+        ("r", "f2", 5, "go", "solo"),      # single version: no pair
+        ("r", "f3", 1, "py", None),
+        ("r", "f3", 2, "py", "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit long, lang string,"
+        " content string"
+    )
+    serial = edit_pairs(df, ["repo", "path"], "commit", "content")
+    chunked = edit_pairs_chunked(
+        df, ["repo", "path"], "commit", "content", chunk_width=3
+    )
+    assert _pairs_sorted(chunked) == _pairs_sorted(serial)
+    assert chunked.columns == serial.columns
+
+
+def test_edit_pairs_chunked_row_identical_keeps_and_changed_only(spark):
+    from schema_validator_spark.operators.history import (
+        edit_pairs,
+        edit_pairs_chunked,
+    )
+
+    rows = [
+        ("r", "f", 1, "a\nb", "m1"),
+        ("r", "f", 2, "a\nb", "m2"),   # unchanged pair (dropped)
+        ("r", "f", 9, "a\nc", "m3"),   # stitch across empty chunk
+        ("r", "f", 10, "z", "m4"),
+    ]
+    df = spark.createDataFrame(rows, MSG_SCHEMA)
+    kw = dict(changed_only=True, keep_cols=["message"])
+    serial = edit_pairs(df, ["repo", "path"], "commit", "content", **kw)
+    chunked = edit_pairs_chunked(
+        df, ["repo", "path"], "commit", "content", chunk_width=4, **kw
+    )
+    assert _pairs_sorted(chunked) == _pairs_sorted(serial)
+    # the stitched (2 -> 9) pair crosses an empty chunk boundary
+    assert any(r["from_version"] == 2 and r["to_version"] == 9
+               for r in chunked.collect())
+
+
+def test_edit_pairs_chunked_pathological_hot_key(spark):
+    """A 100k-version single file — the degenerate key the serial window
+    would sort in ONE task — completes with bounded per-task rows and
+    exactly n-1 pairs, every adjacent pair present."""
+    from pyspark.sql import functions as F
+
+    from schema_validator_spark.operators.history import edit_pairs_chunked
+
+    n = 100_000
+    df = spark.range(n).select(
+        F.lit("r").alias("repo"),
+        F.lit("poetry.lock").alias("path"),
+        F.col("id").alias("commit"),
+        F.concat(
+            F.lit("common header\ndep=="), (F.col("id") % 50).cast("string")
+        ).alias("content"),
+    )
+    out = edit_pairs_chunked(
+        df, ["repo", "path"], "commit", "content", chunk_width=1000
+    )
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("from_version") + 1 == F.col("to_version")).cast("long")
+        ).alias("adjacent"),
+        F.sum(F.col("changed").cast("long")).alias("n_changed"),
+    ).collect()[0]
+    assert agg["n"] == n - 1
+    assert agg["adjacent"] == n - 1
+    # id%50 cycles: every adjacent pair rewrites the dep line
+    assert agg["n_changed"] == n - 1
+    # spot-check a chunk-boundary pair (999 -> 1000): one line swapped
+    b = out.filter(F.col("to_version") == 1000).collect()[0]
+    assert (b["from_version"], b["n_added"], b["n_removed"], b["n_common"]) \
+        == (999, 1, 1, 1)
+
+
+def test_edit_pairs_chunked_rejects_bad_inputs(spark):
+    import pytest
+
+    from schema_validator_spark.operators.history import edit_pairs_chunked
+
+    df = spark.createDataFrame(
+        [("r", "f", "abc123", "x")],
+        "repo string, path string, commit string, content string",
+    )
+    with pytest.raises(ValueError, match="numeric/timestamp"):
+        edit_pairs_chunked(df, ["repo", "path"], "commit", "content")
+    dfn = spark.createDataFrame(
+        [("r", "f", 1, "x")],
+        "repo string, path string, commit long, content string",
+    )
+    with pytest.raises(ValueError, match="chunk_width"):
+        edit_pairs_chunked(
+            df=dfn, key_cols=["repo", "path"], version_col="commit",
+            content_col="content", chunk_width=1,
+        )
+    clash = dfn.withColumn("_chunk", dfn.commit)
+    with pytest.raises(ValueError, match="_chunk"):
+        edit_pairs_chunked(clash, ["repo", "path"], "commit", "content")
+
+
+def test_edit_pairs_chunked_null_versions_match_serial(spark):
+    from schema_validator_spark.operators.history import (
+        edit_pairs,
+        edit_pairs_chunked,
+    )
+
+    rows = [
+        ("r", "f", None, "py", "a"),
+        ("r", "f", None, "py", "b"),   # NULL-version tie, sha breaks it
+        ("r", "f", 1, "py", "c"),
+        ("r", "f", 12, "py", "d"),
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit long, lang string,"
+        " content string"
+    )
+    serial = edit_pairs(df, ["repo", "path"], "commit", "content")
+    chunked = edit_pairs_chunked(
+        df, ["repo", "path"], "commit", "content", chunk_width=5
+    )
+    assert _pairs_sorted(chunked) == _pairs_sorted(serial)
