@@ -202,3 +202,75 @@ def test_dedup_stream_against_corpus(spark, tmp_path_factory):
     run_to_memory(out, "t_ss_dedup", output_mode="append")
     got = sorted(r["doc_id"] for r in spark.sql("select * from t_ss_dedup").collect())
     assert got == [11, 12]  # NULL text hashes as '' — absent from corpus
+
+
+def test_dedup_stream_soak_state_stays_watermark_bounded(spark, tmp_path):
+    """Multi-micro-batch soak (VERDICT r4 order #7): 8 rate-limited
+    batches (maxFilesPerTrigger=1, one parquet file each) of 100 fresh
+    keys x2 duplicates, event time advancing 10 min/batch against a
+    5-min watermark.  State must PLATEAU at ~2 windows (current batch +
+    one awaiting watermark), not grow with the stream: 800 distinct
+    keys pass through while the state store never holds more than 200.
+    """
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from schema_validator_spark.streaming.validate import dedup_stream
+
+    d = str(tmp_path / "soak_in")
+    os.makedirs(d)
+    base = dt.datetime(2024, 1, 1)
+    n_files, keys_per = 8, 100
+    for i in range(n_files):
+        ks, ts = [], []
+        for j in range(keys_per):
+            k = i * 1000 + j
+            t = base + dt.timedelta(seconds=i * 600 + (j % 60))
+            ks += [k, k]
+            ts += [t, t + dt.timedelta(seconds=30)]
+        tbl = pa.table({
+            "k": pa.array(ks, pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        })
+        f = f"{d}/b{i:02d}.parquet"
+        pq.write_table(tbl, f)
+        # force the file-source pick-up order = batch order
+        os.utime(f, (1e9 + i, 1e9 + i))
+
+    stream = (
+        spark.readStream.schema("k long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = dedup_stream(
+        stream, ["k"], event_time_col="ts", watermark_delay="5 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_dedup_soak")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "soak_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # correctness: every duplicate dropped, every distinct key kept once
+    assert spark.table("t_dedup_soak").count() == n_files * keys_per
+
+    stats = [
+        (p["batchId"], p["stateOperators"][0]["numRowsTotal"],
+         p["stateOperators"][0]["numRowsRemoved"])
+        for p in q.recentProgress
+        if p["stateOperators"]
+    ]
+    assert len(stats) >= 5, f"soak needs >=5 micro-batches, got {stats}"
+    # bounded: never more than 2 watermark windows of keys in state,
+    # even though 8 windows' worth of distinct keys flowed through
+    assert max(s[1] for s in stats) <= 2 * keys_per, stats
+    # and the bound comes from EVICTION, not a short stream: once the
+    # watermark starts moving, every batch drops a full window of state
+    assert sum(s[2] for s in stats) >= (n_files - 2) * keys_per, stats
