@@ -4960,6 +4960,85 @@ def q_image_ahash(spark, sf_dir):
     return image_hashes(media)
 
 
+def q_video_frames(spark, sf_dir):
+    """Video modality with a REAL stdlib codec
+    (operators/multimodal.extract_video_frames over functions/y4m.py —
+    YUV4MPEG2, the uncompressed interchange format ffmpeg emits;
+    completes the PNG/WAV precedent for the one modality that had only
+    the chunking stand-in).  Y4M payloads are generated in executors
+    with the planted luma pattern y(x, y, f) = (x*7 + y*13 + 29*f +
+    id) % 256 across 2 + id%3 frames (dims/chroma vary with id), plus
+    a corrupt stripe (id%13: not-Y4M bytes -> decode_ok=false, never
+    dropped).  every_k=2 frame sampling.  The oracle recomputes each
+    sampled frame's exact integer luma sum purely arithmetically — no
+    video bytes anywhere in SQL — so equality pins the entire encode
+    -> demux -> plane-slice -> sum pipeline byte-exactly."""
+    from schema_validator_spark.operators.multimodal import (
+        extract_video_frames,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from schema_validator_spark.functions import y4m as Y4M
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 13 == 0:
+                    rows.append((did, b"NOTY4M" + str(did).encode()))
+                    continue
+                w, h = 8 + (did % 3) * 2, 6 + (did % 2) * 2
+                n = 2 + did % 3
+                ff, yy, xx = np.mgrid[0:n, 0:h, 0:w]
+                lum = ((xx * 7 + yy * 13 + 29 * ff + did) % 256).astype(
+                    "uint8"
+                )
+                rows.append((did, Y4M.encode_y4m(
+                    lum, chroma="420jpeg" if did % 2 == 0 else "mono"
+                )))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    out = extract_video_frames(media, every_k=2)
+    # corrupt-stripe y_sum: NULL -> -1 sentinel on BOTH sides (a NULL in
+    # a bigint oracle column would float-ify duckdb's pandas bridge)
+    return out.withColumn("y_sum", F.coalesce("y_sum", F.lit(-1)))
+
+
+_VIDEO_FRAMES_ORACLE_SQL = """
+    with ok as (
+      select doc_id, 8 + (doc_id % 3) * 2 as w, 6 + (doc_id % 2) * 2 as h,
+             2 + doc_id % 3 as n,
+             case when doc_id % 2 = 0 then '420jpeg' else 'mono' end as chroma
+      from documents where doc_id % 13 <> 0
+    ), fr as (
+      select doc_id, w, h, n, chroma, f
+      from ok, unnest([0, 2]) as t(f)
+      where f < n
+    ), cells as (
+      select doc_id, f,
+             sum(((i % w) * 7 + (i // w) * 13 + 29 * f + doc_id) % 256)
+               as y_sum
+      from fr, unnest(range(w * h)) as c(i)
+      group by doc_id, f
+    )
+    select fr.doc_id as media_id, true as decode_ok,
+           cast(fr.w as int) as width, cast(fr.h as int) as height,
+           cast(fr.n as int) as n_frames, fr.chroma,
+           cast(fr.f as int) as frame_index,
+           cast(c.y_sum as bigint) as y_sum
+    from fr join cells c on c.doc_id = fr.doc_id and c.f = fr.f
+    union all
+    select doc_id, false, -1, -1, -1, NULL, -1, cast(-1 as bigint)
+    from documents where doc_id % 13 = 0
+"""
+
+
 _IMAGE_AHASH_ORACLE_SQL = """
     with ok as (
       select doc_id from documents where doc_id % 13 <> 0
@@ -8155,6 +8234,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_assign": q_shard_assign,
         "bm25_search": q_bm25_search,
         "function_complexity": q_function_complexity,
+        # --- new in round 5 (never driver-checked; after the A window) --
+        "video_frames": q_video_frames,
         # --- tier B: never driver-checked, remaining 38 -----------------
         "edit_pairs": q_edit_pairs,
         "dead_symbols": q_dead_symbols,
@@ -13261,6 +13342,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "bitext_pairs": _BITEXT_ORACLE_SQL,
         "pack_sweep": _pack_sweep_oracle_sql(),
         "image_ahash": _IMAGE_AHASH_ORACLE_SQL,
+        "video_frames": _VIDEO_FRAMES_ORACLE_SQL,
         "image_neardups": _IMAGE_NEARDUP_ORACLE_SQL,
         "audio_envelope": _AUDIO_ENVELOPE_ORACLE_SQL,
         "semantic_contamination": _SEMCONTAM_ORACLE_SQL,
