@@ -143,7 +143,9 @@ def test_code_neardup_banding_margin(duck):
     # mirrors q_code_neardup: bigram token shingles after header strip,
     # threshold 0.8, r=2 x 16 bands; the raw oracle IS the exact
     # all-pairs derivation, so wrap it directly
-    inner = entry_mod._code_neardup_oracle_sql()
+    from oracles.seg06 import _code_neardup_oracle_sql
+
+    inner = _code_neardup_oracle_sql()
     sql = (
         f"select coalesce(min(jaccard), 1.0), count(*) from ({inner})"
     )
