@@ -421,6 +421,8 @@ def commit_pairs(
     max_msg_chars: int = 200,
     reject_re: str = MSG_REJECT_RE,
     quality_only: bool = True,
+    chunked: bool = False,
+    chunk_width: int = 1000,
 ) -> DataFrame:
     """(message, before, after) instruction-pair mining — the
     CommitPackFT shape (OctoPack, Muennighoff et al. 2023): real edits
@@ -446,7 +448,10 @@ def commit_pairs(
     (+ ``msg_ok``).
 
     Scale shape: identical to edit_pairs (ONE Exchange + per-key
-    version sort); subject and verdict are derived ONCE per input row
+    version sort), or to edit_pairs_chunked with ``chunked=True``
+    (bounded tasks for degenerate histories — requires a
+    numeric/timestamp version column); subject and verdict are
+    derived ONCE per input row
     in the projection BELOW the lag window and carried through it —
     the window is a pushdown barrier, so neither the quality filter
     nor the output projection re-derives the regexes (deriving them
@@ -473,13 +478,18 @@ def commit_pairs(
         & ~raw.rlike(reject_re)
     )
     src = df.select("*", subject.alias("_subj"), ok.alias("_mok"))
-    pairs = edit_pairs(
+    # chunked=True routes through the hot-key-safe pairer (identical
+    # rows, bounded tasks) for corpora with degenerate VCS histories
+    pairer = edit_pairs_chunked if chunked else edit_pairs
+    kw = {"chunk_width": chunk_width} if chunked else {}
+    pairs = pairer(
         src,
         key_cols,
         version_col,
         content_col,
         changed_only=True,
         keep_cols=["_subj", "_mok"],
+        **kw,
     )
     scored = pairs.select(
         *key_cols,

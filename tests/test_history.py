@@ -446,3 +446,25 @@ def test_edit_pairs_chunked_null_versions_match_serial(spark):
         df, ["repo", "path"], "commit", "content", chunk_width=5
     )
     assert _pairs_sorted(chunked) == _pairs_sorted(serial)
+
+
+def test_commit_pairs_chunked_row_identical(spark):
+    from schema_validator_spark.operators.history import commit_pairs
+
+    rows = [("r", "f", 1, "a", "seed")] + [
+        ("r", "f", i + 2, f"v{i}", m)
+        for i, m in enumerate([
+            "Add retry logic to the fetcher",
+            "merge branch main",              # reject
+            "Fix the off-by-one in chunking",
+            "Refactor parser error messages",
+        ])
+    ]
+    df = spark.createDataFrame(rows, MSG_SCHEMA)
+    serial = commit_pairs(df, ["repo", "path"], "commit", "content",
+                          "message", quality_only=False)
+    chunked = commit_pairs(df, ["repo", "path"], "commit", "content",
+                           "message", quality_only=False,
+                           chunked=True, chunk_width=2)
+    assert _pairs_sorted(chunked) == _pairs_sorted(serial)
+    assert chunked.columns == serial.columns
