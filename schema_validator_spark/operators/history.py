@@ -286,7 +286,11 @@ def edit_pairs_chunked(
     all land in the NULL chunk, which sorts first — same relative
     order as the serial window's nulls-first — but they do share one
     task; a key whose hot axis is NULL-version rows is data corruption,
-    not history.
+    not history.  Non-finite float versions keep the serial order too:
+    NaN and +inf share the terminal chunk (the in-chunk version sort
+    puts NaN after +inf, Spark's double ordering), -inf gets its own
+    first finite chunk.  Key columns stitch NULL-SAFELY — a NULL-keyed
+    file pairs exactly as the serial window's partitionBy groups it.
 
     Shuffle budget: one hash partitioning by (key, chunk) reused by
     the window and the summary groupBy, one tiny shuffle of summary
@@ -300,7 +304,9 @@ def edit_pairs_chunked(
         df.columns, key_cols,
         reserved=frozenset({
             "_ln", "_sha", "_pv", "_pl", "_ps", "_rn", "_chunk",
-            "_vnum", "_last", "_prev", "from_version", "to_version",
+            "_pchunk", "_last", "_prev",
+            "from_version", "to_version",
+            *[f"_prevk{i}" for i in range(len(key_cols))],
         }),
         what="edit_pairs_chunked",
     )
@@ -321,13 +327,25 @@ def edit_pairs_chunked(
         if vtype.startswith(("date", "timestamp"))
         else F.col(version_col).cast("double")
     )
+    # chunk id as double so the non-finite versions a float column can
+    # carry keep the SERIAL sort order: Spark orders NaN greater than
+    # +inf, but floor(NaN/width) would not — map NaN and +inf into one
+    # terminal +inf chunk (internally re-ordered by the version sort,
+    # where NaN lands after +inf) and -inf into a -inf chunk that sorts
+    # after the NULL chunk and before every finite one
+    inf = float("inf")
+    chunk = (
+        F.when(F.isnan(vnum) | (vnum == F.lit(inf)), F.lit(inf))
+        .when(vnum == F.lit(-inf), F.lit(-inf))
+        .otherwise(F.floor(vnum / F.lit(chunk_width)).cast("double"))
+    )
     base = df.select(
         *key_cols,
         F.col(version_col),
         *keep_cols,
         F.array_distinct(F.split(s, "\n")).alias("_ln"),
         F.sha2(s, 256).alias("_sha"),
-        F.floor(vnum / F.lit(chunk_width)).alias("_chunk"),
+        chunk.alias("_chunk"),
     )
     order = [
         F.col(version_col).asc(),
@@ -360,13 +378,30 @@ def edit_pairs_chunked(
             )
         ).alias("_last")
     )
-    ws = Window.partitionBy(*key_cols).orderBy(F.col("_chunk").asc())
+    # stitch join must be NULL-SAFE on every key: the serial window's
+    # partitionBy groups NULL key values, so a null-unsafe equi-join
+    # here would silently drop every stitched pair of a NULL-keyed
+    # file (and of the NULL chunk's rows); alias the right side's
+    # keys so the join output stays unambiguous
     prev = summ.select(
-        *key_cols,
-        "_chunk",
-        F.lag("_last").over(ws).alias("_prev"),
+        *[F.col(k).alias(f"_prevk{i}") for i, k in enumerate(key_cols)],
+        F.col("_chunk").alias("_pchunk"),
+        "_last",
+    ).select(
+        *[f"_prevk{i}" for i in range(len(key_cols))],
+        "_pchunk",
+        F.lag("_last").over(
+            Window.partitionBy(
+                *[f"_prevk{i}" for i in range(len(key_cols))]
+            ).orderBy(F.col("_pchunk").asc())
+        ).alias("_prev"),
     )
-    joined = lagged.join(prev, [*key_cols, "_chunk"], "left")
+    cond = F.col("_chunk").eqNullSafe(F.col("_pchunk"))
+    for i, k in enumerate(key_cols):
+        cond = cond & F.col(k).eqNullSafe(F.col(f"_prevk{i}"))
+    joined = lagged.join(prev, cond, "left").drop(
+        "_pchunk", *[f"_prevk{i}" for i in range(len(key_cols))]
+    )
     stitched = (
         joined.withColumn(
             "_pv",

@@ -468,3 +468,62 @@ def test_commit_pairs_chunked_row_identical(spark):
                            chunked=True, chunk_width=2)
     assert _pairs_sorted(chunked) == _pairs_sorted(serial)
     assert chunked.columns == serial.columns
+
+
+def test_edit_pairs_chunked_null_keys_match_serial(spark):
+    """Review regression: the stitch join must be NULL-SAFE on key
+    columns — a NULL-keyed file previously lost its chunk-boundary
+    pairs silently."""
+    from schema_validator_spark.operators.history import (
+        edit_pairs,
+        edit_pairs_chunked,
+    )
+
+    rows = [
+        ("r", None, v, "py", f"line{v % 3}\nv{v}") for v in range(6)
+    ] + [
+        ("r", "f", v, "py", f"x{v}") for v in range(4)
+    ] + [
+        (None, None, v, "py", f"y{v}") for v in range(3)
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit long, lang string,"
+        " content string"
+    )
+    serial = edit_pairs(df, ["repo", "path"], "commit", "content")
+    chunked = edit_pairs_chunked(
+        df, ["repo", "path"], "commit", "content", chunk_width=2
+    )
+    assert _pairs_sorted(chunked) == _pairs_sorted(serial)
+    # the NULL-keyed files really did produce boundary-stitched pairs
+    assert serial.count() == 5 + 3 + 2
+
+
+def test_edit_pairs_chunked_nonfinite_versions_match_serial(spark):
+    """Review regression: NaN sorts greater than +inf in Spark's double
+    ordering but floor(NaN/width) does not respect that — NaN and +inf
+    go to the terminal chunk, -inf to its own leading chunk."""
+    from schema_validator_spark.operators.history import (
+        edit_pairs,
+        edit_pairs_chunked,
+    )
+
+    inf = float("inf")
+    rows = [
+        ("r", "f", 0.0, "a"),
+        ("r", "f", 1.0, "b"),
+        ("r", "f", 2500.0, "c"),
+        ("r", "f", float("nan"), "d"),
+        ("r", "f", inf, "e"),
+        ("r", "f", -inf, "z"),
+        ("r", "f", None, "n"),
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit double, content string"
+    )
+    serial = edit_pairs(df, ["repo", "path"], "commit", "content")
+    chunked = edit_pairs_chunked(
+        df, ["repo", "path"], "commit", "content", chunk_width=1000
+    )
+    assert _pairs_sorted(chunked) == _pairs_sorted(serial)
+    assert chunked.count() == 6
