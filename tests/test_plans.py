@@ -193,3 +193,41 @@ def test_synthetic_text_is_shuffle_and_python_free(spark, docs):
     assert P.n_exchanges(out) == 0
     assert P.join_kinds(out) == []
     assert not P.uses_python(out)
+
+
+def test_edit_pairs_chunked_plan_is_bounded_and_equi(spark):
+    """Round-5 tier pinned: the hot-key-safe pairer must stay an
+    equi-join plan (null-safe stitch join included — `<=>` is
+    hash/SMJ-compatible) with a bounded shuffle count and no Python."""
+    from schema_validator_spark.operators.history import (
+        edit_pairs_chunked,
+    )
+
+    df = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.lit("r").alias("repo"),
+        (F.col("doc_id") % 7).alias("path").cast("string"),
+        F.col("doc_id").alias("commit"),
+        F.col("text").alias("content"),
+    )
+    out = edit_pairs_chunked(
+        df, ["repo", "path"], "commit", "content", chunk_width=10
+    )
+    kinds = P.join_kinds(out)
+    assert "CartesianProduct" not in kinds, kinds
+    assert "BroadcastNestedLoopJoin" not in kinds, kinds
+    # chunk window + summary agg (reuses partitioning) + summary-lag
+    # window + stitch join: the plan must not balloon past that
+    assert P.n_exchanges(out) <= 5, P.explain_str(out)
+    assert not P.uses_python(out)
+
+
+def test_video_frames_demux_is_map_only(spark):
+    """Round-5 tier pinned: Y4M demux is one Arrow fan-out riding the
+    payload scan — zero Exchange."""
+    from schema_validator_spark.operators.multimodal import (
+        extract_video_frames,
+        synthetic_y4m_media,
+    )
+
+    out = extract_video_frames(synthetic_y4m_media(spark, 100))
+    assert P.n_exchanges(out) == 0, P.explain_str(out)
