@@ -121,3 +121,60 @@ def test_extract_video_frames_flags_garbage(spark):
     for r in rows.values():
         assert not r["decode_ok"] and r["width"] == -1
         assert r["y_sum"] is None and r["chroma"] is None
+
+
+# ------------------------------------------------------- property fuzzing
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n=st.integers(1, 4),
+    h=st.integers(1, 6).map(lambda v: v * 2),
+    w=st.integers(1, 6).map(lambda v: v * 2),
+    chroma=st.sampled_from(["420jpeg", "420mpeg2", "422", "444", "mono"]),
+    seed=st.integers(0, 10_000),
+    fps=st.tuples(st.integers(1, 120), st.integers(1, 1001)),
+)
+def test_roundtrip_property(n, h, w, chroma, seed, fps):
+    a = _lum(n, h, w, salt=seed)
+    info, frames = Y4M.decode_y4m(Y4M.encode_y4m(a, chroma=chroma, fps=fps))
+    assert (info["width"], info["height"], info["n_frames"]) == (w, h, n)
+    assert (info["fps_num"], info["fps_den"]) == fps
+    assert info["chroma"] == chroma
+    for i in range(n):
+        assert (frames[i]["y"] == a[i]).all()
+
+
+@settings(max_examples=120, deadline=None)
+@given(blob=st.binary(max_size=400))
+def test_decode_never_crashes_on_garbage(blob):
+    # arbitrary bytes either raise Y4mError or decode consistently —
+    # no other exception type, no hang, no unguarded allocation
+    try:
+        info, frames = Y4M.decode_y4m(blob)
+    except Y4M.Y4mError:
+        return
+    assert info["n_frames"] == len(frames)
+    for f in frames:
+        assert f["y"].shape == (info["height"], info["width"])
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    cut=st.integers(0, 200),
+    junk=st.binary(max_size=16),
+)
+def test_decode_truncation_and_splice_fuzz(cut, junk):
+    """Valid stream mutated by truncation + byte splice: must raise
+    Y4mError or return a consistent prefix decode, never anything
+    else."""
+    buf = Y4M.encode_y4m(_lum(3, 4, 6, salt=7), chroma="420jpeg")
+    mutated = buf[:cut] + junk + buf[cut + len(junk):]
+    try:
+        info, frames = Y4M.decode_y4m(mutated)
+    except Y4M.Y4mError:
+        return
+    assert 0 <= info["n_frames"] <= 3
