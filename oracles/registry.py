@@ -7,6 +7,8 @@ from __future__ import annotations
 
 from ._shared import Callable, DataFrame, F, SparkSession
 from .seg01 import (
+    _CLASSIFIER_CALIBRATION_ORACLE_SQL,
+    q_classifier_calibration,
     _SPAN_SENTINEL,
     _bpe_oracle_seg_sql,
     q_ann_topk,
@@ -654,6 +656,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "function_complexity": q_function_complexity,
         # --- new in round 5 (never driver-checked; after the A window) --
         "video_frames": q_video_frames,
+        "classifier_calibration": q_classifier_calibration,
         # --- tier B: never driver-checked, remaining 38 -----------------
         "edit_pairs": q_edit_pairs,
         "dead_symbols": q_dead_symbols,
@@ -1738,6 +1741,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "pack_sweep": _pack_sweep_oracle_sql(),
         "image_ahash": _IMAGE_AHASH_ORACLE_SQL,
         "video_frames": _VIDEO_FRAMES_ORACLE_SQL,
+        "classifier_calibration": _CLASSIFIER_CALIBRATION_ORACLE_SQL,
         "image_neardups": _IMAGE_NEARDUP_ORACLE_SQL,
         "audio_envelope": _AUDIO_ENVELOPE_ORACLE_SQL,
         "semantic_contamination": _SEMCONTAM_ORACLE_SQL,

@@ -1557,6 +1557,92 @@ def q_classifier_scores(spark, sf_dir):
     )
 
 
+def q_classifier_calibration(spark, sf_dir):
+    """Reliability bins for the quality classifier
+    (operators/calibration.calibration_report — the Guo et al. 2017
+    diagram the FineWeb-style threshold choice needs): equal-width
+    score bins x (n, mean predicted score, observed positive rate,
+    gap).  Labels are a PLANTED integer-hash stripe independent of the
+    score — positive probability (doc_id % 11)/10 via md5 residue vs
+    an integer threshold, no float boundary anywhere in the label — so
+    the report deterministically exhibits real miscalibration numbers
+    the oracle replays cell-for-cell.  The raw logit concentrates
+    within ~0.02 of zero (mean of ~200 uniform weights), which would
+    populate only the two middle bins; it is sharpened with
+    temperature T=0.02 (score = sigmoid(logit/T)) — the exact
+    scaling knob Guo et al. study — so the score distribution spans
+    the bin range and the diagram is non-degenerate.  ONE
+    map-side-combinable groupBy on the bin id (≤ 11 groups at any
+    corpus size); doubles compare as 6dp-scaled longs per the
+    contract convention."""
+    from schema_validator_spark.operators.calibration import (
+        calibration_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_toks", X.tokens(F.coalesce(F.col("text"), F.lit("")))
+    )
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                   F.lit("cal-v1"))), 1, 8),
+        16, 10,
+    ).cast("long")
+    z = QC.classifier_logit(F.col("_toks"), pre_tokenized=True)
+    scored = docs.select(
+        F.col("doc_id"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z * 50.0))).alias("score"),
+        ((u % 1000) < (F.col("doc_id") % 11) * 100).alias("label"),
+    )
+    rep = calibration_report(scored, "score", "label", n_bins=10)
+    return rep.select(
+        "bin",
+        "n",
+        F.round(F.col("mean_score") * 1e6).cast("long")
+        .alias("mean_score_e6"),
+        F.round(F.col("pos_rate") * 1e6).cast("long")
+        .alias("pos_rate_e6"),
+        F.round(F.col("gap") * 1e6).cast("long").alias("gap_e6"),
+    )
+
+
+_CLASSIFIER_CALIBRATION_ORACLE_SQL = r"""
+    with base as (
+      select doc_id,
+             list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                         t -> t <> '') as w
+      from documents
+    ), f as (
+      select doc_id,
+             list_concat(w,
+               case when len(w) >= 2
+                    then list_transform(range(1, len(w)),
+                                        i -> w[i] || ' ' || w[i+1])
+                    else [] end) as feats
+      from base
+    ), scored as (
+      select doc_id,
+             1.0 / (1.0 + exp(-50.0 * (
+               coalesce(list_sum(list_transform(feats,
+                 t -> (('0x' || substr(md5(t || 'qc-v1'), 1, 8))::bigint
+                       ::double / 4294967296.0) - 0.5)), 0.0)
+               / greatest(len(feats), 1)))) as score,
+             (('0x' || substr(md5(doc_id::varchar || 'cal-v1'), 1, 8))::bigint
+              % 1000) < (doc_id % 11) * 100 as label
+      from f
+    )
+    select cast(least(floor(score * 10), 9) as int) as bin,
+           count(*) as n,
+           cast(round(round(avg(score), 6) * 1e6) as bigint)
+             as mean_score_e6,
+           cast(round(round(avg(case when label then 1.0 else 0.0 end), 6)
+                      * 1e6) as bigint) as pos_rate_e6,
+           cast(round((round(avg(case when label then 1.0 else 0.0 end), 6)
+                       - round(avg(score), 6)) * 1e6) as bigint) as gap_e6
+    from scored
+    group by 1
+"""
+
+
 # Deterministic URL synthesis for q_url_filter: host pool exercises every
 # registered-domain branch (multi-label suffix, bare suffix, unknown TLD).
 _URL_SUFFIXES = ["com", "org", "net", "io", "uk", "co.uk", "ac.uk", "jp", "co.jp"]

@@ -10,8 +10,8 @@ import hashlib
 
 import __spark_entry__ as E
 
-PINNED = "23fe71d04ba9f286b01dbd96eac49f6a1714ee0ef94fc2ba5a9a84f54e62efca"
-N_QUERIES = 215
+PINNED = "b5ac05819d1c895a6f4eb0643cb697bf6688cf8234d608fecaa362df34667a48"
+N_QUERIES = 216
 
 
 def _contract_hash() -> str:
