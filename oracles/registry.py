@@ -8,6 +8,8 @@ from __future__ import annotations
 from ._shared import Callable, DataFrame, F, SparkSession
 from .seg01 import (
     _CLASSIFIER_CALIBRATION_ORACLE_SQL,
+    _THRESHOLD_SWEEP_ORACLE_SQL,
+    q_threshold_sweep,
     q_classifier_calibration,
     _SPAN_SENTINEL,
     _bpe_oracle_seg_sql,
@@ -657,6 +659,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 5 (never driver-checked; after the A window) --
         "video_frames": q_video_frames,
         "classifier_calibration": q_classifier_calibration,
+        "threshold_sweep": q_threshold_sweep,
         # --- tier B: never driver-checked, remaining 38 -----------------
         "edit_pairs": q_edit_pairs,
         "dead_symbols": q_dead_symbols,
@@ -1742,6 +1745,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "image_ahash": _IMAGE_AHASH_ORACLE_SQL,
         "video_frames": _VIDEO_FRAMES_ORACLE_SQL,
         "classifier_calibration": _CLASSIFIER_CALIBRATION_ORACLE_SQL,
+        "threshold_sweep": _THRESHOLD_SWEEP_ORACLE_SQL,
         "image_neardups": _IMAGE_NEARDUP_ORACLE_SQL,
         "audio_envelope": _AUDIO_ENVELOPE_ORACLE_SQL,
         "semantic_contamination": _SEMCONTAM_ORACLE_SQL,

@@ -1605,6 +1605,104 @@ def q_classifier_calibration(spark, sf_dir):
     )
 
 
+def q_threshold_sweep(spark, sf_dir):
+    """Per-cutoff curation outcomes for the quality classifier
+    (operators/calibration.threshold_sweep — the companion of the
+    reliability report: which t hits the target precision/yield):
+    (threshold, n_kept, tp, fp, fn, precision, recall, f1) per
+    candidate against the same planted integer-hash label stripe as
+    classifier_calibration, same temperature-sharpened score.  ONE
+    map-side-combined pass (|T| x 4 conditional aggregates) + a
+    constant-size stack unpivot — zero row multiplication.  NULL
+    ratios (zero denominators) map to the -1 sentinel on BOTH sides
+    (nullable-bigint pandas-bridge convention)."""
+    from schema_validator_spark.operators.calibration import (
+        threshold_sweep,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_toks", X.tokens(F.coalesce(F.col("text"), F.lit("")))
+    )
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                   F.lit("cal-v1"))), 1, 8),
+        16, 10,
+    ).cast("long")
+    z = QC.classifier_logit(F.col("_toks"), pre_tokenized=True)
+    scored = docs.select(
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z * 50.0))).alias("score"),
+        ((u % 1000) < (F.col("doc_id") % 11) * 100).alias("label"),
+    )
+    sw = threshold_sweep(
+        scored, "score", "label", thresholds=[0.1, 0.3, 0.5, 0.7, 0.9]
+    )
+    e6 = lambda c: F.coalesce(  # noqa: E731
+        F.round(F.col(c) * 1e6).cast("long"), F.lit(-1)
+    )
+    return sw.select(
+        F.round(F.col("threshold") * 1e6).cast("long")
+        .alias("threshold_e6"),
+        "n_kept", "tp", "fp", "fn",
+        e6("precision").alias("precision_e6"),
+        e6("recall").alias("recall_e6"),
+        e6("f1").alias("f1_e6"),
+    )
+
+
+_THRESHOLD_SWEEP_ORACLE_SQL = r"""
+    with base as (
+      select doc_id,
+             list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                         t -> t <> '') as w
+      from documents
+    ), f as (
+      select doc_id,
+             list_concat(w,
+               case when len(w) >= 2
+                    then list_transform(range(1, len(w)),
+                                        i -> w[i] || ' ' || w[i+1])
+                    else [] end) as feats
+      from base
+    ), scored as (
+      select doc_id,
+             1.0 / (1.0 + exp(-50.0 * (
+               coalesce(list_sum(list_transform(feats,
+                 t -> (('0x' || substr(md5(t || 'qc-v1'), 1, 8))::bigint
+                       ::double / 4294967296.0) - 0.5)), 0.0)
+               / greatest(len(feats), 1)))) as score,
+             (('0x' || substr(md5(doc_id::varchar || 'cal-v1'), 1, 8))::bigint
+              % 1000) < (doc_id % 11) * 100 as label
+      from f
+    ), counts as (
+      select th,
+             sum(case when score >= th then 1 else 0 end) as n_kept,
+             sum(case when score >= th and label then 1 else 0 end) as tp,
+             sum(case when score >= th and not label then 1 else 0 end) as fp,
+             sum(case when score < th and label then 1 else 0 end) as fn
+      from scored cross join unnest([0.1, 0.3, 0.5, 0.7, 0.9]) t(th)
+      group by th
+    ), ratios as (
+      select th, n_kept, tp, fp, fn,
+             case when tp + fp > 0
+                  then round(tp / (tp + fp)::double, 6) end as p,
+             case when tp + fn > 0
+                  then round(tp / (tp + fn)::double, 6) end as r
+      from counts
+    )
+    select cast(round(th * 1e6) as bigint) as threshold_e6,
+           cast(n_kept as bigint) as n_kept,
+           cast(tp as bigint) as tp, cast(fp as bigint) as fp,
+           cast(fn as bigint) as fn,
+           coalesce(cast(round(p * 1e6) as bigint), -1) as precision_e6,
+           coalesce(cast(round(r * 1e6) as bigint), -1) as recall_e6,
+           coalesce(cast(round(case when p is not null and r is not null
+                                     and p + r > 0
+                                then round(2 * p * r / (p + r), 6) end
+                          * 1e6) as bigint), -1) as f1_e6
+    from ratios
+"""
+
+
 _CLASSIFIER_CALIBRATION_ORACLE_SQL = r"""
     with base as (
       select doc_id,

@@ -91,3 +91,76 @@ def expected_calibration_error(
             F.sum(F.abs(F.col("gap")) * F.col("n")) / F.sum("n"), 6
         ).alias("ece"),
     )
+
+
+def threshold_sweep(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    thresholds: list[float] | None = None,
+) -> DataFrame:
+    """Per-cutoff curation outcomes — the numbers that actually choose
+    the filter threshold t (keep docs with score >= t): one output row
+    per candidate ``(threshold, n_kept, tp, fp, fn, precision, recall,
+    f1)`` against a labeled audit stripe.
+
+    * a NULL score is never kept (the comparison's NULL coalesces to
+      false); NULL labels count toward ``n_kept`` but are excluded
+      from tp/fp/fn (unlabeled rows can't witness either way);
+    * precision/recall/f1 are 6dp-rounded; a zero denominator yields
+      NULL (no kept rows / no positives), never a fake 0.
+
+    Scale shape: the :func:`pack_sweep` pattern — ZERO row
+    multiplication, |thresholds| x 4 conditional aggregates in ONE
+    map-side-combined pass, then a constant-size stack unpivot of the
+    single result row.
+    """
+    if thresholds is None:
+        thresholds = [0.1, 0.3, 0.5, 0.7, 0.9]
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    if len(set(thresholds)) != len(thresholds):
+        raise ValueError("duplicate thresholds")
+    score = F.col(score_col)
+    lab = F.col(label_col)
+    aggs = []
+    for i, t in enumerate(thresholds):
+        kept = F.coalesce(score >= F.lit(float(t)), F.lit(False))
+        aggs += [
+            F.sum(kept.cast("long")).alias(f"_k_{i}"),
+            F.sum((kept & (lab == True)).cast("long")).alias(f"_tp_{i}"),  # noqa: E712
+            F.sum((kept & (lab == False)).cast("long")).alias(f"_fp_{i}"),  # noqa: E712
+            F.sum((~kept & (lab == True)).cast("long")).alias(f"_fn_{i}"),  # noqa: E712
+        ]
+    row = df.agg(*aggs)
+    stack = ", ".join(
+        f"{float(t)}D, _k_{i}, _tp_{i}, _fp_{i}, _fn_{i}"
+        for i, t in enumerate(thresholds)
+    )
+    un = row.selectExpr(
+        f"stack({len(thresholds)}, {stack}) as "
+        "(threshold, n_kept, tp, fp, fn)"
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 6),
+    )
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.round(F.col("tp") / (F.col("tp") + F.col("fn")), 6),
+    )
+    out = un.select(
+        "threshold", "n_kept", "tp", "fp", "fn",
+        prec.alias("precision"), rec.alias("recall"),
+    )
+    f1 = F.when(
+        F.col("precision").isNotNull()
+        & F.col("recall").isNotNull()
+        & (F.col("precision") + F.col("recall") > 0),
+        F.round(
+            2 * F.col("precision") * F.col("recall")
+            / (F.col("precision") + F.col("recall")), 6,
+        ),
+    )
+    return out.withColumn("f1", f1)

@@ -78,3 +78,46 @@ def test_one_shuffle_plan_and_bad_bins(spark):
     assert n_exchanges(calibration_report(df, "score", "label")) == 1
     with pytest.raises(ValueError, match="n_bins"):
         calibration_report(df, "score", "label", n_bins=0)
+
+
+def test_threshold_sweep_exact(spark):
+    from schema_validator_spark.operators.calibration import (
+        threshold_sweep,
+    )
+
+    rows = [
+        (0.9, True), (0.8, True), (0.7, False),
+        (0.4, True), (0.2, False), (None, True), (0.95, None),
+    ]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    got = {
+        r["threshold"]: r.asDict()
+        for r in threshold_sweep(
+            df, "score", "label", thresholds=[0.5, 0.99]
+        ).collect()
+    }
+    t5 = got[0.5]
+    # kept: .9T .8T .7F .95(NULL label) -> n_kept 4, tp 2, fp 1
+    # not kept with label=True: .4T and the NULL-score True row -> fn 2
+    assert (t5["n_kept"], t5["tp"], t5["fp"], t5["fn"]) == (4, 2, 1, 2)
+    assert t5["precision"] == round(2 / 3, 6)
+    assert t5["recall"] == 0.5
+    p, r = 2 / 3, 0.5
+    assert abs(t5["f1"] - 2 * round(p, 6) * r / (round(p, 6) + r)) < 2e-6
+    t99 = got[0.99]
+    # nothing reaches 0.99 -> no kept rows: precision NULL, recall 0
+    assert (t99["n_kept"], t99["tp"], t99["fp"], t99["fn"]) == (0, 0, 0, 4)
+    assert t99["precision"] is None and t99["recall"] == 0.0
+    assert t99["f1"] is None
+
+
+def test_threshold_sweep_single_pass_plan(spark):
+    from schema_validator_spark.operators.calibration import (
+        threshold_sweep,
+    )
+    from schema_validator_spark.plans.inspect import n_exchanges
+
+    df = spark.createDataFrame([(0.5, True)], "score double, label boolean")
+    out = threshold_sweep(df, "score", "label")
+    # one scalar aggregation (single Exchange to the 1-row reduce)
+    assert n_exchanges(out) <= 1

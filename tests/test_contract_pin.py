@@ -10,8 +10,8 @@ import hashlib
 
 import __spark_entry__ as E
 
-PINNED = "b5ac05819d1c895a6f4eb0643cb697bf6688cf8234d608fecaa362df34667a48"
-N_QUERIES = 216
+PINNED = "2e0dd890adb0bd403996ed37113ba830411875af8ddc4c4df27bc274bc28b326"
+N_QUERIES = 217
 
 
 def _contract_hash() -> str:
